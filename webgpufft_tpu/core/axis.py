@@ -1,0 +1,243 @@
+"""Per-axis FFT algorithm plans: mixed-radix matmul, Rader, Bluestein.
+
+TPU-native redesign of the reference's axis execution layer
+(reference: src/plan.js Stockham stages; src/runtime/algorithms/
+bluestein_axis.js, rader_axis.js).  Key inversion: instead of one radix
+butterfly stage per kernel launch with global-memory ping-pong, each axis
+transform is a short chain of *batched MXU matmul contractions* with
+host-precomputed DFT/twiddle tables — XLA fuses the elementwise twiddles
+into the matmul epilogues, and the arithmetic lands on the systolic array.
+
+Data layout: interleaved complex float32 — shape (..., n, 2).  All complex
+arithmetic is real math via core.cplx (the TPU backend has no complex dtype,
+and the MXU wants real matmuls anyway).
+
+Every plan exposes:
+  - ``consts()``  -> {name: np.ndarray} constants (passed as runtime args so
+                     they never bloat the HLO as literals)
+  - ``apply(x, consts)`` -> transform along the last *complex* axis of x
+                            (array axis -2; component dim stays last)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import dft
+from .cplx import to_w4, const_pair, cmul_const
+from ..utils import factors
+
+# f32 matmul accuracy on the MXU: DEFAULT lowers to bf16 passes (~3e-3 rel
+# error on a 1024-pt FFT — fails the 1e-5 accuracy bar); HIGHEST uses the
+# 6-pass f32 scheme.  The FFT stays memory-bound either way, so HIGHEST is
+# the right default (tuning can lower it for throughput experiments).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _einsum(pattern, a, b):
+    return jnp.einsum(pattern, a, b, precision=_PRECISION)
+
+
+class AxisPlan:
+    kind: str = "?"
+
+    def __init__(self, n: int, prefix: str):
+        self.n = n
+        self.prefix = prefix
+
+    def consts(self) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def apply(self, x, consts):
+        raise NotImplementedError
+
+
+class MixedAxisPlan(AxisPlan):
+    """Smooth-length FFT as a chain of sub-DFT matmuls + twiddles.
+
+    The axis length is grouped into sub-lengths (factors.split_sublengths);
+    cost ~ 4*N*sum(subs) real MACs per line — intentionally traded against
+    the MXU's abundant FLOPs to keep the pipeline memory-bound.
+    """
+    kind = "mixed"
+
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+        super().__init__(n, prefix)
+        self.direction = direction
+        self.subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
+        assert math.prod(self.subs) == n, (n, self.subs)
+
+    def consts(self) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        rem = self.n
+        for lvl, n1 in enumerate(self.subs):
+            last = lvl == len(self.subs) - 1
+            out[f"{self.prefix}/dft{lvl}"] = to_w4(dft.dft_matrix(n1, self.direction))
+            if not last:
+                n2 = rem // n1
+                ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
+                out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
+                out[f"{self.prefix}/twb{lvl}"] = tb
+                rem = n2
+        return out
+
+    def apply(self, x, consts):
+        return self._rec(x, consts, 0)
+
+    def _rec(self, x, consts, lvl: int):
+        subs = self.subs[lvl:]
+        n = math.prod(subs)
+        if len(subs) == 1:
+            # out[..., c, j] = sum_{a,i} x[..., a, i] W4[a, i, c, j]
+            return _einsum("...ai,aicj->...cj", x, consts[f"{self.prefix}/dft{lvl}"])
+        n1 = subs[0]
+        n2 = n // n1
+        lead = x.shape[:-2]
+        xm = x.reshape(*lead, n1, n2, 2)
+        # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
+        y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
+        y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"], consts[f"{self.prefix}/twb{lvl}"])
+        z = self._rec(y, consts, lvl + 1)          # length-n2 FFT along axis -2
+        z = jnp.swapaxes(z, -3, -2)                # out[k] at k = k1 + n1*k2
+        return z.reshape(*lead, n, 2)
+
+
+class BluesteinAxisPlan(AxisPlan):
+    """Arbitrary-length FFT via chirp-Z embedding into a smooth length M.
+
+    M = next smooth >= 2N-1 (reference policy: bluestein_axis.js:72-74).
+    The 1/M of the inverse M-FFT is folded into the precomputed kernel
+    spectrum, so the pipeline is: chirp mul -> M-FFT -> pointwise -> inverse
+    M-FFT -> chirp mul, with zero extra normalization passes.
+    """
+    kind = "bluestein"
+
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+        super().__init__(n, prefix)
+        self.direction = direction
+        self.m = factors.next_smooth_at_least(max(2 * n - 1, 1))
+        self.fwd = MixedAxisPlan(self.m, "forward", f"{prefix}/mf", max_sub)
+        self.inv = MixedAxisPlan(self.m, "inverse", f"{prefix}/mi", max_sub)
+
+    def consts(self) -> Dict[str, np.ndarray]:
+        ca, cb = const_pair(dft.bluestein_chirp(self.n, self.direction))
+        ha, hb = const_pair(dft.bluestein_kernel_fft(self.n, self.m, self.direction))
+        out = {
+            f"{self.prefix}/chirpa": ca, f"{self.prefix}/chirpb": cb,
+            f"{self.prefix}/hffta": ha, f"{self.prefix}/hfftb": hb,
+        }
+        out.update(self.fwd.consts())
+        out.update(self.inv.consts())
+        return out
+
+    def apply(self, x, consts):
+        n, m = self.n, self.m
+        p = self.prefix
+        a = cmul_const(x, consts[f"{p}/chirpa"], consts[f"{p}/chirpb"])
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, m - n), (0, 0)]
+        a = jnp.pad(a, pad)
+        s = self.fwd.apply(a, consts)
+        s = cmul_const(s, consts[f"{p}/hffta"], consts[f"{p}/hfftb"])
+        y = self.inv.apply(s, consts)
+        return cmul_const(y[..., :n, :], consts[f"{p}/chirpa"], consts[f"{p}/chirpb"])
+
+
+class RaderAxisPlan(AxisPlan):
+    """Prime-length DFT as a length-(p-1) cyclic convolution
+    (reference mechanism: src/runtime/algorithms/rader_axis.js).
+
+    The convolution runs at smooth length m (= p-1 when smooth, else a
+    wrapped-kernel embedding at the next smooth >= 2(p-1)-1), again with 1/m
+    folded into the precomputed kernel spectrum.
+    """
+    kind = "rader"
+
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+        if not factors.is_prime(n):
+            raise ValueError(f"Rader axis requires prime length, got {n}")
+        super().__init__(n, prefix)
+        self.direction = direction
+        perm_in, perm_out, bfft, m = dft.rader_tables(n, direction)
+        self.m = m
+        self._perm_in = perm_in.astype(np.int32)
+        # inverse of perm_out: inv[k-1] = j with perm_out[j] == k
+        inv = np.zeros(n - 1, dtype=np.int32)
+        for j, k in enumerate(perm_out):
+            inv[int(k) - 1] = j
+        self._scatter_idx = inv
+        self._bfft = bfft
+        self.fwd = MixedAxisPlan(m, "forward", f"{prefix}/mf", max_sub)
+        self.inv = MixedAxisPlan(m, "inverse", f"{prefix}/mi", max_sub)
+
+    def consts(self) -> Dict[str, np.ndarray]:
+        ba, bb = const_pair(self._bfft)
+        out = {
+            f"{self.prefix}/perm_in": self._perm_in,
+            f"{self.prefix}/scatter": self._scatter_idx,
+            f"{self.prefix}/bffta": ba, f"{self.prefix}/bfftb": bb,
+        }
+        out.update(self.fwd.consts())
+        out.update(self.inv.consts())
+        return out
+
+    def apply(self, x, consts):
+        p_ = self.prefix
+        p, m = self.n, self.m
+        L = p - 1
+        x0 = x[..., :1, :]
+        bin0 = jnp.sum(x, axis=-2, keepdims=True)            # X[0] = sum x[n]
+        a = jnp.take(x, consts[f"{p_}/perm_in"], axis=-2)    # a[i] = x[g^i]
+        if m > L:
+            pad = [(0, 0)] * (a.ndim - 2) + [(0, m - L), (0, 0)]
+            a = jnp.pad(a, pad)
+        s = self.fwd.apply(a, consts)
+        s = cmul_const(s, consts[f"{p_}/bffta"], consts[f"{p_}/bfftb"])
+        conv = self.inv.apply(s, consts)[..., :L, :]
+        xk = x0 + conv                                       # X[g^{-j}] = x[0] + conv[j]
+        tail = jnp.take(xk, consts[f"{p_}/scatter"], axis=-2)
+        return jnp.concatenate([bin0, tail], axis=-2)
+
+
+def select_axis_kind(n: int, axis: int, tuning) -> str:
+    """Axis algorithm policy (reference: src/runtime/large_policy.js:193-237).
+
+    forced overrides win; then smooth -> mixed; prime <= raderMaxPrime ->
+    rader; else bluestein.
+    """
+    if axis in tuning.force_bluestein_axes:
+        return "bluestein"
+    if axis in tuning.force_rader_axes:
+        if not factors.is_prime(n):
+            raise ValueError(f"forceRaderAxes: axis {axis} length {n} is not prime")
+        return "rader"
+    if n == 1 or factors.is_smooth(n):
+        return "mixed"
+    if factors.is_prime(n) and n <= tuning.rader_max_prime:
+        return "rader"
+    return "bluestein"
+
+
+def build_axis_plan(n: int, axis: int, direction: str, tuning, prefix: str) -> AxisPlan:
+    kind = select_axis_kind(n, axis, tuning)
+    max_sub = tuning.max_sub_length
+    if kind == "mixed":
+        return MixedAxisPlan(n, direction, prefix, max_sub)
+    if kind == "rader":
+        return RaderAxisPlan(n, direction, prefix, max_sub)
+    return BluesteinAxisPlan(n, direction, prefix, max_sub)
+
+
+def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):
+    """Apply an axis plan along complex array axis ``array_axis`` of
+    interleaved x (..., 2)."""
+    last = x.ndim - 2
+    if array_axis == last:
+        return axis_plan.apply(x, consts)
+    x = jnp.moveaxis(x, array_axis, last)
+    y = axis_plan.apply(x, consts)
+    return jnp.moveaxis(y, last, array_axis)
