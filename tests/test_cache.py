@@ -1,0 +1,60 @@
+"""Plan-cache snapshot tests (reference: test/pipeline_cache.unit.test.js —
+versioned snapshot export/import/prewarm, src/runtime/pipeline_cache.js)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.runtime.cache import (
+    SNAPSHOT_SCHEMA, export_plan_cache_snapshot, import_plan_cache_snapshot)
+
+
+def test_snapshot_roundtrip():
+    cache = W.PlanCache()
+    W.create_plan({"type": "c2c", "shape": [16], "batch": 2,
+                   "normalize": "unitary"}, cache=cache)
+    W.create_plan({"type": "fftconv", "shape": [8],
+                   "fftConv": {"boundary": "linear-same", "kernelShape": [3],
+                               "kernelCount": 2}}, cache=cache)
+    W.create_plan({"type": "dct2", "shape": [8, 8], "direction": "inverse",
+                   "ioView": {"input": {"shape": [6, 6], "placement": "center"}},
+                   "zeroPad": {"read": {"start": [1, 0], "end": [8, 8]}}},
+                  cache=cache)
+    snap = export_plan_cache_snapshot(cache)
+    assert snap["schema"] == SNAPSHOT_SCHEMA
+    assert snap["metadata"]["plans"] == 3
+    # must survive JSON serialization
+    snap2 = json.loads(json.dumps(snap))
+
+    fresh = W.PlanCache()
+    n = import_plan_cache_snapshot(snap2, cache=fresh)
+    assert n == 3 and len(fresh) == 3
+    # rebuilt specs must be identical (cache hits)
+    p = W.create_plan({"type": "c2c", "shape": [16], "batch": 2,
+                       "normalize": "unitary"}, cache=fresh)
+    assert len(fresh) == 3  # no new entry
+
+
+def test_snapshot_rejects_bad_schema():
+    with pytest.raises(ValueError, match="schema"):
+        import_plan_cache_snapshot({"schema": "other", "version": 1})
+    with pytest.raises(ValueError, match="version"):
+        import_plan_cache_snapshot({"schema": SNAPSHOT_SCHEMA, "version": 99})
+
+
+def test_rebuilt_plan_executes(rng, assert_close):
+    from webgpufft_tpu.core.cplx import interleave, uninterleave
+    from webgpufft_tpu.utils import mathref as R
+
+    cache = W.PlanCache()
+    W.create_plan({"type": "c2c", "shape": [12], "batch": 2}, cache=cache)
+    snap = json.loads(json.dumps(export_plan_cache_snapshot(cache)))
+    fresh = W.PlanCache()
+    import_plan_cache_snapshot(snap, cache=fresh)
+    plan = W.create_plan({"type": "c2c", "shape": [12], "batch": 2}, cache=fresh)
+    z = rng.standard_normal((2, 12)) + 1j * rng.standard_normal((2, 12))
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [12], "forward")
+    assert_close(y.real, ref.real, label="rebuilt plan")

@@ -1,0 +1,168 @@
+"""fftconv plan tests: boundaries, modes, multi-kernel, output layouts,
+channel-lane policies and preset helpers.
+
+Reference coverage: fftconv suite entries in test/complete.suite.js +
+channel-lane preset builders (src/runtime/fftconv_channel_lane_presets.js).
+Oracle: utils/mathref.fftconv == reference src/utils/math.js:469-603.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.utils import mathref as R
+
+
+def rand_c(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+@pytest.mark.parametrize("boundary", ["circular", "linear-full", "linear-same", "linear-valid"])
+@pytest.mark.parametrize("mode", ["convolution", "correlation"])
+def test_boundaries_and_modes(boundary, mode, rng, assert_close):
+    shape, kshape = [16], [5]
+    x = rand_c(rng, (2, 16))
+    k = rand_c(rng, (5,))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=2,
+                        fftConv={"boundary": boundary, "mode": mode,
+                                 "kernelShape": kshape})
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=interleave(k))))
+    ref = R.fftconv(x, k, shape, batch=2, mode=mode, boundary=boundary,
+                    kernel_shape=kshape)
+    assert_close(y.real, ref.real, label=f"{boundary}/{mode}.re")
+    assert_close(y.imag, ref.imag, label=f"{boundary}/{mode}.im")
+
+
+@pytest.mark.parametrize("shape,kshape", [
+    ([12, 10], [3, 3]), ([8, 6, 4], [3, 2, 2]), ([16, 8, 4], [16, 8, 4]),
+])
+def test_nd_fftconv(shape, kshape, rng, assert_close):
+    x = rand_c(rng, (2, *shape))
+    k = rand_c(rng, tuple(kshape))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=2,
+                        fftConv={"boundary": "linear-same", "kernelShape": kshape})
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=interleave(k))))
+    ref = R.fftconv(x, k, shape, batch=2, boundary="linear-same", kernel_shape=kshape)
+    assert_close(y.real, ref.real, label="nd.re")
+    assert_close(y.imag, ref.imag, label="nd.im")
+
+
+@pytest.mark.parametrize("output_layout", ["kernel-major", "batch-major"])
+def test_multi_kernel(output_layout, rng, assert_close):
+    shape, kshape, kc, b = [16, 8, 4], [3, 3, 3], 3, 2
+    x = rand_c(rng, (b, *shape))
+    ks = [rand_c(rng, tuple(kshape)) for _ in range(kc)]
+    plan = W.create_plan(type="fftconv", shape=shape, batch=b,
+                        fftConv={"kernelCount": kc, "kernelShape": kshape,
+                                 "boundary": "linear-same",
+                                 "outputLayout": output_layout})
+    y = uninterleave(np.asarray(plan.exec(
+        interleave(x), kernel=[interleave(k) for k in ks])))
+    refs = [R.fftconv(x, k, shape, batch=b, boundary="linear-same",
+                      kernel_shape=kshape) for k in ks]
+    ref = np.stack(refs)                       # (kc, b, *out)
+    if output_layout == "batch-major":
+        ref = np.moveaxis(ref, 0, 1)
+    assert_close(y.real, ref.real, label=f"multi.{output_layout}.re")
+    assert_close(y.imag, ref.imag, label=f"multi.{output_layout}.im")
+
+
+def test_multi_kernel_packed_payload(rng, assert_close):
+    shape, kshape, kc = [8], [3], 2
+    x = rand_c(rng, (1, 8))
+    ks = rand_c(rng, (kc, 3))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=1,
+                        fftConv={"kernelCount": kc, "kernelShape": kshape})
+    packed = interleave(ks.reshape(-1))        # (kc*prod(kshape), 2)
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=packed)))
+    refs = np.stack([R.fftconv(x, ks[i], shape, batch=1, kernel_shape=kshape)
+                     for i in range(kc)])
+    assert_close(y.real, refs.real, label="packed.re")
+
+
+def test_kernel_defaults_to_shape(rng, assert_close):
+    shape = [12]
+    x = rand_c(rng, (1, 12))
+    k = rand_c(rng, (12,))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=1)
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=interleave(k))))
+    ref = R.fftconv(x, k, shape, batch=1)
+    assert_close(y.real, ref.real, label="default kshape")
+
+
+def test_zero_pad_stages(rng, assert_close):
+    """zeroPad.read/write act in the FFT logical domain
+    (reference: docs/API.md:274-278)."""
+    shape, kshape = [16], [5]
+    fft_shape = [20]
+    x = rand_c(rng, (1, 16))
+    k = rand_c(rng, (5,))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=1,
+                        fftConv={"boundary": "linear-same", "kernelShape": kshape},
+                        zeroPad={"read": {"start": [2], "end": [18]}})
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=interleave(k))))
+    xz = x.copy()
+    # read-stage zeroing applies to the embedded fft-domain data: indices
+    # [0,2) and [18,20) of the 20-length padded line; the data occupies [0,16)
+    xz[:, :2] = 0
+    ref = R.fftconv(xz, k, shape, batch=1, boundary="linear-same", kernel_shape=kshape)
+    assert_close(y.real, ref.real, label="zeroPad.read.re")
+    assert_close(y.imag, ref.imag, label="zeroPad.read.im")
+
+
+def test_channel_lane_preset_roundtrip(rng, assert_close):
+    """End-to-end channel-lane workflow: 2 input channels, multi-kernel
+    strided output lanes (reference: fftconv_channel_lane_presets.js:99-138
+    — kernel k writes lane channelIndex + k*kernelStepChannels)."""
+    shape, b, kc = [8], 2, 2
+    cin, cout = 2, 4
+    n = math.prod(shape)
+    preset = W.create_fftconv_kernel_major_channel_lane_preset({
+        "shape": shape, "batch": b, "kernelCount": kc,
+        "input": {"channels": cin, "channelIndex": 1},
+        "output": {"channels": cout, "channelIndex": 0, "kernelStepChannels": 2},
+    })
+    plan = W.create_plan({"type": "fftconv", **preset})
+
+    lanes = rand_c(rng, (b, cin, n))           # [batch][channel][elem]
+    flat_in = interleave(lanes.reshape(-1))    # flat element buffer
+    k = rand_c(rng, (kc, n))
+    out = np.asarray(plan.exec(flat_in, kernel=interleave(k)))
+    out = uninterleave(out).reshape(b, cout, n)
+
+    x = lanes[:, 1, :]                         # channelIndex 1 selects lane 1
+    for kk in range(kc):
+        ref = R.fftconv(x, k[kk], shape, batch=b)
+        lane = kk * 2                          # kernelStepChannels=2
+        assert_close(out[:, lane, :].real, ref.real, label=f"lane{lane}.re")
+        assert_close(out[:, lane, :].imag, ref.imag, label=f"lane{lane}.im")
+    # untouched lanes stay zero
+    assert np.all(out[:, 1, :] == 0) and np.all(out[:, 3, :] == 0)
+
+
+def test_output_kernel_stride_elements(rng, assert_close):
+    shape, kc = [8], 2
+    x = rand_c(rng, (1, 8))
+    ks = rand_c(rng, (kc, 8))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=1,
+                        fftConv={"kernelCount": kc,
+                                 "outputKernelStrideElements": 16})
+    y = uninterleave(np.asarray(plan.exec(interleave(x), kernel=interleave(ks))))
+    assert y.shape == (32,)
+    for kk in range(kc):
+        ref = R.fftconv(x, ks[kk], shape, batch=1)[0]
+        assert_close(y[kk * 16: kk * 16 + 8].real, ref.real, label=f"k{kk}")
+
+
+def test_validation_errors():
+    with pytest.raises(W.PlanError, match="circular"):
+        W.create_plan(type="fftconv", shape=[8], fftConv={"kernelShape": [9]})
+    with pytest.raises(W.PlanError, match="linear-valid"):
+        W.create_plan(type="fftconv", shape=[4],
+                     fftConv={"boundary": "linear-valid", "kernelShape": [5]})
+    plan = W.create_plan(type="fftconv", shape=[8])
+    with pytest.raises(W.PlanError, match="kernel"):
+        plan.exec(np.zeros((1, 8, 2), np.float32))

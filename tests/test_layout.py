@@ -1,0 +1,247 @@
+"""Layout / ioView / zeroPad / bf16-storage staging tests.
+
+Reference coverage: strided/offset/whdcn combinations, ioView embed/extract
+incl. center placement and rank>3, zeroPad read/write stages, f16-storage
+(ours: bf16-storage) — test/complete.suite.js layout matrices and
+src/runtime/layout_semantics.js semantics.
+"""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.utils import mathref as R
+
+
+def rand_c(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+# ---------------------------------------------------------------------------
+# strided / offset / batch-stride layouts (flat buffers)
+# ---------------------------------------------------------------------------
+
+def test_c2c_strided_input(rng, assert_close):
+    n, batch = 8, 2
+    stride, offset, bstride = 3, 5, 40
+    L = offset + bstride * (batch - 1) + (n - 1) * stride + 1
+    z = rand_c(rng, (L,))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        layout={"inputStrides": [stride], "inputOffsetElements": offset,
+                                "inputBatchStrideElements": bstride})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    gathered = np.stack([z[offset + b * bstride: offset + b * bstride + n * stride: stride]
+                         for b in range(batch)])
+    ref = R.fft_nd(gathered, [n], "forward")
+    assert_close(y.real, ref.real, label="strided-in.re")
+    assert_close(y.imag, ref.imag, label="strided-in.im")
+
+
+def test_c2c_strided_output(rng, assert_close):
+    n, batch, stride = 4, 2, 2
+    z = rand_c(rng, (batch, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        layout={"outputStrides": [stride]})
+    flat = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward")
+    span = (n - 1) * stride + 1
+    for b in range(batch):
+        got = flat[b * span: b * span + n * stride: stride]
+        assert_close(got.real, ref[b].real, label=f"strided-out b{b}")
+    # gaps stay zero
+    assert flat[1] == 0
+
+
+def test_c2c_strided_roundtrip_2d(rng, assert_close):
+    shape, batch = (4, 6), 2
+    strides = (12, 2)  # axis0 stride 12, axis1 stride 2
+    span = 1 + 3 * 12 + 5 * 2
+    z = rand_c(rng, (batch * span,))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=batch,
+                        direction="forward", layout={"strides": list(strides)})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    idx = np.arange(4)[:, None] * 12 + np.arange(6)[None, :] * 2
+    gathered = np.stack([z[b * span:][idx.reshape(-1)].reshape(shape) for b in range(batch)])
+    ref = R.fft_nd(gathered, shape, "forward")
+    # output uses the same strides; re-gather from the flat result
+    got = np.stack([y[b * span:][idx.reshape(-1)].reshape(shape) for b in range(batch)])
+    assert_close(got.real, ref.real, label="strided-2d.re")
+    assert_close(got.imag, ref.imag, label="strided-2d.im")
+
+
+def test_whdcn_channel_lane(rng, assert_close):
+    """whdcn shorthand lowers to offset/batch-stride lane addressing
+    (reference: layout_semantics.js:120-232)."""
+    n, batch, C = 8, 2, 3
+    lanes = rand_c(rng, (batch, C, n))
+    flat = interleave(lanes.reshape(-1))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        layout={"whdcn": {"channels": C, "channelIndex": 2}})
+    y = np.asarray(plan(flat))
+    out = uninterleave(y).reshape(batch, C, n)
+    ref = R.fft_nd(lanes[:, 2, :], [n], "forward")
+    assert_close(out[:, 2, :].real, ref.real, label="whdcn.re")
+    assert np.all(out[:, 0, :] == 0)
+
+
+def test_r2c_strided_real_input(rng, assert_close):
+    n, batch, stride = 8, 2, 3
+    span = (n - 1) * stride + 1
+    x = rng.standard_normal(batch * span).astype(np.float32)
+    plan = W.create_plan(type="r2c", shape=[n], direction="forward", batch=batch,
+                        layout={"inputStrides": [stride]})
+    y = uninterleave(np.asarray(plan(x)))
+    gathered = np.stack([x[b * span: b * span + n * stride: stride] for b in range(batch)])
+    ref = R.r2c_packed(gathered.astype(np.float64), [n])
+    assert_close(y.real, ref.real, label="r2c strided.re")
+    assert_close(y.imag, ref.imag, label="r2c strided.im")
+
+
+def test_layout_requires_f32():
+    with pytest.raises(W.PlanError, match="f32"):
+        W.create_plan(type="c2c", shape=[8], precision="bf16-storage",
+                     layout={"strides": [2]})
+
+
+def test_flat_buffer_too_small():
+    plan = W.create_plan(type="c2c", shape=[8], batch=2,
+                        layout={"inputStrides": [4]})
+    with pytest.raises(Exception, match="too small"):
+        plan(np.zeros((10, 2), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# ioView
+# ---------------------------------------------------------------------------
+
+def test_ioview_input_pad_in_read(rng, assert_close):
+    """view smaller than logical: outside reads are zero
+    (reference: docs/API.md:216)."""
+    z = rand_c(rng, (2, 6))
+    plan = W.create_plan(type="c2c", shape=[10], batch=2, direction="forward",
+                        ioView={"input": {"shape": [6]}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    padded = np.zeros((2, 10), complex)
+    padded[:, :6] = z
+    ref = R.fft_nd(padded, [10], "forward")
+    assert_close(y.real, ref.real, label="ioview-in.re")
+
+
+def test_ioview_center_placement(rng, assert_close):
+    z = rand_c(rng, (1, 4))
+    plan = W.create_plan(type="c2c", shape=[10], batch=1, direction="forward",
+                        ioView={"input": {"shape": [4], "placement": "center"}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    padded = np.zeros((1, 10), complex)
+    padded[:, 3:7] = z  # floor((10-4)/2) = 3
+    ref = R.fft_nd(padded, [10], "forward")
+    assert_close(y.real, ref.real, label="ioview-center.re")
+
+
+def test_ioview_output_crop_and_embed(rng, assert_close):
+    z = rand_c(rng, (1, 8))
+    ref = R.fft_nd(z, [8], "forward")
+    # crop: output view smaller
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, direction="forward",
+                        ioView={"output": {"shape": [5], "offset": [2]}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert y.shape == (1, 5)
+    assert_close(y.real, ref[:, 2:7].real, label="ioview-crop")
+    # embed: output view larger, clearOutside
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, direction="forward",
+                        ioView={"output": {"shape": [12], "offset": [-2],
+                                           "clearOutside": True}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert y.shape == (1, 12)
+    assert_close(y[:, 2:10].real, ref.real, label="ioview-embed")
+    assert np.all(y[:, :2] == 0) and np.all(y[:, 10:] == 0)
+
+
+def test_ioview_rank4(rng, assert_close):
+    shape = (4, 3, 2, 5)
+    vshape = (3, 3, 2, 4)
+    z = rand_c(rng, (1, *vshape))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=1, direction="forward",
+                        ioView={"input": {"shape": list(vshape)}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    padded = np.zeros((1, *shape), complex)
+    padded[:, :3, :, :, :4] = z
+    ref = R.fft_nd(padded, shape, "forward")
+    assert_close(y.real, ref.real, label="ioview-rank4.re")
+    assert_close(y.imag, ref.imag, label="ioview-rank4.im")
+
+
+def test_r2c_ioview_on_packed_output(rng, assert_close):
+    """r2c output ioView addresses the packed domain
+    (reference: docs/API.md:222)."""
+    x = rng.standard_normal((1, 16)).astype(np.float32)
+    plan = W.create_plan(type="r2c", shape=[16], direction="forward", batch=1,
+                        ioView={"output": {"shape": [4]}})
+    y = uninterleave(np.asarray(plan(x)))
+    ref = R.r2c_packed(x.astype(np.float64), [16])[:, :4]
+    assert_close(y.real, ref.real, label="r2c packed ioview")
+
+
+# ---------------------------------------------------------------------------
+# zeroPad
+# ---------------------------------------------------------------------------
+
+def test_zeropad_read_write(rng, assert_close):
+    z = rand_c(rng, (2, 12))
+    plan = W.create_plan(type="c2c", shape=[12], batch=2, direction="forward",
+                        zeroPad={"read": {"start": [2], "end": [10]},
+                                 "write": {"start": [1], "end": [11]}})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    zin = z.copy()
+    zin[:, :2] = 0
+    zin[:, 10:] = 0
+    ref = R.fft_nd(zin, [12], "forward")
+    ref[:, :1] = 0
+    ref[:, 11:] = 0
+    assert_close(y.real, ref.real, label="zeropad.re")
+    assert_close(y.imag, ref.imag, label="zeropad.im")
+
+
+def test_zeropad_validation():
+    with pytest.raises(W.PlanError, match="start"):
+        W.create_plan(type="c2c", shape=[8],
+                     zeroPad={"read": {"start": [5], "end": [3]}})
+    with pytest.raises(W.PlanError, match="rank"):
+        W.create_plan(type="c2c", shape=[8, 8], zeroPad={"read": {"start": [1]}})
+
+
+def test_zeropad_r2c_write_packed_domain(rng, assert_close):
+    x = rng.standard_normal((1, 16)).astype(np.float32)
+    plan = W.create_plan(type="r2c", shape=[16], direction="forward", batch=1,
+                        zeroPad={"write": {"start": [0], "end": [3]}})
+    y = uninterleave(np.asarray(plan(x)))
+    ref = R.r2c_packed(x.astype(np.float64), [16])
+    ref[:, 3:] = 0
+    assert_close(y.real, ref.real, label="r2c zeroWrite")
+
+
+# ---------------------------------------------------------------------------
+# bf16-storage (TPU analog of the reference's f16-storage)
+# ---------------------------------------------------------------------------
+
+def test_bf16_storage_c2c(rng):
+    import jax.numpy as jnp
+    z = rand_c(rng, (2, 64)) * 0.5
+    plan = W.create_plan(type="c2c", shape=[64], batch=2, direction="forward",
+                        precision="f16-storage")  # normalized to bf16-storage
+    assert plan.spec.precision == "bf16-storage"
+    x = jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+    y = np.asarray(plan(x).astype(jnp.float32))
+    ref = R.fft_nd(z, [64], "forward")
+    # bf16 storage: ~2-3 decimal digits; compute path stays f32
+    scale = np.max(np.abs(ref))
+    err = np.max(np.abs(uninterleave(y) - ref)) / scale
+    assert err < 3e-2, err
+
+
+def test_bf16_storage_dtype_enforced(rng):
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, precision="bf16-storage")
+    y = plan(np.zeros((1, 8, 2), np.float32).astype(np.float32))
+    import jax.numpy as jnp
+    assert y.dtype == jnp.bfloat16

@@ -1,0 +1,114 @@
+"""Spec validation + routing-policy structural tests.
+
+The pure-function test lane (reference: test/large_policy.unit.test.js and
+the FakeDevice structural assertions) — verifies plan construction decisions
+without running transforms.
+"""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.spec import normalize_spec
+from webgpufft_tpu.core.axis import select_axis_kind
+
+
+def test_plan_type_validation():
+    with pytest.raises(W.PlanError, match="type"):
+        normalize_spec({"type": "nope", "shape": [8]})
+    with pytest.raises(W.PlanError, match="shape"):
+        normalize_spec({"type": "c2c", "shape": []})
+    with pytest.raises(W.PlanError, match="positive"):
+        normalize_spec({"type": "c2c", "shape": [0]})
+    with pytest.raises(W.PlanError, match="direction"):
+        normalize_spec({"type": "c2c", "shape": [8], "direction": "up"})
+    with pytest.raises(W.PlanError, match="normalize"):
+        normalize_spec({"type": "c2c", "shape": [8], "normalize": "ortho"})
+    with pytest.raises(W.PlanError, match="inPlace"):
+        normalize_spec({"type": "r2c", "shape": [8], "inPlace": True})
+    with pytest.raises(W.PlanError, match="f32"):
+        normalize_spec({"type": "fftconv", "shape": [8], "precision": "f16-storage"})
+
+
+def test_direction_defaults_and_overrides():
+    s = normalize_spec({"type": "fftconv", "shape": [8], "direction": "inverse"})
+    assert s.direction == "forward"  # ignored for fftconv (docs/API.md:13)
+    s = normalize_spec({"type": "dct2", "shape": [8], "direction": "inverse"})
+    assert s.direction == "inverse"
+
+
+def test_axis_kind_policy():
+    tun = normalize_spec({"type": "c2c", "shape": [8]}).tuning
+    assert select_axis_kind(1024, 0, tun) == "mixed"
+    assert select_axis_kind(2310, 0, tun) == "mixed"
+    assert select_axis_kind(17, 0, tun) == "rader"
+    assert select_axis_kind(4093, 0, tun) == "rader"     # prime <= default 4096
+    assert select_axis_kind(4099, 0, tun) == "bluestein"  # prime above the cap
+    tun_small = normalize_spec({"type": "c2c", "shape": [8],
+                                "tuning": {"raderMaxPrime": 100}}).tuning
+    assert select_axis_kind(101, 0, tun_small) == "bluestein"
+    assert select_axis_kind(34, 0, tun) == "bluestein"   # composite non-smooth
+    assert select_axis_kind(1, 0, tun) == "mixed"
+
+
+def test_force_rader_requires_prime():
+    with pytest.raises(ValueError, match="not prime"):
+        W.create_plan(type="c2c", shape=[12], tuning={"forceRaderAxes": [0]})
+
+
+def test_route_metadata_exposed():
+    plan = W.create_plan(type="c2c", shape=[16, 17], batch=2)
+    assert plan.route.axis_kinds == ("mixed", "rader")
+    assert plan.large_route_mode in ("xla", "pallas-fused")
+    assert isinstance(plan.large_route_reasons, tuple)
+    assert "pallas-fused" in plan.route.attempts
+
+
+def test_impl_forced_xla():
+    plan = W.create_plan(type="c2c", shape=[64], batch=16,
+                        tuning={"impl": "xla"})
+    assert plan.route.mode == "xla"
+    assert "impl-forced-xla" in plan.route.reasons
+
+
+def test_impl_forced_pallas_unavailable_raises():
+    with pytest.raises(Exception, match="pallas"):
+        W.create_plan(type="c2c", shape=[8, 8], batch=2,
+                     tuning={"impl": "pallas"})
+
+
+def test_unknown_tuning_key_rejected():
+    with pytest.raises(W.PlanError, match="tuning"):
+        W.create_plan(type="c2c", shape=[8], tuning={"warpSpeed": 9})
+
+
+def test_spec_hashable_and_cached():
+    cache = W.PlanCache()
+    p1 = W.create_plan({"type": "c2c", "shape": [8]}, cache=cache)
+    p2 = W.create_plan({"type": "c2c", "shape": [8]}, cache=cache)
+    assert p1 is p2
+    p3 = W.create_plan({"type": "c2c", "shape": [8], "batch": 2}, cache=cache)
+    assert p3 is not p1
+    assert len(cache) == 2
+
+
+def test_workspace_and_destroy():
+    plan = W.create_plan(type="c2c", shape=[32], batch=4)
+    assert plan.get_workspace_size_bytes() > 0
+    plan.destroy()
+
+
+def test_create_fft_plan_alias():
+    p = W.create_fft_plan(shape=[16], direction="forward")
+    assert p.spec.plan_type == "c2c"
+    with pytest.raises(W.PlanError):
+        W.create_fft_plan(type="r2c", shape=[16])
+
+
+def test_normalize_scale_rule():
+    from webgpufft_tpu.utils.mathref import normalize_scale
+    assert normalize_scale("none", "forward", 64) == 1.0
+    assert normalize_scale("backward", "forward", 64) == 1.0
+    assert normalize_scale("backward", "inverse", 64) == 1.0 / 64
+    assert normalize_scale("unitary", "forward", 64) == 1.0 / 8
+    assert normalize_scale("unitary", "inverse", 64) == 1.0 / 8

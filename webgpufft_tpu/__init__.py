@@ -1,0 +1,158 @@
+"""webgpufft_tpu — a TPU-native spectral transform framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the WebGPU FFT
+library at MaximEremenko/WebGPU-FFT: plan-based ND FFTs (c2c/r2c/c2r),
+DCT/DST types 1-4, FFT convolution with boundary modes and channel-lane
+routing, and direct small conv2d — re-architected for TPU hardware
+(MXU matmul FFT stages, VMEM-fused Pallas kernels, ICI sharding via
+jax.sharding) rather than translated from WGSL compute shaders.
+
+Public API (reference: src/index.js / src/public_api.js / docs/API.md):
+
+    plan = create_plan({"type": "c2c", "shape": [1024], "direction": "forward",
+                        "batch": 4096, "normalize": "none"})
+    y = plan(x)                      # x: float32 (batch, *shape, 2) interleaved
+    y = plan.exec(x, kernel=k)       # fftconv / conv2d
+
+Complex tensors are interleaved float32 with a trailing component dim
+([..., 0]=re, [..., 1]=im) — byte-compatible with the reference's
+interleaved storage, and the natural layout for the TPU's real-valued MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from .spec import PlanError, PlanSpec, normalize_spec
+from .plans.base import Plan, RouteInfo
+from .runtime.cache import (
+    PlanCache,
+    default_cache,
+    enable_persistent_compilation_cache,
+    export_plan_cache_snapshot,
+    import_plan_cache_snapshot,
+)
+from .core.cplx import interleave, uninterleave
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "create_plan", "create_fft_plan", "Plan", "PlanSpec", "PlanError",
+    "RouteInfo", "PlanCache", "default_cache",
+    "export_plan_cache_snapshot", "import_plan_cache_snapshot",
+    "enable_persistent_compilation_cache",
+    "create_fftconv_channel_lane_preset",
+    "create_fftconv_kernel_major_channel_lane_preset",
+    "create_fftconv_batch_major_channel_lane_preset",
+    "interleave", "uninterleave",
+]
+
+
+def _build_plan(spec: PlanSpec) -> Plan:
+    """Dispatch a normalized spec to its plan builder
+    (reference: src/runtime/create_plan.js:12-23)."""
+    t = spec.plan_type
+    if t == "c2c":
+        from .plans.transforms import build_c2c
+        return build_c2c(spec)
+    if t == "r2c":
+        from .plans.transforms import build_r2c
+        return build_r2c(spec)
+    if t == "c2r":
+        from .plans.transforms import build_c2r
+        return build_c2r(spec)
+    if t.startswith("dct") or t.startswith("dst"):
+        from .plans.transforms import build_dct
+        return build_dct(spec)
+    if t == "fftconv":
+        from .plans.fftconv import build_fftconv
+        return build_fftconv(spec)
+    if t == "conv2d":
+        from .plans.conv2d import build_conv2d
+        return build_conv2d(spec)
+    raise PlanError(f"unknown plan type {t!r}")
+
+
+def create_plan(opts: Optional[Dict[str, Any]] = None, *,
+                cache: Optional[PlanCache] = None, **kwargs) -> Plan:
+    """Create (or fetch from cache) an executable transform plan.
+
+    Accepts a reference-style options dict and/or keyword arguments; see
+    docs/API.md for the full surface.
+    """
+    merged = dict(opts or {})
+    merged.update(kwargs)
+    spec = normalize_spec(merged)
+    return (cache if cache is not None else default_cache()).get_or_create(spec)
+
+
+def create_fft_plan(opts: Optional[Dict[str, Any]] = None, **kwargs) -> Plan:
+    """Low-level alias constrained to c2c (reference exposes createFftPlan as
+    the low-level mixed-radix engine, src/plan.js:1298)."""
+    merged = dict(opts or {})
+    merged.update(kwargs)
+    merged.setdefault("type", "c2c")
+    if merged["type"] != "c2c":
+        raise PlanError("create_fft_plan builds c2c plans only")
+    return create_plan(merged)
+
+
+# ---------------------------------------------------------------------------
+# FFTConv channel-lane preset helpers
+# (reference: src/runtime/fftconv_channel_lane_presets.js:139-206)
+# ---------------------------------------------------------------------------
+
+def _lane_fragment(d: Dict[str, Any], output_side: bool) -> Dict[str, Any]:
+    if not isinstance(d, dict) or "channels" not in d:
+        raise PlanError("channel-lane descriptor requires 'channels'")
+    out = {"channels": int(d["channels"])}
+    for k in ("channelIndex", "channelStrideElements", "batchStrideElements",
+              "offsetElements"):
+        if k in d:
+            out[k] = int(d[k])
+    if output_side and "kernelStepChannels" in d:
+        out["kernelStepChannels"] = int(d["kernelStepChannels"])
+    return out
+
+
+def create_fftconv_channel_lane_preset(opts: Dict[str, Any]) -> Dict[str, Any]:
+    """Build a validated fftconv channelPolicy plan fragment.
+
+    Returns a dict merging into create_plan options:
+    ``create_plan({"type": "fftconv", **preset})``.
+    """
+    shape = list(opts["shape"])
+    batch = int(opts.get("batch", 1))
+    layout = opts.get("layout")
+    if layout is not None:
+        extra = set(layout) - {"interleavedComplex"}
+        if extra:
+            raise PlanError(f"preset layout must not include stride/whdcn fields: {extra}")
+    frag: Dict[str, Any] = {
+        "shape": shape,
+        "batch": batch,
+        "fftConv": {
+            "mode": opts.get("mode", "convolution"),
+            "boundary": opts.get("boundary", "circular"),
+            "kernelCount": int(opts.get("kernelCount", 1)),
+            "channelPolicy": {
+                "input": _lane_fragment(opts["input"], False),
+                "output": _lane_fragment(opts["output"], True),
+            },
+        },
+    }
+    if "kernelShape" in opts:
+        frag["fftConv"]["kernelShape"] = list(opts["kernelShape"])
+    if "outputLayout" in opts:
+        frag["fftConv"]["outputLayout"] = opts["outputLayout"]
+    return frag
+
+
+def create_fftconv_kernel_major_channel_lane_preset(opts: Dict[str, Any]) -> Dict[str, Any]:
+    frag = create_fftconv_channel_lane_preset({**opts, "outputLayout": "kernel-major"})
+    return frag
+
+
+def create_fftconv_batch_major_channel_lane_preset(opts: Dict[str, Any]) -> Dict[str, Any]:
+    frag = create_fftconv_channel_lane_preset({**opts, "outputLayout": "batch-major"})
+    return frag

@@ -1,0 +1,44 @@
+"""ND transform assembly: per-axis plans + normalization.
+
+The reference's plan layer walks axes issuing one compute pass per radix
+stage (src/runtime/plans/c2c.js:3921-3967); here each logical axis is one
+AxisPlan applied along its array axis, and XLA fuses the whole chain into a
+handful of MXU contractions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .axis import AxisPlan, apply_along_axis, build_axis_plan
+from ..utils.mathref import normalize_scale
+
+
+def build_axis_plans(shape: Sequence[int], direction: str, tuning,
+                     prefix: str = "ax") -> List[AxisPlan]:
+    return [build_axis_plan(n, d, direction, tuning, f"{prefix}{d}")
+            for d, n in enumerate(shape)]
+
+
+def collect_consts(axis_plans: Sequence[AxisPlan]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for ap in axis_plans:
+        out.update(ap.consts())
+    return out
+
+
+def apply_nd(x, axis_plans: Sequence[AxisPlan], consts, batch_dims: int = 1):
+    """Apply per-axis transforms; logical axis d lives at array axis
+    batch_dims + d of interleaved x (..., 2)."""
+    for d, ap in enumerate(axis_plans):
+        if ap.n == 1:
+            continue  # length-1 axis is the identity
+        x = apply_along_axis(x, ap, batch_dims + d, consts)
+    return x
+
+
+def plan_scale(normalize: str, direction: str, n_total: int) -> float:
+    """Single per-plan scale factor (reference: common.js:35-40)."""
+    return normalize_scale(normalize, direction, n_total)

@@ -1,0 +1,220 @@
+"""Plan object + staged execution pipeline.
+
+TPU-native counterpart of the reference's plan classes
+(src/runtime/base_plan.js, src/runtime/plans/*.js).  Inversions:
+
+- A plan is *functional*: ``plan(x)`` returns a fresh array; there is no
+  command encoder, no workspace arena (XLA manages temporaries), and
+  ``inPlace`` maps to XLA buffer donation instead of aliased bindings.
+- All staging (strides/ioView/zeroPad/bf16) happens as XLA ops around the
+  matmul-FFT core; the reference's chunking fallbacks are unnecessary on TPU
+  because XLA tiles HBM-resident tensors itself (see runtime/policy.py for
+  the routing metadata that replaces `_largeRouteMode`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import PlanError, PlanSpec
+from . import stages
+
+
+@dataclass
+class RouteInfo:
+    """Routing/diagnostic metadata — the analog of the reference's
+    `_largeRouteMode` / `_largeRouteReasons` / axis-kind introspection
+    (reference: src/runtime/plans/c2c.js:664-666, large_policy.js:276-299)."""
+    mode: str = "xla"                      # "xla" | "pallas-fused" | "four-step-hbm"
+    impl: str = "xla"
+    axis_kinds: Tuple[str, ...] = ()
+    reasons: Tuple[str, ...] = ()
+    attempts: Tuple[str, ...] = ()
+
+
+class Plan:
+    """Executable transform plan.
+
+    ``plan(x, kernel=None)`` runs the jitted pipeline.  ``out=`` may be given
+    for strided-scatter outputs to merge results into an existing flat buffer
+    (the functional analog of writing into a caller-provided GPUBuffer).
+    """
+
+    def __init__(self, spec: PlanSpec, consts: Dict[str, np.ndarray],
+                 fn: Callable, route: RouteInfo, *,
+                 needs_kernel: bool = False,
+                 input_desc: str = "", output_desc: str = "",
+                 workspace_bytes: int = 0,
+                 donate: bool = False):
+        self.spec = spec
+        self.route = route
+        self.needs_kernel = needs_kernel
+        self.input_desc = input_desc
+        self.output_desc = output_desc
+        self._workspace_bytes = workspace_bytes
+        self._consts = {k: jnp.asarray(v) for k, v in consts.items()}
+        self._fn = fn
+        donate_args = (1,) if donate else ()
+        self._jit = jax.jit(fn, donate_argnums=donate_args)
+        self._jit_out = None  # lazily created variant taking an out buffer
+
+    # -- execution ---------------------------------------------------------
+
+    def __call__(self, x, kernel=None, out=None):
+        return self.exec(x, kernel=kernel, out=out)
+
+    # set by plan builders: (expected shape tuple or (None,), interleaved)
+    _expect_input = None
+
+    def exec(self, x, kernel=None, out=None):
+        x = jnp.asarray(x)
+        if self._expect_input is not None:
+            validate_input_shape(self, x, self._expect_input[0],
+                                 self._expect_input[1], self.spec.precision)
+        if self.needs_kernel:
+            if kernel is None:
+                raise PlanError(f"{self.spec.plan_type} exec requires kernel=")
+            kernel = self._coerce_kernel(kernel)
+            args = (self._consts, x, kernel)
+        else:
+            if kernel is not None:
+                raise PlanError(f"{self.spec.plan_type} exec does not take kernel=")
+            args = (self._consts, x)
+        if out is not None:
+            if self._jit_out is None:
+                self._jit_out = jax.jit(lambda consts, *a: self._fn(consts, *a[:-1], out=a[-1]))
+            return self._jit_out(args[0], *args[1:], out)
+        return self._jit(*args)
+
+    def _coerce_kernel(self, kernel):
+        return jnp.asarray(kernel)
+
+    # -- introspection (API parity: plan.getWorkspaceSizeBytes/destroy) ----
+
+    def get_workspace_size_bytes(self) -> int:
+        """Estimated peak intermediate footprint.  Informational: XLA owns
+        temporary allocation on TPU (the reference returns its arena size,
+        src/runtime/base_plan.js:44-49)."""
+        return self._workspace_bytes
+
+    def destroy(self):
+        """Release references to device constants (buffers are freed by the
+        runtime once unreferenced; parity no-op otherwise)."""
+        self._consts = {}
+        self._jit = None
+        self._jit_out = None
+
+    def lower_hlo(self, *example_args) -> str:
+        """Debug helper: textual HLO of the jitted pipeline."""
+        return jax.jit(self._fn).lower(self._consts, *example_args).as_text()
+
+    @property
+    def large_route_mode(self) -> str:
+        return self.route.mode
+
+    @property
+    def large_route_reasons(self) -> Tuple[str, ...]:
+        return self.route.reasons
+
+
+# ---------------------------------------------------------------------------
+# Staged pipeline builder shared by c2c / r2c / c2r / dct plans
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SideInfo:
+    domain: Tuple[int, ...]          # logical domain of this side
+    interleaved: bool                # complex (trailing 2) vs real
+    strides: Optional[Tuple[int, ...]] = None
+    offset: int = 0
+    batch_stride: int = 0
+    has_layout: bool = False         # flat-buffer mode for this side
+
+
+def resolve_sides(spec: PlanSpec, in_domain, out_domain,
+                  in_interleaved: bool, out_interleaved: bool):
+    """Resolve per-side layout and physical shapes."""
+    lay = spec.layout
+    in_view = spec.io_view.input
+    out_view = spec.io_view.output
+    in_phys = tuple(in_view.shape) if in_view else tuple(in_domain)
+    out_phys = tuple(out_view.shape) if out_view else tuple(out_domain)
+
+    def side(phys, strides, offset, bstride, lane, interleaved, domain):
+        has = (strides is not None or offset != 0 or bstride is not None
+               or lane is not None)
+        if has:
+            st, off, bs = stages.resolve_side_layout(phys, strides, offset, bstride, lane)
+            return SideInfo(tuple(domain), interleaved, st, off, bs, True)
+        return SideInfo(tuple(domain), interleaved)
+
+    s_in = side(in_phys, lay.input_strides, lay.input_offset,
+                lay.input_batch_stride, lay.whdcn_input, in_interleaved, in_domain)
+    s_out = side(out_phys, lay.output_strides, lay.output_offset,
+                 lay.output_batch_stride, lay.whdcn_output, out_interleaved, out_domain)
+    return s_in, s_out, in_phys, out_phys
+
+
+def build_staged_fn(spec: PlanSpec, core_fn: Callable,
+                    in_domain, out_domain,
+                    in_interleaved: bool, out_interleaved: bool):
+    """Wrap a core transform with the full staging pipeline:
+
+    storage-load -> [strided gather] -> [ioView embed] -> zeroPad.read ->
+    core -> zeroPad.write -> [ioView extract] -> [strided scatter] ->
+    storage-store
+    """
+    s_in, s_out, in_phys, out_phys = resolve_sides(
+        spec, in_domain, out_domain, in_interleaved, out_interleaved)
+    batch = spec.batch
+    zp = spec.zero_pad
+    in_view, out_view = spec.io_view.input, spec.io_view.output
+
+    def fn(consts, x, out=None):
+        x = stages.load_storage(x, spec.precision)
+        if s_in.has_layout:
+            x = stages.gather_flat(
+                x, shape=in_phys, strides=s_in.strides, offset=s_in.offset,
+                batch_stride=s_in.batch_stride, batch=batch,
+                interleaved=in_interleaved)
+        if in_view is not None:
+            x = stages.embed_view(x, in_view, in_domain, in_interleaved)
+        x = stages.zero_pad_apply(x, zp.read, in_domain, in_interleaved)
+        y = core_fn(x, consts)
+        y = stages.zero_pad_apply(y, zp.write, out_domain, out_interleaved)
+        if out_view is not None:
+            y = stages.extract_view(y, out_view, out_domain, out_interleaved)
+        if s_out.has_layout:
+            y = stages.scatter_flat(
+                y, shape=out_phys, strides=s_out.strides, offset=s_out.offset,
+                batch_stride=s_out.batch_stride, batch=batch,
+                interleaved=out_interleaved, out=out)
+        y = stages.store_storage(y, spec.precision)
+        return y
+
+    in_shape = ((None,) if s_in.has_layout
+                else (batch,) + tuple(in_phys) + ((2,) if in_interleaved else ()))
+    out_shape = ((None,) if s_out.has_layout
+                 else (batch,) + tuple(out_phys) + ((2,) if out_interleaved else ()))
+    return fn, in_shape, out_shape, s_in, s_out
+
+
+def validate_input_shape(plan: Plan, x, expect_shape, interleaved: bool, precision: str):
+    """Eager-side shape/dtype validation with reference-style rich errors."""
+    if expect_shape == (None,):
+        want_rank = 2 if interleaved else 1
+        if x.ndim != want_rank:
+            raise PlanError(
+                f"{plan.spec.plan_type}: strided layout expects a flat buffer of "
+                f"rank {want_rank}, got shape {tuple(x.shape)}")
+        return
+    if tuple(x.shape) != tuple(expect_shape):
+        raise PlanError(
+            f"{plan.spec.plan_type}: expected input shape {tuple(expect_shape)} "
+            f"(batch, *physical{', 2' if interleaved else ''}), got {tuple(x.shape)}")

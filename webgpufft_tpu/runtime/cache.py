@@ -1,0 +1,162 @@
+"""Plan cache + snapshot persistence.
+
+TPU analog of the reference's per-device pipeline cache and its versioned
+snapshot export/import (reference: src/runtime/pipeline_cache.js:116-222).
+Two layers:
+
+1. ``PlanCache``: in-process memoization of built plans keyed by normalized
+   spec (the reference keys shader modules by WGSL source string).
+2. Snapshot: a JSON-serializable descriptor of every cached spec.  Importing
+   a snapshot rebuilds (and therefore re-jits) those plans, prewarming both
+   the plan constants and — when the persistent compilation cache is enabled
+   via ``enable_persistent_compilation_cache`` — XLA's on-disk executable
+   cache, which is the true analog of prewarmed driver pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+from ..spec import PlanSpec, normalize_spec, spec_to_dict
+
+SNAPSHOT_SCHEMA = "webgpufft-tpu.plan-cache"
+SNAPSHOT_VERSION = 1
+
+
+class PlanCache:
+    def __init__(self):
+        self._plans: Dict[PlanSpec, Any] = {}
+
+    def get_or_create(self, spec: PlanSpec):
+        plan = self._plans.get(spec)
+        if plan is None:
+            from .. import _build_plan
+            plan = _build_plan(spec)
+            self._plans[spec] = plan
+        return plan
+
+    def __len__(self):
+        return len(self._plans)
+
+    def clear(self):
+        self._plans.clear()
+
+    def specs(self) -> List[PlanSpec]:
+        return list(self._plans.keys())
+
+
+_default_cache = PlanCache()
+
+
+def default_cache() -> PlanCache:
+    return _default_cache
+
+
+def _spec_to_opts(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Reconstruct createPlan-style options from a serialized spec dict.
+
+    Only fields needed to rebuild are kept; unknown/derived fields dropped.
+    """
+    return d
+
+
+def export_plan_cache_snapshot(cache: Optional[PlanCache] = None) -> Dict[str, Any]:
+    cache = cache if cache is not None else _default_cache
+    return {
+        "schema": SNAPSHOT_SCHEMA,
+        "version": SNAPSHOT_VERSION,
+        "createdAtMs": int(time.time() * 1000),
+        "metadata": {"plans": len(cache)},
+        "specs": [spec_to_dict(s) for s in cache.specs()],
+    }
+
+
+def import_plan_cache_snapshot(snapshot: Dict[str, Any],
+                               cache: Optional[PlanCache] = None,
+                               build: bool = True) -> int:
+    """Validate a snapshot and (optionally) rebuild its plans to prewarm
+    compilation.  Returns the number of specs accepted."""
+    cache = cache if cache is not None else _default_cache
+    if not isinstance(snapshot, dict) or snapshot.get("schema") != SNAPSHOT_SCHEMA:
+        raise ValueError(f"unrecognized plan-cache snapshot schema: "
+                         f"{snapshot.get('schema') if isinstance(snapshot, dict) else type(snapshot)}")
+    if snapshot.get("version") not in (1,):
+        raise ValueError(f"unsupported snapshot version {snapshot.get('version')}")
+    count = 0
+    for d in snapshot.get("specs", []):
+        spec = _rebuild_spec(d)
+        if build:
+            cache.get_or_create(spec)
+        count += 1
+    return count
+
+
+def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
+    """Round-trip a dataclasses.asdict(PlanSpec) back into a PlanSpec."""
+    from .. import spec as S
+
+    def mk(cls, v):
+        return None if v is None else cls(**v)
+
+    lay = d.get("layout") or {}
+    for k in ("input_strides", "output_strides"):
+        if lay.get(k) is not None:
+            lay[k] = tuple(lay[k])
+    for k in ("whdcn_input", "whdcn_output"):
+        if lay.get(k) is not None:
+            lay[k] = S.ChannelLane(**lay[k])
+    io = d.get("io_view") or {}
+    io_sides = {}
+    for side in ("input", "output"):
+        v = io.get(side)
+        if v is not None:
+            v = dict(v)
+            v["shape"] = tuple(v["shape"])
+            v["offset"] = tuple(v["offset"])
+            io_sides[side] = S.IoViewSide(**v)
+        else:
+            io_sides[side] = None
+    zp = d.get("zero_pad") or {}
+    zp_sides = {}
+    for side in ("read", "write"):
+        v = zp.get(side)
+        zp_sides[side] = (S.ZeroPadStage(start=tuple(v["start"]), end=tuple(v["end"]))
+                          if v is not None else None)
+    fc = d.get("fft_conv")
+    if fc is not None:
+        fc = dict(fc)
+        if fc.get("kernel_shape") is not None:
+            fc["kernel_shape"] = tuple(fc["kernel_shape"])
+        for k in ("channel_input", "channel_output"):
+            if fc.get(k) is not None:
+                fc[k] = S.ChannelLane(**fc[k])
+        fc = S.FftConvSpec(**fc)
+    conv = d.get("conv")
+    if conv is not None:
+        conv = dict(conv)
+        if conv.get("pad") is not None:
+            conv["pad"] = tuple(conv["pad"])
+        conv = S.Conv2dSpec(**conv)
+    tun = dict(d.get("tuning") or {})
+    for k in ("force_bluestein_axes", "force_rader_axes"):
+        tun[k] = tuple(tun.get(k, ()))
+    return S.PlanSpec(
+        plan_type=d["plan_type"], shape=tuple(d["shape"]),
+        direction=d.get("direction", "forward"), batch=d.get("batch", 1),
+        normalize=d.get("normalize", "none"), precision=d.get("precision", "f32"),
+        in_place=d.get("in_place", False),
+        layout=S.LayoutSpec(**lay) if lay else S.LayoutSpec(),
+        io_view=S.IoViewSpec(**io_sides), zero_pad=S.ZeroPadSpec(**zp_sides),
+        fft_conv=fc, conv=conv, tuning=S.TuningSpec(**tun),
+    )
+
+
+def enable_persistent_compilation_cache(directory: str):
+    """Point JAX's persistent compilation cache at ``directory`` so jitted
+    plan executables survive process restarts (the closest TPU analog of the
+    reference's shader-module snapshot prewarm)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,75 @@
+"""Execution-route policy: which implementation serves a plan.
+
+TPU reinterpretation of the reference's large-routing policy
+(src/runtime/large_policy.js:301-450).  The reference routes around WebGPU
+binding-size limits (normal / large-chunk / out-of-core four-step); on TPU
+those limits do not exist — XLA tiles HBM-resident tensors freely — so the
+real routing decision is *which kernel strategy* runs the hot path:
+
+- "pallas-fused":  whole lines resident in VMEM, one fused kernel per
+                   transform (the analog of the reference's subgroup
+                   fast path, src/plan.js:1401-1447, but for whole plans).
+- "xla":           staged einsum pipeline (general: any rank, any axis kind,
+                   arbitrary staging) — the analog of the per-stage pass
+                   chain.
+- "four-step-hbm": lines too large for VMEM are decomposed so sub-lines
+                   stream through VMEM (analog of the reference's
+                   out-of-core four-step, c2c.js:3386-3549).
+
+Reason codes are recorded for structural tests, mirroring the reference's
+`reasonCodes`/`attemptedRoutes` diagnostics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from ..spec import PlanSpec
+
+# v5e VMEM is ~128 MiB but a practical per-kernel working set (operands +
+# scratch + double buffering) should stay well under it.
+VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+FUSED_MAX_SUB = 128        # sub-DFT matrices must tile the MXU
+FUSED_MIN_BATCH = 8        # grid needs enough lines to tile the sublane dim
+
+
+def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
+    """Can the fused Pallas path serve this plan's core transform?"""
+    reasons: List[str] = []
+    t = spec.tuning
+    if t.impl == "xla":
+        return False, ["impl-forced-xla"]
+    if spec.plan_type != "c2c":
+        reasons.append("fused-requires-c2c")
+    if spec.rank != 1:
+        reasons.append("fused-requires-rank1")
+    if spec.precision != "f32":
+        reasons.append("fused-requires-f32")
+    from ..core import fused
+    if spec.rank == 1 and not fused.supports_length(spec.shape[0], t):
+        reasons.append("fused-unsupported-length")
+    if spec.batch < FUSED_MIN_BATCH:
+        reasons.append("fused-batch-too-small")
+    line_bytes = spec.n_total * 8
+    budget = t.vmem_limit_bytes or VMEM_BUDGET_BYTES
+    if line_bytes * 4 > budget:
+        reasons.append("line-exceeds-vmem-budget")
+    if t.impl == "pallas" and reasons:
+        raise ValueError(
+            f"tuning.impl='pallas' but the fused path cannot serve this plan: {reasons}")
+    return not reasons, reasons
+
+
+def resolve_route(spec: PlanSpec, axis_kinds: Tuple[str, ...]):
+    from ..plans.base import RouteInfo
+
+    attempts: List[str] = []
+    ok, reasons = fused_eligibility(spec)
+    attempts.append("pallas-fused")
+    if ok:
+        return RouteInfo(mode="pallas-fused", impl="pallas",
+                         axis_kinds=axis_kinds, reasons=tuple(reasons),
+                         attempts=tuple(attempts))
+    attempts.append("xla")
+    return RouteInfo(mode="xla", impl="xla", axis_kinds=axis_kinds,
+                     reasons=tuple(reasons), attempts=tuple(attempts))

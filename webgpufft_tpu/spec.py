@@ -200,10 +200,12 @@ def _norm_io_side(side: Optional[Dict[str, Any]], shape: Tuple[int, ...],
         else:
             off = (0,) * rank
     else:
+        # offsets may be negative: they place the view origin within the
+        # logical domain (reference: src/runtime/ioview.js:19-27 accepts any
+        # integers; kernels clip per-element)
         _check(isinstance(off, (tuple, list)) and len(off) == rank,
                f"{name}.offset must have rank {rank}")
         off = tuple(int(o) for o in off)
-        _check(all(o >= 0 for o in off), f"{name}.offset entries must be >= 0")
     # Views may be smaller or larger than the logical domain; the overlapping
     # region must be non-empty in-bounds per reference ioview semantics.
     clear_outside = bool(side.get("clearOutside", side.get("clear_outside", False)))

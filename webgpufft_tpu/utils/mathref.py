@@ -86,11 +86,15 @@ def c2r_packed(xp: np.ndarray, shape: Sequence[int], normalize: str = "none") ->
     n0 = shape[0]
     packed_len = n0 // 2 + 1
     assert xp.shape[1] == packed_len, (xp.shape, packed_len)
-    full = np.zeros((xp.shape[0], n0) + xp.shape[2:], dtype=np.complex128)
-    full[:, :packed_len, ...] = xp
     k_max_mirror = n0 // 2 - 1 if n0 % 2 == 0 else n0 // 2
-    for k in range(1, k_max_mirror + 1):
-        full[:, n0 - k, ...] = np.conj(full[:, k, ...])
+    # ND Hermitian symmetry: X[(N - k) mod N] = conj(X[k]) with the index map
+    # applied on EVERY axis (axis 0 flips without wrap over the mirrored
+    # range; other axes flip with wrap-around, i.e. flip + roll(1)).
+    mirror = np.conj(xp[:, 1:k_max_mirror + 1, ...])[:, ::-1, ...]
+    for d in range(2, xp.ndim):
+        mirror = np.roll(np.flip(mirror, axis=d), 1, axis=d)
+    full = np.concatenate([xp, mirror], axis=1)
+    assert full.shape[1] == n0
     axes = tuple(range(1, 1 + rank))
     time = np.fft.ifftn(full, axes=axes, norm=None) * math.prod(shape)
     out = np.real(time)
