@@ -1,0 +1,103 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4 TPU translation: mesh logic testable without a pod)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.parallel import sharded
+from webgpufft_tpu.utils import mathref as R
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return sharded.make_mesh({"dp": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return sharded.make_mesh({"dp": 2, "sp": 4})
+
+
+def test_make_mesh_validates():
+    with pytest.raises(ValueError, match="devices"):
+        sharded.make_mesh({"dp": 64})
+
+
+def test_batch_sharded_c2c(mesh8, rng, assert_close):
+    n, batch = 128, 32
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        tuning={"impl": "xla"})
+    run = sharded.shard_batch(plan, mesh8, "dp")
+    y = uninterleave(np.asarray(run(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward")
+    assert_close(y.real, ref.real, label="dp.re")
+    assert_close(y.imag, ref.imag, label="dp.im")
+
+
+def test_batch_sharded_fftconv(mesh8, rng, assert_close):
+    shape, batch = [16], 16
+    x = rng.standard_normal((batch, 16)) + 1j * rng.standard_normal((batch, 16))
+    k = rng.standard_normal((5,)) + 1j * rng.standard_normal((5,))
+    plan = W.create_plan(type="fftconv", shape=shape, batch=batch,
+                        fftConv={"boundary": "linear-same", "kernelShape": [5]})
+    from jax.sharding import NamedSharding
+    xs = jax.device_put(jnp.asarray(interleave(x)),
+                        NamedSharding(mesh8, P("dp", None, None)))
+    y = uninterleave(np.asarray(plan.exec(xs, kernel=interleave(k))))
+    ref = R.fftconv(x, k, shape, batch=batch, boundary="linear-same",
+                    kernel_shape=[5])
+    assert_close(y.real, ref.real, label="dp fftconv.re")
+
+
+@pytest.mark.parametrize("n,ndev_axis", [(1024, "dp"), (4096, "dp")])
+def test_distributed_fft_1d(mesh8, n, ndev_axis, rng, assert_close):
+    batch = 2
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fn = sharded.build_distributed_fft_1d(n, mesh8, "dp", "forward")
+    y = np.asarray(jax.jit(fn)(jnp.asarray(interleave(z))))
+    y = uninterleave(y.reshape(batch, n, 2))
+    ref = R.fft_nd(z, [n], "forward")
+    assert_close(y.real, ref.real, label=f"dist{n}.re")
+    assert_close(y.imag, ref.imag, label=f"dist{n}.im")
+
+
+def test_distributed_fft_inverse_normalized(mesh8, rng, assert_close):
+    n, batch = 1024, 2
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fwd = sharded.build_distributed_fft_1d(n, mesh8, "dp", "forward")
+    inv = sharded.build_distributed_fft_1d(n, mesh8, "dp", "inverse", "backward")
+    yf = jax.jit(fwd)(jnp.asarray(interleave(z))).reshape(batch, n, 2)
+    back = np.asarray(jax.jit(inv)(yf)).reshape(batch, n, 2)
+    back = uninterleave(back)
+    assert_close(back.real, z.real, label="dist roundtrip.re")
+    assert_close(back.imag, z.imag, label="dist roundtrip.im")
+
+
+def test_distributed_split_validation(mesh8):
+    with pytest.raises(ValueError, match="split"):
+        sharded.build_distributed_fft_1d(17 * 8, mesh8, "dp")
+    assert sharded.choose_distributed_split(2 ** 20, 8) == (1024, 1024)
+    assert sharded.choose_distributed_split(64, 8) == (8, 8)
+    assert sharded.choose_distributed_split(12, 8) is None
+
+
+def test_2d_mesh_dp_plus_sp(mesh24, rng, assert_close):
+    """Combined data-parallel batch + sequence-parallel FFT on a dp x sp
+    mesh — the flagship multi-chip layout."""
+    n, batch = 256, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fn = sharded.build_distributed_fft_1d(n, mesh24, "sp", "forward")
+
+    from jax.sharding import NamedSharding
+    x = jax.device_put(jnp.asarray(interleave(z)),
+                       NamedSharding(mesh24, P("dp", None, None)))
+    y = np.asarray(jax.jit(fn)(x)).reshape(batch, n, 2)
+    ref = R.fft_nd(z, [n], "forward")
+    assert_close(uninterleave(y).real, ref.real, label="dp+sp.re")

@@ -1,17 +1,166 @@
-"""Fused Pallas VMEM kernels for the hot transform paths.
+"""Fused Pallas VMEM kernel for batched 1D c2c FFT.
 
-Placeholder gate for round-1 bring-up: ``supports_length`` reports what the
-fused path can serve; build_fused_1d constructs the kernel.  Until the Pallas
-kernel lands, nothing is eligible and the XLA matmul path (already
-memory-bound and MXU-driven) serves all plans.
+The TPU answer to the reference's per-radix-stage dispatch chain
+(src/plan.js:1248-1272, one compute pass + HBM round-trip per radix stage)
+and its subgroup whole-FFT fast path (src/kernels/subgroup_pow2_fft.js):
+one kernel reads a tile of lines from HBM once, runs the entire
+N = N1*N2 Cooley-Tukey decomposition as MXU matmuls in VMEM, and writes the
+result once — HBM traffic is exactly input + output, which is the roofline.
+
+Pipeline per tile (x viewed as (TB, N2, 2*N1), line index n = n1 + N1*n2,
+interleaved complex lanes):
+
+1. stage A  — contract n2 (rows) with DFT(N2): two real matmuls (re/im
+              parts) + adjacent-lane fix, giving U[k2, ~n1] interleaved.
+2. twiddle  — elementwise exp(-+2*pi*i*n1*k2/N) via const-pair lane math.
+3. stage B  — contract the interleaved n1 lanes with the G-matrix form of
+              DFT(N1) (one real matmul, output stays interleaved).
+4. digit reversal — in-VMEM (K2, K1) complex transpose so the flat output
+              line is X[k], k = N2*k1 + k2.
+
+The normalize scale is folded into the stage-B matrix: zero extra passes.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dft
+from .cplx import const_pair, to_w4
+from ..utils import factors
+
+# VMEM working-set budget for one grid step (v5e VMEM is 128 MiB; stay far
+# below it to leave room for double buffering).
+DEFAULT_VMEM_BUDGET = 8 * 1024 * 1024
+MAX_SUB = 128  # sub-DFT matrices must stay MXU-sized
+
+
+def choose_split(n: int) -> Optional[Tuple[int, int]]:
+    """(n1, n2) with n = n1*n2, both in [2, 128], balanced.  n1 is the
+    interleaved (lane) factor, n2 the row factor."""
+    return factors.split_two_balanced(n, MAX_SUB)
+
 
 def supports_length(n: int, tuning) -> bool:
-    return False
+    return choose_split(n) is not None
 
 
-def build_fused_1d(spec, consts):
-    raise NotImplementedError("fused Pallas path not yet available")
+def pick_batch_tile(batch: int, n: int, budget: int) -> Optional[int]:
+    """Largest divisor of batch whose tile working set fits the budget.
+    Working set ~ 6 arrays of TB*N complex f32."""
+    per_line = 6 * n * 8
+    cap = max(1, budget // per_line)
+    best = None
+    for tb in range(1, min(batch, cap) + 1):
+        if batch % tb == 0:
+            best = tb
+    return best
+
+
+def _swapadj(z):
+    """Exchange adjacent lanes: out[2i] = z[2i+1], out[2i+1] = z[2i]."""
+    even = (jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1) % 2) == 0
+    return jnp.where(even, jnp.roll(z, -1, axis=-1), jnp.roll(z, 1, axis=-1))
+
+
+def _sign_lane(shape, dtype):
+    """(-1)^(lane+1): -1 on even lanes, +1 on odd lanes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jnp.where(lane % 2 == 0, -1.0, 1.0).astype(dtype)
+
+
+def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, o_ref,
+                *, n1: int, n2: int):
+    x = x_ref[:]                                   # (TB, N2, 2*N1)
+    f2re = f2re_ref[:]                             # (N2, N2)
+    f2im = f2im_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    # stage A: contract rows (n2).  P/Q carry the re/im parts of W2.
+    p = jnp.einsum("bnj,nk->bkj", x, f2re, precision=hi)   # (TB, K2, 2N1)
+    q = jnp.einsum("bnj,nk->bkj", x, f2im, precision=hi)
+    u = p + _swapadj(q) * _sign_lane(q.shape, q.dtype)
+    # twiddle W_N^{n1*k2}
+    u = u * ta_ref[:] + _swapadj(u) * tb_ref[:]
+    # stage B: contract interleaved n1 lanes with G1 (2N1, 2K1)
+    v = jnp.einsum("bkj,jl->bkl", u, g1_ref[:], precision=hi)  # (TB, K2, 2K1)
+    # digit reversal: (K2, K1) complex transpose -> line index N2*k1 + k2
+    tb_lines = v.shape[0]
+    v = v.reshape(tb_lines, n2, n1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    o_ref[:] = v.reshape(tb_lines, n1, 2 * n2)
+
+
+def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
+    n1, n2 = choose_split(n)
+    w2 = dft.dft_matrix(n2, direction)             # complex64 (n2, n2)
+    tw = np.exp((-2j if direction == "forward" else 2j) * np.pi *
+                (np.outer(np.arange(n2), np.arange(n1)) % n) / n)  # T[k2, n1]
+    ta, tbc = const_pair(tw)                       # (n2, n1, 2)
+    g1 = to_w4(dft.dft_matrix(n1, direction)).reshape(2 * n1, 2 * n1)
+    return {
+        f"{prefix}/f2re": np.ascontiguousarray(w2.real.astype(np.float32)),
+        f"{prefix}/f2im": np.ascontiguousarray(w2.imag.astype(np.float32)),
+        f"{prefix}/ta": ta.reshape(n2, 2 * n1),
+        f"{prefix}/tb": tbc.reshape(n2, 2 * n1),
+        f"{prefix}/g1": (g1 * scale).astype(np.float32),
+    }
+
+
+def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
+    """Returns fused_fn(x, consts_jnp) computing the scaled 1D FFT on
+    interleaved (batch, n, 2) float32.  Mutates ``consts`` with the kernel's
+    tables under the "fused/" prefix."""
+    n = spec.shape[0]
+    batch = spec.batch
+    split = choose_split(n)
+    if split is None:
+        raise ValueError(f"fused path cannot split n={n}")
+    n1, n2 = split
+    budget = spec.tuning.vmem_limit_bytes or DEFAULT_VMEM_BUDGET
+    tb = spec.tuning.batch_tile or pick_batch_tile(batch, n, budget)
+    if tb is None or batch % tb != 0:
+        raise ValueError(f"fused path: no valid batch tile for batch={batch}")
+    consts.update(fused_consts(n, spec.direction, scale, "fused"))
+
+    kernel = functools.partial(_fft_kernel, n1=n1, n2=n2)
+    grid = (batch // tb,)
+
+    def fused_fn(x, c):
+        interpret = jax.default_backend() != "tpu"
+        xm = x.reshape(batch, n2, 2 * n1)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, n2, 2 * n1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                pl.BlockSpec((n2, n2), lambda i: (0, 0)),
+                pl.BlockSpec((n2, n2), lambda i: (0, 0)),
+                pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
+                pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
+                pl.BlockSpec((2 * n1, 2 * n1), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tb, n1, 2 * n2), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, n1, 2 * n2), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=batch * n * (n1 + n2) * 8,
+                bytes_accessed=2 * batch * n * 8,
+                transcendentals=0,
+            ),
+        )(xm, c["fused/f2re"], c["fused/f2im"], c["fused/ta"], c["fused/tb"],
+          c["fused/g1"])
+        return out.reshape(batch, n, 2)
+
+    fused_fn.batch_tile = tb
+    fused_fn.split = (n1, n2)
+    return fused_fn

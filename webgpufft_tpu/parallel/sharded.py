@@ -1,0 +1,165 @@
+"""Multi-chip execution: batch sharding + distributed single-transform FFT.
+
+The reference is a single-GPUDevice library (SURVEY.md §2.9: no multi-device
+anywhere); this module is the genuinely new TPU layer.  Two modes:
+
+- **Batch sharding** ("dp"): batched transforms partitioned over the mesh's
+  batch axis.  Collective-free — each chip runs the plan on its shard; XLA
+  propagates the sharding through the jitted pipeline.
+
+- **Distributed single FFT** ("sp"): one transform larger than a chip (or
+  needing sequence-parallel layout) runs as a distributed four-step:
+  local DFT over the n1 digit -> twiddle -> all_to_all redistribution over
+  ICI -> local DFT over the n2 digit.  One collective per transform; this is
+  the scaling-book recipe (shard, compute locally, let the collective ride
+  ICI) applied to the FFT's digit-exchange structure.
+
+Layout convention matches the core engine: interleaved complex f32.
+Digit split: line index n = n2 + n2_len*n1 (C-order reshape to (n1, n2));
+output index k = k1 + n1_len*k2, delivered as (batch, k2, k1, 2) so a plain
+reshape yields the standard (batch, n, 2) line order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import dft
+from ..core.cplx import const_pair, to_w4
+from ..utils import factors
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _einsum(pattern, a, b):
+    return jnp.einsum(pattern, a, b, precision=_PRECISION)
+
+
+def _cmul_pair(d, ca, cb):
+    return d * ca + jnp.flip(d, axis=-1) * cb
+
+
+# ---------------------------------------------------------------------------
+# Batch sharding
+# ---------------------------------------------------------------------------
+
+def shard_batch(plan, mesh: Mesh, axis_name: str = "dp"):
+    """Wrap a plan so exec runs with the batch dim sharded over ``axis_name``.
+
+    Returns run(x) -> y; data is placed with a batch NamedSharding and the
+    jitted pipeline partitions automatically (no collectives for batched
+    transforms).
+    """
+    def run(x):
+        x = jnp.asarray(x)
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        x = jax.device_put(x, NamedSharding(mesh, spec))
+        return plan(x)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Distributed single-transform FFT (four-step over ICI)
+# ---------------------------------------------------------------------------
+
+def choose_distributed_split(n: int, ndev: int) -> Optional[Tuple[int, int]]:
+    """(n1, n2) with n = n1*n2, ndev | n1 and ndev | n2, both smooth and as
+    balanced as possible; None when impossible."""
+    best = None
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            for n1 in (d, n // d):
+                n2 = n // n1
+                if (n1 % ndev == 0 and n2 % ndev == 0
+                        and factors.is_smooth(n1) and factors.is_smooth(n2)):
+                    key = abs(n1 - n2)
+                    if best is None or key < best[0]:
+                        best = (key, (n1, n2))
+        d += 1
+    return best[1] if best else None
+
+
+def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                             direction: str = "forward",
+                             normalize: str = "none"):
+    """Build fn(x) computing a length-n FFT distributed over mesh axis
+    ``axis_name``.
+
+    x: (batch, n, 2) f32.  Returns (batch, k2, k1, 2) with k = k1 + n1*k2
+    and the k1 dim carrying the device sharding; ``.reshape(batch, n, 2)``
+    restores the flat line.
+
+    Math (four-step, digit split n = n2 + n2_len*n1):
+      X[k1 + n1_len*k2] =
+        sum_{n2} W2^{n2 k2} * W_N^{n2 k1} * (sum_{n1} x[n1, n2] W1^{n1 k1})
+    Stage 1 contracts the n1 digit locally on each n2-shard; the all_to_all
+    exchanges the k1 digit for the n2 digit; stage 2 contracts n2 locally.
+    """
+    ndev = mesh.shape[axis_name]
+    split = choose_distributed_split(n, ndev)
+    if split is None:
+        raise ValueError(
+            f"cannot split n={n} into two smooth factors divisible by {ndev}")
+    n1, n2 = split
+    from ..utils.mathref import normalize_scale
+    scale = normalize_scale(normalize, direction, n)
+
+    w1 = jnp.asarray(to_w4(dft.dft_matrix(n1, direction)))           # (n1,2,n1,2)
+    w2 = jnp.asarray(to_w4(dft.dft_matrix(n2, direction)
+                           * np.complex64(scale)))                    # scale folded
+    sign = -1.0 if direction == "forward" else 1.0
+    tw = np.exp(sign * 2j * np.pi *
+                (np.outer(np.arange(n1), np.arange(n2)) % n) / n)     # [k1, n2]
+    twa, twb = const_pair(tw)                                         # (n1, n2, 2)
+    twa, twb = jnp.asarray(twa), jnp.asarray(twb)
+    n2_loc = n2 // ndev
+
+    def local_fn(x_loc):
+        # x_loc: (batch, n1, n2_loc, 2) — this device's n2-shard
+        idx = jax.lax.axis_index(axis_name)
+        # stage 1: contract the n1 digit: y[b, k1, j, comp]
+        y = _einsum("baji,aick->bcjk", x_loc, w1)
+        # twiddle W_N^{n2*k1}, sliced to this device's n2 range
+        ta = jax.lax.dynamic_slice_in_dim(twa, idx * n2_loc, n2_loc, axis=1)
+        tb = jax.lax.dynamic_slice_in_dim(twb, idx * n2_loc, n2_loc, axis=1)
+        y = _cmul_pair(y, ta, tb)
+        # digit exchange over ICI: shard k1, gather full n2
+        y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
+                               tiled=True)                # (b, k1_loc, n2, 2)
+        # stage 2: contract the n2 digit
+        return _einsum("bcai,aimk->bcmk", y, w2)          # (b, k1_loc, k2, 2)
+
+    def fn(x):
+        x = x.reshape(x.shape[0], n1, n2, 2)              # digit grid
+        y = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=P(None, None, axis_name, None),
+            out_specs=P(None, axis_name, None, None),
+        )(x)
+        return jnp.swapaxes(y, 1, 2)                      # (b, k2, k1, 2)
+
+    fn.split = (n1, n2)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Mesh helpers
+# ---------------------------------------------------------------------------
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """Build a Mesh from {axis_name: size} over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    need = math.prod(sizes)
+    if need > len(devices):
+        raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(sizes)
+    return Mesh(arr, names)

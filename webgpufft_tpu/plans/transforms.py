@@ -48,14 +48,13 @@ def build_c2c(spec: PlanSpec) -> Plan:
     use_fused = route.mode == "pallas-fused"
     if use_fused:
         from ..core import fused
-        fused_fn = fused.build_fused_1d(spec, consts)
+        # normalize scale is folded into the kernel's stage-B matrix
+        fused_fn = fused.build_fused_1d(spec, consts, scale)
 
     def core(x, c):
         if use_fused:
-            y = fused_fn(x, c)
-        else:
-            y = engine.apply_nd(x, axis_plans, c)
-        return _scale_mul(y, scale)
+            return fused_fn(x, c)
+        return _scale_mul(engine.apply_nd(x, axis_plans, c), scale)
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)

@@ -50,10 +50,13 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
         reasons.append("fused-unsupported-length")
     if spec.batch < FUSED_MIN_BATCH:
         reasons.append("fused-batch-too-small")
-    line_bytes = spec.n_total * 8
-    budget = t.vmem_limit_bytes or VMEM_BUDGET_BYTES
-    if line_bytes * 4 > budget:
+    budget = t.vmem_limit_bytes or fused.DEFAULT_VMEM_BUDGET
+    if spec.n_total * 6 * 8 > budget:
         reasons.append("line-exceeds-vmem-budget")
+    if not reasons:
+        tile = t.batch_tile or fused.pick_batch_tile(spec.batch, spec.shape[0], budget)
+        if tile is None or spec.batch % tile != 0 or tile < 1:
+            reasons.append("fused-no-batch-tile")
     if t.impl == "pallas" and reasons:
         raise ValueError(
             f"tuning.impl='pallas' but the fused path cannot serve this plan: {reasons}")

@@ -1,0 +1,94 @@
+"""Roofline accounting + robust timing.
+
+The reference only has a 5*N*log2(N) FLOP model (web/bench_runner.js:75-79);
+BASELINE.md requires real roofline accounting: bytes moved per transform vs
+HBM bandwidth.  This module provides both, plus a timing harness that forces
+device completion via a scalar readback data dependency — necessary because
+the tunneled TPU runtime's block_until_ready can return before execution
+finishes, and unbounded async queues must be avoided.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak HBM bandwidth per chip, GB/s (TPU v5e: 819 GB/s).
+HBM_GBPS = {
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v4": 1228.0,
+    "cpu": 50.0,  # nominal, for dev runs only
+}
+
+
+def device_hbm_gbps() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu")
+    for k, v in HBM_GBPS.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return HBM_GBPS.get("cpu", 50.0)
+
+
+def fft_flops(n_total: int, batch: int) -> float:
+    """The reference's FLOP model: 5*N*log2(N) per transform."""
+    return 5.0 * n_total * math.log2(max(n_total, 2)) * batch
+
+
+def fft_min_bytes(n_total: int, batch: int, bytes_per_elem: int = 8) -> float:
+    """Minimum HBM traffic: read input once + write output once."""
+    return 2.0 * n_total * batch * bytes_per_elem
+
+
+@dataclass
+class BenchResult:
+    avg_ms: float
+    gflops: float
+    eff_gbps: float
+    pct_roofline: float
+    iters: int
+
+
+def time_chained(fn: Callable, x, iters: int, *, warmup: int = 2) -> float:
+    """Average seconds per call of ``fn`` with a serializing data dependency
+    (y = fn(y)) and a scalar-readback completion barrier.
+
+    ``fn`` must map an array to a same-shaped array.  The chain is bounded
+    (no unbounded async queue) and the final float() readback cannot complete
+    until every chained step has executed on device.
+    """
+    y = x
+    for _ in range(warmup):
+        y = fn(y)
+    float(jnp.sum(y[..., :1, :1]))          # drain warmup
+
+    # baseline: scalar readback cost without chained work
+    t0 = time.perf_counter()
+    float(jnp.sum(x[..., :1, :1]))
+    t_rb = time.perf_counter() - t0
+
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn(y)
+    float(jnp.sum(y[..., :1, :1]))
+    t_total = time.perf_counter() - t0
+    return max((t_total - t_rb) / iters, 1e-9)
+
+
+def bench_transform(fn: Callable, x, n_total: int, batch: int,
+                    iters: int = 30) -> BenchResult:
+    dt = time_chained(fn, x, iters)
+    gf = fft_flops(n_total, batch) / dt / 1e9
+    gb = fft_min_bytes(n_total, batch) / dt / 1e9
+    roof = device_hbm_gbps()
+    return BenchResult(avg_ms=dt * 1e3, gflops=gf, eff_gbps=gb,
+                       pct_roofline=100.0 * gb / roof, iters=iters)
