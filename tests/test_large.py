@@ -1,0 +1,67 @@
+"""Large-transform coverage — the TPU answer to the reference's large-mode
+routing matrix (out-of-core four-step, line windows, batch chunking;
+reference: c2c.js:3386-3549, bench/bench.js:290-466).
+
+On TPU there are no binding limits: a 2^20-point line executes as a
+multi-level matmul chain with XLA-managed HBM intermediates.  These tests
+pin correctness at sizes far beyond VMEM and the decomposition structure.
+"""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.utils import factors
+
+
+@pytest.mark.parametrize("n", [2 ** 16, 2 ** 18])
+def test_large_1d_c2c(n, rng, assert_close):
+    z = rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=1, direction="forward",
+                        tuning={"impl": "xla"})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = np.fft.fft(z, axis=-1)
+    assert_close(y.real, ref.real, label=f"large{n}.re")
+    assert_close(y.imag, ref.imag, label=f"large{n}.im")
+
+
+def test_pow20_decomposition_structure():
+    """2^20 = four levels of 32-point sub-DFTs (the four-step analog)."""
+    subs = factors.split_sublengths(2 ** 20, 32)
+    assert np.prod(subs) == 2 ** 20
+    assert all(s <= 32 for s in subs)
+    assert len(subs) == 4
+
+
+def test_large_2d(rng, assert_close):
+    shape = (512, 512)
+    z = rng.standard_normal((1, *shape)) + 1j * rng.standard_normal((1, *shape))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=1)
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = np.fft.fft2(z, axes=(1, 2))
+    assert_close(y.real, ref.real, label="512x512.re")
+    assert_close(y.imag, ref.imag, label="512x512.im")
+
+
+def test_large_r2c_roundtrip(rng, assert_close):
+    n = 2 ** 16
+    x = rng.standard_normal((1, n))
+    fwd = W.create_plan(type="r2c", shape=[n], direction="forward", batch=1)
+    inv = W.create_plan(type="c2r", shape=[n], direction="inverse",
+                        normalize="backward", batch=1)
+    y = np.asarray(inv(fwd(x.astype(np.float32))))
+    assert_close(y, x, label="large r2c roundtrip")
+
+
+def test_bf16_storage_large(rng):
+    import jax.numpy as jnp
+    n = 2 ** 16
+    z = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n)))
+    plan = W.create_plan(type="c2c", shape=[n], batch=1,
+                        precision="bf16-storage", tuning={"impl": "xla"})
+    xb = jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+    y = uninterleave(np.asarray(plan(xb).astype(jnp.float32)))
+    ref = np.fft.fft(z, axis=-1)
+    err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert err < 2e-2, err  # bf16 input rounding dominates; compute is f32
