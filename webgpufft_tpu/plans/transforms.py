@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import engine
-from ..core.axis import select_axis_kind
+from ..core.axis import apply_along_axis, select_axis_kind
+from ..core.cplx import cmul_const, const_pair as cplx_const_pair
 from ..spec import PlanSpec
 from ..utils.mathref import trig_matrix
 from .base import Plan, RouteInfo, build_staged_fn
@@ -77,18 +78,71 @@ def packed_shape(shape):
     return (shape[0] // 2 + 1,) + tuple(shape[1:])
 
 
+def _half_trick_consts(n0: int, inverse: bool) -> Dict[str, np.ndarray]:
+    """Constants for the even-N0 half-complex real FFT trick.
+
+    Forward untangle (k = 0..n0/2, Z periodic n0/2):
+      X[k] = (Z[k] + conj(Z[-k])) * 1/2  +  (Z[k] - conj(Z[-k])) * (-i w^k / 2)
+    Inverse re-tangle (k = 0..n0/2-1, unnormalized-inverse convention with
+    the factor 2 folded in):
+      Z[k] = (X[k] + conj(X[n0/2 - k]))  +  i w^{-k} (X[k] - conj(X[n0/2 - k]))
+    where w = exp(-2*pi*i/n0).
+    """
+    h = n0 // 2
+    if not inverse:
+        k = np.arange(h + 1)
+        flip = ((h - k) % h).astype(np.int32)          # Z[-k] index, len h+1
+        w = np.exp(-2j * np.pi * k / n0)
+        ca, cb = cplx_const_pair(-0.5j * w)
+        return {"rc/flip": flip, "rc/ca": ca, "rc/cb": cb}
+    k = np.arange(h)
+    flip = (h - k).astype(np.int32)                    # X[n0/2 - k], len h
+    w_inv = np.exp(2j * np.pi * k / n0)
+    ca, cb = cplx_const_pair(1j * w_inv)
+    return {"cr/flip": flip, "cr/ca": ca, "cr/cb": cb}
+
+
 def build_r2c(spec: PlanSpec) -> Plan:
-    axis_plans = engine.build_axis_plans(spec.shape, "forward", spec.tuning)
-    consts = engine.collect_consts(axis_plans)
     scale = engine.plan_scale(spec.normalize, "forward", spec.n_total)
     route = _route_for(spec)
-    p0 = spec.shape[0] // 2 + 1
+    n0 = spec.shape[0]
+    p0 = n0 // 2 + 1
+    rank = spec.rank
+    # half-complex trick: even n0 runs a length-n0/2 complex FFT on axis 0
+    # (halves compute and traffic); odd n0 widens to a full complex FFT
+    # (reference always widens: real_complex.js:1-19)
+    use_half = n0 % 2 == 0 and n0 >= 4
+    if use_half:
+        half_shape = (n0 // 2,) + spec.shape[1:]
+        axis_plans = engine.build_axis_plans(half_shape, "forward", spec.tuning)
+        consts = engine.collect_consts(axis_plans)
+        consts.update(_half_trick_consts(n0, inverse=False))
+    else:
+        axis_plans = engine.build_axis_plans(spec.shape, "forward", spec.tuning)
+        consts = engine.collect_consts(axis_plans)
 
     def core(x, c):
-        # widen real -> interleaved complex (reference: real_complex.js:1-19)
-        xi = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
-        y = engine.apply_nd(xi, axis_plans, c)
-        y = y[:, :p0, ...]  # pack non-negative bins of axis 0
+        if use_half:
+            b = x.shape[0]
+            # pair adjacent axis-0 reals into interleaved complex:
+            # v[m] = x[2m] + i*x[2m+1]
+            v = x.reshape(b, n0 // 2, 2, *spec.shape[1:])
+            v = jnp.moveaxis(v, 2, -1)                  # (b, n0/2, rest, 2)
+            z = apply_along_axis(v, axis_plans[0], 1, c)  # FFT axis 0 only
+            # untangle to the packed half-spectrum (k = n0/2 reads Z[0])
+            zf = jnp.take(z, c["rc/flip"], axis=1)
+            zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
+            zpad = jnp.concatenate([z, z[:, :1, ...]], axis=1)
+            cshape = (1, p0) + (1,) * (rank - 1) + (2,)
+            y = (zpad + zf) * 0.5 + cmul_const(
+                zpad - zf, c["rc/ca"].reshape(cshape), c["rc/cb"].reshape(cshape))
+            # remaining axes: complex FFT on the (half-size) packed domain
+            for d in range(1, rank):
+                y = apply_along_axis(y, axis_plans[d], 1 + d, c)
+        else:
+            xi = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+            y = engine.apply_nd(xi, axis_plans, c)
+            y = y[:, :p0, ...]  # pack non-negative bins of axis 0
         return _scale_mul(y, scale)
 
     fn, in_shape, out_shape, _, _ = build_staged_fn(
@@ -101,14 +155,53 @@ def build_r2c(spec: PlanSpec) -> Plan:
 
 
 def build_c2r(spec: PlanSpec) -> Plan:
-    axis_plans = engine.build_axis_plans(spec.shape, "inverse", spec.tuning)
-    consts = engine.collect_consts(axis_plans)
     scale = engine.plan_scale(spec.normalize, "inverse", spec.n_total)
     route = _route_for(spec)
     n0 = spec.shape[0]
+    rank = spec.rank
     k_max_mirror = n0 // 2 - 1 if n0 % 2 == 0 else n0 // 2
+    use_half = n0 % 2 == 0 and n0 >= 4
+    if use_half:
+        half_shape = (n0 // 2,) + spec.shape[1:]
+        axis_plans = engine.build_axis_plans(half_shape, "inverse", spec.tuning)
+        consts = engine.collect_consts(axis_plans)
+        consts.update(_half_trick_consts(n0, inverse=True))
+    else:
+        axis_plans = engine.build_axis_plans(spec.shape, "inverse", spec.tuning)
+        consts = engine.collect_consts(axis_plans)
+
+    def core_half(xp, c):
+        h = n0 // 2
+        b = xp.shape[0]
+        # inverse FFT the non-packed axes first (on the packed domain)
+        y = xp
+        for d in range(1, rank):
+            y = apply_along_axis(y, axis_plans[d], 1 + d, c)
+        # After the rest-axes inverse, each axis-0 line is the spectrum of a
+        # real line, so bins 0 and n0/2 are self-conjugate: discard any
+        # residual imag there (reference zeroes self-conjugate bins in the
+        # unpack kernel, real_complex.js:116-201)
+        bin_iota = jnp.arange(h + 1).reshape((1, h + 1) + (1,) * (rank - 1) + (1,))
+        comp = jnp.arange(2).reshape((1, 1) + (1,) * (rank - 1) + (2,))
+        selfconj = ((bin_iota == 0) | (bin_iota == h)) & (comp == 1)
+        y = jnp.where(selfconj, 0.0, y)
+        # re-tangle packed bins into the half-length complex line:
+        # z_pre = 2*E + 2i*O = 2*Z, and IFFT_unnorm(2Z) = n0 * v, which is
+        # exactly the unnormalized-inverse output pairs
+        xk = y[:, :h, ...]
+        xf = jnp.take(y, c["cr/flip"], axis=1)
+        xf = xf * jnp.asarray([1.0, -1.0], dtype=y.dtype)  # conj(X[n0/2-k])
+        cshape = (1, h) + (1,) * (rank - 1) + (2,)
+        z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
+                                   c["cr/cb"].reshape(cshape))
+        z = apply_along_axis(z, axis_plans[0], 1, c)       # inverse FFT axis 0
+        z = jnp.moveaxis(z, -1, 2)                          # (b, h, 2, rest)
+        out = z.reshape(b, n0, *spec.shape[1:])
+        return _scale_mul(out, scale)
 
     def core(xp, c):
+        if use_half:
+            return core_half(xp, c)
         # ND Hermitian mirror X[(N-k) mod N] = conj(X[k]): flip axis 0 over
         # the mirrored bin range, flip+wrap every other logical axis
         # (reference: generateUnpackC2RWGSL per-axis mirrored coords,
