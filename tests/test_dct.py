@@ -99,3 +99,38 @@ def test_dct_8x8_blocks_shape(rng):
     x = rng.standard_normal((64, 8, 8)).astype(np.float32)
     plan = W.create_plan(type="dct2", shape=[8, 8], direction="forward", batch=64)
     assert np.asarray(plan(x)).shape == (64, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# FFT route (large axes; forced low threshold to exercise on small shapes)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
+@pytest.mark.parametrize("direction", ["forward", "inverse"])
+@pytest.mark.parametrize("shape", [(16,), (12, 8)])
+def test_dct_fft_route(kind, shape, direction, rng, assert_close):
+    x = rng.standard_normal((2, *shape)).astype(np.float32)
+    cache = W.PlanCache()
+    plan = W.create_plan({"type": kind, "shape": list(shape),
+                          "direction": direction, "batch": 2,
+                          "tuning": {"dct_fft_min_n": 4}}, cache=cache)
+    assert any("fft" in r for r in plan.route.reasons), plan.route.reasons
+    y = np.asarray(plan(x))
+    ref = R.dct_nd(x, shape, kind, direction)
+    assert_close(y, ref, label=f"fft-route {kind}{shape}:{direction}")
+
+
+def test_dct_fft_route_large_default(rng, assert_close):
+    """Axes >= 512 take the FFT route by default."""
+    n = 1024
+    x = rng.standard_normal((1, n)).astype(np.float32)
+    plan = W.create_plan(type="dct2", shape=[n], direction="forward", batch=1)
+    assert "dct-axis0-fft" in plan.route.reasons
+    y = np.asarray(plan(x))
+    ref = R.dct_nd(x, (n,), "dct2", "forward")
+    assert_close(y, ref, label="dct2-1024 fft route")
+
+
+def test_dct_matmul_default_small(rng):
+    plan = W.create_plan(type="dct2", shape=[8, 8], direction="forward", batch=1)
+    assert "dct-axis0-matmul" in plan.route.reasons

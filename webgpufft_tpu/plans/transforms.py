@@ -9,7 +9,7 @@ routing (see plans/base.py docstring and runtime/policy.py).
 from __future__ import annotations
 
 import math
-from typing import Dict
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -229,13 +229,84 @@ def build_c2r(spec: PlanSpec) -> Plan:
 # ---------------------------------------------------------------------------
 # DCT / DST 1-4
 # ---------------------------------------------------------------------------
-# Device path: dense trig-matrix contraction per axis on the MXU.  For the
-# reference's sizes (8x8 blocks, 512^2 images) the O(N^2) matmul is at or
-# below the memory-bound roofline on TPU, so this *is* the fast path — the
-# reference's length-M FFT embedding (src/runtime/plans/dct_fft.js:21-265)
-# only wins for very large N, where the mixed-radix FFT route takes over
-# (tracked in runtime/policy.py as "dct-fft" mode; trig matrices are exact
-# f64-precomputed either way).
+# Two device routes per axis (reference builds everything on length-M FFT
+# embeddings, src/runtime/plans/dct_fft.js:21-265):
+#
+# - "matmul": dense trig-matrix contraction on the MXU.  For the reference's
+#   headline sizes (8x8 blocks, 512^2 images) the O(N^2) matmul is at or near
+#   the memory-bound roofline, so it IS the fast path on TPU.
+# - "fft": for large axes (>= tuning.dct_fft_min_n), dct2/dct3 (and dst2/3
+#   via the alternate-sign/reverse relations) lower to a length-N complex FFT
+#   with the even/odd reorder + half-sample phase twist — O(N log N).
+#   dct1/dst1/dct4/dst4 keep the matmul route (rarely large in practice).
+
+_DCT_FFT_KINDS = {"dct2", "dct3", "dst2", "dst3"}
+
+
+def _dct_reorder_perms(n: int):
+    """Even/odd reorder: v[m] = x[2m], v[n-1-m] = x[2m+1]."""
+    perm = np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)[::-1]])
+    inv = np.argsort(perm)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
+def _dct_axis_fft_consts(n: int, eff_kind: str, prefix: str, tuning):
+    """Constants + axis FFT plans for one FFT-routed DCT axis.
+
+    eff_kind is "dct2"-like (forward trig) or "dct3"-like (inverse trig);
+    dst variants add sign/reverse wrappers at apply time.
+    """
+    from ..core.axis import MixedAxisPlan, build_axis_plan
+    perm, inv = _dct_reorder_perms(n)
+    w = np.exp(-1j * np.pi * np.arange(n) / (2 * n))
+    consts: Dict[str, np.ndarray] = {f"{prefix}/perm": perm, f"{prefix}/inv": inv}
+    if eff_kind in ("dct2", "dst2"):
+        ap = build_axis_plan(n, 0, "forward", tuning, f"{prefix}/f")
+        wa, wb = cplx_const_pair(w)
+        consts[f"{prefix}/wa"] = wa
+        consts[f"{prefix}/wb"] = wb
+    else:
+        ap = build_axis_plan(n, 0, "inverse", tuning, f"{prefix}/i")
+        # U[k] = 0.5 * conj(w_k) * (X[k] - i*X[n-k]);  X[n-0] := 0
+        ua, ub = cplx_const_pair(0.5 * np.conj(w))
+        consts[f"{prefix}/ua"] = ua
+        consts[f"{prefix}/ub"] = ub
+        xm_idx = np.concatenate([[0], np.arange(n - 1, 0, -1)]).astype(np.int32)
+        consts[f"{prefix}/xm"] = xm_idx
+        consts[f"{prefix}/xm0"] = np.concatenate(
+            [[0.0], np.ones(n - 1)]).astype(np.float32)  # masks X[n-0] to 0
+    consts.update(ap.consts())
+    return ap, consts
+
+
+def _apply_dct_fft_axis(x, c, ap, prefix: str, eff_kind: str, n: int):
+    """Apply one FFT-routed DCT/DST axis along the LAST axis of real x."""
+    dst = eff_kind.startswith("dst")
+    if dst and eff_kind == "dst2":
+        # dst2(x)[k] = reverse(dct2(altsign(x)))[k]
+        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        x = x * sgn
+    if dst and eff_kind == "dst3":
+        x = jnp.flip(x, axis=-1)
+    if eff_kind in ("dct2", "dst2"):
+        v = jnp.take(x, c[f"{prefix}/perm"], axis=-1)
+        vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)
+        V = ap.apply(vi, c)
+        y = cmul_const(V, c[f"{prefix}/wa"], c[f"{prefix}/wb"])[..., 0]
+        if eff_kind == "dst2":
+            y = jnp.flip(y, axis=-1)
+        return y
+    # dct3 / dst3
+    xm = jnp.take(x, c[f"{prefix}/xm"], axis=-1) * c[f"{prefix}/xm0"]
+    u = jnp.stack([x, -xm], axis=-1)                    # X[k] - i*X[n-k]
+    u = cmul_const(u, c[f"{prefix}/ua"], c[f"{prefix}/ub"])
+    v = ap.apply(u, c)[..., 0]                          # Re(IFFT_unnorm(U))
+    y = jnp.take(v, c[f"{prefix}/inv"], axis=-1)
+    if eff_kind == "dst3":
+        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        y = y * sgn
+    return y
+
 
 def build_dct(spec: PlanSpec) -> Plan:
     kind = spec.plan_type
@@ -243,21 +314,38 @@ def build_dct(spec: PlanSpec) -> Plan:
     consts: Dict[str, np.ndarray] = {}
     self_inverse = kind in ("dct1", "dst1", "dct4", "dst4")
     mdir = "forward" if self_inverse else spec.direction
+    # effective per-direction kind (reference typeKind table,
+    # dct_fft.js:48-58): dct2 inv == dct3 fwd etc.
+    alias = {"dct2": "dct3", "dct3": "dct2", "dst2": "dst3", "dst3": "dst2"}
+    eff_kind = kind if (self_inverse or spec.direction == "forward") else alias[kind]
+
+    axis_mode: List[str] = []
+    axis_objs = []
     for d, n in enumerate(spec.shape):
-        m = trig_matrix(kind, n, mdir)
-        consts[f"trig{d}"] = m.T.astype(np.float32)  # (n_in, n_out): apply as x @ T
+        if (eff_kind in _DCT_FFT_KINDS and n >= spec.tuning.dct_fft_min_n):
+            ap, cc = _dct_axis_fft_consts(n, eff_kind, f"dct{d}", spec.tuning)
+            consts.update(cc)
+            axis_objs.append(ap)
+            axis_mode.append("fft")
+        else:
+            m = trig_matrix(kind, n, mdir)
+            consts[f"trig{d}"] = m.T.astype(np.float32)  # apply as x @ T
+            axis_objs.append(None)
+            axis_mode.append("matmul")
+    route.reasons = route.reasons + tuple(
+        f"dct-axis{d}-{m}" for d, m in enumerate(axis_mode))
     scale = engine.plan_scale(spec.normalize, spec.direction, spec.n_total)
 
     def core(x, c):
         y = x
         for d in range(spec.rank):
-            if spec.shape[d] == 1:
-                # 1-point transforms: dct1 undefined (validated), dst1/dct4/
-                # dst4/dct2 reduce to identity-like matrices handled below
-                pass
             ax = 1 + d
             y = jnp.moveaxis(y, ax, -1)
-            y = jnp.matmul(y, c[f"trig{d}"], precision=_PRECISION)
+            if axis_mode[d] == "fft":
+                y = _apply_dct_fft_axis(y, c, axis_objs[d], f"dct{d}",
+                                        eff_kind, spec.shape[d])
+            else:
+                y = jnp.matmul(y, c[f"trig{d}"], precision=_PRECISION)
             y = jnp.moveaxis(y, -1, ax)
         return _scale_mul(y, scale)
 

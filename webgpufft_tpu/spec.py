@@ -152,6 +152,7 @@ class TuningSpec:
     large_route: str = "auto"                  # "auto" | "chunk" | "out-of-core" (parity)
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
+    dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
 
 
 @dataclass(frozen=True)
