@@ -33,8 +33,25 @@ from .runtime.cache import (
     import_plan_cache_snapshot,
 )
 from .core.cplx import interleave, uninterleave
+from .utils.bufferview import BufferView
 
 __version__ = "0.1.0"
+
+
+def upload_complex(z, device=None):
+    """numpy complex array -> device-resident interleaved f32 array
+    (reference: uploadComplex, src/utils/webgpu.js:9-23)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(interleave(__import__("numpy").asarray(z)))
+    return jax.device_put(x, device) if device is not None else x
+
+
+def download_complex(x):
+    """Device interleaved array -> numpy complex128
+    (reference: downloadComplex, src/utils/webgpu.js:29-55)."""
+    import numpy as _np
+    return uninterleave(_np.asarray(x))
 
 __all__ = [
     "create_plan", "create_fft_plan", "Plan", "PlanSpec", "PlanError",
@@ -44,7 +61,8 @@ __all__ = [
     "create_fftconv_channel_lane_preset",
     "create_fftconv_kernel_major_channel_lane_preset",
     "create_fftconv_batch_major_channel_lane_preset",
-    "interleave", "uninterleave",
+    "interleave", "uninterleave", "BufferView",
+    "upload_complex", "download_complex",
 ]
 
 

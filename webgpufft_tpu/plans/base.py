@@ -73,7 +73,20 @@ class Plan:
     _expect_input = None
 
     def exec(self, x, kernel=None, out=None):
+        from ..utils.bufferview import BufferView
+        out_view = None
+        if isinstance(x, BufferView):
+            x = x.pack()          # Tier-A segmented assemble (segmented_io.js analog)
+        if isinstance(out, BufferView):
+            out_view = out
+            out = out_view.pack()
         x = jnp.asarray(x)
+        if out_view is not None:
+            y = self._exec_inner(x, kernel, out)
+            return out_view.unpack(y)
+        return self._exec_inner(x, kernel, out)
+
+    def _exec_inner(self, x, kernel=None, out=None):
         if self._expect_input is not None:
             validate_input_shape(self, x, self._expect_input[0],
                                  self._expect_input[1], self.spec.precision)
