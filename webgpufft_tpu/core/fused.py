@@ -55,8 +55,12 @@ def supports_length(n: int, tuning) -> bool:
 
 def pick_batch_tile(batch: int, n: int, budget: int) -> Optional[int]:
     """Largest divisor of batch whose tile working set fits the budget.
-    Working set ~ 6 arrays of TB*N complex f32."""
-    per_line = 6 * n * 8
+
+    Working set ~ 12 live tile-sized f32 arrays (input block, P, Q, U and its
+    swap, V, lane halves, W, output block, double-buffered DMA staging) —
+    measured empirically: n=1024 compiles at TB=64 and OOMs scoped VMEM at
+    TB=128 on v5e."""
+    per_line = 12 * n * 8
     cap = max(1, budget // per_line)
     best = None
     for tb in range(1, min(batch, cap) + 1):
@@ -77,25 +81,36 @@ def _sign_lane(shape, dtype):
     return jnp.where(lane % 2 == 0, -1.0, 1.0).astype(dtype)
 
 
-def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, o_ref,
-                *, n1: int, n2: int):
-    x = x_ref[:]                                   # (TB, N2, 2*N1)
+def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
+                o_ref, *, n1: int, n2: int):
+    """Mosaic-friendly pipeline.  The digit-reversal transpose is the tricky
+    part: interleaved-lane regrouping reshapes are unsupported, so stage B's
+    G-matrix is column-reordered to emit BLOCK lane layout ([re0..re(K1-1),
+    im0..im(K1-1)]), the (K2, K1) transpose becomes two plain minor-dim
+    swaps on the lane halves, and a small permutation matmul re-interleaves
+    the final lanes (the MXU is idle in this memory-bound kernel, so the
+    extra (2K2)^2 contraction is free)."""
+    x = x_ref[:]                                   # (TB, N2, 2*N1) interleaved
     f2re = f2re_ref[:]                             # (N2, N2)
     f2im = f2im_ref[:]
     hi = jax.lax.Precision.HIGHEST
     # stage A: contract rows (n2).  P/Q carry the re/im parts of W2.
-    p = jnp.einsum("bnj,nk->bkj", x, f2re, precision=hi)   # (TB, K2, 2N1)
-    q = jnp.einsum("bnj,nk->bkj", x, f2im, precision=hi)
+    # (einsum "bnj,nk->bkj" emits a Mosaic-unsupported shape cast; the
+    # explicit dot_general + minor swap lowers cleanly)
+    dn = (((1,), (0,)), ((), ()))
+    p = jnp.swapaxes(jax.lax.dot_general(x, f2re, dn, precision=hi), 1, 2)
+    q = jnp.swapaxes(jax.lax.dot_general(x, f2im, dn, precision=hi), 1, 2)
     u = p + _swapadj(q) * _sign_lane(q.shape, q.dtype)
     # twiddle W_N^{n1*k2}
     u = u * ta_ref[:] + _swapadj(u) * tb_ref[:]
-    # stage B: contract interleaved n1 lanes with G1 (2N1, 2K1)
-    v = jnp.einsum("bkj,jl->bkl", u, g1_ref[:], precision=hi)  # (TB, K2, 2K1)
-    # digit reversal: (K2, K1) complex transpose -> line index N2*k1 + k2
-    tb_lines = v.shape[0]
-    v = v.reshape(tb_lines, n2, n1, 2)
-    v = jnp.swapaxes(v, 1, 2)
-    o_ref[:] = v.reshape(tb_lines, n1, 2 * n2)
+    # stage B: contract interleaved n1 lanes; output lanes in BLOCK layout
+    v = jnp.einsum("bkj,jl->bkl", u, g1_ref[:], precision=hi)  # (TB, K2, 2K1 blk)
+    # digit reversal: plain transposes of the re/im lane halves
+    vre = jnp.swapaxes(v[:, :, :n1], 1, 2)          # (TB, K1, K2)
+    vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
+    w = jnp.concatenate([vre, vim], axis=-1)        # (TB, K1, 2K2 blk)
+    # re-interleave lanes: block -> [re0, im0, re1, im1, ...]
+    o_ref[:] = jnp.einsum("bkl,lm->bkm", w, pil_ref[:], precision=hi)
 
 
 def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
@@ -104,13 +119,22 @@ def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str,
     tw = np.exp((-2j if direction == "forward" else 2j) * np.pi *
                 (np.outer(np.arange(n2), np.arange(n1)) % n) / n)  # T[k2, n1]
     ta, tbc = const_pair(tw)                       # (n2, n1, 2)
-    g1 = to_w4(dft.dft_matrix(n1, direction)).reshape(2 * n1, 2 * n1)
+    # stage-B matrix with BLOCK-layout output columns: col l = k1 carries re,
+    # l = n1 + k1 carries im (interleaved input rows unchanged)
+    g1_blk = to_w4(dft.dft_matrix(n1, direction)).transpose(0, 1, 3, 2) \
+        .reshape(2 * n1, 2 * n1)
+    # lane re-interleave permutation: block l = k2 + c*n2 -> m = 2*k2 + c
+    pil = np.zeros((2 * n2, 2 * n2), dtype=np.float32)
+    for l in range(2 * n2):
+        k2, c = l % n2, l // n2
+        pil[l, 2 * k2 + c] = 1.0
     return {
         f"{prefix}/f2re": np.ascontiguousarray(w2.real.astype(np.float32)),
         f"{prefix}/f2im": np.ascontiguousarray(w2.imag.astype(np.float32)),
         f"{prefix}/ta": ta.reshape(n2, 2 * n1),
         f"{prefix}/tb": tbc.reshape(n2, 2 * n1),
-        f"{prefix}/g1": (g1 * scale).astype(np.float32),
+        f"{prefix}/g1": (g1_blk * scale).astype(np.float32),
+        f"{prefix}/pil": pil,
     }
 
 
@@ -147,6 +171,7 @@ def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
                 pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
                 pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
                 pl.BlockSpec((2 * n1, 2 * n1), lambda i: (0, 0)),
+                pl.BlockSpec((2 * n2, 2 * n2), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((tb, n1, 2 * n2), lambda i: (i, 0, 0),
                                    memory_space=pltpu.ANY if interpret else pltpu.VMEM),
@@ -158,7 +183,7 @@ def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
                 transcendentals=0,
             ),
         )(xm, c["fused/f2re"], c["fused/f2im"], c["fused/ta"], c["fused/tb"],
-          c["fused/g1"])
+          c["fused/g1"], c["fused/pil"])
         return out.reshape(batch, n, 2)
 
     fused_fn.batch_tile = tb
