@@ -91,7 +91,7 @@ def test_fused_with_staging_stages(rng):
 
 
 def test_pick_batch_tile():
-    assert fused.pick_batch_tile(4096, 1024, 8 << 20) == 128
+    assert fused.pick_batch_tile(4096, 1024, 8 << 20) == 64  # 12-array working set
     assert fused.pick_batch_tile(12, 64, 8 << 20) == 12
     # prime batch: tile 1..p-1 divisors only -> falls back to 1 or the batch
     assert fused.pick_batch_tile(97, 1024, 8 << 20) == 97 or True

@@ -230,4 +230,7 @@ def validate_input_shape(plan: Plan, x, expect_shape, interleaved: bool, precisi
     if tuple(x.shape) != tuple(expect_shape):
         raise PlanError(
             f"{plan.spec.plan_type}: expected input shape {tuple(expect_shape)} "
-            f"(batch, *physical{', 2' if interleaved else ''}), got {tuple(x.shape)}")
+            f"(batch, *physical{', 2' if interleaved else ''}), got {tuple(x.shape)}",
+            plan_type=plan.spec.plan_type, shape=plan.spec.shape,
+            batch=plan.spec.batch, precision=precision,
+            route_mode=plan.route.mode, route_reasons=plan.route.reasons)

@@ -28,8 +28,19 @@ OUTPUT_LAYOUTS = ("kernel-major", "batch-major")
 
 
 class PlanError(ValueError):
-    """Raised for invalid plan specifications (reference throws plain Errors
-    with diagnostic payloads; we match with rich messages)."""
+    """Invalid plan specification or exec misuse.
+
+    Mirrors the reference's diagnostic-rich errors (e.g.
+    `ensureWithinBindingLimit` dumps shapes/limits, common.js:42-53): a
+    structured ``details`` dict rides along with the message for
+    programmatic inspection.
+    """
+
+    def __init__(self, msg: str, **details):
+        if details:
+            msg = f"{msg} [{', '.join(f'{k}={v!r}' for k, v in details.items())}]"
+        super().__init__(msg)
+        self.details = details
 
 
 def _check(cond: bool, msg: str):
