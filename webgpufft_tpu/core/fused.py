@@ -109,8 +109,11 @@ def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
     vre = jnp.swapaxes(v[:, :, :n1], 1, 2)          # (TB, K1, K2)
     vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
     w = jnp.concatenate([vre, vim], axis=-1)        # (TB, K1, 2K2 blk)
-    # re-interleave lanes: block -> [re0, im0, re1, im1, ...]
-    o_ref[:] = jnp.einsum("bkl,lm->bkm", w, pil_ref[:], precision=hi)
+    # re-interleave lanes: block -> [re0, im0, re1, im1, ...].  The matrix is
+    # a 0/1 permutation (one term per output), so bf16 MXU passes are exact:
+    # DEFAULT precision, not HIGHEST.
+    o_ref[:] = jax.lax.dot_general(w, pil_ref[:], (((2,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT)
 
 
 def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
@@ -177,6 +180,9 @@ def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
                                    memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, n1, 2 * n2), jnp.float32),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=batch * n * (n1 + n2) * 8,
                 bytes_accessed=2 * batch * n * 8,
