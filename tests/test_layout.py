@@ -241,7 +241,9 @@ def test_bf16_storage_c2c(rng):
 
 
 def test_bf16_storage_dtype_enforced(rng):
-    plan = W.create_plan(type="c2c", shape=[8], batch=1, precision="bf16-storage")
-    y = plan(np.zeros((1, 8, 2), np.float32).astype(np.float32))
     import jax.numpy as jnp
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, precision="bf16-storage")
+    y = plan(jnp.zeros((1, 8, 2), jnp.bfloat16))
     assert y.dtype == jnp.bfloat16
+    with pytest.raises(W.PlanError, match="dtype"):
+        plan(np.zeros((1, 8, 2), np.float32))

@@ -90,6 +90,12 @@ class Plan:
         if self._expect_input is not None:
             validate_input_shape(self, x, self._expect_input[0],
                                  self._expect_input[1], self.spec.precision)
+            want = stages.expect_dtype(self.spec.precision)
+            if x.dtype != want:
+                raise PlanError(
+                    f"{self.spec.plan_type}: expected input dtype {want} for "
+                    f"precision {self.spec.precision!r}, got {x.dtype}",
+                    precision=self.spec.precision)
         if self.needs_kernel:
             if kernel is None:
                 raise PlanError(f"{self.spec.plan_type} exec requires kernel=")
