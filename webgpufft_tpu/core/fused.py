@@ -141,21 +141,22 @@ def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str,
     }
 
 
-def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
-    """Returns fused_fn(x, consts_jnp) computing the scaled 1D FFT on
-    interleaved (batch, n, 2) float32.  Mutates ``consts`` with the kernel's
-    tables under the "fused/" prefix."""
-    n = spec.shape[0]
-    batch = spec.batch
+def build_fused_lines(n: int, batch: int, direction: str, tuning,
+                      consts: Dict[str, np.ndarray], scale: float = 1.0,
+                      prefix: str = "fused"):
+    """Returns fused_fn(x, consts_jnp) computing the scaled FFT along the
+    last complex axis of interleaved (batch, n, 2) float32 ("batch" = total
+    line count, which may merge leading dims).  Mutates ``consts`` with the
+    kernel's tables under ``prefix``."""
     split = choose_split(n)
     if split is None:
         raise ValueError(f"fused path cannot split n={n}")
     n1, n2 = split
-    budget = spec.tuning.vmem_limit_bytes or DEFAULT_VMEM_BUDGET
-    tb = spec.tuning.batch_tile or pick_batch_tile(batch, n, budget)
+    budget = tuning.vmem_limit_bytes or DEFAULT_VMEM_BUDGET
+    tb = tuning.batch_tile or pick_batch_tile(batch, n, budget)
     if tb is None or batch % tb != 0:
         raise ValueError(f"fused path: no valid batch tile for batch={batch}")
-    consts.update(fused_consts(n, spec.direction, scale, "fused"))
+    consts.update(fused_consts(n, direction, scale, prefix))
 
     kernel = functools.partial(_fft_kernel, n1=n1, n2=n2)
     grid = (batch // tb,)
@@ -188,10 +189,16 @@ def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
                 bytes_accessed=2 * batch * n * 8,
                 transcendentals=0,
             ),
-        )(xm, c["fused/f2re"], c["fused/f2im"], c["fused/ta"], c["fused/tb"],
-          c["fused/g1"], c["fused/pil"])
+        )(xm, c[f"{prefix}/f2re"], c[f"{prefix}/f2im"], c[f"{prefix}/ta"],
+          c[f"{prefix}/tb"], c[f"{prefix}/g1"], c[f"{prefix}/pil"])
         return out.reshape(batch, n, 2)
 
     fused_fn.batch_tile = tb
     fused_fn.split = (n1, n2)
     return fused_fn
+
+
+def build_fused_1d(spec, consts: Dict[str, np.ndarray], scale: float = 1.0):
+    """Rank-1 convenience wrapper over build_fused_lines."""
+    return build_fused_lines(spec.shape[0], spec.batch, spec.direction,
+                             spec.tuning, consts, scale)

@@ -40,22 +40,99 @@ def _route_for(spec: PlanSpec) -> RouteInfo:
 # ---------------------------------------------------------------------------
 
 def build_c2c(spec: PlanSpec) -> Plan:
-    """ND complex FFT (reference: src/runtime/plans/c2c.js)."""
-    axis_plans = engine.build_axis_plans(spec.shape, spec.direction, spec.tuning)
-    consts = engine.collect_consts(axis_plans)
+    """ND complex FFT (reference: src/runtime/plans/c2c.js).
+
+    Per-axis kernel strategy: the LAST logical axis (contiguous interleaved
+    lanes) uses the fused 1D VMEM kernel; earlier axes use the fused
+    "columns" kernel (transform over a row dim, trailing dims ride in
+    lanes); axes the Pallas kernels cannot serve (primes, Bluestein, bad
+    tilings) fall back to the staged XLA path individually.  The normalize
+    scale is folded into whichever kernel runs last.
+    """
+    from ..core import fused, fused_cols
+    from ..runtime.policy import fused_eligibility
+
     scale = engine.plan_scale(spec.normalize, spec.direction, spec.n_total)
     route = _route_for(spec)
+    rank = spec.rank
+    shape = spec.shape
+    batch = spec.batch
+    tun = spec.tuning
 
-    use_fused = route.mode == "pallas-fused"
-    if use_fused:
-        from ..core import fused
-        # normalize scale is folded into the kernel's stage-B matrix
-        fused_fn = fused.build_fused_1d(spec, consts, scale)
+    consts: Dict[str, np.ndarray] = {}
+    allow_pallas = tun.impl != "xla"
+
+    # decide per-axis strategy (scale folds into the last axis's kernel)
+    strategies = []  # (kind, fn_or_axisplan)
+    axis_plans = engine.build_axis_plans(shape, spec.direction, tun)
+    for d in range(rank):
+        n = shape[d]
+        want_scale = scale if d == rank - 1 else 1.0
+        strat = None
+        if allow_pallas and n > 1 and tun.impl != "xla":
+            try:
+                if d == rank - 1:
+                    lines = batch * math.prod(shape[:-1])
+                    if fused.choose_split(n) is not None and lines >= 8:
+                        fn = fused.build_fused_lines(
+                            n, lines, spec.direction, tun, consts,
+                            want_scale, prefix=f"fl{d}")
+                        strat = ("fused-lines", fn)
+                else:
+                    lanes = 2 * math.prod(shape[d + 1:])
+                    pre = batch * math.prod(shape[:d])
+                    if fused_cols.supports_length(n) and lanes >= 128:
+                        fn = fused_cols.build_fused_cols(
+                            pre, n, lanes, spec.direction, want_scale,
+                            consts, f"fc{d}", tun)
+                        strat = ("fused-cols", fn)
+            except ValueError:
+                strat = None
+        if strat is None:
+            consts.update(axis_plans[d].consts())
+            strat = ("xla", axis_plans[d])
+        strategies.append(strat)
+
+    kinds = tuple(k for k, _ in strategies)
+    route.reasons = route.reasons + tuple(
+        f"c2c-axis{d}-{k}" for d, k in enumerate(kinds))
+    if all(k.startswith("fused") for k in kinds) and rank >= 1:
+        route.mode = "pallas-fused"
+        route.impl = "pallas"
+    elif any(k.startswith("fused") for k in kinds):
+        route.mode = "pallas-mixed"
+        route.impl = "pallas+xla"
+    else:
+        route.mode = "xla"
+        route.impl = "xla"
+    if tun.impl == "pallas" and route.mode != "pallas-fused":
+        from ..spec import PlanError
+        raise PlanError(
+            "tuning.impl='pallas' but the fused kernels cannot serve every "
+            f"axis of this plan (per-axis: {kinds})",
+            axis_kinds=kinds, reasons=route.reasons)
+    scale_in_kernel = kinds[-1].startswith("fused")
 
     def core(x, c):
-        if use_fused:
-            return fused_fn(x, c)
-        return _scale_mul(engine.apply_nd(x, axis_plans, c), scale)
+        y = x
+        for d, (kind, obj) in enumerate(strategies):
+            n = shape[d]
+            if n == 1 and kind == "xla":
+                continue
+            if kind == "fused-lines":
+                lines = batch * math.prod(shape[:-1])
+                y = obj(y.reshape(lines, n, 2), c).reshape(
+                    batch, *shape, 2)
+            elif kind == "fused-cols":
+                lanes = 2 * math.prod(shape[d + 1:])
+                pre = batch * math.prod(shape[:d])
+                y = obj(y.reshape(pre, n, lanes), c).reshape(
+                    batch, *shape, 2)
+            else:
+                y = apply_along_axis(y, obj, 1 + d, c)
+        if not scale_in_kernel:
+            y = _scale_mul(y, scale)
+        return y
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)

@@ -35,31 +35,30 @@ FUSED_MIN_BATCH = 8        # grid needs enough lines to tile the sublane dim
 
 def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     """Can the fused Pallas path serve this plan's core transform?"""
+    import math as _math
+
     reasons: List[str] = []
     t = spec.tuning
     if t.impl == "xla":
         return False, ["impl-forced-xla"]
     if spec.plan_type != "c2c":
         reasons.append("fused-requires-c2c")
-    if spec.rank != 1:
-        reasons.append("fused-requires-rank1")
     if spec.precision != "f32":
         reasons.append("fused-requires-f32")
     from ..core import fused
-    if spec.rank == 1 and not fused.supports_length(spec.shape[0], t):
+    n_last = spec.shape[-1]
+    lines = spec.batch * _math.prod(spec.shape[:-1])
+    if not fused.supports_length(n_last, t):
         reasons.append("fused-unsupported-length")
-    if spec.batch < FUSED_MIN_BATCH:
+    if lines < FUSED_MIN_BATCH:
         reasons.append("fused-batch-too-small")
     budget = t.vmem_limit_bytes or fused.DEFAULT_VMEM_BUDGET
-    if spec.n_total * 6 * 8 > budget:
+    if n_last * 12 * 8 > budget:
         reasons.append("line-exceeds-vmem-budget")
     if not reasons:
-        tile = t.batch_tile or fused.pick_batch_tile(spec.batch, spec.shape[0], budget)
-        if tile is None or spec.batch % tile != 0 or tile < 1:
+        tile = t.batch_tile or fused.pick_batch_tile(lines, n_last, budget)
+        if tile is None or lines % tile != 0 or tile < 1:
             reasons.append("fused-no-batch-tile")
-    if t.impl == "pallas" and reasons:
-        raise ValueError(
-            f"tuning.impl='pallas' but the fused path cannot serve this plan: {reasons}")
     return not reasons, reasons
 
 
