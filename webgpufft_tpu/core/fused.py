@@ -8,15 +8,19 @@ N = N1*N2 Cooley-Tukey decomposition as MXU matmuls in VMEM, and writes the
 result once — HBM traffic is exactly input + output, which is the roofline.
 
 Pipeline per tile (x viewed as (TB, N2, 2*N1), line index n = n1 + N1*n2,
-interleaved complex lanes):
+interleaved complex lanes; "component-on-rows" orientation chosen so no
+transposes occur between stages):
 
-1. stage A  — contract n2 (rows) with DFT(N2): two real matmuls (re/im
-              parts) + adjacent-lane fix, giving U[k2, ~n1] interleaved.
-2. twiddle  — elementwise exp(-+2*pi*i*n1*k2/N) via const-pair lane math.
-3. stage B  — contract the interleaved n1 lanes with the G-matrix form of
-              DFT(N1) (one real matmul, output stays interleaved).
-4. digit reversal — in-VMEM (K2, K1) complex transpose so the flat output
-              line is X[k], k = N2*k1 + k2.
+1. stage A  — contract n2 (rows) with DFT(N2) re/im parts: two real
+              dot_generals emitting (TB, 2N1, K2) with the complex component
+              riding the SUBLANE dim; adjacent-row fix combines them.
+2. twiddle  — elementwise exp(-+2*pi*i*n1*k2/N) via component-on-rows tables.
+3. stage B  — contract the 2N1 component-rows with the interleaved-row /
+              block-column G-matrix of DFT(N1): one real matmul emitting
+              (TB, K2, 2K1) block lanes.
+4. digit reversal — two minor-dim transposes of the re/im lane halves + a
+              0/1 permutation matmul that re-interleaves output lanes
+              (flat line ends up X[k], k = N2*k1 + k2).
 
 The normalize scale is folded into the stage-B matrix: zero extra passes.
 """
@@ -81,37 +85,41 @@ def _sign_lane(shape, dtype):
     return jnp.where(lane % 2 == 0, -1.0, 1.0).astype(dtype)
 
 
-def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
-                o_ref, *, n1: int, n2: int):
-    """Mosaic-friendly pipeline.  The digit-reversal transpose is the tricky
-    part: interleaved-lane regrouping reshapes are unsupported, so stage B's
-    G-matrix is column-reordered to emit BLOCK lane layout ([re0..re(K1-1),
-    im0..im(K1-1)]), the (K2, K1) transpose becomes two plain minor-dim
-    swaps on the lane halves, and a small permutation matmul re-interleaves
-    the final lanes (the MXU is idle in this memory-bound kernel, so the
-    extra (2K2)^2 contraction is free)."""
-    x = x_ref[:]                                   # (TB, N2, 2*N1) interleaved
-    f2re = f2re_ref[:]                             # (N2, N2)
-    f2im = f2im_ref[:]
-    hi = jax.lax.Precision.HIGHEST
-    # stage A: contract rows (n2).  P/Q carry the re/im parts of W2.
-    # (einsum "bnj,nk->bkj" emits a Mosaic-unsupported shape cast; the
-    # explicit dot_general + minor swap lowers cleanly)
+def _swapadj_rows(z, axis: int):
+    """Exchange adjacent indices along ``axis`` (sublane dim)."""
+    even = (jax.lax.broadcasted_iota(jnp.int32, z.shape, axis) % 2) == 0
+    return jnp.where(even, jnp.roll(z, -1, axis=axis), jnp.roll(z, 1, axis=axis))
+
+
+def _sign_rows(shape, dtype, axis: int):
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return jnp.where(idx % 2 == 0, -1.0, 1.0).astype(dtype)
+
+
+def _fft_kernel_v2(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
+                   o_ref, *, n1: int, n2: int, precision):
+    """Component-on-rows orientation: stage-A dot_generals emit (TB, 2N1, K2)
+    directly (component rides the sublane dim — adjacent-row fixes instead of
+    lane fixes, and NO transposes between stages).  Stage B contracts the
+    2N1 rows with the interleaved-row G-matrix, emitting (TB, K2, 2K1)
+    interleaved lanes.  Only the digit reversal transposes (block-layout
+    lane halves + permutation matmul re-interleave, as in v1)."""
+    x = x_ref[:]                                     # (TB, N2, 2N1) interleaved
     dn = (((1,), (0,)), ((), ()))
-    p = jnp.swapaxes(jax.lax.dot_general(x, f2re, dn, precision=hi), 1, 2)
-    q = jnp.swapaxes(jax.lax.dot_general(x, f2im, dn, precision=hi), 1, 2)
-    u = p + _swapadj(q) * _sign_lane(q.shape, q.dtype)
-    # twiddle W_N^{n1*k2}
-    u = u * ta_ref[:] + _swapadj(u) * tb_ref[:]
-    # stage B: contract interleaved n1 lanes; output lanes in BLOCK layout
-    v = jnp.einsum("bkj,jl->bkl", u, g1_ref[:], precision=hi)  # (TB, K2, 2K1 blk)
-    # digit reversal: plain transposes of the re/im lane halves
-    vre = jnp.swapaxes(v[:, :, :n1], 1, 2)          # (TB, K1, K2)
+    # stage A: contract rows n2 -> component lands on sublanes (dim 1)
+    p = jax.lax.dot_general(x, f2re_ref[:], dn, precision=precision)  # (TB, 2N1, K2)
+    q = jax.lax.dot_general(x, f2im_ref[:], dn, precision=precision)
+    u = p + _swapadj_rows(q, 1) * _sign_rows(q.shape, q.dtype, 1)
+    # twiddle W_N^{n1*k2}: tables laid out (2N1, K2) with component-on-rows
+    u = u * ta_ref[:] + _swapadj_rows(u, 1) * tb_ref[:]
+    # stage B: contract the 2N1 component-rows with G1 (2N1, 2K1 BLOCK cols)
+    v = jax.lax.dot_general(u, g1_ref[:], (((1,), (0,)), ((), ())),
+                            precision=precision)      # (TB, K2, 2K1 block)
+    # digit reversal: transpose the re/im lane halves, re-interleave via a
+    # 0/1 permutation matmul (exact at DEFAULT precision)
+    vre = jnp.swapaxes(v[:, :, :n1], 1, 2)            # (TB, K1, K2)
     vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
-    w = jnp.concatenate([vre, vim], axis=-1)        # (TB, K1, 2K2 blk)
-    # re-interleave lanes: block -> [re0, im0, re1, im1, ...].  The matrix is
-    # a 0/1 permutation (one term per output), so bf16 MXU passes are exact:
-    # DEFAULT precision, not HIGHEST.
+    w = jnp.concatenate([vre, vim], axis=-1)          # (TB, K1, 2K2 block)
     o_ref[:] = jax.lax.dot_general(w, pil_ref[:], (((2,), (0,)), ((), ())),
                                    precision=jax.lax.Precision.DEFAULT)
 
@@ -119,11 +127,15 @@ def _fft_kernel(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
 def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
     n1, n2 = choose_split(n)
     w2 = dft.dft_matrix(n2, direction)             # complex64 (n2, n2)
+    # twiddle T[n1, k2], expanded to component-on-rows layout (2N1, K2)
     tw = np.exp((-2j if direction == "forward" else 2j) * np.pi *
-                (np.outer(np.arange(n2), np.arange(n1)) % n) / n)  # T[k2, n1]
-    ta, tbc = const_pair(tw)                       # (n2, n1, 2)
-    # stage-B matrix with BLOCK-layout output columns: col l = k1 carries re,
-    # l = n1 + k1 carries im (interleaved input rows unchanged)
+                (np.outer(np.arange(n1), np.arange(n2)) % n) / n)
+    ta = np.repeat(tw.real, 2, axis=0).astype(np.float32)       # (2n1, n2)
+    tb = np.empty((2 * n1, n2), dtype=np.float32)
+    tb[0::2] = -tw.imag
+    tb[1::2] = tw.imag
+    # stage-B matrix: interleaved component rows (2n1+i), BLOCK output
+    # columns (col k1 carries re, col n1+k1 carries im)
     g1_blk = to_w4(dft.dft_matrix(n1, direction)).transpose(0, 1, 3, 2) \
         .reshape(2 * n1, 2 * n1)
     # lane re-interleave permutation: block l = k2 + c*n2 -> m = 2*k2 + c
@@ -134,8 +146,8 @@ def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str,
     return {
         f"{prefix}/f2re": np.ascontiguousarray(w2.real.astype(np.float32)),
         f"{prefix}/f2im": np.ascontiguousarray(w2.imag.astype(np.float32)),
-        f"{prefix}/ta": ta.reshape(n2, 2 * n1),
-        f"{prefix}/tb": tbc.reshape(n2, 2 * n1),
+        f"{prefix}/ta": ta,
+        f"{prefix}/tb": tb,
         f"{prefix}/g1": (g1_blk * scale).astype(np.float32),
         f"{prefix}/pil": pil,
     }
@@ -158,7 +170,10 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
         raise ValueError(f"fused path: no valid batch tile for batch={batch}")
     consts.update(fused_consts(n, direction, scale, prefix))
 
-    kernel = functools.partial(_fft_kernel, n1=n1, n2=n2)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[tuning.fused_precision]
+    kernel = functools.partial(_fft_kernel_v2, n1=n1, n2=n2, precision=prec)
     grid = (batch // tb,)
 
     def fused_fn(x, c):
@@ -172,8 +187,8 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
                              memory_space=pltpu.ANY if interpret else pltpu.VMEM),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
-                pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
-                pl.BlockSpec((n2, 2 * n1), lambda i: (0, 0)),
+                pl.BlockSpec((2 * n1, n2), lambda i: (0, 0)),
+                pl.BlockSpec((2 * n1, n2), lambda i: (0, 0)),
                 pl.BlockSpec((2 * n1, 2 * n1), lambda i: (0, 0)),
                 pl.BlockSpec((2 * n2, 2 * n2), lambda i: (0, 0)),
             ],
