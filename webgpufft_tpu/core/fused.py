@@ -96,6 +96,42 @@ def _sign_rows(shape, dtype, axis: int):
     return jnp.where(idx % 2 == 0, -1.0, 1.0).astype(dtype)
 
 
+def _fft_kernel_v1(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
+                o_ref, *, n1: int, n2: int, precision):
+    """Mosaic-friendly pipeline.  The digit-reversal transpose is the tricky
+    part: interleaved-lane regrouping reshapes are unsupported, so stage B's
+    G-matrix is column-reordered to emit BLOCK lane layout ([re0..re(K1-1),
+    im0..im(K1-1)]), the (K2, K1) transpose becomes two plain minor-dim
+    swaps on the lane halves, and a small permutation matmul re-interleaves
+    the final lanes (the MXU is idle in this memory-bound kernel, so the
+    extra (2K2)^2 contraction is free)."""
+    x = x_ref[:]                                   # (TB, N2, 2*N1) interleaved
+    f2re = f2re_ref[:]                             # (N2, N2)
+    f2im = f2im_ref[:]
+    hi = precision
+    # stage A: contract rows (n2).  P/Q carry the re/im parts of W2.
+    # (einsum "bnj,nk->bkj" emits a Mosaic-unsupported shape cast; the
+    # explicit dot_general + minor swap lowers cleanly)
+    dn = (((1,), (0,)), ((), ()))
+    p = jnp.swapaxes(jax.lax.dot_general(x, f2re, dn, precision=hi), 1, 2)
+    q = jnp.swapaxes(jax.lax.dot_general(x, f2im, dn, precision=hi), 1, 2)
+    u = p + _swapadj(q) * _sign_lane(q.shape, q.dtype)
+    # twiddle W_N^{n1*k2}
+    u = u * ta_ref[:] + _swapadj(u) * tb_ref[:]
+    # stage B: contract interleaved n1 lanes; output lanes in BLOCK layout
+    v = jnp.einsum("bkj,jl->bkl", u, g1_ref[:], precision=hi)  # (TB, K2, 2K1 blk)
+    # digit reversal: plain transposes of the re/im lane halves
+    vre = jnp.swapaxes(v[:, :, :n1], 1, 2)          # (TB, K1, K2)
+    vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
+    w = jnp.concatenate([vre, vim], axis=-1)        # (TB, K1, 2K2 blk)
+    # re-interleave lanes: block -> [re0, im0, re1, im1, ...].  The matrix is
+    # a 0/1 permutation (one term per output), so bf16 MXU passes are exact:
+    # DEFAULT precision, not HIGHEST.
+    o_ref[:] = jax.lax.dot_general(w, pil_ref[:], (((2,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT)
+
+
+
 def _fft_kernel_v2(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
                    o_ref, *, n1: int, n2: int, precision):
     """Component-on-rows orientation: stage-A dot_generals emit (TB, 2N1, K2)
@@ -130,10 +166,13 @@ def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str,
     # twiddle T[n1, k2], expanded to component-on-rows layout (2N1, K2)
     tw = np.exp((-2j if direction == "forward" else 2j) * np.pi *
                 (np.outer(np.arange(n1), np.arange(n2)) % n) / n)
-    ta = np.repeat(tw.real, 2, axis=0).astype(np.float32)       # (2n1, n2)
+    # v2 layout: component-on-rows (2n1, n2)
+    ta = np.repeat(tw.real, 2, axis=0).astype(np.float32)
     tb = np.empty((2 * n1, n2), dtype=np.float32)
     tb[0::2] = -tw.imag
     tb[1::2] = tw.imag
+    # v1 layout: interleaved lanes (n2, 2n1)
+    ta1, tb1 = const_pair(tw.T)                                 # (n2, n1, 2)
     # stage-B matrix: interleaved component rows (2n1+i), BLOCK output
     # columns (col k1 carries re, col n1+k1 carries im)
     g1_blk = to_w4(dft.dft_matrix(n1, direction)).transpose(0, 1, 3, 2) \
@@ -148,6 +187,8 @@ def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str,
         f"{prefix}/f2im": np.ascontiguousarray(w2.imag.astype(np.float32)),
         f"{prefix}/ta": ta,
         f"{prefix}/tb": tb,
+        f"{prefix}/ta1": ta1.reshape(n2, 2 * n1),
+        f"{prefix}/tb1": tb1.reshape(n2, 2 * n1),
         f"{prefix}/g1": (g1_blk * scale).astype(np.float32),
         f"{prefix}/pil": pil,
     }
@@ -171,9 +212,10 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
     consts.update(fused_consts(n, direction, scale, prefix))
 
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[tuning.fused_precision]
-    kernel = functools.partial(_fft_kernel_v2, n1=n1, n2=n2, precision=prec)
+    v1 = tuning.fused_variant == "v1"
+    kernel = functools.partial(_fft_kernel_v1 if v1 else _fft_kernel_v2,
+                               n1=n1, n2=n2, precision=prec)
     grid = (batch // tb,)
 
     def fused_fn(x, c):
@@ -187,8 +229,10 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
                              memory_space=pltpu.ANY if interpret else pltpu.VMEM),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
-                pl.BlockSpec((2 * n1, n2), lambda i: (0, 0)),
-                pl.BlockSpec((2 * n1, n2), lambda i: (0, 0)),
+                pl.BlockSpec((n2, 2 * n1) if v1 else (2 * n1, n2),
+                             lambda i: (0, 0)),
+                pl.BlockSpec((n2, 2 * n1) if v1 else (2 * n1, n2),
+                             lambda i: (0, 0)),
                 pl.BlockSpec((2 * n1, 2 * n1), lambda i: (0, 0)),
                 pl.BlockSpec((2 * n2, 2 * n2), lambda i: (0, 0)),
             ],
@@ -204,8 +248,10 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
                 bytes_accessed=2 * batch * n * 8,
                 transcendentals=0,
             ),
-        )(xm, c[f"{prefix}/f2re"], c[f"{prefix}/f2im"], c[f"{prefix}/ta"],
-          c[f"{prefix}/tb"], c[f"{prefix}/g1"], c[f"{prefix}/pil"])
+        )(xm, c[f"{prefix}/f2re"], c[f"{prefix}/f2im"],
+          c[f"{prefix}/ta1" if v1 else f"{prefix}/ta"],
+          c[f"{prefix}/tb1" if v1 else f"{prefix}/tb"],
+          c[f"{prefix}/g1"], c[f"{prefix}/pil"])
         return out.reshape(batch, n, 2)
 
     fused_fn.batch_tile = tb

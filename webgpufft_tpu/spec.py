@@ -164,7 +164,8 @@ class TuningSpec:
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
-    fused_precision: str = "highest"           # fused-kernel matmul passes: highest|high|default
+    fused_precision: str = "highest"           # fused-kernel matmul passes: highest|default
+    fused_variant: str = "v1"                  # fused-kernel formulation: v1|v2 (see core/fused.py)
 
 
 @dataclass(frozen=True)
