@@ -124,11 +124,11 @@ def _fft_kernel_v1(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
     vre = jnp.swapaxes(v[:, :, :n1], 1, 2)          # (TB, K1, K2)
     vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
     w = jnp.concatenate([vre, vim], axis=-1)        # (TB, K1, 2K2 blk)
-    # re-interleave lanes: block -> [re0, im0, re1, im1, ...].  The matrix is
-    # a 0/1 permutation (one term per output), so bf16 MXU passes are exact:
-    # DEFAULT precision, not HIGHEST.
+    # re-interleave lanes: block -> [re0, im0, re1, im1, ...].  HIGHEST
+    # precision is required even though the matrix is a 0/1 permutation:
+    # DEFAULT would round the *data* operand to bf16 on the MXU.
     o_ref[:] = jax.lax.dot_general(w, pil_ref[:], (((2,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=jax.lax.Precision.HIGHEST)
 
 
 
@@ -152,12 +152,12 @@ def _fft_kernel_v2(x_ref, f2re_ref, f2im_ref, ta_ref, tb_ref, g1_ref, pil_ref,
     v = jax.lax.dot_general(u, g1_ref[:], (((1,), (0,)), ((), ())),
                             precision=precision)      # (TB, K2, 2K1 block)
     # digit reversal: transpose the re/im lane halves, re-interleave via a
-    # 0/1 permutation matmul (exact at DEFAULT precision)
+    # 0/1 permutation matmul (HIGHEST: DEFAULT would round the data to bf16)
     vre = jnp.swapaxes(v[:, :, :n1], 1, 2)            # (TB, K1, K2)
     vim = jnp.swapaxes(v[:, :, n1:], 1, 2)
     w = jnp.concatenate([vre, vim], axis=-1)          # (TB, K1, 2K2 block)
     o_ref[:] = jax.lax.dot_general(w, pil_ref[:], (((2,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=jax.lax.Precision.HIGHEST)
 
 
 def fused_consts(n: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
