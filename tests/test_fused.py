@@ -16,6 +16,7 @@ from webgpufft_tpu.utils import mathref as R
 
 
 def run(n, batch, direction="forward", normalize="none", rng=None, **tuning):
+    tuning.setdefault("impl", "pallas-auto")
     z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
     cache = W.PlanCache()
     plan = W.create_plan({"type": "c2c", "shape": [n], "batch": batch,
@@ -49,7 +50,8 @@ def test_fused_matches_xla_route_exactly_shaped(rng):
     x = interleave(z)
     c1 = W.PlanCache()
     c2 = W.PlanCache()
-    pf = W.create_plan({"type": "c2c", "shape": [n], "batch": batch}, cache=c1)
+    pf = W.create_plan({"type": "c2c", "shape": [n], "batch": batch,
+                        "tuning": {"impl": "pallas-auto"}}, cache=c1)
     px = W.create_plan({"type": "c2c", "shape": [n], "batch": batch,
                         "tuning": {"impl": "xla"}}, cache=c2)
     assert pf.route.mode == "pallas-fused" and px.route.mode == "xla"
@@ -78,6 +80,7 @@ def test_fused_with_staging_stages(rng):
     z = rng.standard_normal((batch, 48)) + 1j * rng.standard_normal((batch, 48))
     cache = W.PlanCache()
     plan = W.create_plan({"type": "c2c", "shape": [n], "batch": batch,
+                          "tuning": {"impl": "pallas-auto"},
                           "ioView": {"input": {"shape": [48]}},
                           "zeroPad": {"write": {"start": [0], "end": [32]}}},
                          cache=cache)

@@ -66,18 +66,25 @@ class MixedAxisPlan(AxisPlan):
     """
     kind = "mixed"
 
-    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
+                 out_scale: float = 1.0):
         super().__init__(n, prefix)
         self.direction = direction
         self.subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
         assert math.prod(self.subs) == n, (n, self.subs)
+        # plan normalize scale folded into the last sub-DFT table: saves a
+        # whole elementwise pass over the output
+        self.out_scale = out_scale
 
     def consts(self) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
         rem = self.n
         for lvl, n1 in enumerate(self.subs):
             last = lvl == len(self.subs) - 1
-            out[f"{self.prefix}/dft{lvl}"] = to_w4(dft.dft_matrix(n1, self.direction))
+            w = dft.dft_matrix(n1, self.direction)
+            if last and self.out_scale != 1.0:
+                w = w * np.complex64(self.out_scale)
+            out[f"{self.prefix}/dft{lvl}"] = to_w4(w)
             if not last:
                 n2 = rem // n1
                 ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
@@ -102,8 +109,14 @@ class MixedAxisPlan(AxisPlan):
         # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
         y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
         y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"], consts[f"{self.prefix}/twb{lvl}"])
-        z = self._rec(y, consts, lvl + 1)          # length-n2 FFT along axis -2
-        z = jnp.swapaxes(z, -3, -2)                # out[k] at k = k1 + n1*k2
+        if len(subs) == 2:
+            # final level: contract n2 AND emit the digit-reversed order in
+            # one einsum — the transpose rides the dot's output layout
+            # instead of costing a separate materialized pass
+            z = _einsum("...abi,bicj->...caj", y, consts[f"{self.prefix}/dft{lvl + 1}"])
+        else:
+            z = self._rec(y, consts, lvl + 1)      # length-n2 FFT along axis -2
+            z = jnp.swapaxes(z, -3, -2)            # out[k] at k = k1 + n1*k2
         return z.reshape(*lead, n, 2)
 
 

@@ -60,7 +60,12 @@ def build_c2c(spec: PlanSpec) -> Plan:
     tun = spec.tuning
 
     consts: Dict[str, np.ndarray] = {}
-    allow_pallas = tun.impl != "xla"
+    # Measured on the target stack: XLA's einsum pipeline outruns the
+    # Pallas kernels (the Pallas block pipeline tops out at ~130 GB/s vs
+    # XLA's 420 GB/s even for a pure VMEM passthrough), so "auto" routes to
+    # XLA; the fused kernels remain available via impl="pallas"/"pallas-auto"
+    # for stacks where Pallas streams at full rate.
+    allow_pallas = tun.impl in ("pallas", "pallas-auto")
 
     # decide per-axis strategy (scale folds into the last axis's kernel)
     strategies = []  # (kind, fn_or_axisplan)
@@ -69,7 +74,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
         n = shape[d]
         want_scale = scale if d == rank - 1 else 1.0
         strat = None
-        if allow_pallas and n > 1 and tun.impl != "xla":
+        if allow_pallas and n > 1:
             try:
                 if d == rank - 1:
                     lines = batch * math.prod(shape[:-1])
@@ -89,8 +94,16 @@ def build_c2c(spec: PlanSpec) -> Plan:
             except ValueError:
                 strat = None
         if strat is None:
-            consts.update(axis_plans[d].consts())
-            strat = ("xla", axis_plans[d])
+            ap = axis_plans[d]
+            if (d == rank - 1 and scale != 1.0 and ap.kind == "mixed"
+                    and n > 1):
+                # fold the normalize scale into the last sub-DFT table
+                from ..core.axis import MixedAxisPlan
+                ap = MixedAxisPlan(n, spec.direction, ap.prefix,
+                                   tun.max_sub_length, out_scale=scale)
+                axis_plans[d] = ap
+            consts.update(ap.consts())
+            strat = ("xla", ap)
         strategies.append(strat)
 
     kinds = tuple(k for k, _ in strategies)
@@ -111,7 +124,9 @@ def build_c2c(spec: PlanSpec) -> Plan:
             "tuning.impl='pallas' but the fused kernels cannot serve every "
             f"axis of this plan (per-axis: {kinds})",
             axis_kinds=kinds, reasons=route.reasons)
-    scale_in_kernel = kinds[-1].startswith("fused")
+    scale_in_kernel = (kinds[-1].startswith("fused")
+                       or (kinds[-1] == "xla"
+                           and getattr(strategies[-1][1], "out_scale", 1.0) == scale))
 
     def core(x, c):
         y = x

@@ -41,6 +41,8 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     t = spec.tuning
     if t.impl == "xla":
         return False, ["impl-forced-xla"]
+    if t.impl == "auto":
+        return False, ["impl-auto-prefers-xla"]
     if spec.plan_type != "c2c":
         reasons.append("fused-requires-c2c")
     if spec.precision != "f32":

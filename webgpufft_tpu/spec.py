@@ -159,7 +159,7 @@ class TuningSpec:
     force_rader_axes: Tuple[int, ...] = ()
     max_fused_elements: Optional[int] = None   # VMEM line budget override (complex elems)
     vmem_limit_bytes: Optional[int] = None
-    impl: str = "auto"                         # "auto" | "pallas" | "xla"
+    impl: str = "auto"                         # auto (=xla on this stack) | pallas | pallas-auto | xla
     large_route: str = "auto"                  # "auto" | "chunk" | "out-of-core" (parity)
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
@@ -335,7 +335,8 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
             v = tuple(int(a) for a in v)
         kw[key] = v
     ts = TuningSpec(**kw)
-    _check(ts.impl in ("auto", "pallas", "xla"), "tuning.impl must be auto|pallas|xla")
+    _check(ts.impl in ("auto", "pallas", "pallas-auto", "xla"),
+           "tuning.impl must be auto|pallas|pallas-auto|xla")
     _check(ts.large_route in ("auto", "chunk", "out-of-core"),
            "tuning.largeRoute must be auto|chunk|out-of-core")
     return ts
