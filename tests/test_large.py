@@ -65,3 +65,21 @@ def test_bf16_storage_large(rng):
     ref = np.fft.fft(z, axis=-1)
     err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert err < 2e-2, err  # bf16 input rounding dominates; compute is f32
+
+
+def test_large_batch_chunk_mode(rng, assert_close):
+    """batch*N beyond the validated einsum-operand size executes per
+    batch-slice (the reference's large-batch chunk mode analog)."""
+    n, batch = 4096, 4096  # 16.8M complex elements -> chunked
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward")
+    assert any("large-batch-chunk" in r for r in plan.route.reasons)
+    # correctness on a small slice-count variant to keep CPU time sane
+    n2, b2 = 2048, 4096  # 8.4M -> chunk_b 2048
+    plan2 = W.create_plan(type="c2c", shape=[n2], batch=b2, direction="forward")
+    assert any("large-batch-chunk(2048)" in r for r in plan2.route.reasons)
+    z = rng.standard_normal((8, 2048)) + 1j * rng.standard_normal((8, 2048))
+    zfull = np.tile(z, (512, 1))
+    y = uninterleave(np.asarray(plan2(interleave(zfull))))
+    ref = np.fft.fft(zfull, axis=-1)
+    assert_close(y.real, ref.real, label="chunked.re")
+    assert_close(y.imag, ref.imag, label="chunked.im")

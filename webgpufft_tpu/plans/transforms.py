@@ -67,6 +67,22 @@ def build_c2c(spec: PlanSpec) -> Plan:
     # for stacks where Pallas streams at full rate.
     allow_pallas = tun.impl in ("pallas", "pallas-auto")
 
+    # Large-batch chunk mode (the TPU reading of the reference's
+    # large-batch chunking, c2c.js large-chunk routes): very large
+    # batch*N products are executed per batch-slice via lax.map — bounds
+    # intermediate footprint and stays inside backend-validated sizes
+    # (silent-miscompilation observed at 2^24 complex elements per einsum
+    # operand on the target stack; 2^22 is comfortably validated).
+    CHUNK_ELEMS = 1 << 22
+    chunk_b = batch
+    if batch * spec.n_total > CHUNK_ELEMS:
+        cap = max(1, CHUNK_ELEMS // spec.n_total)
+        chunk_b = 1
+        for d_ in range(1, min(batch, cap) + 1):
+            if batch % d_ == 0:
+                chunk_b = d_
+    eff_batch = chunk_b
+
     # decide per-axis strategy (scale folds into the last axis's kernel)
     strategies = []  # (kind, fn_or_axisplan)
     axis_plans = engine.build_axis_plans(shape, spec.direction, tun)
@@ -77,7 +93,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
         if allow_pallas and n > 1:
             try:
                 if d == rank - 1:
-                    lines = batch * math.prod(shape[:-1])
+                    lines = eff_batch * math.prod(shape[:-1])
                     if fused.choose_split(n) is not None and lines >= 8:
                         fn = fused.build_fused_lines(
                             n, lines, spec.direction, tun, consts,
@@ -85,7 +101,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
                         strat = ("fused-lines", fn)
                 else:
                     lanes = 2 * math.prod(shape[d + 1:])
-                    pre = batch * math.prod(shape[:d])
+                    pre = eff_batch * math.prod(shape[:d])
                     if fused_cols.supports_length(n) and lanes >= 128:
                         fn = fused_cols.build_fused_cols(
                             pre, n, lanes, spec.direction, want_scale,
@@ -128,26 +144,36 @@ def build_c2c(spec: PlanSpec) -> Plan:
                        or (kinds[-1] == "xla"
                            and getattr(strategies[-1][1], "out_scale", 1.0) == scale))
 
-    def core(x, c):
+    def core_chunk(x, c):
         y = x
         for d, (kind, obj) in enumerate(strategies):
             n = shape[d]
             if n == 1 and kind == "xla":
                 continue
             if kind == "fused-lines":
-                lines = batch * math.prod(shape[:-1])
+                lines = eff_batch * math.prod(shape[:-1])
                 y = obj(y.reshape(lines, n, 2), c).reshape(
-                    batch, *shape, 2)
+                    eff_batch, *shape, 2)
             elif kind == "fused-cols":
                 lanes = 2 * math.prod(shape[d + 1:])
-                pre = batch * math.prod(shape[:d])
+                pre = eff_batch * math.prod(shape[:d])
                 y = obj(y.reshape(pre, n, lanes), c).reshape(
-                    batch, *shape, 2)
+                    eff_batch, *shape, 2)
             else:
                 y = apply_along_axis(y, obj, 1 + d, c)
         if not scale_in_kernel:
             y = _scale_mul(y, scale)
         return y
+
+    if chunk_b == batch:
+        core = core_chunk
+    else:
+        route.reasons = route.reasons + (f"large-batch-chunk({chunk_b})",)
+
+        def core(x, c):
+            xs = x.reshape(batch // chunk_b, chunk_b, *x.shape[1:])
+            ys = jax.lax.map(lambda xc: core_chunk(xc, c), xs)
+            return ys.reshape(batch, *x.shape[1:])
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)
