@@ -92,3 +92,38 @@ def bench_transform(fn: Callable, x, n_total: int, batch: int,
     roof = device_hbm_gbps()
     return BenchResult(avg_ms=dt * 1e3, gflops=gf, eff_gbps=gb,
                        pct_roofline=100.0 * gb / roof, iters=iters)
+
+
+def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
+                        reps: int = 12) -> float:
+    """Per-application seconds with ``unroll`` applications compiled into ONE
+    jitted program (y = fn(..fn(x))) and rep-chained dispatches on top.
+
+    This isolates device time from the per-dispatch overhead of tunneled
+    runtimes (measured ~0.2-0.4 ms/dispatch), which poisons per-call chains.
+    ``fn`` must map an array to a same-shaped array.
+    """
+    @jax.jit
+    def chain(v):
+        for _ in range(unroll):
+            v = fn(v)
+        return v
+
+    y = chain(x)
+    float(jnp.sum(y.ravel()[:1]))
+    t0 = time.perf_counter()
+    z = x
+    for _ in range(reps):
+        z = chain(z)
+    float(jnp.sum(z.ravel()[:1]))
+    return max((time.perf_counter() - t0) / reps / unroll, 1e-9)
+
+
+def measured_copy_ceiling_gbps(x, *, unroll: int = 8, reps: int = 8) -> float:
+    """Achievable bandwidth: time a pure elementwise copy of x (1 read +
+    1 write) with the same unrolled-chain methodology.  This is the
+    *attainable* roofline for the current device+runtime, which may sit well
+    below the hardware spec (e.g. ~420 GB/s through the tunneled v5e vs
+    819 GB/s peak)."""
+    dt = unrolled_chain_time(lambda v: v * 1.000001, x, unroll=unroll, reps=reps)
+    return 2 * x.size * x.dtype.itemsize / dt / 1e9
