@@ -120,10 +120,14 @@ def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
 
 
 def measured_copy_ceiling_gbps(x, *, unroll: int = 8, reps: int = 8) -> float:
-    """Achievable bandwidth: time a pure elementwise copy of x (1 read +
-    1 write) with the same unrolled-chain methodology.  This is the
+    """Achievable bandwidth: time a pure elementwise copy (1 read + 1 write)
+    of x's data with the same unrolled-chain methodology.  This is the
     *attainable* roofline for the current device+runtime, which may sit well
-    below the hardware spec (e.g. ~420 GB/s through the tunneled v5e vs
-    819 GB/s peak)."""
-    dt = unrolled_chain_time(lambda v: v * 1.000001, x, unroll=unroll, reps=reps)
-    return 2 * x.size * x.dtype.itemsize / dt / 1e9
+    below the hardware spec through the tunneled runtime.
+
+    The probe flattens x to 2-D (merging any small trailing dims) — a
+    trailing dim of 2 can trigger a 64x-padded (8,128)-tiled layout on TPU
+    that would make the probe report a fraction of real bandwidth."""
+    flat = jnp.reshape(jnp.asarray(x), (x.shape[0], -1))
+    dt = unrolled_chain_time(lambda v: v * 1.000001, flat, unroll=unroll, reps=reps)
+    return 2 * flat.size * flat.dtype.itemsize / dt / 1e9
