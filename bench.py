@@ -77,6 +77,11 @@ def main():
                             "dt": dt, "gbps": gb}
             except Exception as e:
                 print(f"# impl={impl} failed: {str(e)[:200]}", file=sys.stderr)
+    # a ceiling cannot sit below an achieved value: when the FFT outruns the
+    # copy probe (tunnel throughput varies by the minute), the FFT itself is
+    # the best attainable-bandwidth witness
+    if best is not None:
+        ceiling = max(ceiling, best["gbps"])
     print(f"# best copy ceiling: {ceiling:.0f} GB/s (spec {spec_roof:.0f})",
           file=sys.stderr)
 

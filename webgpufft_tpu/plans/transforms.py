@@ -29,6 +29,41 @@ def _scale_mul(y, scale: float):
     return y if scale == 1.0 else y * jnp.asarray(scale, dtype=y.dtype)
 
 
+# Largest batch*N (complex elements) a single core invocation may process.
+# Two reasons (see build_c2c): backend-validated einsum operand sizes
+# (silent miscompilation observed at 2^24 on the target stack) and bounded
+# intermediate HBM footprint — the reference's large-batch chunk mode analog.
+CHUNK_ELEMS = 1 << 22
+
+
+def chunked_batch(batch: int, items_elems: int):
+    """Per-chunk batch size (== batch when no chunking needed)."""
+    if batch * items_elems <= CHUNK_ELEMS:
+        return batch
+    cap = max(1, CHUNK_ELEMS // max(items_elems, 1))
+    chunk = 1
+    for d in range(1, min(batch, cap) + 1):
+        if batch % d == 0:
+            chunk = d
+    return chunk
+
+
+def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo):
+    """Wrap ``core(x, c)`` to run per batch-slice via lax.map when the total
+    size exceeds CHUNK_ELEMS.  Records the chunk size in route reasons."""
+    chunk = chunked_batch(batch, items_elems)
+    if chunk == batch:
+        return core
+    route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
+
+    def chunked(x, c):
+        xs = x.reshape(batch // chunk, chunk, *x.shape[1:])
+        ys = jax.lax.map(lambda xc: core(xc, c), xs)
+        return ys.reshape(batch, *ys.shape[2:])
+
+    return chunked
+
+
 def _route_for(spec: PlanSpec) -> RouteInfo:
     kinds = tuple(select_axis_kind(n, d, spec.tuning) for d, n in enumerate(spec.shape))
     from ..runtime.policy import resolve_route
@@ -68,19 +103,8 @@ def build_c2c(spec: PlanSpec) -> Plan:
     allow_pallas = tun.impl in ("pallas", "pallas-auto")
 
     # Large-batch chunk mode (the TPU reading of the reference's
-    # large-batch chunking, c2c.js large-chunk routes): very large
-    # batch*N products are executed per batch-slice via lax.map — bounds
-    # intermediate footprint and stays inside backend-validated sizes
-    # (silent-miscompilation observed at 2^24 complex elements per einsum
-    # operand on the target stack; 2^22 is comfortably validated).
-    CHUNK_ELEMS = 1 << 22
-    chunk_b = batch
-    if batch * spec.n_total > CHUNK_ELEMS:
-        cap = max(1, CHUNK_ELEMS // spec.n_total)
-        chunk_b = 1
-        for d_ in range(1, min(batch, cap) + 1):
-            if batch % d_ == 0:
-                chunk_b = d_
+    # large-batch chunking, c2c.js large-chunk routes); see CHUNK_ELEMS.
+    chunk_b = chunked_batch(batch, spec.n_total)
     eff_batch = chunk_b
 
     # decide per-axis strategy (scale folds into the last axis's kernel)
@@ -165,15 +189,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
             y = _scale_mul(y, scale)
         return y
 
-    if chunk_b == batch:
-        core = core_chunk
-    else:
-        route.reasons = route.reasons + (f"large-batch-chunk({chunk_b})",)
-
-        def core(x, c):
-            xs = x.reshape(batch // chunk_b, chunk_b, *x.shape[1:])
-            ys = jax.lax.map(lambda xc: core_chunk(xc, c), xs)
-            return ys.reshape(batch, *x.shape[1:])
+    core = maybe_chunk_core(core_chunk, batch, spec.n_total, route)
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)
@@ -263,6 +279,7 @@ def build_r2c(spec: PlanSpec) -> Plan:
             y = y[:, :p0, ...]  # pack non-negative bins of axis 0
         return _scale_mul(y, scale)
 
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, spec.shape, packed_shape(spec.shape), False, True)
     ws = 3 * spec.batch * spec.n_total * 8
@@ -335,6 +352,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         y = engine.apply_nd(full, axis_plans, c)
         return _scale_mul(y[..., 0], scale)  # real part
 
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, packed_shape(spec.shape), spec.shape, True, False)
     ws = 3 * spec.batch * spec.n_total * 8
@@ -467,6 +485,7 @@ def build_dct(spec: PlanSpec) -> Plan:
             y = jnp.moveaxis(y, -1, ax)
         return _scale_mul(y, scale)
 
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, spec.shape, spec.shape, False, False)
     ws = 2 * spec.batch * spec.n_total * 4
