@@ -10,7 +10,10 @@ Usage: python benches/suite.py [--iters N] [--quick]
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
