@@ -247,3 +247,33 @@ def test_bf16_storage_dtype_enforced(rng):
     assert y.dtype == jnp.bfloat16
     with pytest.raises(W.PlanError, match="dtype"):
         plan(np.zeros((1, 8, 2), np.float32))
+
+
+def test_exec_time_offsets(rng, assert_close):
+    """Runtime input/output offsets on flat-layout sides (analog of
+    exec-time inputOffsetBytes/outputOffsetBytes, docs/API.md:115-116)."""
+    n, batch = 8, 2
+    z = rand_c(rng, (40,))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        layout={"inputStrides": [1], "outputStrides": [1]})
+    # read batches at runtime offset 3
+    y = uninterleave(np.asarray(plan(interleave(z),
+                                     input_offset_elements=3)))
+    gathered = z[3:3 + batch * n].reshape(batch, n)
+    ref = R.fft_nd(gathered, [n], "forward")
+    assert_close(y[:batch * n].reshape(batch, n).real, ref.real,
+                 label="exec in_off.re")
+    # write at runtime offset 4 into a provided buffer
+    out = np.zeros((40, 2), np.float32)
+    y2 = uninterleave(np.asarray(plan(interleave(z), out=out,
+                                      input_offset_elements=3,
+                                      output_offset_elements=4)))
+    assert np.all(y2[:4] == 0)
+    assert_close(y2[4:4 + batch * n].reshape(batch, n).real, ref.real,
+                 label="exec out_off.re")
+
+
+def test_exec_offsets_require_flat_layout():
+    plan = W.create_plan(type="c2c", shape=[8], batch=1)
+    with pytest.raises(W.PlanError, match="offset"):
+        plan(np.zeros((1, 8, 2), np.float32), input_offset_elements=2)

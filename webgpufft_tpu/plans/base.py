@@ -63,16 +63,28 @@ class Plan:
         donate_args = (1,) if donate else ()
         self._jit = jax.jit(fn, donate_argnums=donate_args)
         self._jit_out = None  # lazily created variant taking an out buffer
+        self._jit_variants = {}
 
     # -- execution ---------------------------------------------------------
 
-    def __call__(self, x, kernel=None, out=None):
-        return self.exec(x, kernel=kernel, out=out)
+    def __call__(self, x, kernel=None, out=None, **kw):
+        return self.exec(x, kernel=kernel, out=out, **kw)
 
     # set by plan builders: (expected shape tuple or (None,), interleaved)
     _expect_input = None
+    supports_exec_offsets = False  # staged transforms override
 
-    def exec(self, x, kernel=None, out=None):
+    def exec(self, x, kernel=None, out=None,
+             input_offset_elements=None, output_offset_elements=None):
+        """Run the plan.
+
+        ``input_offset_elements`` / ``output_offset_elements`` are RUNTIME
+        offsets added to flat-layout gathers/scatters — the element-unit
+        analog of exec-time inputOffsetBytes/outputOffsetBytes in the
+        reference (docs/API.md:115-116; strided kernels take the same value
+        as the `extraOffsetElements` uniform).  They require the
+        corresponding side to be in flat-layout mode.
+        """
         from ..utils.bufferview import BufferView
         out_view = None
         if isinstance(x, BufferView):
@@ -81,12 +93,13 @@ class Plan:
             out_view = out
             out = out_view.pack()
         x = jnp.asarray(x)
+        y = self._exec_inner(x, kernel, out, input_offset_elements,
+                             output_offset_elements)
         if out_view is not None:
-            y = self._exec_inner(x, kernel, out)
             return out_view.unpack(y)
-        return self._exec_inner(x, kernel, out)
+        return y
 
-    def _exec_inner(self, x, kernel=None, out=None):
+    def _exec_inner(self, x, kernel=None, out=None, in_off=None, out_off=None):
         if self._expect_input is not None:
             validate_input_shape(self, x, self._expect_input[0],
                                  self._expect_input[1], self.spec.precision)
@@ -105,6 +118,34 @@ class Plan:
             if kernel is not None:
                 raise PlanError(f"{self.spec.plan_type} exec does not take kernel=")
             args = (self._consts, x)
+        if in_off is not None or out_off is not None:
+            if not self.supports_exec_offsets:
+                raise PlanError(
+                    f"{self.spec.plan_type}: exec offsets require a "
+                    "flat-layout staged transform plan")
+            key = ("off", out is not None, in_off is not None, out_off is not None)
+            fnv = self._jit_variants.get(key)
+            if fnv is None:
+                def wrapper(consts, x_, *rest):
+                    r = list(rest)
+                    kwargs = {}
+                    if key[1]:
+                        kwargs["out"] = r.pop(0)
+                    if key[2]:
+                        kwargs["in_off"] = r.pop(0)
+                    if key[3]:
+                        kwargs["out_off"] = r.pop(0)
+                    return self._fn(consts, x_, **kwargs)
+                fnv = jax.jit(wrapper)
+                self._jit_variants[key] = fnv
+            extra = []
+            if out is not None:
+                extra.append(out)
+            if in_off is not None:
+                extra.append(jnp.asarray(in_off, dtype=jnp.int32))
+            if out_off is not None:
+                extra.append(jnp.asarray(out_off, dtype=jnp.int32))
+            return fnv(args[0], *args[1:], *extra)
         if out is not None:
             if self._jit_out is None:
                 self._jit_out = jax.jit(lambda consts, *a: self._fn(consts, *a[:-1], out=a[-1]))
@@ -195,13 +236,17 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
     zp = spec.zero_pad
     in_view, out_view = spec.io_view.input, spec.io_view.output
 
-    def fn(consts, x, out=None):
+    def fn(consts, x, out=None, in_off=None, out_off=None):
+        if in_off is not None and not s_in.has_layout:
+            raise PlanError("input_offset_elements requires a flat-layout input side")
+        if out_off is not None and not s_out.has_layout:
+            raise PlanError("output_offset_elements requires a flat-layout output side")
         x = stages.load_storage(x, spec.precision)
         if s_in.has_layout:
             x = stages.gather_flat(
                 x, shape=in_phys, strides=s_in.strides, offset=s_in.offset,
                 batch_stride=s_in.batch_stride, batch=batch,
-                interleaved=in_interleaved)
+                interleaved=in_interleaved, extra_offset=in_off)
         if in_view is not None:
             x = stages.embed_view(x, in_view, in_domain, in_interleaved)
         x = stages.zero_pad_apply(x, zp.read, in_domain, in_interleaved)
@@ -213,7 +258,7 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
             y = stages.scatter_flat(
                 y, shape=out_phys, strides=s_out.strides, offset=s_out.offset,
                 batch_stride=s_out.batch_stride, batch=batch,
-                interleaved=out_interleaved, out=out)
+                interleaved=out_interleaved, out=out, extra_offset=out_off)
         y = stages.store_storage(y, spec.precision)
         return y
 

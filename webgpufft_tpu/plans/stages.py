@@ -143,18 +143,24 @@ def resolve_side_layout(shape: Sequence[int], strides: Optional[Sequence[int]],
 
 
 def flat_indices(shape: Sequence[int], strides: Sequence[int], offset: int,
-                 batch_stride: int, batch: int):
-    """Element-index tensor (batch, *shape) built on device from iotas."""
+                 batch_stride: int, batch: int, extra_offset=None):
+    """Element-index tensor (batch, *shape) built on device from iotas.
+    ``extra_offset`` is an optional runtime scalar added to every index —
+    the analog of the reference's exec-time inputOffsetBytes
+    (src/kernels/strided_complex.js `extraOffsetElements` uniform)."""
     idx = jnp.asarray(offset + batch_stride * np.arange(batch), dtype=jnp.int32)
     idx = idx.reshape((batch,) + (1,) * len(shape))
     for d, n in enumerate(shape):
         sh = [1] * (len(shape) + 1)
         sh[1 + d] = n
         idx = idx + (strides[d] * jnp.arange(n, dtype=jnp.int32)).reshape(sh)
+    if extra_offset is not None:
+        idx = idx + jnp.asarray(extra_offset, dtype=jnp.int32)
     return idx
 
 
-def gather_flat(flat, *, shape, strides, offset, batch_stride, batch, interleaved):
+def gather_flat(flat, *, shape, strides, offset, batch_stride, batch,
+                interleaved, extra_offset=None):
     """Flat (L[, 2]) buffer -> shaped (batch, *shape[, 2])."""
     want = 2 if interleaved else 1
     if flat.ndim != want:
@@ -164,12 +170,13 @@ def gather_flat(flat, *, shape, strides, offset, batch_stride, batch, interleave
     need = offset + batch_stride * (batch - 1) + layout_span(shape, strides)
     if flat.shape[0] < need:
         raise PlanError(f"flat input too small: need {need} elements, got {flat.shape[0]}")
-    idx = flat_indices(shape, strides, offset, batch_stride, batch)
+    idx = flat_indices(shape, strides, offset, batch_stride, batch, extra_offset)
     return jnp.take(flat, idx, axis=0)
 
 
 def scatter_flat(values, *, shape, strides, offset, batch_stride, batch,
-                 interleaved, out=None, min_len: Optional[int] = None):
+                 interleaved, out=None, min_len: Optional[int] = None,
+                 extra_offset=None):
     """Shaped (batch, *shape[, 2]) -> flat (L[, 2]); scatters into ``out``
     when given (preserving untouched elements), else into zeros of the
     minimal span (or ``min_len``)."""
@@ -181,7 +188,7 @@ def scatter_flat(values, *, shape, strides, offset, batch_stride, batch,
     else:
         if out.shape[0] < need:
             raise PlanError(f"output buffer too small: need {need} elements, got {out.shape[0]}")
-    idx = flat_indices(shape, strides, offset, batch_stride, batch)
+    idx = flat_indices(shape, strides, offset, batch_stride, batch, extra_offset)
     return out.at[idx.reshape(-1)].set(
         values.reshape((-1, 2) if interleaved else (-1,)))
 

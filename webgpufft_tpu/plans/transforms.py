@@ -198,6 +198,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
               and spec.io_view.input is None and spec.io_view.output is None)
     ws = 2 * spec.batch * spec.n_total * 8  # ping-pong estimate, bytes
     plan = Plan(spec, consts, fn, route, workspace_bytes=ws, donate=donate)
+    plan.supports_exec_offsets = True
     plan._expect_input = (in_shape, True)
     plan.output_shape = out_shape
     return plan
@@ -284,6 +285,7 @@ def build_r2c(spec: PlanSpec) -> Plan:
         spec, core, spec.shape, packed_shape(spec.shape), False, True)
     ws = 3 * spec.batch * spec.n_total * 8
     plan = Plan(spec, consts, fn, route, workspace_bytes=ws)
+    plan.supports_exec_offsets = True
     plan._expect_input = (in_shape, False)
     plan.output_shape = out_shape
     return plan
@@ -357,6 +359,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         spec, core, packed_shape(spec.shape), spec.shape, True, False)
     ws = 3 * spec.batch * spec.n_total * 8
     plan = Plan(spec, consts, fn, route, workspace_bytes=ws)
+    plan.supports_exec_offsets = True
     plan._expect_input = (in_shape, True)
     plan.output_shape = out_shape
     return plan
@@ -490,6 +493,7 @@ def build_dct(spec: PlanSpec) -> Plan:
         spec, core, spec.shape, spec.shape, False, False)
     ws = 2 * spec.batch * spec.n_total * 4
     plan = Plan(spec, consts, fn, route, workspace_bytes=ws)
+    plan.supports_exec_offsets = True
     plan._expect_input = (in_shape, False)
     plan.output_shape = out_shape
     return plan
