@@ -133,6 +133,14 @@ def build_c2c(spec: PlanSpec) -> Plan:
                         strat = ("fused-cols", fn)
             except ValueError:
                 strat = None
+        if strat is None and d < rank - 1 and n > 1:
+            # non-last smooth axes: rows-form XLA (lanes ride; no moveaxis
+            # transpose passes)
+            from ..core import rows
+            if (axis_plans[d].kind == "mixed" and rows.supports_length(n)):
+                fn = rows.build_rows_fft(n, spec.direction, 1.0, consts,
+                                         f"rx{d}")
+                strat = ("rows-xla", fn)
         if strat is None:
             ap = axis_plans[d]
             if (d == rank - 1 and scale != 1.0 and ap.kind == "mixed"
@@ -182,6 +190,10 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 lanes = 2 * math.prod(shape[d + 1:])
                 pre = eff_batch * math.prod(shape[:d])
                 y = obj(y.reshape(pre, n, lanes), c).reshape(
+                    eff_batch, *shape, 2)
+            elif kind == "rows-xla":
+                lanes = 2 * math.prod(shape[d + 1:])
+                y = obj(y.reshape(eff_batch, *shape[:d], n, lanes), c).reshape(
                     eff_batch, *shape, 2)
             else:
                 y = apply_along_axis(y, obj, 1 + d, c)
