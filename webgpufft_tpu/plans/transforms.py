@@ -77,12 +77,20 @@ def _route_for(spec: PlanSpec) -> RouteInfo:
 def build_c2c(spec: PlanSpec) -> Plan:
     """ND complex FFT (reference: src/runtime/plans/c2c.js).
 
-    Per-axis kernel strategy: the LAST logical axis (contiguous interleaved
-    lanes) uses the fused 1D VMEM kernel; earlier axes use the fused
-    "columns" kernel (transform over a row dim, trailing dims ride in
-    lanes); axes the Pallas kernels cannot serve (primes, Bluestein, bad
-    tilings) fall back to the staged XLA path individually.  The normalize
-    scale is folded into whichever kernel runs last.
+    Per-axis kernel strategy, chosen by measurement (see runtime/policy.py):
+
+    - default ("auto"): XLA everywhere — last axis via the einsum pipeline
+      with digit-reversal and normalize scale folded into the final
+      contraction; earlier smooth axes via the rows-form XLA path
+      (core/rows.py — lanes ride, no moveaxis transposes).
+    - impl="pallas"/"pallas-auto": last axis via the fused 1D VMEM kernel
+      (core/fused.py), earlier axes via the Pallas columns kernel
+      (core/fused_cols.py), per-axis XLA fallback.
+    - primes/Bluestein/unsupported tilings always use the staged einsum
+      path for that axis.
+
+    Batches beyond CHUNK_ELEMS execute per batch-slice (large-batch chunk
+    mode).  The normalize scale folds into whichever kernel runs last.
     """
     from ..core import fused, fused_cols
     from ..runtime.policy import fused_eligibility
