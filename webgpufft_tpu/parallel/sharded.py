@@ -88,7 +88,8 @@ def choose_distributed_split(n: int, ndev: int) -> Optional[Tuple[int, int]]:
 
 def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
                              direction: str = "forward",
-                             normalize: str = "none"):
+                             normalize: str = "none",
+                             batch_axis_name: Optional[str] = None):
     """Build fn(x) computing a length-n FFT distributed over mesh axis
     ``axis_name``.
 
@@ -137,11 +138,14 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
         return _einsum("bcai,aimk->bcmk", y, w2)          # (b, k1_loc, k2, 2)
 
     def fn(x):
-        x = x.reshape(x.shape[0], n1, n2, 2)              # digit grid
+        if x.ndim == 3:
+            x = x.reshape(x.shape[0], n1, n2, 2)          # digit grid
+        elif x.shape[1:] != (n1, n2, 2):
+            raise ValueError(f"expected (b, n, 2) or (b, {n1}, {n2}, 2), got {x.shape}")
         y = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=P(None, None, axis_name, None),
-            out_specs=P(None, axis_name, None, None),
+            in_specs=P(batch_axis_name, None, axis_name, None),
+            out_specs=P(batch_axis_name, axis_name, None, None),
         )(x)
         return jnp.swapaxes(y, 1, 2)                      # (b, k2, k1, 2)
 
