@@ -75,6 +75,10 @@ class MixedAxisPlan(AxisPlan):
         # plan normalize scale folded into the last sub-DFT table: saves a
         # whole elementwise pass over the output
         self.out_scale = out_scale
+        # rows-form support: transform over a NON-last axis with trailing
+        # dims riding in lanes (no moveaxis transposes; core/rows.py)
+        from .fused_cols import choose_split as _cols_split
+        self.rows_split = _cols_split(n) if n > 1 else None
 
     def consts(self) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
@@ -91,7 +95,18 @@ class MixedAxisPlan(AxisPlan):
                 out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
                 out[f"{self.prefix}/twb{lvl}"] = tb
                 rem = n2
+        if self.rows_split is not None:
+            from .rows import rows_consts
+            out.update(rows_consts(self.n, self.direction, self.out_scale,
+                                   f"{self.prefix}/rw"))
         return out
+
+    def apply_rows(self, x, consts):
+        """Transform along axis -2 of (..., n, L) with trailing interleaved
+        elements in L lanes (rows form; requires rows_split)."""
+        from .rows import apply_rows
+        h1, h2 = self.rows_split
+        return apply_rows(x, consts, f"{self.prefix}/rw", self.n, h1, h2)
 
     def apply(self, x, consts):
         return self._rec(x, consts, 0)
@@ -247,10 +262,21 @@ def build_axis_plan(n: int, axis: int, direction: str, tuning, prefix: str) -> A
 
 def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):
     """Apply an axis plan along complex array axis ``array_axis`` of
-    interleaved x (..., 2)."""
+    interleaved x (..., 2).
+
+    Non-last axes of mixed plans use the rows form (trailing dims merged
+    into lanes; free reshapes, no moveaxis transpose passes).  Rader/
+    Bluestein and unsupported lengths fall back to moveaxis + lanes form.
+    """
     last = x.ndim - 2
     if array_axis == last:
         return axis_plan.apply(x, consts)
+    if getattr(axis_plan, "rows_split", None) is not None:
+        lead = x.shape[:array_axis]
+        n = x.shape[array_axis]
+        v = x.reshape(*lead, n, -1)          # lanes = trailing dims * 2
+        y = axis_plan.apply_rows(v, consts)
+        return y.reshape(x.shape)
     x = jnp.moveaxis(x, array_axis, last)
     y = axis_plan.apply(x, consts)
     return jnp.moveaxis(y, last, array_axis)
