@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Example: distributed single-transform FFT over a device mesh.
+
+Run (works on CPU with virtual devices):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/multichip_fft.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    if jax.device_count() < 2:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    import webgpufft_tpu as wft
+    from webgpufft_tpu.parallel import sharded
+
+    ndev = min(8, jax.device_count())
+    mesh = sharded.make_mesh({"sp": ndev})
+    n, batch = 2 ** 16, 2
+    fft = sharded.build_distributed_fft_1d(n, mesh, "sp", "forward")
+    print(f"devices={ndev} n={n} digit split={fft.split}")
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    y = jax.jit(fft)(jnp.asarray(wft.interleave(z)))
+    got = wft.uninterleave(np.asarray(y).reshape(batch, n, 2))
+    ref = np.fft.fft(z, axis=-1)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    print(f"max rel err vs numpy: {err:.2e}")
+    assert err < 1e-5
+
+
+if __name__ == "__main__":
+    main()
