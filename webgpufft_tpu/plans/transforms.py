@@ -93,7 +93,6 @@ def build_c2c(spec: PlanSpec) -> Plan:
     mode).  The normalize scale folds into whichever kernel runs last.
     """
     from ..core import fused, fused_cols
-    from ..runtime.policy import fused_eligibility
 
     scale = engine.plan_scale(spec.normalize, spec.direction, spec.n_total)
     route = _route_for(spec)
