@@ -114,8 +114,11 @@ def cols_consts(h: int, direction: str, scale: float, prefix: str) -> Dict[str, 
 
 
 def pick_tiles(pre: int, h: int, lanes: int, budget: int) -> Optional[Tuple[int, int]]:
-    """(tbp, tl): pre-dim tile and lane tile; working set ~12 tile arrays."""
-    # prefer full lanes up to 512, then tile; tbp divides pre, tl divides lanes
+    """(tbp, tl): pre-dim tile and lane tile; working set ~12 tile arrays.
+
+    tbp is pinned to 1: Mosaic rejects the post-swap leading-dim merge the
+    kernel would need for tbp > 1, and the grid parallelizes over pre anyway.
+    """
     for tl_cap in (512, 256, 128):
         tl = None
         for cand in range(min(lanes, tl_cap), 0, -1):
@@ -124,14 +127,8 @@ def pick_tiles(pre: int, h: int, lanes: int, budget: int) -> Optional[Tuple[int,
                 break
         if tl is None:
             continue
-        per_pre = 12 * h * tl * 4
-        cap = max(1, budget // per_pre)
-        tbp = None
-        for t in range(1, min(pre, cap) + 1):
-            if pre % t == 0:
-                tbp = t
-        if tbp is not None:
-            return tbp, tl
+        if 12 * h * tl * 4 <= budget:
+            return 1, tl
     return None
 
 
