@@ -101,3 +101,37 @@ def test_2d_mesh_dp_plus_sp(mesh24, rng, assert_close):
     y = np.asarray(jax.jit(fn)(x)).reshape(batch, n, 2)
     ref = R.fft_nd(z, [n], "forward")
     assert_close(uninterleave(y).real, ref.real, label="dp+sp.re")
+
+
+def test_distributed_fft_axis0_nd(mesh8, rng, assert_close):
+    """ND array with axis 0 distributed: four-step over ICI, trailing axes
+    riding locally."""
+    import jax.numpy as jnp
+    shape = (256, 12)
+    batch = 2
+    z = rng.standard_normal((batch, *shape)) + 1j * rng.standard_normal((batch, *shape))
+    fn = sharded.build_distributed_fft_axis0(shape, mesh8, "dp", "forward")
+    y = np.asarray(jax.jit(fn)(jnp.asarray(interleave(z))))
+    got = uninterleave(y.reshape(batch, shape[0], shape[1], 2))
+    ref = np.fft.fft(z, axis=1)  # FFT along logical axis 0 only
+    assert_close(got.real, ref.real, label="nd-axis0.re")
+    assert_close(got.imag, ref.imag, label="nd-axis0.im")
+
+
+def test_distributed_axis0_composes_with_local_axes(mesh8, rng, assert_close):
+    """Full 2D FFT: distributed axis 0 + local plan for axis 1."""
+    import jax.numpy as jnp
+    import webgpufft_tpu as W
+    shape = (256, 16)
+    batch = 2
+    z = rng.standard_normal((batch, *shape)) + 1j * rng.standard_normal((batch, *shape))
+    fn0 = sharded.build_distributed_fft_axis0(shape, mesh8, "dp", "forward")
+    # local axis-1 FFT as a batched 1D plan over (batch*n0) lines
+    p1 = W.create_plan(type="c2c", shape=[shape[1]], batch=batch * shape[0],
+                      direction="forward", tuning={"impl": "xla"})
+    y0 = jax.jit(fn0)(jnp.asarray(interleave(z))).reshape(batch, shape[0], shape[1], 2)
+    y = np.asarray(p1(np.asarray(y0).reshape(-1, shape[1], 2)))
+    got = uninterleave(y.reshape(batch, *shape, 2))
+    ref = np.fft.fft2(z, axes=(1, 2))
+    assert_close(got.real, ref.real, label="2d dist+local.re")
+    assert_close(got.imag, ref.imag, label="2d dist+local.im")

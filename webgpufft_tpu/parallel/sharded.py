@@ -153,6 +153,70 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
+                                direction: str = "forward",
+                                normalize: str = "none",
+                                batch_axis_name: Optional[str] = None):
+    """Distributed FFT along logical AXIS 0 of an ND array, trailing axes
+    riding locally — the sequence-parallel building block for ND transforms
+    whose leading axis spans chips.
+
+    x: (batch, n0, *shape[1:], 2).  Same four-step digit exchange as
+    build_distributed_fft_1d, with the remaining axes carried through every
+    contraction as a free dim.  Output: (batch, k2, k1, *shape[1:], 2) with
+    axis-0 index k = k1 + n1*k2 (reshape merges (k2, k1) back to n0).
+    Remaining axes are NOT transformed — compose with local plans for the
+    other axes (they are embarrassingly parallel across the n0 shard).
+    """
+    n0 = shape[0]
+    rest = tuple(shape[1:])
+    ndev = mesh.shape[axis_name]
+    split = choose_distributed_split(n0, ndev)
+    if split is None:
+        raise ValueError(
+            f"cannot split n0={n0} into two smooth factors divisible by {ndev}")
+    n1, n2 = split
+    from ..utils.mathref import normalize_scale
+    scale = normalize_scale(normalize, direction, n0)
+
+    w1 = jnp.asarray(to_w4(dft.dft_matrix(n1, direction)))
+    w2 = jnp.asarray(to_w4(dft.dft_matrix(n2, direction) * np.complex64(scale)))
+    sign = -1.0 if direction == "forward" else 1.0
+    tw = np.exp(sign * 2j * np.pi *
+                (np.outer(np.arange(n1), np.arange(n2)) % n0) / n0)   # [k1, n2]
+    twa, twb = const_pair(tw)                                          # (n1, n2, 2)
+    # broadcast over the riding axes: (n1, n2, *1s, 2)
+    bshape = (n1, n2) + (1,) * len(rest) + (2,)
+    twa = jnp.asarray(twa.reshape(bshape))
+    twb = jnp.asarray(twb.reshape(bshape))
+    n2_loc = n2 // ndev
+
+    def local_fn(x_loc):
+        # x_loc: (b, n1, n2_loc, *rest, 2)
+        idx = jax.lax.axis_index(axis_name)
+        y = _einsum("baj...i,aick->bcj...k", x_loc, w1)   # contract n1 digit
+        ta = jax.lax.dynamic_slice_in_dim(twa, idx * n2_loc, n2_loc, axis=1)
+        tb = jax.lax.dynamic_slice_in_dim(twb, idx * n2_loc, n2_loc, axis=1)
+        y = _cmul_pair(y, ta, tb)
+        y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
+                               tiled=True)                 # (b, k1_loc, n2, ...)
+        return _einsum("bca...i,aimk->bcm...k", y, w2)     # contract n2 digit
+
+    rest_none = (None,) * len(rest)
+
+    def fn(x):
+        x = x.reshape(x.shape[0], n1, n2, *rest, 2)
+        y = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=P(batch_axis_name, None, axis_name, *rest_none, None),
+            out_specs=P(batch_axis_name, axis_name, None, *rest_none, None),
+        )(x)
+        return jnp.swapaxes(y, 1, 2)                       # (b, k2, k1, *rest, 2)
+
+    fn.split = (n1, n2)
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Mesh helpers
 # ---------------------------------------------------------------------------
