@@ -40,10 +40,17 @@ MAX_SUB = 128
 
 def choose_split(h: int) -> Optional[Tuple[int, int]]:
     """(h1, h2), h = h1*h2, both <= 128; h1 is the low (fast) digit.
-    Single-factor h <= 128 returns (h, 1)."""
+
+    Two nontrivial digits are preferred even when h <= 128: the degenerate
+    h2=1 path (1x1 stage matrices) triggers pathological Mosaic stack
+    allocations on TPU.  Only lengths with no two-factor split (e.g. small
+    primes) fall back to (h, 1)."""
+    two = factors.split_two_balanced(h, MAX_SUB)
+    if two is not None:
+        return two
     if h <= MAX_SUB and factors.is_smooth(h):
         return (h, 1)
-    return factors.split_two_balanced(h, MAX_SUB)
+    return None
 
 
 def supports_length(h: int) -> bool:
