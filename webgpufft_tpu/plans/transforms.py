@@ -108,6 +108,14 @@ def build_c2c(spec: PlanSpec) -> Plan:
     # XLA; the fused kernels remain available via impl="pallas"/"pallas-auto"
     # for stacks where Pallas streams at full rate.
     allow_pallas = tun.impl in ("pallas", "pallas-auto")
+    if allow_pallas and rank > 1:
+        # scoped VMEM appears to be budgeted per-program, not per-kernel:
+        # a plan with multiple fused kernels must split the budget between
+        # them or Mosaic's stack allocation overflows at compile time
+        import dataclasses as _dc
+        from ..core.fused import DEFAULT_VMEM_BUDGET as _DVB
+        base = tun.vmem_limit_bytes or _DVB
+        tun = _dc.replace(tun, vmem_limit_bytes=max(1 << 20, base // rank))
 
     # Large-batch chunk mode (the TPU reading of the reference's
     # large-batch chunking, c2c.js large-chunk routes); see CHUNK_ELEMS.
