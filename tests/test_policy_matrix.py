@@ -25,15 +25,18 @@ def build(**opts):
     ([64], 16, "pallas-auto", "pallas-fused", ["c2c-axis0-fused-lines"]),
     # prime axis cannot fuse -> xla fallback per axis
     ([17], 16, "pallas-auto", "xla", ["c2c-axis0-xla"]),
-    # rank 2 pallas-auto: cols + lines
-    ([64, 64], 16, "pallas-auto", "pallas-fused",
+    # rank 2 pallas-auto: cols + lines (digits >= 16 per axis required
+    # in multi-kernel programs; 64 = 8x8 digits -> gated to xla)
+    ([256, 256], 16, "pallas-auto", "pallas-fused",
      ["c2c-axis0-fused-cols", "c2c-axis1-fused-lines"]),
+    ([64, 64], 16, "pallas-auto", "xla",
+     ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
     # rank 2 auto: rows-xla + xla
     ([64, 64], 16, "auto", "xla",
      ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
-    # small lanes block the cols kernel -> rows-xla fallback for axis 0
-    ([64, 8], 16, "pallas-auto", "pallas-mixed",
-     ["c2c-axis0-rows-xla", "c2c-axis1-fused-lines"]),
+    # small lanes + tiny digits -> rows-xla / xla fallbacks
+    ([64, 8], 16, "pallas-auto", "xla",
+     ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
     # mixed prime + smooth rank 2
     ([17, 64], 4, "auto", "xla",
      ["c2c-axis0-xla", "c2c-axis1-xla"]),

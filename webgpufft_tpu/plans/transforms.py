@@ -133,7 +133,13 @@ def build_c2c(spec: PlanSpec) -> Plan:
             try:
                 if d == rank - 1:
                     lines = eff_batch * math.prod(shape[:-1])
-                    if fused.choose_split(n) is not None and lines >= 8:
+                    split = fused.choose_split(n)
+                    # multi-kernel programs with tiny digit matrices overflow
+                    # Mosaic's program-wide scoped VMEM; require >=16 digits
+                    # when another fused kernel shares the program
+                    if split is not None and rank > 1 and min(split) < 16:
+                        split = None
+                    if split is not None and lines >= 8:
                         fn = fused.build_fused_lines(
                             n, lines, spec.direction, tun, consts,
                             want_scale, prefix=f"fl{d}")
@@ -141,7 +147,9 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 else:
                     lanes = 2 * math.prod(shape[d + 1:])
                     pre = eff_batch * math.prod(shape[:d])
-                    if fused_cols.supports_length(n) and lanes >= 128:
+                    csplit = fused_cols.choose_split(n)
+                    if (csplit is not None and lanes >= 128
+                            and (rank == 1 or min(csplit) >= 16)):
                         fn = fused_cols.build_fused_cols(
                             pre, n, lanes, spec.direction, want_scale,
                             consts, f"fc{d}", tun)
