@@ -47,3 +47,14 @@ def test_replay_detects_mismatch(rng):
 def test_schema_validation():
     with pytest.raises(ValueError, match="schema"):
         golden.compare_golden({"schema": "bogus"})
+
+
+def test_committed_corpus_replays():
+    """The in-repo golden corpus (tests/golden_corpus.json) must replay on
+    every backend — the cross-round/cross-hardware regression guard
+    (reference: golden JSON schema suite entry)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden_corpus.json")
+    for art in golden.load_artifacts(path):
+        res = golden.compare_golden(art)
+        assert res["ok"], res
