@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import dft
-from .cplx import to_w4, const_pair, cmul_const
+from .cplx import to_w4, const_pair, cmul_const, to_t4, cmul_t4
 from ..utils import factors
 
 # f32 matmul accuracy on the MXU: DEFAULT lowers to bf16 passes (~3e-3 rel
@@ -91,9 +91,8 @@ class MixedAxisPlan(AxisPlan):
             out[f"{self.prefix}/dft{lvl}"] = to_w4(w)
             if not last:
                 n2 = rem // n1
-                ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
-                out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
-                out[f"{self.prefix}/twb{lvl}"] = tb
+                out[f"{self.prefix}/tw4{lvl}"] = to_t4(
+                    dft.ct_twiddle(n1, n2, self.direction))  # (n1, n2, 2, 2)
                 rem = n2
         if self.rows_split is not None:
             from .rows import rows_consts
@@ -123,7 +122,9 @@ class MixedAxisPlan(AxisPlan):
         xm = x.reshape(*lead, n1, n2, 2)
         # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
         y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
-        y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"], consts[f"{self.prefix}/twb{lvl}"])
+        # t4 twiddle: no component flip, so XLA can fuse the multiply into
+        # the surrounding contractions instead of materializing a pass
+        y = cmul_t4(y, consts[f"{self.prefix}/tw4{lvl}"])
         if len(subs) == 2:
             # final level: contract n2 AND emit the digit-reversed order in
             # one einsum — the transpose rides the dot's output layout

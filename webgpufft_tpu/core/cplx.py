@@ -49,6 +49,28 @@ def cmul_const(d, ca, cb):
     return d * ca + jnp.flip(d, axis=-1) * cb
 
 
+def to_t4(z: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Complex multiplier z (...,) -> (..., 2, 2) tensor for ``cmul_t4``:
+    the per-element [[re, im], [-im, re]] rotation matrix.
+
+    Unlike const_pair/cmul_const, applying it needs no component flip — a
+    flip makes the data a two-use operand, which blocks XLA from fusing the
+    multiply into a neighboring dot's output; the t4 form is a pure
+    elementwise mul-add chain."""
+    out = np.empty(z.shape + (2, 2), dtype=dtype)
+    out[..., 0, 0] = z.real
+    out[..., 0, 1] = z.imag
+    out[..., 1, 0] = -z.imag
+    out[..., 1, 1] = z.real
+    return out
+
+
+def cmul_t4(d, t4):
+    """out[..., j] = sum_i d[..., i] * t4[..., i, j] — complex multiply by a
+    precomputed constant without any component shuffle."""
+    return d[..., 0, None] * t4[..., 0, :] + d[..., 1, None] * t4[..., 1, :]
+
+
 def interleave(z: np.ndarray) -> np.ndarray:
     """numpy complex (...,) -> float32 (..., 2)."""
     return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
