@@ -91,8 +91,9 @@ class MixedAxisPlan(AxisPlan):
             out[f"{self.prefix}/dft{lvl}"] = to_w4(w)
             if not last:
                 n2 = rem // n1
-                out[f"{self.prefix}/tw4{lvl}"] = to_t4(
-                    dft.ct_twiddle(n1, n2, self.direction))  # (n1, n2, 2, 2)
+                ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
+                out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
+                out[f"{self.prefix}/twb{lvl}"] = tb
                 rem = n2
         if self.rows_split is not None:
             from .rows import rows_consts
@@ -122,9 +123,9 @@ class MixedAxisPlan(AxisPlan):
         xm = x.reshape(*lead, n1, n2, 2)
         # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
         y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
-        # t4 twiddle: no component flip, so XLA can fuse the multiply into
-        # the surrounding contractions instead of materializing a pass
-        y = cmul_t4(y, consts[f"{self.prefix}/tw4{lvl}"])
+        # measured on-chip: the flip-form const-pair multiply beats the
+        # flip-free t4 2x2 form (XLA materializes more copies for t4)
+        y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"], consts[f"{self.prefix}/twb{lvl}"])
         if len(subs) == 2:
             # final level: contract n2 AND emit the digit-reversed order in
             # one einsum — the transpose rides the dot's output layout
