@@ -85,15 +85,29 @@ class MixedAxisPlan(AxisPlan):
         rem = self.n
         for lvl, n1 in enumerate(self.subs):
             last = lvl == len(self.subs) - 1
+            if last and len(self.subs) >= 2:
+                break  # final level lives inside the previous level's dftB
             w = dft.dft_matrix(n1, self.direction)
             if last and self.out_scale != 1.0:
                 w = w * np.complex64(self.out_scale)
             out[f"{self.prefix}/dft{lvl}"] = to_w4(w)
             if not last:
                 n2 = rem // n1
-                ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
-                out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
-                out[f"{self.prefix}/twb{lvl}"] = tb
+                if len(self.subs) - lvl == 2:
+                    # final pair of levels: fold the inter-stage twiddle into
+                    # per-k1 stage-B matrices (T[k1, n2] * W2)[n2, k2] so the
+                    # whole 2-level FFT is exactly two contractions — the
+                    # structural memory floor (no twiddle pass at all)
+                    tw = dft.ct_twiddle(n1, n2, self.direction).astype(np.complex64)
+                    w2 = dft.dft_matrix(n2, self.direction)
+                    if self.out_scale != 1.0:
+                        w2 = w2 * np.complex64(self.out_scale)
+                    out[f"{self.prefix}/dftB{lvl}"] = np.stack(
+                        [to_w4(tw[a][:, None] * w2) for a in range(n1)])
+                else:
+                    ta, tb = const_pair(dft.ct_twiddle(n1, n2, self.direction))
+                    out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
+                    out[f"{self.prefix}/twb{lvl}"] = tb
                 rem = n2
         if self.rows_split is not None:
             from .rows import rows_consts
@@ -123,15 +137,16 @@ class MixedAxisPlan(AxisPlan):
         xm = x.reshape(*lead, n1, n2, 2)
         # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
         y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
-        # measured on-chip: the flip-form const-pair multiply beats the
-        # flip-free t4 2x2 form (XLA materializes more copies for t4)
-        y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"], consts[f"{self.prefix}/twb{lvl}"])
         if len(subs) == 2:
-            # final level: contract n2 AND emit the digit-reversed order in
-            # one einsum — the transpose rides the dot's output layout
-            # instead of costing a separate materialized pass
-            z = _einsum("...abi,bicj->...caj", y, consts[f"{self.prefix}/dft{lvl + 1}"])
+            # final level: twiddle is folded into per-k1 stage-B matrices
+            # (consts dftB) and the contraction emits the digit-reversed
+            # order directly — two contractions total, zero twiddle pass
+            z = _einsum("...abi,abicj->...caj", y, consts[f"{self.prefix}/dftB{lvl}"])
         else:
+            # measured on-chip: the flip-form const-pair multiply beats the
+            # flip-free t4 2x2 form (XLA materializes more copies for t4)
+            y = cmul_const(y, consts[f"{self.prefix}/twa{lvl}"],
+                           consts[f"{self.prefix}/twb{lvl}"])
             z = self._rec(y, consts, lvl + 1)      # length-n2 FFT along axis -2
             z = jnp.swapaxes(z, -3, -2)            # out[k] at k = k1 + n1*k2
         return z.reshape(*lead, n, 2)
