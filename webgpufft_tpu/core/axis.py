@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import dft
-from .cplx import to_w4, const_pair, cmul_const, to_t4, cmul_t4
+from .cplx import to_w4, const_pair, cmul_const
 from ..utils import factors
 
 # f32 matmul accuracy on the MXU: DEFAULT lowers to bf16 passes (~3e-3 rel

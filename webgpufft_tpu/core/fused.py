@@ -28,7 +28,6 @@ The normalize scale is folded into the stage-B matrix: zero extra passes.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, Optional, Tuple
 
 import jax

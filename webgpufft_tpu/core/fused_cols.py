@@ -22,7 +22,6 @@ first) for Mosaic compatibility.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -14,15 +14,13 @@ Used by ND c2c/r2c/c2r for every non-last smooth axis.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import dft
 from .fused_cols import choose_split
-from ..utils import factors
 
 _HI = jax.lax.Precision.HIGHEST
 

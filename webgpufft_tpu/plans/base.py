@@ -14,9 +14,8 @@ TPU-native counterpart of the reference's plan classes
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ fftconv.js:1480-1709).
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..spec import ChannelLane, IoViewSide, LayoutSpec, PlanError, ZeroPadStage
+from ..spec import ChannelLane, IoViewSide, PlanError, ZeroPadStage
 
 
 # ---------------------------------------------------------------------------

@@ -15,11 +15,10 @@ Two layers:
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Any, Dict, List, Optional
 
-from ..spec import PlanSpec, normalize_spec, spec_to_dict
+from ..spec import PlanSpec, spec_to_dict
 
 SNAPSHOT_SCHEMA = "webgpufft-tpu.plan-cache"
 SNAPSHOT_VERSION = 1

@@ -13,11 +13,10 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Peak HBM bandwidth per chip, GB/s (TPU v5e: 819 GB/s).
 HBM_GBPS = {
