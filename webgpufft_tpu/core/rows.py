@@ -3,11 +3,16 @@ lanes — no moveaxis/transpose materializations.
 
 The XLA twin of the Pallas columns kernel (core/fused_cols.py): for a view
 (pre, H, L) the FFT runs along H while L (the interleaved trailing elements)
-rides through every contraction untouched.  Row contractions are P/Q real
-dot_generals + an adjacent-lane component fix; the digit reversal is a swap
-of row digits, which XLA folds into dot output layouts instead of paying a
-full transpose pass (unlike the moveaxis-to-last fallback, which transposes
-the whole tensor twice per axis).
+rides through every contraction untouched.  v2 structure: every step is an
+einsum with a CHOSEN output order (digit reorders ride the dots' output
+layouts instead of materialized swapaxes), and the inter-stage twiddle is
+folded into per-k2 batched stage-2 matrices — so a two-digit row FFT is
+exactly two P/Q einsum pairs plus lane-local component fixes:
+
+  x (..., h2, h1, L)  [row index h = h1 + h1_len*h2, C-order digit grid]
+  stage 1: u[..., k2, h1, L] = sum_{h2} x * W2[h2, k2]
+  stage 2: v[..., k1, k2, L] = sum_{h1} u * (T[h1, k2] * W1[h1, k1])
+  (output rows (k1, k2) == flat k = h2_len*k1 + k2, the straight digit order)
 
 Used by ND c2c/r2c/c2r for every non-last smooth axis.
 """
@@ -20,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import dft
 from .fused_cols import choose_split
 
 _HI = jax.lax.Precision.HIGHEST
@@ -30,9 +36,20 @@ def supports_length(h: int) -> bool:
 
 
 def rows_consts(h: int, direction: str, scale: float, prefix: str) -> Dict[str, np.ndarray]:
-    """Same tables as the Pallas columns kernel (fused_cols.cols_consts)."""
-    from .fused_cols import cols_consts
-    return cols_consts(h, direction, scale, prefix)
+    h1, h2 = choose_split(h)
+    w2 = dft.dft_matrix(h2, direction)                       # stage-1 (h2, k2)
+    w1 = dft.dft_matrix(h1, direction) * np.complex64(scale)  # scale folded
+    sign = -1.0 if direction == "forward" else 1.0
+    tw = np.exp(sign * 2j * np.pi *
+                (np.outer(np.arange(h1), np.arange(h2)) % h) / h)  # T[h1, k2]
+    # batched stage-2 matrices M[k2, h1, k1] = T[h1, k2] * W1[h1, k1]
+    m = tw.T[:, :, None] * w1[None, :, :]
+    return {
+        f"{prefix}/w2re": np.ascontiguousarray(w2.real.astype(np.float32)),
+        f"{prefix}/w2im": np.ascontiguousarray(w2.imag.astype(np.float32)),
+        f"{prefix}/bre": np.ascontiguousarray(m.real.astype(np.float32)),
+        f"{prefix}/bim": np.ascontiguousarray(m.imag.astype(np.float32)),
+    }
 
 
 def _swapadj(z):
@@ -45,35 +62,26 @@ def _sign_lane(shape, dtype):
     return jnp.where(lane % 2 == 0, -1.0, 1.0).astype(dtype)
 
 
-def _contract_rows(x, wre, wim):
-    """Complex contraction over dim -2 of (..., R, L) with W (R, K):
-    returns (..., K, L).  Components interleave in L lanes."""
-    nd = x.ndim
-    dn = (((nd - 2,), (0,)), ((), ()))
-    p = jax.lax.dot_general(x, wre, dn, precision=_HI)   # (..., L, K)
-    q = jax.lax.dot_general(x, wim, dn, precision=_HI)
-    p = jnp.swapaxes(p, -1, -2)
-    q = jnp.swapaxes(q, -1, -2)
+def _combine(p, q):
+    """Complex P/Q combine with components interleaved in the lane dim."""
     return p + _swapadj(q) * _sign_lane(q.shape, q.dtype)
 
 
 def apply_rows(x, c, prefix: str, h: int, h1: int, h2: int):
-    """FFT along axis -2 of x (..., H, L); L = interleaved trailing elems.
-
-    Math identical to fused_cols._cols_kernel: contract the high digit h2,
-    twiddle W_H^{h1*k2}, contract h1, swap row digits.
-    """
+    """FFT along axis -2 of x (..., H, L); L = interleaved trailing elems."""
     lead = x.shape[:-2]
     L = x.shape[-1]
     x = x.reshape(*lead, h2, h1, L)                  # rows (h2, h1)
-    x = jnp.swapaxes(x, -3, -2)                      # (..., h1, h2, L)
-    u = _contract_rows(x, c[f"{prefix}/w2re"], c[f"{prefix}/w2im"])  # (..., h1, k2, L)
-    tre = c[f"{prefix}/tre"]                         # (h1, h2, 1)
-    tim = c[f"{prefix}/tim"]
-    u = u * tre + _swapadj(u) * (tim * _sign_lane(u.shape, u.dtype))
-    u = jnp.swapaxes(u, -3, -2)                      # (..., k2, h1, L)
-    v = _contract_rows(u, c[f"{prefix}/w1re"], c[f"{prefix}/w1im"])  # (..., k2, k1, L)
-    v = jnp.swapaxes(v, -3, -2)                      # rows (k1, k2): k = H2*k1 + k2
+    # stage 1: contract the high digit h2, output order (k2, h1) chosen
+    w2re, w2im = c[f"{prefix}/w2re"], c[f"{prefix}/w2im"]
+    p = jnp.einsum("...bal,bk->...kal", x, w2re, precision=_HI)
+    q = jnp.einsum("...bal,bk->...kal", x, w2im, precision=_HI)
+    u = _combine(p, q)                               # (..., k2, h1, L)
+    # stage 2: batched over k2, contract h1, twiddle folded; output (k1, k2)
+    bre, bim = c[f"{prefix}/bre"], c[f"{prefix}/bim"]
+    p2 = jnp.einsum("...bal,bak->...kbl", u, bre, precision=_HI)
+    q2 = jnp.einsum("...bal,bak->...kbl", u, bim, precision=_HI)
+    v = _combine(p2, q2)                             # (..., k1, k2, L)
     return v.reshape(*lead, h, L)
 
 
