@@ -166,3 +166,22 @@ def test_validation_errors():
     plan = W.create_plan(type="fftconv", shape=[8])
     with pytest.raises(W.PlanError, match="kernel"):
         plan.exec(np.zeros((1, 8, 2), np.float32))
+
+
+def test_fftconv_large_batch_chunk(rng, assert_close):
+    """kcount*batch*fftN beyond the validated size executes per batch-slice
+    (the fftconv reading of the large-batch chunk mode)."""
+    shape, kc, batch = [1024], 2, 4096  # 2*4096*1024 = 2^23 -> chunked
+    plan = W.create_plan(type="fftconv", shape=shape, batch=batch,
+                        fftConv={"kernelCount": kc})
+    assert any("large-batch-chunk" in r for r in plan.route.reasons), plan.route.reasons
+    # correctness on repeated small content
+    x = rand_c(rng, (8, 1024))
+    ks = rand_c(rng, (kc, 1024))
+    xfull = np.tile(x, (512, 1))
+    y = uninterleave(np.asarray(plan.exec(interleave(xfull), kernel=interleave(ks))))
+    for kk in range(kc):
+        ref = R.fftconv(x, ks[kk], shape, batch=8)
+        got = y[kk].reshape(512, 8, 1024)[0]
+        assert_close(got.real, ref.real, label=f"chunked k{kk}.re")
+        assert_close(got.imag, ref.imag, label=f"chunked k{kk}.im")

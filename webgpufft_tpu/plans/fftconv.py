@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,19 @@ def build_fftconv(spec: PlanSpec) -> Plan:
         ] + [(0, 0)]
         return jnp.pad(arr, pads)
 
+    # Large-batch chunk mode (see plans/transforms.CHUNK_ELEMS): the data-side
+    # FFT/pointwise/inverse carry a kcount factor, so chunk the batch such
+    # that kcount*chunk_b*nf stays within the validated einsum-operand size.
+    from .transforms import CHUNK_ELEMS
+    chunk_b = batch
+    if kcount * batch * nf > CHUNK_ELEMS:
+        cap = max(1, CHUNK_ELEMS // max(1, kcount * nf))
+        chunk_b = 1
+        for d_ in range(1, min(batch, cap) + 1):
+            if batch % d_ == 0:
+                chunk_b = d_
+        route.reasons = route.reasons + (f"large-batch-chunk({chunk_b})",)
+
     def fn(consts_, x, kernel, out=None):
         # ---- input staging -> (batch, *fft_shape, 2)
         if ch_in is not None:
@@ -70,26 +84,34 @@ def build_fftconv(spec: PlanSpec) -> Plan:
         xe = _pad_to(x, fft_shape, 1)
         xe = stages.zero_pad_apply(xe, spec.zero_pad.read, fft_shape, True)
 
-        # ---- forward FFTs
-        xf = engine.apply_nd(xe, fwd, consts_)                    # (batch, *fft, 2)
+        # ---- kernel-side forward FFT (once, shared across batch chunks)
         ke = _pad_to(kernel, fft_shape, 1)                        # (kcount, *fft, 2)
         kf = engine.apply_nd(ke, fwd, consts_)
         if fc.mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)    # conj spectrum
         kf = kf * jnp.asarray(1.0 / nf, dtype=kf.dtype)           # fold backward 1/N
 
-        # ---- pointwise complex multiply, broadcast (kcount, batch, ...)
-        a = xf[None, ...]                                          # (1, b, *fft, 2)
-        b = kf[:, None, ...]                                       # (kc, 1, *fft, 2)
-        ar, ai = a[..., 0], a[..., 1]
-        br, bi = b[..., 0], b[..., 1]
-        yf = jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+        def data_pipeline(xc):
+            cb = xc.shape[0]
+            xf = engine.apply_nd(xc, fwd, consts_)                # (cb, *fft, 2)
+            # pointwise complex multiply, broadcast (kcount, cb, ...)
+            a = xf[None, ...]
+            b = kf[:, None, ...]
+            ar, ai = a[..., 0], a[..., 1]
+            br, bi = b[..., 0], b[..., 1]
+            yf = jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+            yc = engine.apply_nd(yf, inv, consts_, batch_dims=2)
+            yc = stages.zero_pad_apply(
+                yc.reshape((kcount * cb,) + fft_shape + (2,)),
+                spec.zero_pad.write, fft_shape, True)
+            return yc.reshape((kcount, cb) + fft_shape + (2,))
 
-        # ---- inverse FFT + write-stage + boundary crop
-        y = engine.apply_nd(yf, inv, consts_, batch_dims=2)
-        y = stages.zero_pad_apply(y.reshape((kcount * batch,) + fft_shape + (2,)),
-                                  spec.zero_pad.write, fft_shape, True)
-        y = y.reshape((kcount, batch) + fft_shape + (2,))
+        if chunk_b == batch:
+            y = data_pipeline(xe)
+        else:
+            xs = xe.reshape(batch // chunk_b, chunk_b, *xe.shape[1:])
+            ys = jax.lax.map(data_pipeline, xs)        # (nc, kc, cb, *fft, 2)
+            y = jnp.moveaxis(ys, 1, 0).reshape((kcount, batch) + fft_shape + (2,))
         crop = (slice(None), slice(None)) + tuple(
             slice(out_off[d], out_off[d] + out_shape[d]) for d in range(rank))
         y = y[crop]                                                # (kc, b, *out, 2)
