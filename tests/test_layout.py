@@ -277,3 +277,39 @@ def test_exec_offsets_require_flat_layout():
     plan = W.create_plan(type="c2c", shape=[8], batch=1)
     with pytest.raises(W.PlanError, match="offset"):
         plan(np.zeros((1, 8, 2), np.float32), input_offset_elements=2)
+
+
+def test_bf16_storage_with_ioview(rng):
+    """bf16-storage composes with ioView (reference: f16-storage + ioView
+    suite entry)."""
+    import jax.numpy as jnp
+    z = rand_c(rng, (2, 6)) * 0.5
+    plan = W.create_plan(type="c2c", shape=[8], batch=2, direction="forward",
+                        precision="bf16-storage",
+                        ioView={"input": {"shape": [6]}})
+    x = jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+    y = uninterleave(np.asarray(plan(x).astype(jnp.float32)))
+    padded = np.zeros((2, 8), complex)
+    padded[:, :6] = np.asarray(jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+                               .astype(jnp.float32))[..., 0] \
+        + 1j * np.asarray(jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+                          .astype(jnp.float32))[..., 1]
+    ref = R.fft_nd(padded, [8], "forward")
+    err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert err < 2e-2, err  # output is stored bf16: ~0.4% rounding
+
+
+def test_strided_output_merge_preserves_existing(rng, assert_close):
+    """Custom-strided output with exec(out=) preserves untouched elements —
+    the clearOutside=false behavior (reference: dct2 custom-strided output
+    with clearOutside=false)."""
+    n, batch, stride = 6, 1, 3
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    plan = W.create_plan(type="dct2", shape=[n], direction="forward", batch=batch,
+                        layout={"outputStrides": [stride]})
+    sentinel = np.full(((n - 1) * stride + 1,), 7.5, np.float32)
+    y = np.asarray(plan(x, out=sentinel))
+    ref = R.dct_nd(x, (n,), "dct2", "forward")[0]
+    assert_close(y[::stride], ref, label="merged strided out")
+    # gap elements keep the sentinel value
+    assert np.all(y[1::stride][: n - 1] == 7.5) or np.all(y[1] == 7.5)
