@@ -105,7 +105,8 @@ def main():
     flat = jnp.asarray(lanes.reshape(-1, 2))
     kern = jnp.asarray(rng.standard_normal((2, 256, 2)).astype(np.float32))
     import time
-    plan.exec(flat, kernel=kern)  # warm
+    y = plan.exec(flat, kernel=kern)  # warm (incl. the barrier expression!)
+    float(jnp.sum(y[:1]))
     t0 = time.perf_counter()
     for _ in range(iters):
         y = plan.exec(flat, kernel=kern)
@@ -118,7 +119,8 @@ def main():
                         fftConv={"kernelCount": 3})
     x = jnp.asarray(rng.standard_normal((2, 16, 8, 4, 2)).astype(np.float32))
     k3 = jnp.asarray(rng.standard_normal((3, 16, 8, 4, 2)).astype(np.float32))
-    plan.exec(x, kernel=k3)
+    y = plan.exec(x, kernel=k3)  # warm incl. barrier
+    float(jnp.sum(y[:1, :1]))
     t0 = time.perf_counter()
     for _ in range(iters):
         y = plan.exec(x, kernel=k3)
