@@ -1,0 +1,94 @@
+"""Backend self-test: quick correctness sweep on the CURRENT jax backend.
+
+Usage: python -m webgpufft_tpu.selftest
+
+Builds one plan per family, compares against the numpy oracle, and prints a
+PASS/FAIL line each — the fast way to validate a new device, runtime, or
+jax version (the analog of the reference's browser harness smoke lane).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def run(tol: float = 1e-5) -> bool:
+    import jax
+
+    import webgpufft_tpu as W
+    from webgpufft_tpu.core.cplx import interleave, uninterleave
+    from webgpufft_tpu.utils import mathref as R
+
+    rng = np.random.default_rng(0)
+    ok_all = True
+
+    def check(label, got, ref):
+        nonlocal ok_all
+        got = np.asarray(got, dtype=np.float64)
+        ref = np.asarray(ref, dtype=np.float64)
+        err = np.max(np.abs(got - ref)) / max(1e-12, np.max(np.abs(ref)))
+        ok = err <= tol
+        ok_all &= ok
+        print(f"{'PASS' if ok else 'FAIL'} {label:34s} max_rel_err={err:.2e}")
+
+    print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
+    cache = W.PlanCache()
+
+    z = rng.standard_normal((2, 96)) + 1j * rng.standard_normal((2, 96))
+    p = W.create_plan({"type": "c2c", "shape": [96], "batch": 2,
+                       "normalize": "unitary"}, cache=cache)
+    check("c2c mixed (96)", interleave(uninterleave(np.asarray(p(interleave(z))))),
+          interleave(R.fft_nd(z, [96], "forward", "unitary")))
+
+    z = rng.standard_normal((1, 17)) + 1j * rng.standard_normal((1, 17))
+    p = W.create_plan({"type": "c2c", "shape": [17], "batch": 1}, cache=cache)
+    check("c2c rader (17)", np.asarray(p(interleave(z))),
+          interleave(R.fft_nd(z, [17], "forward")))
+
+    z = rng.standard_normal((1, 34)) + 1j * rng.standard_normal((1, 34))
+    p = W.create_plan({"type": "c2c", "shape": [34], "batch": 1}, cache=cache)
+    check("c2c bluestein (34)", np.asarray(p(interleave(z))),
+          interleave(R.fft_nd(z, [34], "forward")))
+
+    x = rng.standard_normal((2, 16, 6)).astype(np.float32)
+    p = W.create_plan({"type": "r2c", "shape": [16, 6], "direction": "forward",
+                       "batch": 2}, cache=cache)
+    check("r2c 2d", np.asarray(p(x)), interleave(R.r2c_packed(x, [16, 6])))
+
+    packed = R.r2c_packed(x.astype(np.float64), [16, 6])
+    p = W.create_plan({"type": "c2r", "shape": [16, 6], "direction": "inverse",
+                       "normalize": "backward", "batch": 2}, cache=cache)
+    check("c2r 2d", np.asarray(p(interleave(packed))), x)
+
+    xr = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    for kind in ("dct2", "dst3"):
+        p = W.create_plan({"type": kind, "shape": [8, 8], "direction": "forward",
+                           "batch": 2}, cache=cache)
+        check(f"{kind} 8x8", np.asarray(p(xr)),
+              R.dct_nd(xr, [8, 8], kind, "forward"))
+
+    zc = rng.standard_normal((2, 16)) + 1j * rng.standard_normal((2, 16))
+    k = rng.standard_normal((5,)) + 1j * rng.standard_normal((5,))
+    p = W.create_plan({"type": "fftconv", "shape": [16], "batch": 2,
+                       "fftConv": {"boundary": "linear-same",
+                                   "kernelShape": [5]}}, cache=cache)
+    got = p.exec(interleave(zc), kernel=interleave(k))
+    check("fftconv linear-same", np.asarray(got),
+          interleave(R.fftconv(zc, k, [16], batch=2, boundary="linear-same",
+                               kernel_shape=[5])))
+
+    p = W.create_plan({"type": "conv2d", "shape": [8, 8], "batch": 1,
+                       "conv": {"kernelSize": 3, "padding": "same"}}, cache=cache)
+    xi = rng.standard_normal((1, *p.in_shape)).astype(np.float32)
+    w = rng.standard_normal((3, 3)).astype(np.float32)
+    check("conv2d 3x3 same", np.asarray(p.exec(xi, kernel=w)),
+          R.conv2d_direct(xi, w, pad=p.pad))
+
+    print("SELFTEST", "PASS" if ok_all else "FAIL")
+    return ok_all
+
+
+if __name__ == "__main__":
+    sys.exit(0 if run() else 1)
