@@ -112,3 +112,22 @@ def test_normalize_scale_rule():
     assert normalize_scale("backward", "inverse", 64) == 1.0 / 64
     assert normalize_scale("unitary", "forward", 64) == 1.0 / 8
     assert normalize_scale("unitary", "inverse", 64) == 1.0 / 8
+
+
+def test_selftest_module_passes():
+    """The shipped backend self-test must pass on the test backend."""
+    from webgpufft_tpu.selftest import run
+    assert run()
+
+
+def test_plan_error_details_payload():
+    """Structured diagnostics ride PlanError (reference errors embed shapes
+    and routing metadata; common.js:42-53)."""
+    plan = W.create_plan(type="c2c", shape=[8], batch=2)
+    try:
+        plan(np.zeros((3, 8, 2), np.float32))
+        assert False, "expected PlanError"
+    except W.PlanError as e:
+        assert e.details["plan_type"] == "c2c"
+        assert e.details["batch"] == 2
+        assert "route_mode" in e.details
