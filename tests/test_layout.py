@@ -273,10 +273,54 @@ def test_exec_time_offsets(rng, assert_close):
                  label="exec out_off.re")
 
 
-def test_exec_offsets_require_flat_layout():
+def test_exec_offsets_on_shaped_side(rng, assert_close):
+    """Exec-time offsets work on SHAPED sides too, by lowering that side to
+    a contiguous flat view — matching the reference where inputOffsetBytes
+    works on any buffer exec (docs/API.md:115-116)."""
+    n, batch = 8, 2
+    z = rand_c(rng, (40,))
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward")
+    y = uninterleave(np.asarray(plan(interleave(z), input_offset_elements=3)))
+    ref = R.fft_nd(z[3:3 + batch * n].reshape(batch, n), [n], "forward")
+    assert_close(y.reshape(batch, n).real, ref.real, label="shaped in_off.re")
+    assert_close(y.reshape(batch, n).imag, ref.imag, label="shaped in_off.im")
+    # output offset into a caller buffer (shaped output side)
+    out = np.zeros((40, 2), np.float32)
+    y2 = uninterleave(np.asarray(plan(interleave(z), out=out,
+                                      input_offset_elements=3,
+                                      output_offset_elements=4)))
+    assert np.all(y2[:4] == 0)
+    assert_close(y2[4:4 + batch * n].reshape(batch, n).real, ref.real,
+                 label="shaped out_off.re")
+    # but a SHAPED array with an input offset is still a misuse
+    with pytest.raises(W.PlanError, match="flat buffer"):
+        plan(np.zeros((batch, n, 2), np.float32), input_offset_elements=2)
+
+
+def test_exec_offset_eager_validation(rng):
+    """Out-of-range runtime offsets fail eagerly instead of silently
+    dropping scatter writes (XLA drop mode)."""
+    n, batch = 8, 2
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch, direction="forward",
+                        layout={"inputStrides": [1], "outputStrides": [1]})
+    x = np.zeros((batch * n, 2), np.float32)
+    with pytest.raises(W.PlanError, match="too small"):
+        plan(np.zeros((batch * n + 1, 2), np.float32), input_offset_elements=2)
+    with pytest.raises(W.PlanError, match="requires out="):
+        plan(x, output_offset_elements=4)
+    with pytest.raises(W.PlanError, match="too small"):
+        plan(x, out=np.zeros((batch * n, 2), np.float32),
+             output_offset_elements=1)
+    with pytest.raises(W.PlanError, match=">= 0"):
+        plan(x, input_offset_elements=-1)
+
+
+def test_out_requires_mergeable_output():
+    """exec(out=) on a plan whose output side cannot merge raises instead of
+    silently ignoring the buffer."""
     plan = W.create_plan(type="c2c", shape=[8], batch=1)
-    with pytest.raises(W.PlanError, match="offset"):
-        plan(np.zeros((1, 8, 2), np.float32), input_offset_elements=2)
+    with pytest.raises(W.PlanError, match="out="):
+        plan(np.zeros((1, 8, 2), np.float32), out=np.zeros((8, 2), np.float32))
 
 
 def test_bf16_storage_with_ioview(rng):
@@ -313,3 +357,94 @@ def test_strided_output_merge_preserves_existing(rng, assert_close):
     assert_close(y[::stride], ref, label="merged strided out")
     # gap elements keep the sentinel value
     assert np.all(y[1::stride][: n - 1] == 7.5) or np.all(y[1] == 7.5)
+
+
+# ---------------------------------------------------------------------------
+# clearOutside keep-outside semantics via exec(out=)
+# (reference: src/kernels/ioview.js clearOutside control, docs/API.md:219)
+# ---------------------------------------------------------------------------
+
+def test_ioview_keep_outside_contiguous_out(rng, assert_close):
+    """clearOutside=false + exec(out=): view cells outside the logical
+    overlap keep their preexisting values (shaped/contiguous output)."""
+    z = rand_c(rng, (1, 8))
+    ref = R.fft_nd(z, [8], "forward")
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, direction="forward",
+                        ioView={"output": {"shape": [12], "offset": [-2]}})
+    sentinel = np.full((1, 12, 2), 7.5, np.float32)
+    y = uninterleave(np.asarray(plan(interleave(z), out=sentinel)))
+    assert_close(y[:, 2:10].real, ref.real, label="keep-outside overlap.re")
+    assert_close(y[:, 2:10].imag, ref.imag, label="keep-outside overlap.im")
+    assert np.all(y[:, :2] == 7.5 + 7.5j) and np.all(y[:, 10:] == 7.5 + 7.5j)
+    # clearOutside=true zeroes the rest even with out= given
+    plan2 = W.create_plan(type="c2c", shape=[8], batch=1, direction="forward",
+                         ioView={"output": {"shape": [12], "offset": [-2],
+                                            "clearOutside": True}})
+    y2 = uninterleave(np.asarray(plan2(interleave(z),
+                                       out=np.full((1, 12, 2), 7.5, np.float32))))
+    assert np.all(y2[:, :2] == 0) and np.all(y2[:, 10:] == 0)
+
+
+def test_ioview_keep_outside_strided_out(rng, assert_close):
+    """clearOutside=false + strided output + exec(out=): the scatter is
+    restricted to the view/logical overlap (regression: zeros outside the
+    overlap used to be scattered over the sentinel)."""
+    z = rand_c(rng, (1, 8))
+    ref = R.fft_nd(z, [8], "forward")
+    stride = 2
+    plan = W.create_plan(type="c2c", shape=[8], batch=1, direction="forward",
+                        ioView={"output": {"shape": [12], "offset": [-2]}},
+                        layout={"outputStrides": [stride]})
+    L = (12 - 1) * stride + 1
+    sentinel = np.full((L, 2), 7.5, np.float32)
+    y = uninterleave(np.asarray(plan(interleave(z), out=sentinel)))
+    strided = y[::stride]  # the 12 view cells
+    assert_close(strided[2:10].real, ref[0].real, label="strided keep.re")
+    # view cells outside the logical overlap keep the sentinel
+    assert np.all(strided[:2] == 7.5 + 7.5j) and np.all(strided[10:] == 7.5 + 7.5j)
+    # gap elements (between strides) also keep the sentinel
+    assert np.all(y[1::stride] == 7.5 + 7.5j)
+
+
+# ---------------------------------------------------------------------------
+# reference WebGPU tuning knobs are accepted-and-recorded no-ops
+# ---------------------------------------------------------------------------
+
+def test_webgpu_tuning_knobs_ignored(rng, assert_close):
+    """A reference-style options dict (docs/API.md:88-104 knob surface) runs
+    unmodified; each WebGPU-only key is recorded as a route reason."""
+    z = rand_c(rng, (2, 16))
+    plan = W.create_plan(
+        type="c2c", shape=[16], batch=2, direction="forward",
+        tuning={"workgroupSizeX": 256,
+                "maxStorageBufferBindingSize": 1 << 20,
+                "transposeMinElements": 4096,
+                "disableTranspose": False,
+                "largeChunkMaxBatches": 4,
+                "raderMaxPrime": 4096})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, [16], "forward"), label="webgpu-knobs")
+    for key in ("workgroupSizeX", "maxStorageBufferBindingSize",
+                "transposeMinElements", "disableTranspose",
+                "largeChunkMaxBatches"):
+        assert f"ignored-webgpu-knob:{key}" in plan.route.reasons, (
+            key, plan.route.reasons)
+    # genuinely unknown keys still fail fast
+    with pytest.raises(W.PlanError, match="unknown tuning key"):
+        W.create_plan(type="c2c", shape=[16], tuning={"definitelyNotAKnob": 1})
+
+
+def test_forced_rader_respects_max_prime():
+    """forceRaderAxes beyond raderMaxPrime raises (reference enforces the
+    bound on forced axes too, large_policy.js:220-222)."""
+    with pytest.raises(W.PlanError, match="raderMaxPrime"):
+        W.create_plan(type="c2c", shape=[5003], batch=1,
+                     tuning={"forceRaderAxes": [0], "raderMaxPrime": 4096})
+
+
+def test_fftconv_rejects_ioview():
+    """fftconv takes no user ioView (the reference's FftConvPlan constructor
+    does not accept one either, fftconv.js:308-318)."""
+    with pytest.raises(W.PlanError, match="ioView"):
+        W.create_plan(type="fftconv", shape=[16],
+                     ioView={"input": {"shape": [8]}})

@@ -259,6 +259,15 @@ def select_axis_kind(n: int, axis: int, tuning) -> str:
     if axis in tuning.force_rader_axes:
         if not factors.is_prime(n):
             raise ValueError(f"forceRaderAxes: axis {axis} length {n} is not prime")
+        if n > tuning.rader_max_prime:
+            # the reference enforces raderMaxPrime even on forced axes
+            # (large_policy.js:220-222); a silently-built giant host table +
+            # convolution plan is worse than the diagnostic
+            from ..spec import PlanError
+            raise PlanError(
+                f"forceRaderAxes: axis {axis} length {n} exceeds "
+                f"tuning.raderMaxPrime ({tuning.rader_max_prime})",
+                axis=axis, length=n, rader_max_prime=tuning.rader_max_prime)
         return "rader"
     if n == 1 or factors.is_smooth(n):
         return "mixed"

@@ -225,7 +225,7 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tb, n2, 2 * n1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                             memory_space=pl.ANY if interpret else pltpu.VMEM),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
                 pl.BlockSpec((n2, n2), lambda i: (0, 0)),
                 pl.BlockSpec((n2, 2 * n1) if v1 else (2 * n1, n2),
@@ -236,7 +236,7 @@ def build_fused_lines(n: int, batch: int, direction: str, tuning,
                 pl.BlockSpec((2 * n2, 2 * n2), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((tb, n1, 2 * n2), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                                   memory_space=pl.ANY if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, n1, 2 * n2), jnp.float32),
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(

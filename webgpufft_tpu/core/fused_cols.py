@@ -163,7 +163,7 @@ def build_fused_cols(pre: int, h: int, lanes: int, direction: str,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tbp, h, tl), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                             memory_space=pl.ANY if interpret else pltpu.VMEM),
                 pl.BlockSpec((h1, h1), lambda i, j: (0, 0)),
                 pl.BlockSpec((h1, h1), lambda i, j: (0, 0)),
                 pl.BlockSpec((h1, h2, 1), lambda i, j: (0, 0, 0)),
@@ -172,7 +172,7 @@ def build_fused_cols(pre: int, h: int, lanes: int, direction: str,
                 pl.BlockSpec((h2, h2), lambda i, j: (0, 0)),
             ],
             out_specs=pl.BlockSpec((tbp, h, tl), lambda i, j: (i, 0, j),
-                                   memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                                   memory_space=pl.ANY if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((pre, h, lanes), jnp.float32),
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(

@@ -59,6 +59,11 @@ class Plan:
         self._workspace_bytes = workspace_bytes
         self._consts = {k: jnp.asarray(v) for k, v in consts.items()}
         self._fn = fn
+        # static side metadata attached by build_staged_fn (None for plans
+        # with bespoke pipelines like fftconv/conv2d)
+        self._in_need = getattr(fn, "in_need", None)
+        self._out_need = getattr(fn, "out_need", None)
+        self.accepts_out = getattr(fn, "accepts_out", False)
         donate_args = (1,) if donate else ()
         self._jit = jax.jit(fn, donate_argnums=donate_args)
         self._jit_out = None  # lazily created variant taking an out buffer
@@ -99,9 +104,51 @@ class Plan:
         return y
 
     def _exec_inner(self, x, kernel=None, out=None, in_off=None, out_off=None):
-        if self._expect_input is not None:
+        # Eager misuse checks: these conditions would otherwise be silent
+        # no-ops or dropped scatter writes inside the jitted pipeline.
+        if out is not None and not (self.accepts_out or out_off is not None):
+            raise PlanError(
+                f"{self.spec.plan_type}: out= requires an output side that "
+                "can merge (custom strides/whdcn, an ioView output, or an "
+                "exec-time output offset); this plan returns fresh arrays")
+        if in_off is not None or out_off is not None:
+            if not self.supports_exec_offsets:
+                raise PlanError(
+                    f"{self.spec.plan_type}: exec offsets require a staged "
+                    "transform plan")
+            if in_off is not None:
+                in_off = int(in_off)
+                if in_off < 0:
+                    raise PlanError("input_offset_elements must be >= 0")
+                if self._expect_input is not None:
+                    want_rank = 2 if self._expect_input[1] else 1
+                    if x.ndim != want_rank:
+                        raise PlanError(
+                            f"{self.spec.plan_type}: input_offset_elements "
+                            f"expects a flat buffer of rank {want_rank}, got "
+                            f"shape {tuple(x.shape)}")
+                if self._in_need is not None and x.shape[0] < in_off + self._in_need:
+                    raise PlanError(
+                        "flat input too small for runtime offset: need "
+                        f"{in_off + self._in_need} elements, got {x.shape[0]}",
+                        input_offset_elements=in_off, need=self._in_need)
+            if out_off is not None:
+                out_off = int(out_off)
+                if out_off < 0:
+                    raise PlanError("output_offset_elements must be >= 0")
+                if out is None:
+                    raise PlanError(
+                        "output_offset_elements requires out= (a concrete "
+                        "output buffer to offset into)")
+                if self._out_need is not None and out.shape[0] < out_off + self._out_need:
+                    raise PlanError(
+                        "out buffer too small for runtime offset: need "
+                        f"{out_off + self._out_need} elements, got {out.shape[0]}",
+                        output_offset_elements=out_off, need=self._out_need)
+        if self._expect_input is not None and in_off is None:
             validate_input_shape(self, x, self._expect_input[0],
                                  self._expect_input[1], self.spec.precision)
+        if self._expect_input is not None:
             want = stages.expect_dtype(self.spec.precision)
             if x.dtype != want:
                 raise PlanError(
@@ -229,6 +276,8 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
     core -> zeroPad.write -> [ioView extract] -> [strided scatter] ->
     storage-store
     """
+    import math as _math
+
     s_in, s_out, in_phys, out_phys = resolve_sides(
         spec, in_domain, out_domain, in_interleaved, out_interleaved)
     batch = spec.batch
@@ -236,15 +285,19 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
     in_view, out_view = spec.io_view.input, spec.io_view.output
 
     def fn(consts, x, out=None, in_off=None, out_off=None):
-        if in_off is not None and not s_in.has_layout:
-            raise PlanError("input_offset_elements requires a flat-layout input side")
-        if out_off is not None and not s_out.has_layout:
-            raise PlanError("output_offset_elements requires a flat-layout output side")
         x = stages.load_storage(x, spec.precision)
         if s_in.has_layout:
             x = stages.gather_flat(
                 x, shape=in_phys, strides=s_in.strides, offset=s_in.offset,
                 batch_stride=s_in.batch_stride, batch=batch,
+                interleaved=in_interleaved, extra_offset=in_off)
+        elif in_off is not None:
+            # exec-time offset on a shaped side: lower to a contiguous flat
+            # view (the reference's inputOffsetBytes works on any buffer
+            # exec, docs/API.md:115-116)
+            x = stages.gather_flat(
+                x, shape=in_phys, strides=stages.default_strides(in_phys),
+                offset=0, batch_stride=_math.prod(in_phys), batch=batch,
                 interleaved=in_interleaved, extra_offset=in_off)
         if in_view is not None:
             x = stages.embed_view(x, in_view, in_domain, in_interleaved)
@@ -253,18 +306,53 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
         y = stages.zero_pad_apply(y, zp.write, out_domain, out_interleaved)
         if out_view is not None:
             y = stages.extract_view(y, out_view, out_domain, out_interleaved)
-        if s_out.has_layout:
+        if s_out.has_layout or out_off is not None:
+            if s_out.has_layout:
+                st, off, bs = s_out.strides, s_out.offset, s_out.batch_stride
+            else:  # shaped side + exec-time offset: contiguous flat scatter
+                st = stages.default_strides(out_phys)
+                off, bs = 0, _math.prod(out_phys)
+            vals, sh = y, tuple(out_phys)
+            if out_view is not None and not out_view.clear_outside and out is not None:
+                # keep-outside: restrict the scatter to the view/logical
+                # overlap so preexisting data outside it survives
+                ov = stages.view_overlap(out_view, out_domain)
+                if ov is None:
+                    return stages.store_storage(out, spec.precision)
+                vsl, _ = ov
+                tail = (slice(None),) if out_interleaved else ()
+                vals = y[(slice(None),) + vsl + tail]
+                sh = tuple(s.stop - s.start for s in vsl)
+                off = off + sum(vsl[d].start * st[d] for d in range(len(st)))
             y = stages.scatter_flat(
-                y, shape=out_phys, strides=s_out.strides, offset=s_out.offset,
-                batch_stride=s_out.batch_stride, batch=batch,
-                interleaved=out_interleaved, out=out, extra_offset=out_off)
+                vals, shape=sh, strides=st, offset=off, batch_stride=bs,
+                batch=batch, interleaved=out_interleaved, out=out,
+                min_len=None if out is not None else _need(out_phys, st, off, bs),
+                extra_offset=out_off)
+        elif out_view is not None and out is not None:
+            if not out_view.clear_outside:
+                y = stages.merge_view_into(y, out_view, out_domain,
+                                           out_interleaved, out)
+            # clearOutside=true: the extracted view (zeros outside the
+            # logical overlap) IS the result; the caller buffer is replaced
         y = stages.store_storage(y, spec.precision)
         return y
+
+    def _need(phys, st, off, bs):
+        return off + bs * (batch - 1) + stages.layout_span(phys, st)
 
     in_shape = ((None,) if s_in.has_layout
                 else (batch,) + tuple(in_phys) + ((2,) if in_interleaved else ()))
     out_shape = ((None,) if s_out.has_layout
                  else (batch,) + tuple(out_phys) + ((2,) if out_interleaved else ()))
+    # static metadata for eager exec-time validation (Plan._exec_inner):
+    # minimum flat-element footprint of each side, excluding runtime offsets
+    fn.in_need = (_need(in_phys, s_in.strides, s_in.offset, s_in.batch_stride)
+                  if s_in.has_layout else batch * _math.prod(in_phys))
+    fn.out_need = (_need(out_phys, s_out.strides, s_out.offset, s_out.batch_stride)
+                   if s_out.has_layout else batch * _math.prod(out_phys))
+    fn.accepts_out = s_out.has_layout or out_view is not None
+    fn.in_phys, fn.out_phys = tuple(in_phys), tuple(out_phys)
     return fn, in_shape, out_shape, s_in, s_out
 
 

@@ -57,8 +57,10 @@ def build_conv2d(spec: PlanSpec) -> Plan:
     batch = spec.batch
     ktype = c.kernel_type
 
+    from ..runtime.policy import knob_reasons
     route = RouteInfo(mode="xla", impl="xla", axis_kinds=(),
-                      reasons=("conv2d-xla-conv",), attempts=("xla",))
+                      reasons=("conv2d-xla-conv",) + knob_reasons(spec),
+                      attempts=("xla",))
 
     dn = jax.lax.conv_dimension_numbers((batch, hin, win, 1), (k, k, 1, 1),
                                         ("NHWC", "HWIO", "NHWC"))

@@ -47,8 +47,10 @@ def build_fftconv(spec: PlanSpec) -> Plan:
     consts.update(engine.collect_consts(inv))
 
     kinds = tuple(select_axis_kind(n, d, spec.tuning) for d, n in enumerate(fft_shape))
+    from ..runtime.policy import knob_reasons
     route = RouteInfo(mode="xla", impl="xla", axis_kinds=kinds,
-                      reasons=("fftconv-xla-pipeline",), attempts=("xla",))
+                      reasons=("fftconv-xla-pipeline",) + knob_reasons(spec),
+                      attempts=("xla",))
 
     # channel-lane input gather (reference: fftconv.js:213-281 channelPolicy
     # -> whdcn lowering); input side shape is the data `shape`
@@ -157,6 +159,8 @@ def build_fftconv(spec: PlanSpec) -> Plan:
 
     ws = (2 * batch + 2 * kcount + 2 * kcount * batch) * nf * 8
     plan = Plan(spec, consts, fn, route, needs_kernel=True, workspace_bytes=ws)
+    # out= merging is meaningful only for the flat-scatter output modes
+    plan.accepts_out = ch_out is not None or out_kernel_stride is not None
     plan._expect_input = ((None,), True) if ch_in is not None else (
         (batch,) + tuple(shape) + (2,), True)
     plan.fft_shape = fft_shape

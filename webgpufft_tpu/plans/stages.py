@@ -53,12 +53,40 @@ def embed_view(x, view: IoViewSide, logical: Sequence[int], interleaved: bool):
     return jnp.pad(x[tuple(slices)], pads)
 
 
+def view_overlap(view: IoViewSide, logical: Sequence[int]):
+    """Per-axis overlap of the view window with the logical domain as
+    (view_slices, logical_slices), or None when empty."""
+    vsl, lsl = [], []
+    for d in range(len(logical)):
+        off, v, L = view.offset[d], view.shape[d], logical[d]
+        lo, hi = max(0, off), min(L, off + v)
+        if hi <= lo:
+            return None
+        lsl.append(slice(lo, hi))
+        vsl.append(slice(lo - off, hi - off))
+    return tuple(vsl), tuple(lsl)
+
+
+def merge_view_into(y_view, view: IoViewSide, logical: Sequence[int],
+                    interleaved: bool, out):
+    """clearOutside=false with a caller buffer: write only the view/logical
+    overlap region of the extracted view into ``out``, preserving everything
+    else (reference: ioview.js clearOutside control, docs/API.md:219)."""
+    ov = view_overlap(view, logical)
+    if ov is None:
+        return out
+    vsl, _ = ov
+    tail = (slice(None),) if interleaved else ()
+    idx = (slice(None),) + vsl + tail
+    return out.at[idx].set(y_view[idx])
+
+
 def extract_view(y, view: IoViewSide, logical: Sequence[int], interleaved: bool):
     """(batch, *logical[, 2]) -> (batch, *view.shape[, 2]).
 
-    View coords outside the logical domain are zero (functional outputs have
-    no preexisting data; clearOutside therefore has no observable effect —
-    use exec(..., out=) scatter merging for the keep-outside behavior).
+    View coords outside the logical domain are zero.  For the keep-outside
+    behavior (clearOutside=false), exec(out=) merges via merge_view_into /
+    an overlap-restricted strided scatter.
     """
     rank = len(logical)
     tail = 1 if interleaved else 0

@@ -53,14 +53,6 @@ def default_cache() -> PlanCache:
     return _default_cache
 
 
-def _spec_to_opts(d: Dict[str, Any]) -> Dict[str, Any]:
-    """Reconstruct createPlan-style options from a serialized spec dict.
-
-    Only fields needed to rebuild are kept; unknown/derived fields dropped.
-    """
-    return d
-
-
 def export_plan_cache_snapshot(cache: Optional[PlanCache] = None) -> Dict[str, Any]:
     cache = cache if cache is not None else _default_cache
     return {
@@ -139,7 +131,7 @@ def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
             conv["pad"] = tuple(conv["pad"])
         conv = S.Conv2dSpec(**conv)
     tun = dict(d.get("tuning") or {})
-    for k in ("force_bluestein_axes", "force_rader_axes"):
+    for k in ("force_bluestein_axes", "force_rader_axes", "ignored_webgpu_knobs"):
         tun[k] = tuple(tun.get(k, ()))
     return S.PlanSpec(
         plan_type=d["plan_type"], shape=tuple(d["shape"]),

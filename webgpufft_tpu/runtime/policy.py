@@ -64,16 +64,24 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     return not reasons, reasons
 
 
+def knob_reasons(spec: PlanSpec) -> Tuple[str, ...]:
+    """Route reasons recording reference WebGPU-only tuning knobs that were
+    accepted as no-ops (spec.WEBGPU_ONLY_TUNING_KEYS)."""
+    return tuple(f"ignored-webgpu-knob:{k}"
+                 for k in spec.tuning.ignored_webgpu_knobs)
+
+
 def resolve_route(spec: PlanSpec, axis_kinds: Tuple[str, ...]):
     from ..plans.base import RouteInfo
 
     attempts: List[str] = []
+    knobs = knob_reasons(spec)
     ok, reasons = fused_eligibility(spec)
     attempts.append("pallas-fused")
     if ok:
         return RouteInfo(mode="pallas-fused", impl="pallas",
-                         axis_kinds=axis_kinds, reasons=tuple(reasons),
+                         axis_kinds=axis_kinds, reasons=tuple(reasons) + knobs,
                          attempts=tuple(attempts))
     attempts.append("xla")
     return RouteInfo(mode="xla", impl="xla", axis_kinds=axis_kinds,
-                     reasons=tuple(reasons), attempts=tuple(attempts))
+                     reasons=tuple(reasons) + knobs, attempts=tuple(attempts))

@@ -166,6 +166,10 @@ class TuningSpec:
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
     fused_precision: str = "highest"           # fused-kernel matmul passes: highest|default
     fused_variant: str = "v1"                  # fused-kernel formulation: v1|v2 (see core/fused.py)
+    # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
+    # reference-style options dict runs unmodified (VERDICT r1 #8); each key
+    # shows up as route reason "ignored-webgpu-knob:<key>"
+    ignored_webgpu_knobs: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -312,6 +316,19 @@ def _norm_layout(layout: Optional[Dict[str, Any]], rank: int) -> LayoutSpec:
     )
 
 
+# Reference tuning keys that only make sense on a WebGPU device.  Accepted
+# and recorded as no-ops (route reason "ignored-webgpu-knob:<key>") so the
+# reference's own test/bench option dicts run unmodified against this API
+# (reference knob surface: docs/API.md:88-104).
+WEBGPU_ONLY_TUNING_KEYS = frozenset({
+    "workgroupSizeX", "maxStorageBufferBindingSize", "transposeMinElements",
+    "disableTranspose", "disableOutOfCoreFourStep",
+    "preferOutOfCoreForStrided", "largeChunkMaxBatches",
+    "swapTo2Stage4Step", "swapTo3Stage4Step", "groupedBatch",
+    "outOfCoreBurstWindows",
+})
+
+
 def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     if t is None:
         return TuningSpec()
@@ -328,12 +345,18 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "maxSubLength": "max_sub_length",
         "batchTile": "batch_tile",
     }
+    ignored = []
     for k, v in t.items():
+        if k in WEBGPU_ONLY_TUNING_KEYS:
+            ignored.append(k)
+            continue
         key = mapping.get(k, k)
         _check(key in TuningSpec.__dataclass_fields__, f"unknown tuning key {k!r}")
         if key in ("force_bluestein_axes", "force_rader_axes"):
             v = tuple(int(a) for a in v)
         kw[key] = v
+    if ignored:
+        kw["ignored_webgpu_knobs"] = tuple(sorted(ignored))
     ts = TuningSpec(**kw)
     _check(ts.impl in ("auto", "pallas", "pallas-auto", "xla"),
            "tuning.impl must be auto|pallas|pallas-auto|xla")
@@ -468,7 +491,11 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
         output=_norm_io_side(io.get("output"), out_domain, True, "ioView.output"),
     )
     if io_view.input or io_view.output:
-        _check(plan_type != "conv2d", "conv2d does not support ioView")
+        # the reference's FftConvPlan constructor takes no user ioView either
+        # (fftconv.js:308-318 destructures only shape/batch/.../fftConv/zeroPad);
+        # its internal sub-plan ioViews are not a user surface
+        _check(plan_type not in ("conv2d", "fftconv"),
+               f"{plan_type} does not support ioView")
 
     zp = d.get("zeroPad", d.get("zero_pad")) or {}
     zero_pad = ZeroPadSpec(
