@@ -1,0 +1,148 @@
+"""Four-step HBM route: correctness, routing, slab chunking, guards.
+
+Reference counterpart: the out-of-core four-step / axis-0 two-step
+(src/runtime/plans/c2c.js:3386-3549, src/plan.js:89-153) — on TPU a single
+giant smooth axis decomposes into an (n1, n2) digit grid with a rows-form
+stage 1, folded twiddle, contiguous stage 2, and one digit transpose
+(core/axis.FourStepAxisPlan).
+"""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core import axis as A
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.plans import transforms as T
+from webgpufft_tpu.utils import mathref as R
+
+
+def rand_c(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+@pytest.mark.parametrize("direction", ["forward", "inverse"])
+def test_four_step_forced_matches_numpy(rng, assert_close, direction):
+    """tuning.largeRoute='out-of-core' selects the four-step route and the
+    result matches numpy at n=8192."""
+    n = 8192
+    z = rand_c(rng, (2, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=2, direction=direction,
+                        normalize="unitary", tuning={"largeRoute": "out-of-core"})
+    assert plan.route.mode == "four-step-hbm", plan.route
+    assert any("four-step" in r for r in plan.route.reasons), plan.route.reasons
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [n], direction) / np.sqrt(n)
+    assert_close(y.real, ref.real, label="4step.re")
+    assert_close(y.imag, ref.imag, label="4step.im")
+
+
+def test_four_step_auto_threshold(rng, assert_close):
+    """auto route takes four-step at n >= tuning.fourStepMinN and stays on
+    the generic einsum path below it."""
+    n = 4096
+    z = rand_c(rng, (1, n))
+    lo = W.create_plan(type="c2c", shape=[n], batch=1,
+                      tuning={"fourStepMinN": n})
+    assert lo.route.mode == "four-step-hbm"
+    hi = W.create_plan(type="c2c", shape=[n], batch=1,
+                      tuning={"fourStepMinN": n + 1})
+    assert hi.route.mode == "xla"
+    ya = uninterleave(np.asarray(lo(interleave(z))))
+    yb = uninterleave(np.asarray(hi(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward")
+    assert_close(ya, ref, label="4step-auto")
+    assert_close(yb, ref, label="einsum-below-threshold")
+
+
+def test_four_step_chunk_route_disables(rng):
+    plan = W.create_plan(type="c2c", shape=[8192], batch=1,
+                        tuning={"largeRoute": "chunk", "fourStepMinN": 4096})
+    assert plan.route.mode == "xla"
+
+
+def test_four_step_slab_chunking(rng, assert_close, monkeypatch):
+    """A line past the operand budget streams digit slabs through lax.map
+    inside the four-step stages."""
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 2048)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 2048)
+    n = 16384  # > 2048 budget -> internal slabs on both stages
+    z = rand_c(rng, (1, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=1, direction="forward")
+    assert plan.route.mode == "four-step-hbm"  # necessity override
+    assert "single-item-exceeds-chunk" in plan.route.reasons
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, [n], "forward"), label="4step-slabs")
+
+
+def test_giant_nd_slabbed_axes(rng, assert_close, monkeypatch):
+    """ND plans whose single item exceeds the budget slab every axis
+    application over a complementary axis."""
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 1024)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 1024)
+    shape = (64, 128)  # 8192 > 1024, both axes small -> outer slabs
+    z = rand_c(rng, (1, *shape))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=1)
+    assert "single-item-exceeds-chunk" in plan.route.reasons
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, shape, "forward"), label="nd-slabs")
+
+
+def test_giant_r2c_slabbed(rng, assert_close, monkeypatch):
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 1024)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 1024)
+    shape = (64, 64)
+    x = rng.standard_normal((1, *shape)).astype(np.float32)
+    plan = W.create_plan(type="r2c", shape=list(shape), direction="forward")
+    y = uninterleave(np.asarray(plan(x)))
+    ref = R.r2c_packed(x.astype(np.float64), shape)
+    assert_close(y.real, ref.real, label="r2c-slabs.re")
+    assert_close(y.imag, ref.imag, label="r2c-slabs.im")
+
+
+def test_giant_unchunkable_raises(monkeypatch):
+    """A single transform past the budget with no four-step split and no
+    divisible complementary axis fails at build time with a diagnostic
+    (previously: silent einsum-operand overflow)."""
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 1024)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 1024)
+    with pytest.raises(W.PlanError, match="operand size"):
+        W.create_plan(type="c2c", shape=[2053, 2053], batch=1)
+
+
+def test_four_step_in_bluestein_inner(rng, assert_close, monkeypatch):
+    """Giant non-smooth axes ride Bluestein whose inner smooth-M FFTs take
+    the four-step route (self-chunking)."""
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 4096)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 4096)
+    n = 4099  # prime > raderMaxPrime? no (4099 > 4096) -> bluestein
+    z = rand_c(rng, (1, n))
+    plan = W.create_plan(type="c2c", shape=[n], batch=1)
+    assert plan.route.axis_kinds == ("bluestein",)
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, [n], "forward"), label="bluestein-4step")
+
+
+def test_four_step_composes_with_staging(rng, assert_close):
+    """Four-step route composes with ioView/zeroPad/bf16 staging."""
+    n = 4096
+    z = rand_c(rng, (1, n - 128)) * 0.5
+    plan = W.create_plan(type="c2c", shape=[n], batch=1,
+                        ioView={"input": {"shape": [n - 128]}},
+                        tuning={"fourStepMinN": n})
+    assert plan.route.mode == "four-step-hbm"
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    padded = np.zeros((1, n), complex)
+    padded[:, :n - 128] = z
+    assert_close(y, R.fft_nd(padded, [n], "forward"), label="4step+ioview")
+
+
+def test_four_step_nd_non_last_axis(rng, assert_close):
+    """Four-step on a non-last axis (moveaxis fallback) of an ND plan."""
+    shape = (4096, 4)
+    z = rand_c(rng, (1, *shape))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=1,
+                        tuning={"fourStepMinN": 4096})
+    assert plan.route.mode == "four-step-hbm"
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, shape, "forward"), label="4step-axis0")

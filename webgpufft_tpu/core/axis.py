@@ -152,6 +152,117 @@ class MixedAxisPlan(AxisPlan):
         return z.reshape(*lead, n, 2)
 
 
+class FourStepAxisPlan(AxisPlan):
+    """Explicit HBM four-step FFT for one giant smooth axis.
+
+    TPU counterpart of the reference's out-of-core four-step / axis-0
+    two-step (reference: src/runtime/plans/c2c.js:3386-3549,
+    src/plan.js:89-153 twiddle math): split n = n1*n2 balanced, keep the
+    (n1, n2) digit grid resident in HBM, and run
+
+      x[a1, a2] -> FFT_n1 over a1 (rows form: a2 rides in lanes)
+                -> * W_N^(k1*a2)           (fused into the stage boundary)
+                -> FFT_n2 over a2          (contiguous rows)
+                -> transpose (k1, k2) -> (k2, k1)   (flat k = k1 + n1*k2)
+
+    vs the generic MixedAxisPlan recursion this replaces deep (32-wide)
+    sub-length chains with two nested balanced FFTs and exactly one
+    materialized digit transpose.  When one line exceeds ``chunk_elems``
+    (einsum operands past 2^22 complex elements miscompile on this stack —
+    see plans/transforms.CHUNK_ELEMS), both stages stream contiguous digit
+    slabs through jax.lax.map so no single einsum operand exceeds the
+    validated size.
+    """
+    kind = "four-step"
+
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
+                 out_scale: float = 1.0, chunk_elems: int = None):
+        super().__init__(n, prefix)
+        self.direction = direction
+        self.out_scale = out_scale
+        self.chunk_elems = chunk_elems
+        split = factors.split_two_balanced(n, n)
+        if split is None:
+            raise ValueError(f"four-step axis needs a two-factor smooth split, n={n}")
+        # n1 = the a1 (stride-n2) digit, n2 = the contiguous digit
+        self.n1, self.n2 = split
+        self.stage1 = MixedAxisPlan(self.n1, direction, f"{prefix}/s1", max_sub)
+        self.stage2 = MixedAxisPlan(self.n2, direction, f"{prefix}/s2", max_sub,
+                                    out_scale=out_scale)
+        self.rows_split = None  # no rows form; non-last axes use moveaxis
+
+    def consts(self) -> Dict[str, np.ndarray]:
+        sign = -1.0 if self.direction == "forward" else 1.0
+        tw = np.exp(sign * 2j * np.pi *
+                    (np.outer(np.arange(self.n1), np.arange(self.n2)) % self.n)
+                    / self.n)                                  # W_N^(k1*a2)
+        ta, tb = const_pair(tw)                                # (n1, n2, 2)
+        out = {f"{self.prefix}/twa": ta, f"{self.prefix}/twb": tb}
+        out.update(self.stage1.consts())
+        out.update(self.stage2.consts())
+        return out
+
+    def _slabs(self, lead_elems: int) -> tuple:
+        """(S1, S2): slab counts over the a2 / k1 digits keeping per-slab
+        einsum operands within chunk_elems.  1 = no chunking."""
+        budget = self.chunk_elems or OPERAND_CHUNK_ELEMS
+
+        def pick(digit: int) -> int:
+            per_slab_base = lead_elems * (self.n // digit)
+            for s in range(1, digit + 1):
+                if digit % s == 0 and per_slab_base * (digit // s) <= budget:
+                    return s
+            return digit
+
+        if lead_elems * self.n <= budget:
+            return 1, 1
+        return pick(self.n2), pick(self.n1)
+
+    def apply(self, x, consts):
+        p = self.prefix
+        n1, n2 = self.n1, self.n2
+        lead = x.shape[:-2]
+        lead_elems = math.prod(lead) if lead else 1
+        y = x.reshape(*lead, n1, n2, 2)                # digit grid, a = a1*n2 + a2
+        s1, s2 = self._slabs(lead_elems)
+        twa, twb = consts[f"{p}/twa"], consts[f"{p}/twb"]
+
+        def stage1(slab, ta, tb):
+            out = apply_along_axis(slab, self.stage1, slab.ndim - 3, consts)
+            return cmul_const(out, ta, tb)
+
+        if s1 == 1:
+            y = stage1(y, twa, twb)
+        else:
+            step = n2 // s1
+            ax = y.ndim - 2                            # the a2 digit axis
+
+            def one1(i):
+                sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
+                ta = jax.lax.dynamic_slice_in_dim(twa, i * step, step, axis=1)
+                tb = jax.lax.dynamic_slice_in_dim(twb, i * step, step, axis=1)
+                return stage1(sl, ta, tb)
+
+            y = jnp.moveaxis(jax.lax.map(one1, jnp.arange(s1)), 0, ax)
+            y = y.reshape(*lead, n1, n2, 2)
+
+        if s2 == 1:
+            y = self.stage2.apply(y, consts)
+        else:
+            step = n1 // s2
+            ax = y.ndim - 3                            # the k1 digit axis
+
+            def one2(i):
+                sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
+                return self.stage2.apply(sl, consts)
+
+            y = jnp.moveaxis(jax.lax.map(one2, jnp.arange(s2)), 0, ax)
+            y = y.reshape(*lead, n1, n2, 2)
+
+        y = jnp.swapaxes(y, -3, -2)                    # (k2, k1): flat k = k1 + n1*k2
+        return y.reshape(*lead, self.n, 2)
+
+
 class BluesteinAxisPlan(AxisPlan):
     """Arbitrary-length FFT via chirp-Z embedding into a smooth length M.
 
@@ -162,12 +273,18 @@ class BluesteinAxisPlan(AxisPlan):
     """
     kind = "bluestein"
 
-    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
+                 tuning=None):
         super().__init__(n, prefix)
         self.direction = direction
         self.m = factors.next_smooth_at_least(max(2 * n - 1, 1))
-        self.fwd = MixedAxisPlan(self.m, "forward", f"{prefix}/mf", max_sub)
-        self.inv = MixedAxisPlan(self.m, "inverse", f"{prefix}/mi", max_sub)
+        self.fwd = make_smooth_plan(self.m, "forward", f"{prefix}/mf", max_sub,
+                                    tuning=tuning)
+        self.inv = make_smooth_plan(self.m, "inverse", f"{prefix}/mi", max_sub,
+                                    tuning=tuning)
+        # giant-M Bluestein self-chunks: the inner four-step plans bound
+        # their own einsum operand sizes; chirp muls are elementwise (safe)
+        self.self_chunking = isinstance(self.fwd, FourStepAxisPlan)
 
     def consts(self) -> Dict[str, np.ndarray]:
         ca, cb = const_pair(dft.bluestein_chirp(self.n, self.direction))
@@ -202,7 +319,8 @@ class RaderAxisPlan(AxisPlan):
     """
     kind = "rader"
 
-    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32):
+    def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
+                 tuning=None):
         if not factors.is_prime(n):
             raise ValueError(f"Rader axis requires prime length, got {n}")
         super().__init__(n, prefix)
@@ -216,8 +334,10 @@ class RaderAxisPlan(AxisPlan):
             inv[int(k) - 1] = j
         self._scatter_idx = inv
         self._bfft = bfft
-        self.fwd = MixedAxisPlan(m, "forward", f"{prefix}/mf", max_sub)
-        self.inv = MixedAxisPlan(m, "inverse", f"{prefix}/mi", max_sub)
+        self.fwd = make_smooth_plan(m, "forward", f"{prefix}/mf", max_sub,
+                                    tuning=tuning)
+        self.inv = make_smooth_plan(m, "inverse", f"{prefix}/mi", max_sub,
+                                    tuning=tuning)
 
     def consts(self) -> Dict[str, np.ndarray]:
         ba, bb = const_pair(self._bfft)
@@ -246,6 +366,39 @@ class RaderAxisPlan(AxisPlan):
         xk = x0 + conv                                       # X[g^{-j}] = x[0] + conv[j]
         tail = jnp.take(xk, consts[f"{p_}/scatter"], axis=-2)
         return jnp.concatenate([bin0, tail], axis=-2)
+
+
+# Einsum operands past 2^24 complex elements miscompile silently on the
+# target TPU stack; everything chunks at this validated margin (the
+# canonical knob plans/transforms.CHUNK_ELEMS aliases this).
+OPERAND_CHUNK_ELEMS = 1 << 22
+# tuning.largeRoute == "out-of-core" forces four-step on axes >= this
+FOUR_STEP_FORCE_MIN_N = 4096
+
+
+def four_step_eligible(n: int, tuning, chunk_elems: int = None) -> bool:
+    """Should a smooth axis of length n take the explicit HBM four-step
+    route?  (The TPU reading of resolveLargeRoutingPolicy's out-of-core
+    decision, reference: src/runtime/large_policy.js:301-450.)"""
+    chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
+    if tuning is None or tuning.large_route == "chunk":
+        return False
+    if not factors.is_smooth(n) or factors.split_two_balanced(n, n) is None:
+        return False
+    minn = (FOUR_STEP_FORCE_MIN_N if tuning.large_route == "out-of-core"
+            else tuning.four_step_min_n)
+    # necessity overrides the perf threshold: a single line past the
+    # validated einsum-operand size MUST decompose
+    return n >= minn or n > chunk_elems
+
+
+def make_smooth_plan(n: int, direction: str, prefix: str, max_sub: int = 32,
+                     out_scale: float = 1.0, tuning=None) -> AxisPlan:
+    """MixedAxisPlan, or FourStepAxisPlan when the axis is four-step
+    eligible under ``tuning``."""
+    if n > 1 and four_step_eligible(n, tuning):
+        return FourStepAxisPlan(n, direction, prefix, max_sub, out_scale)
+    return MixedAxisPlan(n, direction, prefix, max_sub, out_scale)
 
 
 def select_axis_kind(n: int, axis: int, tuning) -> str:
@@ -280,10 +433,64 @@ def build_axis_plan(n: int, axis: int, direction: str, tuning, prefix: str) -> A
     kind = select_axis_kind(n, axis, tuning)
     max_sub = tuning.max_sub_length
     if kind == "mixed":
-        return MixedAxisPlan(n, direction, prefix, max_sub)
+        return make_smooth_plan(n, direction, prefix, max_sub, tuning=tuning)
     if kind == "rader":
-        return RaderAxisPlan(n, direction, prefix, max_sub)
-    return BluesteinAxisPlan(n, direction, prefix, max_sub)
+        return RaderAxisPlan(n, direction, prefix, max_sub, tuning=tuning)
+    return BluesteinAxisPlan(n, direction, prefix, max_sub, tuning=tuning)
+
+
+def find_slab_axis(shape, array_axis: int, chunk_elems: int = None):
+    """(slab_count, axis) slicing some axis != array_axis so per-slab
+    element counts fit chunk_elems; None when the array already fits or no
+    axis divides suitably.  ``shape`` excludes the component dim."""
+    chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
+    elems = math.prod(shape)
+    if elems <= chunk_elems:
+        return None
+    best = None
+    for e in range(len(shape)):
+        if e == array_axis:
+            continue
+        size = shape[e]
+        per = elems // size
+        for s in range(2, size + 1):
+            if size % s == 0 and per * (size // s) <= chunk_elems:
+                if best is None or s < best[0]:
+                    best = (s, e)
+                break
+    return best
+
+
+def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
+                       chunk_elems: int = None):
+    """apply_along_axis with einsum operands bounded by chunk_elems.
+
+    Arrays past the validated operand size stream contiguous slabs of a
+    complementary axis through jax.lax.map — the single-chip analog of the
+    reference's axis-window line chunking (src/plan.js:597-838).  Four-step
+    and giant-Bluestein plans bound their own operand sizes and apply
+    directly.
+    """
+    chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
+    elems = math.prod(x.shape[:-1])
+    if (elems <= chunk_elems or axis_plan.kind == "four-step"
+            or getattr(axis_plan, "self_chunking", False)):
+        return apply_along_axis(x, axis_plan, array_axis, consts)
+    slab = find_slab_axis(x.shape[:-1], array_axis, chunk_elems)
+    if slab is None:
+        raise ValueError(
+            f"axis apply of n={axis_plan.n} on shape {x.shape} exceeds the "
+            f"validated einsum operand size ({chunk_elems} complex elements) "
+            "and no complementary axis divides into small enough slabs")
+    s, e = slab
+    step = x.shape[e] // s
+
+    def one(i):
+        sl = jax.lax.dynamic_slice_in_dim(x, i * step, step, axis=e)
+        return apply_along_axis(sl, axis_plan, array_axis, consts)
+
+    y = jnp.moveaxis(jax.lax.map(one, jnp.arange(s)), 0, e)
+    return y.reshape(x.shape)
 
 
 def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):

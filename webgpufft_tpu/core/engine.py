@@ -12,7 +12,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from .axis import AxisPlan, apply_along_axis, build_axis_plan
+from .axis import AxisPlan, build_axis_plan, slabbed_axis_apply
 from ..utils.mathref import normalize_scale
 
 
@@ -35,7 +35,7 @@ def apply_nd(x, axis_plans: Sequence[AxisPlan], consts, batch_dims: int = 1):
     for d, ap in enumerate(axis_plans):
         if ap.n == 1:
             continue  # length-1 axis is the identity
-        x = apply_along_axis(x, ap, batch_dims + d, consts)
+        x = slabbed_axis_apply(x, ap, batch_dims + d, consts)
     return x
 
 

@@ -16,9 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import engine
-from ..core.axis import apply_along_axis, select_axis_kind
+from ..core.axis import (apply_along_axis, find_slab_axis, make_smooth_plan,
+                         select_axis_kind, slabbed_axis_apply,
+                         OPERAND_CHUNK_ELEMS)
 from ..core.cplx import cmul_const, const_pair as cplx_const_pair
-from ..spec import PlanSpec
+from ..spec import PlanError, PlanSpec
+from ..utils import factors
 from ..utils.mathref import trig_matrix
 from .base import Plan, RouteInfo, build_staged_fn
 
@@ -33,7 +36,9 @@ def _scale_mul(y, scale: float):
 # Two reasons (see build_c2c): backend-validated einsum operand sizes
 # (silent miscompilation observed at 2^24 on the target stack) and bounded
 # intermediate HBM footprint — the reference's large-batch chunk mode analog.
-CHUNK_ELEMS = 1 << 22
+# Within-transform chunking (four-step slabs, slabbed_axis_apply) bounds
+# operands when a single item exceeds this.
+CHUNK_ELEMS = OPERAND_CHUNK_ELEMS
 
 
 def chunked_batch(batch: int, items_elems: int):
@@ -122,6 +127,33 @@ def build_c2c(spec: PlanSpec) -> Plan:
     chunk_b = chunked_batch(batch, spec.n_total)
     eff_batch = chunk_b
 
+    # A single item past the operand budget needs within-transform chunking
+    # (four-step internal slabs / slabbed_axis_apply) — the analog of the
+    # reference's out-of-core routes.  Validate feasibility at build time.
+    giant = eff_batch * spec.n_total > CHUNK_ELEMS
+    if giant:
+        allow_pallas = False
+        arr_shape = (eff_batch,) + tuple(shape)
+        for d in range(rank):
+            n = shape[d]
+            if n == 1:
+                continue
+            kind = select_axis_kind(n, d, tun)
+            from ..core.axis import four_step_eligible
+            self_chunks = (
+                (kind == "mixed" and four_step_eligible(n, tun))
+                or (kind == "bluestein" and four_step_eligible(
+                    factors.next_smooth_at_least(2 * n - 1), tun)))
+            if not self_chunks and find_slab_axis(arr_shape, 1 + d) is None:
+                raise PlanError(
+                    f"c2c axis {d} (n={n}): a single transform of "
+                    f"{spec.n_total} complex elements exceeds the validated "
+                    f"einsum operand size ({CHUNK_ELEMS}) and cannot be "
+                    "chunked (no four-step split, no divisible complementary "
+                    "axis)", axis=d, n=n, n_total=spec.n_total,
+                    chunk_elems=CHUNK_ELEMS)
+        route.reasons = route.reasons + ("single-item-exceeds-chunk",)
+
     # decide per-axis strategy (scale folds into the last axis's kernel)
     strategies = []  # (kind, fn_or_axisplan)
     axis_plans = engine.build_axis_plans(shape, spec.direction, tun)
@@ -156,7 +188,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
                         strat = ("fused-cols", fn)
             except ValueError:
                 strat = None
-        if strat is None and d < rank - 1 and n > 1:
+        if strat is None and d < rank - 1 and n > 1 and not giant:
             # non-last smooth axes: rows-form XLA (lanes ride; no moveaxis
             # transpose passes)
             from ..core import rows
@@ -166,15 +198,15 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 strat = ("rows-xla", fn)
         if strat is None:
             ap = axis_plans[d]
-            if (d == rank - 1 and scale != 1.0 and ap.kind == "mixed"
-                    and n > 1):
+            if (d == rank - 1 and scale != 1.0
+                    and ap.kind in ("mixed", "four-step") and n > 1):
                 # fold the normalize scale into the last sub-DFT table
-                from ..core.axis import MixedAxisPlan
-                ap = MixedAxisPlan(n, spec.direction, ap.prefix,
-                                   tun.max_sub_length, out_scale=scale)
+                ap = make_smooth_plan(n, spec.direction, ap.prefix,
+                                      tun.max_sub_length, out_scale=scale,
+                                      tuning=tun)
                 axis_plans[d] = ap
             consts.update(ap.consts())
-            strat = ("xla", ap)
+            strat = ("xla-four-step" if ap.kind == "four-step" else "xla", ap)
         strategies.append(strat)
 
     kinds = tuple(k for k, _ in strategies)
@@ -186,24 +218,28 @@ def build_c2c(spec: PlanSpec) -> Plan:
     elif any(k.startswith("fused") for k in kinds):
         route.mode = "pallas-mixed"
         route.impl = "pallas+xla"
+    elif any(k == "xla-four-step" for k in kinds):
+        # the reference reports a plan-level large-route mode; any four-step
+        # axis makes this the out-of-core analog (c2c.js "large-out-of-core")
+        route.mode = "four-step-hbm"
+        route.impl = "xla"
     else:
         route.mode = "xla"
         route.impl = "xla"
     if tun.impl == "pallas" and route.mode != "pallas-fused":
-        from ..spec import PlanError
         raise PlanError(
             "tuning.impl='pallas' but the fused kernels cannot serve every "
             f"axis of this plan (per-axis: {kinds})",
             axis_kinds=kinds, reasons=route.reasons)
     scale_in_kernel = (kinds[-1].startswith("fused")
-                       or (kinds[-1] == "xla"
+                       or (kinds[-1] in ("xla", "xla-four-step")
                            and getattr(strategies[-1][1], "out_scale", 1.0) == scale))
 
     def core_chunk(x, c):
         y = x
         for d, (kind, obj) in enumerate(strategies):
             n = shape[d]
-            if n == 1 and kind == "xla":
+            if n == 1 and kind.startswith("xla"):
                 continue
             if kind == "fused-lines":
                 lines = eff_batch * math.prod(shape[:-1])
@@ -219,7 +255,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 y = obj(y.reshape(eff_batch, *shape[:d], n, lanes), c).reshape(
                     eff_batch, *shape, 2)
             else:
-                y = apply_along_axis(y, obj, 1 + d, c)
+                y = slabbed_axis_apply(y, obj, 1 + d, c)
         if not scale_in_kernel:
             y = _scale_mul(y, scale)
         return y
@@ -298,7 +334,7 @@ def build_r2c(spec: PlanSpec) -> Plan:
             # v[m] = x[2m] + i*x[2m+1]
             v = x.reshape(b, n0 // 2, 2, *spec.shape[1:])
             v = jnp.moveaxis(v, 2, -1)                  # (b, n0/2, rest, 2)
-            z = apply_along_axis(v, axis_plans[0], 1, c)  # FFT axis 0 only
+            z = slabbed_axis_apply(v, axis_plans[0], 1, c)  # FFT axis 0 only
             # untangle to the packed half-spectrum (k = n0/2 reads Z[0])
             zf = jnp.take(z, c["rc/flip"], axis=1)
             zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
@@ -308,7 +344,7 @@ def build_r2c(spec: PlanSpec) -> Plan:
                 zpad - zf, c["rc/ca"].reshape(cshape), c["rc/cb"].reshape(cshape))
             # remaining axes: complex FFT on the (half-size) packed domain
             for d in range(1, rank):
-                y = apply_along_axis(y, axis_plans[d], 1 + d, c)
+                y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c)
         else:
             xi = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
             y = engine.apply_nd(xi, axis_plans, c)
@@ -348,7 +384,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         # inverse FFT the non-packed axes first (on the packed domain)
         y = xp
         for d in range(1, rank):
-            y = apply_along_axis(y, axis_plans[d], 1 + d, c)
+            y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c)
         # After the rest-axes inverse, each axis-0 line is the spectrum of a
         # real line, so bins 0 and n0/2 are self-conjugate: discard any
         # residual imag there (reference zeroes self-conjugate bins in the
@@ -366,7 +402,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         cshape = (1, h) + (1,) * (rank - 1) + (2,)
         z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
                                    c["cr/cb"].reshape(cshape))
-        z = apply_along_axis(z, axis_plans[0], 1, c)       # inverse FFT axis 0
+        z = slabbed_axis_apply(z, axis_plans[0], 1, c)       # inverse FFT axis 0
         z = jnp.moveaxis(z, -1, 2)                          # (b, h, 2, rest)
         out = z.reshape(b, n0, *spec.shape[1:])
         return _scale_mul(out, scale)

@@ -160,7 +160,8 @@ class TuningSpec:
     max_fused_elements: Optional[int] = None   # VMEM line budget override (complex elems)
     vmem_limit_bytes: Optional[int] = None
     impl: str = "auto"                         # auto (=xla on this stack) | pallas | pallas-auto | xla
-    large_route: str = "auto"                  # "auto" | "chunk" | "out-of-core" (parity)
+    large_route: str = "auto"                  # "auto" | "chunk" | "out-of-core"
+    four_step_min_n: int = 1 << 18             # smooth axes >= this take the HBM four-step route
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
@@ -344,6 +345,7 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "largeRoute": "large_route",
         "maxSubLength": "max_sub_length",
         "batchTile": "batch_tile",
+        "fourStepMinN": "four_step_min_n",
     }
     ignored = []
     for k, v in t.items():
