@@ -135,3 +135,66 @@ def test_distributed_axis0_composes_with_local_axes(mesh8, rng, assert_close):
     ref = np.fft.fft2(z, axes=(1, 2))
     assert_close(got.real, ref.real, label="2d dist+local.re")
     assert_close(got.imag, ref.imag, label="2d dist+local.im")
+
+
+# ---------------------------------------------------------------------------
+# distributed compositions: r2c, fftconv (VERDICT r1 #7)
+# ---------------------------------------------------------------------------
+
+def test_distributed_r2c(mesh8, rng, assert_close):
+    """Distributed real->packed FFT (half-complex trick on the distributed
+    digit plan) matches np.fft.rfft."""
+    n, batch = 512, 4
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    fn = sharded.build_distributed_r2c_1d(n, mesh8, "dp")
+    y = uninterleave(np.asarray(jax.jit(fn)(jnp.asarray(x))))
+    ref = np.fft.rfft(x, axis=1)
+    assert_close(y.real, ref.real, label="dist-r2c.re")
+    assert_close(y.imag, ref.imag, label="dist-r2c.im")
+
+
+def test_distributed_r2c_normalized(mesh8, rng, assert_close):
+    n, batch = 256, 2
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    fn = sharded.build_distributed_r2c_1d(n, mesh8, "dp", normalize="unitary")
+    y = uninterleave(np.asarray(jax.jit(fn)(jnp.asarray(x))))
+    assert_close(y.real, np.fft.rfft(x, axis=1).real / np.sqrt(n),
+                 label="dist-r2c unitary")
+
+
+def test_distributed_fftconv(mesh24, rng, assert_close):
+    """Distributed circular fftconv on the dp x sp mesh matches the numpy
+    circular convolution, including a NON-square digit split."""
+    from jax.sharding import NamedSharding
+    n, batch = 512, 4  # 512 over sp=4: balanced split is non-square
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kt = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    fn = sharded.build_distributed_fftconv_1d(n, mesh24, "sp",
+                                              batch_axis_name="dp")
+    n1, n2 = fn.split
+    assert n1 != n2  # exercise the swapped-split inverse chaining
+    x = jax.device_put(jnp.asarray(interleave(z)),
+                       NamedSharding(mesh24, P("dp", None, None)))
+    y = np.asarray(jax.jit(fn)(x, jnp.asarray(interleave(kt))))
+    ref = np.fft.ifft(np.fft.fft(z, axis=1) * np.fft.fft(kt), axis=1)
+    got = uninterleave(y)
+    assert_close(got.real, ref.real, label="dist-fftconv.re")
+    assert_close(got.imag, ref.imag, label="dist-fftconv.im")
+
+
+def test_distributed_fftconv_correlation(mesh8, rng, assert_close):
+    n, batch = 256, 2
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kt = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    fn = sharded.build_distributed_fftconv_1d(n, mesh8, "dp",
+                                              mode="correlation")
+    y = uninterleave(np.asarray(jax.jit(fn)(
+        jnp.asarray(interleave(z)), jnp.asarray(interleave(kt)))))
+    ref = np.fft.ifft(np.fft.fft(z, axis=1) * np.conj(np.fft.fft(kt)), axis=1)
+    assert_close(y.real, ref.real, label="dist-corr.re")
+    assert_close(y.imag, ref.imag, label="dist-corr.im")
+
+
+def test_distributed_r2c_odd_raises(mesh8):
+    with pytest.raises(ValueError, match="even"):
+        sharded.build_distributed_r2c_1d(255, mesh8, "dp")

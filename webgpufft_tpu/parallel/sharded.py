@@ -89,7 +89,8 @@ def choose_distributed_split(n: int, ndev: int) -> Optional[Tuple[int, int]]:
 def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
                              direction: str = "forward",
                              normalize: str = "none",
-                             batch_axis_name: Optional[str] = None):
+                             batch_axis_name: Optional[str] = None,
+                             split: Optional[Tuple[int, int]] = None):
     """Build fn(x) computing a length-n FFT distributed over mesh axis
     ``axis_name``.
 
@@ -102,13 +103,21 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
         sum_{n2} W2^{n2 k2} * W_N^{n2 k1} * (sum_{n1} x[n1, n2] W1^{n1 k1})
     Stage 1 contracts the n1 digit locally on each n2-shard; the all_to_all
     exchanges the k1 digit for the n2 digit; stage 2 contracts n2 locally.
+
+    ``split`` overrides the balanced (n1, n2) choice — used to chain plans:
+    a forward plan's (k2, k1) output grid IS the digit grid of an inverse
+    plan built with the swapped split, so spectra flow between them without
+    any resharding.
     """
     ndev = mesh.shape[axis_name]
-    split = choose_distributed_split(n, ndev)
+    if split is None:
+        split = choose_distributed_split(n, ndev)
     if split is None:
         raise ValueError(
             f"cannot split n={n} into two smooth factors divisible by {ndev}")
     n1, n2 = split
+    if n1 * n2 != n or n1 % ndev or n2 % ndev:
+        raise ValueError(f"invalid split {split} for n={n}, ndev={ndev}")
     from ..utils.mathref import normalize_scale
     scale = normalize_scale(normalize, direction, n)
 
@@ -212,6 +221,98 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
             out_specs=P(batch_axis_name, axis_name, None, *rest_none, None),
         )(x)
         return jnp.swapaxes(y, 1, 2)                       # (b, k2, k1, *rest, 2)
+
+    fn.split = (n1, n2)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Distributed compositions: r2c and FFT convolution
+# (new TPU layer; the reference is single-device — SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+def build_distributed_r2c_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                             normalize: str = "none",
+                             batch_axis_name: Optional[str] = None):
+    """Distributed real->packed-complex 1D FFT via the even-N half-complex
+    trick on the distributed digit plan (the multi-chip composition of
+    plans/transforms.build_r2c's core).
+
+    x: (batch, n) f32 real, n even.  Returns (batch, n//2 + 1, 2) packed
+    non-negative bins.  The half-length complex FFT runs as the distributed
+    four-step (one all_to_all over ICI); the untangle to packed bins runs on
+    the sharded spectrum — XLA inserts the flip collective.
+    """
+    if n % 2:
+        raise ValueError("distributed r2c requires even n")
+    h = n // 2
+    from ..plans.transforms import _half_trick_consts
+    from ..utils.mathref import normalize_scale
+
+    fftc = build_distributed_fft_1d(h, mesh, axis_name, "forward", "none",
+                                    batch_axis_name)
+    cc = _half_trick_consts(n, inverse=False)
+    flip = jnp.asarray(cc["rc/flip"])
+    ca = jnp.asarray(cc["rc/ca"]).reshape(1, h + 1, 2)
+    cb = jnp.asarray(cc["rc/cb"]).reshape(1, h + 1, 2)
+    scale = normalize_scale(normalize, "forward", n)
+
+    def fn(x):
+        b = x.shape[0]
+        # adjacent real pairs ARE the interleaved complex line v[m]
+        v = x.reshape(b, h, 2)
+        z = fftc(v).reshape(b, h, 2)                 # flat half-spectrum
+        zf = jnp.take(z, flip, axis=1)
+        zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)     # conj(Z[-k])
+        zpad = jnp.concatenate([z, z[:, :1, :]], axis=1)      # Z[h] = Z[0]
+        y = (zpad + zf) * 0.5 + _cmul_pair(zpad - zf, ca, cb)
+        return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fftc.split
+    return fn
+
+
+def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                                 mode: str = "convolution",
+                                 batch_axis_name: Optional[str] = None):
+    """Distributed circular FFT convolution/correlation over one giant line:
+    distributed forward FFT -> pointwise multiply in the sharded (k2, k1)
+    digit grid -> distributed inverse FFT, with exactly two all_to_all
+    collectives per step (the sequence-parallel composition the single-chip
+    fftconv plan cannot express; reference fftconv is one-device,
+    src/runtime/plans/fftconv.js).
+
+    Returns fn(x, kernel): x (batch, n, 2), kernel (n, 2) or (1, n, 2)
+    time-domain interleaved -> (batch, n, 2).  The kernel rides the same
+    distributed forward plan (batch 1), so its spectrum lands in the same
+    digit grid as the data with no reordering; the inverse plan is built
+    with the swapped split so the grid feeds it directly.
+    """
+    if mode not in ("convolution", "correlation"):
+        raise ValueError(f"mode must be convolution|correlation, got {mode}")
+    fwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
+                                   batch_axis_name)
+    n1, n2 = fwd.split
+    inv = build_distributed_fft_1d(n, mesh, axis_name, "inverse", "backward",
+                                   batch_axis_name, split=(n2, n1))
+    # the kernel's batch of 1 cannot shard over the batch axis: run its
+    # forward replicated over dp (same split, so the grids align)
+    kfwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
+                                    split=(n1, n2))
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kernel.ndim == 2:
+            kernel = kernel[None]
+        kf = kfwd(kernel)                             # (1, k2, k1, 2)
+        if mode == "correlation":
+            kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
+        xf = fwd(x)                                   # (batch, k2, k1, 2)
+        yf = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
+        yg = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
+        y = jnp.concatenate([yf, yg], axis=-1)
+        z = inv(y)                                    # (batch, k1', k2', 2)
+        return z.reshape(x.shape[0], n, 2)
 
     fn.split = (n1, n2)
     return fn
