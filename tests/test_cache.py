@@ -58,3 +58,41 @@ def test_rebuilt_plan_executes(rng, assert_close):
     y = uninterleave(np.asarray(plan(interleave(z))))
     ref = R.fft_nd(z, [12], "forward")
     assert_close(y.real, ref.real, label="rebuilt plan")
+
+
+def test_snapshot_at_plan_creation():
+    """createPlan-style cache.snapshot option prewarms the plan cache
+    (reference: docs/API.md:316-323)."""
+    import webgpufft_tpu as W
+    cache = W.PlanCache()
+    p1 = W.create_plan(type="c2c", shape=[16], batch=2, cache=cache)
+    snap = W.export_plan_cache_snapshot(cache)
+    fresh = W.PlanCache()
+    p2 = W.create_plan({"type": "c2c", "shape": [32], "cache": {"snapshot": snap}},
+                      cache=fresh)
+    assert len(fresh) == 2  # the snapshot spec + the new plan
+    assert p2.spec.shape == (32,)
+    import pytest as _pytest
+    with _pytest.raises(W.PlanError, match="cache option"):
+        W.create_plan({"type": "c2c", "shape": [8], "cache": "bogus"},
+                     cache=W.PlanCache())
+
+
+def test_snapshot_legacy_v1_upgrade():
+    """Legacy v1 snapshots import via the upgrade path (reference:
+    pipeline_cache.js legacy version upgrade)."""
+    import webgpufft_tpu as W
+    from webgpufft_tpu.runtime import cache as C
+    own = W.PlanCache()
+    W.create_plan(type="dct2", shape=[8], batch=2, cache=own)
+    snap = W.export_plan_cache_snapshot(own)
+    assert snap["version"] == 2
+    legacy = dict(snap)
+    legacy["version"] = 1
+    legacy["metadata"] = {"plans": 1}
+    fresh = W.PlanCache()
+    n = W.import_plan_cache_snapshot(legacy, cache=fresh)
+    assert n == 1 and len(fresh) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="version"):
+        C.upgrade_snapshot({"schema": C.SNAPSHOT_SCHEMA, "version": 99})

@@ -97,11 +97,24 @@ def create_plan(opts: Optional[Dict[str, Any]] = None, *,
 
     Accepts a reference-style options dict and/or keyword arguments; see
     docs/API.md for the full surface.
+
+    A reference-style ``cache`` OPTION may carry a snapshot to prewarm from
+    (reference: createPlan cache.snapshot, docs/API.md:316-323):
+    ``create_plan({..., "cache": {"snapshot": snap}})`` imports the snapshot
+    into the active plan cache before building.
     """
     merged = dict(opts or {})
     merged.update(kwargs)
+    target = cache if cache is not None else default_cache()
+    copt = merged.pop("cache", None)
+    if copt is not None:
+        if not isinstance(copt, dict):
+            raise PlanError("cache option must be a dict (e.g. {'snapshot': snap})")
+        snap = copt.get("snapshot")
+        if snap is not None:
+            import_plan_cache_snapshot(snap, cache=target)
     spec = normalize_spec(merged)
-    return (cache if cache is not None else default_cache()).get_or_create(spec)
+    return target.get_or_create(spec)
 
 
 def create_fft_plan(opts: Optional[Dict[str, Any]] = None, **kwargs) -> Plan:

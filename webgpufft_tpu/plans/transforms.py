@@ -212,6 +212,12 @@ def build_c2c(spec: PlanSpec) -> Plan:
     kinds = tuple(k for k, _ in strategies)
     route.reasons = route.reasons + tuple(
         f"c2c-axis{d}-{k}" for d, k in enumerate(kinds))
+    if (tun.large_route == "out-of-core"
+            and not any(k == "xla-four-step" for k in kinds)):
+        # forced out-of-core but no axis is smooth/splittable/big enough —
+        # record it instead of silently doing nothing (the reference
+        # validates forced largeRoute with reason codes)
+        route.reasons = route.reasons + ("four-step-impossible",)
     if all(k.startswith("fused") for k in kinds) and rank >= 1:
         route.mode = "pallas-fused"
         route.impl = "pallas"

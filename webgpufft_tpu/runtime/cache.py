@@ -21,7 +21,10 @@ from typing import Any, Dict, List, Optional
 from ..spec import PlanSpec, spec_to_dict
 
 SNAPSHOT_SCHEMA = "webgpufft-tpu.plan-cache"
-SNAPSHOT_VERSION = 1
+# v1: bare spec list.  v2 (current): adds framework/schema metadata used for
+# compatibility checks.  v1 snapshots are upgraded on import, mirroring the
+# reference's legacy-version upgrade (pipeline_cache.js:39-114).
+SNAPSHOT_VERSION = 2
 
 
 class PlanCache:
@@ -54,27 +57,44 @@ def default_cache() -> PlanCache:
 
 
 def export_plan_cache_snapshot(cache: Optional[PlanCache] = None) -> Dict[str, Any]:
+    from .. import __version__
     cache = cache if cache is not None else _default_cache
     return {
         "schema": SNAPSHOT_SCHEMA,
         "version": SNAPSHOT_VERSION,
         "createdAtMs": int(time.time() * 1000),
-        "metadata": {"plans": len(cache)},
+        "metadata": {"plans": len(cache), "framework": f"webgpufft-tpu/{__version__}"},
         "specs": [spec_to_dict(s) for s in cache.specs()],
     }
+
+
+def upgrade_snapshot(snapshot: Dict[str, Any]) -> Dict[str, Any]:
+    """Upgrade a legacy snapshot to the current version in place-of
+    (reference: pipeline_cache.js legacy v1 -> v2 upgrade, :39-114)."""
+    version = snapshot.get("version")
+    if version == SNAPSHOT_VERSION:
+        return snapshot
+    if version == 1:
+        up = dict(snapshot)
+        up["version"] = 2
+        meta = dict(up.get("metadata") or {})
+        meta.setdefault("framework", "webgpufft-tpu/legacy-v1")
+        up["metadata"] = meta
+        return up
+    raise ValueError(f"unsupported snapshot version {version}")
 
 
 def import_plan_cache_snapshot(snapshot: Dict[str, Any],
                                cache: Optional[PlanCache] = None,
                                build: bool = True) -> int:
-    """Validate a snapshot and (optionally) rebuild its plans to prewarm
-    compilation.  Returns the number of specs accepted."""
+    """Validate a snapshot (upgrading legacy versions) and (optionally)
+    rebuild its plans to prewarm compilation.  Returns the number of specs
+    accepted."""
     cache = cache if cache is not None else _default_cache
     if not isinstance(snapshot, dict) or snapshot.get("schema") != SNAPSHOT_SCHEMA:
         raise ValueError(f"unrecognized plan-cache snapshot schema: "
                          f"{snapshot.get('schema') if isinstance(snapshot, dict) else type(snapshot)}")
-    if snapshot.get("version") not in (1,):
-        raise ValueError(f"unsupported snapshot version {snapshot.get('version')}")
+    snapshot = upgrade_snapshot(snapshot)
     count = 0
     for d in snapshot.get("specs", []):
         spec = _rebuild_spec(d)
