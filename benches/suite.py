@@ -5,7 +5,15 @@
 this suite is the complete roofline-instrumented matrix, the analog of the
 reference's bench/bench.js:474-480 list plus its forced-large matrices.)
 
-Usage: python benches/suite.py [--iters N] [--quick]
+Timing methodology (round-2 rework): every config uses the unrolled-chain
+method (K applications compiled into ONE jit, runtime/profile.py) with
+alternating (transform, copy-probe) trials and best-of selection —
+per-dispatch chains with readback subtraction produced 8x session noise
+through the tunnel in round 1 (benches/results_r1.jsonl run B).  The
+session-stable comparison metric is ``vs_copy`` = eff_gbps / the copy
+bandwidth measured in the SAME trial loop.
+
+Usage: python benches/suite.py [--quick] [--trials N]
 """
 
 import argparse
@@ -25,7 +33,8 @@ def emit(rec):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--trials", type=int, default=None)
+    ap.add_argument("--unroll", type=int, default=None)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -36,43 +45,48 @@ def main():
     from webgpufft_tpu.runtime import profile
 
     backend = jax.default_backend()
-    iters = args.iters or (20 if backend == "tpu" else 2)
+    on_tpu = backend == "tpu"
+    trials = args.trials or (3 if on_tpu else 2)
+    unroll = args.unroll or (8 if on_tpu else 2)
+    reps = 8 if on_tpu else 2
     rng = np.random.default_rng(0)
-    roof = profile.device_hbm_gbps()
 
-    def record(name, plan, x, n_total, batch, extra=None):
-        r = profile.bench_transform(plan, x, n_total, batch, iters=iters)
+    def record(name, fn, x, min_bytes, route=None, extra=None, u=None):
+        r = profile.robust_bench(fn, x, min_bytes, unroll=u or unroll,
+                                 reps=reps, trials=trials)
         emit({"bench": name, "avg_ms": round(r.avg_ms, 4),
-              "gflops": round(r.gflops, 1), "eff_gbps": round(r.eff_gbps, 1),
+              "eff_gbps": round(r.eff_gbps, 1),
               "pct_roofline": round(r.pct_roofline, 2),
-              "route": plan.route.mode, "backend": backend,
-              **(extra or {})})
+              "copy_ceiling_gbps": round(r.copy_ceiling_gbps, 1),
+              "vs_copy": round(r.vs_copy_ceiling, 3),
+              "trials": r.trials, "unroll": r.unroll,
+              **({"route": route} if route else {}),
+              "backend": backend, **(extra or {})})
 
     # ---- 1. c2c 1D N=1024 batch=1 (reference bench_1d_1024.js config)
     plan = W.create_plan(type="c2c", shape=[1024], batch=1, direction="forward",
                         normalize="unitary")
     x = jnp.asarray(rng.standard_normal((1, 1024, 2)).astype(np.float32))
-    record("c2c_1d_1024_b1", plan, x, 1024, 1)
+    record("c2c_1d_1024_b1", plan, x, 2 * 1024 * 8, route=plan.route.mode)
 
-    # ---- 2. batched c2c/r2c/c2r sweep N=256..4096, batch=4096
+    # ---- 2. batched c2c sweep N=256..4096, batch=4096
     batch = 512 if args.quick else 4096
     for n in (256, 1024, 4096):
         plan = W.create_plan(type="c2c", shape=[n], batch=batch,
                             direction="forward", normalize="unitary")
         x = jnp.asarray(rng.standard_normal((batch, n, 2)).astype(np.float32))
-        record(f"c2c_1d_{n}_b{batch}", plan, x, n, batch)
+        record(f"c2c_1d_{n}_b{batch}", plan, x, 2 * batch * n * 8,
+               route=plan.route.mode)
+
+    # r2c+c2r roundtrip (chained as a pair to keep shapes closed)
     n = 1024
-    # r2c+c2r roundtrip timing (chained as a pair to keep shapes closed)
     r2c = W.create_plan(type="r2c", shape=[n], direction="forward", batch=batch,
                        normalize="unitary")
     c2r = W.create_plan(type="c2r", shape=[n], direction="inverse", batch=batch,
                        normalize="unitary")
     xr = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    pair = lambda v: c2r(r2c(v))
-    dt = profile.time_chained(pair, xr, iters)
-    emit({"bench": f"r2c_c2r_roundtrip_{n}_b{batch}", "avg_ms": round(dt * 1e3, 4),
-          "eff_gbps": round(2 * 2 * batch * n * 4 / dt / 1e9, 1),
-          "backend": backend})
+    record(f"r2c_c2r_roundtrip_{n}_b{batch}", lambda v: c2r(r2c(v)), xr,
+           2 * 2 * batch * n * 4)
 
     # ---- 3. dct2/dct3/dst2/dst3: 8x8 blocks and 512^2 images
     bb = 1024 if args.quick else 16384
@@ -80,69 +94,56 @@ def main():
         plan = W.create_plan(type=kind, shape=[8, 8], direction="forward",
                             batch=bb, normalize="unitary")
         x = jnp.asarray(rng.standard_normal((bb, 8, 8)).astype(np.float32))
-        dt = profile.time_chained(plan, x, iters)
-        emit({"bench": f"{kind}_8x8_b{bb}", "avg_ms": round(dt * 1e3, 4),
-              "eff_gbps": round(2 * bb * 64 * 4 / dt / 1e9, 1), "backend": backend})
+        record(f"{kind}_8x8_b{bb}", plan, x, 2 * bb * 64 * 4)
     ib = 1 if args.quick else 8
     for kind in ("dct2", "dct3"):
         plan = W.create_plan(type=kind, shape=[512, 512], direction="forward",
                             batch=ib, normalize="unitary")
         x = jnp.asarray(rng.standard_normal((ib, 512, 512)).astype(np.float32))
-        dt = profile.time_chained(plan, x, iters)
-        emit({"bench": f"{kind}_512sq_b{ib}", "avg_ms": round(dt * 1e3, 4),
-              "eff_gbps": round(2 * ib * 512 * 512 * 4 / dt / 1e9, 1),
-              "backend": backend})
+        record(f"{kind}_512sq_b{ib}", plan, x, 2 * ib * 512 * 512 * 4)
 
     # ---- 4. fftconv multi-kernel channel-lane preset (shape 256, batch 4,
-    #         64 -> 128 ch) + reference node-bench config 16x8x4
+    #         64 -> 128 ch) + reference node-bench config 16x8x4.
+    # Closed-shape wrapper: feed the first input-length span of the flat
+    # output back as the next input (values are irrelevant to timing; the
+    # data dependency keeps the chain serialized).
     preset = W.create_fftconv_kernel_major_channel_lane_preset({
         "shape": [256], "batch": 4, "kernelCount": 2,
         "input": {"channels": 64, "channelIndex": 0},
         "output": {"channels": 128, "channelIndex": 0, "kernelStepChannels": 64},
     })
     plan = W.create_plan({"type": "fftconv", **preset})
-    lanes = rng.standard_normal((4, 64, 256, 2)).astype(np.float32)
+    lanes = rng.standard_normal((4, 64, 256, 2)).astype(np.float32) * 0.05
     flat = jnp.asarray(lanes.reshape(-1, 2))
-    kern = jnp.asarray(rng.standard_normal((2, 256, 2)).astype(np.float32))
-    import time
-    y = plan.exec(flat, kernel=kern)  # warm (incl. the barrier expression!)
-    float(jnp.sum(y[:1]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = plan.exec(flat, kernel=kern)
-    float(jnp.sum(y[:1]))
-    dt = (time.perf_counter() - t0) / iters
-    emit({"bench": "fftconv_preset_256_b4_64to128", "avg_ms": round(dt * 1e3, 4),
-          "backend": backend})
+    kern = jnp.asarray(rng.standard_normal((2, 256, 2)).astype(np.float32) * 0.05)
+    in_len = flat.shape[0]
+    conv_bytes = (4 * 64 * 256 + 4 * 128 * 256 + 2 * 256) * 8  # in + out + kernels
+    record("fftconv_preset_256_b4_64to128",
+           lambda v: plan.exec(v, kernel=kern)[:in_len], flat, conv_bytes,
+           route=plan.route.mode, u=max(2, unroll // 2))
 
     plan = W.create_plan(type="fftconv", shape=[16, 8, 4], batch=2,
                         fftConv={"kernelCount": 3})
-    x = jnp.asarray(rng.standard_normal((2, 16, 8, 4, 2)).astype(np.float32))
-    k3 = jnp.asarray(rng.standard_normal((3, 16, 8, 4, 2)).astype(np.float32))
-    y = plan.exec(x, kernel=k3)  # warm incl. barrier
-    float(jnp.sum(y[:1, :1]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = plan.exec(x, kernel=k3)
-    float(jnp.sum(y[:1, :1]))
-    dt = (time.perf_counter() - t0) / iters
-    emit({"bench": "fftconv_3d_16x8x4_b2_k3", "avg_ms": round(dt * 1e3, 4),
-          "backend": backend})
+    x3 = jnp.asarray(rng.standard_normal((2, 16, 8, 4, 2)).astype(np.float32) * 0.05)
+    k3 = jnp.asarray(rng.standard_normal((3, 16, 8, 4, 2)).astype(np.float32) * 0.05)
+    record("fftconv_3d_16x8x4_b2_k3",
+           lambda v: plan.exec(v, kernel=k3)[0], x3,
+           (2 + 3 * 2 + 3) * 16 * 8 * 4 * 8, route=plan.route.mode,
+           u=max(2, unroll // 2))
 
-    # ---- 5. large-mode c2c N=2^20 (+ bf16 storage)
+    # ---- 5. large-mode c2c N=2^20 (four-step route; + bf16 storage)
     n = 2 ** 20
     b = 1 if args.quick else 4
     plan = W.create_plan(type="c2c", shape=[n], batch=b, direction="forward",
                         normalize="unitary", tuning={"impl": "xla"})
     x = jnp.asarray(rng.standard_normal((b, n, 2)).astype(np.float32))
-    record(f"c2c_1d_2pow20_b{b}", plan, x, n, b)
+    record(f"c2c_1d_2pow20_b{b}", plan, x, 2 * b * n * 8,
+           route=plan.route.mode, u=max(2, unroll // 2))
     plan = W.create_plan(type="c2c", shape=[n], batch=b, direction="forward",
                         normalize="unitary", precision="bf16-storage",
                         tuning={"impl": "xla"})
-    xb = x.astype(jnp.bfloat16)
-    dt = profile.time_chained(plan, xb, iters)
-    emit({"bench": f"c2c_2pow20_bf16_b{b}", "avg_ms": round(dt * 1e3, 4),
-          "eff_gbps": round(2 * b * n * 4 / dt / 1e9, 1), "backend": backend})
+    record(f"c2c_2pow20_bf16_b{b}", plan, x.astype(jnp.bfloat16),
+           2 * b * n * 4, route=plan.route.mode, u=max(2, unroll // 2))
 
 
 if __name__ == "__main__":
