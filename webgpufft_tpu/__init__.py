@@ -35,7 +35,7 @@ from .runtime.cache import (
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def upload_complex(z, device=None):
