@@ -161,7 +161,10 @@ class TuningSpec:
     vmem_limit_bytes: Optional[int] = None
     impl: str = "auto"                         # auto (=xla on this stack) | pallas | pallas-auto | xla
     large_route: str = "auto"                  # "auto" | "chunk" | "out-of-core"
-    four_step_min_n: int = 1 << 18             # smooth axes >= this take the HBM four-step route
+    # Smooth axes >= this take the HBM four-step route.  Measured on-chip
+    # (benches/r2_fourstep_threshold.py, round-robin best-of-3): four-step
+    # beats the generic einsum recursion 1.16-1.45x at every size 2^16-2^20.
+    four_step_min_n: int = 1 << 16
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
