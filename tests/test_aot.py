@@ -1,0 +1,71 @@
+"""AOT plan export/load (runtime/aot.py) — the serving-deployment analog of
+the reference's pipeline-cache snapshot (pipeline_cache.js exports shader
+source; we export the whole compiled pipeline as a jax.export artifact)."""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.utils import mathref as R
+
+
+def rand_c(rng, shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def test_aot_c2c_roundtrip(rng, assert_close, tmp_path):
+    n, batch = 64, 4
+    plan = W.create_plan(type="c2c", shape=[n], batch=batch,
+                        direction="forward", normalize="unitary")
+    p = str(tmp_path / "c2c.wftaot")
+    blob = W.export_plan(plan, path=p)
+    assert len(blob) > 100
+    ep = W.load_exported_plan(p)          # load from file
+    ep2 = W.load_exported_plan(blob)      # and from bytes
+    z = rand_c(rng, (batch, n))
+    y = uninterleave(np.asarray(ep(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward") / np.sqrt(n)
+    assert_close(y.real, ref.real, label="aot.re")
+    assert_close(y.imag, ref.imag, label="aot.im")
+    assert ep.spec_dict["plan_type"] == "c2c"
+    assert ep.route_mode == "xla"
+    y2 = np.asarray(ep2(interleave(z)))
+    assert np.array_equal(np.asarray(y2), np.asarray(ep(interleave(z))))
+
+
+def test_aot_fftconv_with_kernel(rng, assert_close, tmp_path):
+    n, batch, kc = 16, 2, 2
+    plan = W.create_plan(type="fftconv", shape=[n], batch=batch,
+                        fftConv={"kernelCount": kc})
+    blob = W.export_plan(plan)
+    ep = W.load_exported_plan(blob)
+    z = rand_c(rng, (batch, n))
+    k = rand_c(rng, (kc, n))
+    y = uninterleave(np.asarray(ep(interleave(z).astype(np.float32),
+                                   interleave(k).astype(np.float32))))
+    refs = np.stack([R.fftconv(z, k[j], [n], batch=batch) for j in range(kc)])
+    assert_close(y.real, refs.real, label="aot-conv.re")
+    assert_close(y.imag, refs.imag, label="aot-conv.im")
+
+
+def test_aot_flat_layout_needs_length(rng):
+    plan = W.create_plan(type="c2c", shape=[8], batch=2,
+                        layout={"inputStrides": [1]})
+    with pytest.raises(W.PlanError, match="input_length"):
+        W.export_plan(plan)
+    blob = W.export_plan(plan, input_length=16)
+    ep = W.load_exported_plan(blob)
+    z = rand_c(rng, (16,))
+    y = uninterleave(np.asarray(ep(interleave(z))))  # shaped (2, 8) out
+    ref = R.fft_nd(z.reshape(2, 8), [8], "forward")
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_aot_rejects_corrupt():
+    with pytest.raises(W.PlanError, match="artifact"):
+        W.load_exported_plan(b"\x00" * 4)
+    with pytest.raises(W.PlanError, match="schema"):
+        import json
+        h = json.dumps({"schema": "nope"}).encode()
+        W.load_exported_plan(len(h).to_bytes(8, "big") + h + b"xx")

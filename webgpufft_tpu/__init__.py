@@ -32,6 +32,7 @@ from .runtime.cache import (
     export_plan_cache_snapshot,
     import_plan_cache_snapshot,
 )
+from .runtime.aot import ExportedPlan, export_plan, load_exported_plan
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
@@ -61,6 +62,7 @@ __all__ = [
     "create_fftconv_channel_lane_preset",
     "create_fftconv_kernel_major_channel_lane_preset",
     "create_fftconv_batch_major_channel_lane_preset",
+    "export_plan", "load_exported_plan", "ExportedPlan",
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
 ]

@@ -1,0 +1,141 @@
+"""AOT plan export: serialize a plan's compiled pipeline for serving.
+
+The production-deployment analog of the reference's pipeline-cache snapshot
+(reference: src/runtime/pipeline_cache.js exports shader SOURCE for driver
+prewarm): here the whole jitted pipeline — plan constants baked in — is
+exported as a versioned StableHLO artifact via ``jax.export``.  A serving
+process can load and run it without the plan builder, spec machinery, or
+table precompute, and with jax's cross-version compatibility guarantees.
+
+Artifact layout: 8-byte big-endian header length, JSON header (schema,
+version, plan-spec descriptor, platforms, i/o shape metadata), then the
+raw ``jax.export`` payload.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..spec import PlanError, spec_to_dict
+
+AOT_SCHEMA = "webgpufft-tpu.aot-plan"
+AOT_VERSION = 1
+
+
+def _example_structs(plan, input_length: Optional[int],
+                     kernel_count_hint: Optional[int]):
+    import jax
+    import jax.numpy as jnp
+
+    spec = plan.spec
+    expect, interleaved = plan._expect_input
+    if expect == (None,):
+        if input_length is None:
+            raise PlanError(
+                "export_plan: this plan has a flat-layout input side; pass "
+                "input_length= (flat element count) to fix the traced shape")
+        shape = (input_length, 2) if interleaved else (input_length,)
+    else:
+        shape = tuple(expect)
+    from ..plans import stages
+    x = jax.ShapeDtypeStruct(shape, stages.expect_dtype(spec.precision))
+    if not plan.needs_kernel:
+        return (x,), {"input": list(shape)}
+    fc = spec.fft_conv
+    if fc is not None:
+        kshape = tuple(fc.kernel_shape) if fc.kernel_shape is not None else spec.shape
+        k = jax.ShapeDtypeStruct((fc.kernel_count,) + kshape + (2,), jnp.float32)
+    elif spec.conv is not None:
+        ks = spec.conv.kernel_size
+        comps = (2,) if spec.conv.kernel_type == "complex" else ()
+        k = jax.ShapeDtypeStruct((ks, ks) + comps, jnp.float32)
+    else:  # pragma: no cover - only fftconv/conv2d need kernels
+        raise PlanError("export_plan: unknown kernel-taking plan type")
+    return (x, k), {"input": list(shape), "kernel": list(k.shape)}
+
+
+def export_plan(plan, *, input_length: Optional[int] = None,
+                path: Optional[str] = None) -> bytes:
+    """Serialize ``plan``'s pipeline (constants baked) for the CURRENT
+    backend platform.  Returns the artifact bytes; also writes ``path``
+    when given.
+
+    The exported function has the plan's canonical signature — ``f(x)`` or
+    ``f(x, kernel)`` — with concrete shapes (use ``input_length`` for
+    flat-layout input sides).  Runtime exec offsets and ``out=`` merging
+    are build-time features and are not part of the exported artifact.
+    """
+    import jax
+    from jax import export as jexport
+
+    consts = plan._consts
+    if plan.needs_kernel:
+        def fn(x, kernel):
+            return plan._fn(consts, x, plan._coerce_kernel(kernel))
+    else:
+        def fn(x):
+            return plan._fn(consts, x)
+
+    args, shape_meta = _example_structs(plan, input_length, None)
+    exp = jexport.export(jax.jit(fn))(*args)
+    payload = exp.serialize()
+    header = json.dumps({
+        "schema": AOT_SCHEMA,
+        "version": AOT_VERSION,
+        "spec": spec_to_dict(plan.spec),
+        "platforms": list(exp.platforms),
+        "shapes": shape_meta,
+        "route_mode": plan.route.mode,
+    }).encode("utf-8")
+    blob = len(header).to_bytes(8, "big") + header + bytes(payload)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+class ExportedPlan:
+    """A loaded AOT artifact: ``ep(x[, kernel])`` runs the pipeline."""
+
+    def __init__(self, meta: Dict[str, Any], exported):
+        self.meta = meta
+        self.platforms = tuple(meta.get("platforms", ()))
+        self.shapes = meta.get("shapes", {})
+        self.route_mode = meta.get("route_mode")
+        self._exported = exported
+
+    def __call__(self, x, kernel=None):
+        if kernel is not None:
+            return self._exported.call(x, kernel)
+        return self._exported.call(x)
+
+    @property
+    def spec_dict(self) -> Dict[str, Any]:
+        return self.meta.get("spec", {})
+
+
+def load_exported_plan(data) -> ExportedPlan:
+    """Load an artifact produced by :func:`export_plan` (bytes or a path)."""
+    from jax import export as jexport
+
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 9:
+        raise PlanError("load_exported_plan: expected artifact bytes or a path")
+    hlen = int.from_bytes(data[:8], "big")
+    if hlen <= 0 or 8 + hlen > len(data):
+        raise PlanError("load_exported_plan: corrupt artifact header")
+    try:
+        meta = json.loads(data[8:8 + hlen].decode("utf-8"))
+    except Exception as e:
+        raise PlanError(f"load_exported_plan: bad header JSON: {e}")
+    if meta.get("schema") != AOT_SCHEMA:
+        raise PlanError(f"unrecognized AOT artifact schema: {meta.get('schema')!r}")
+    if meta.get("version") != AOT_VERSION:
+        raise PlanError(f"unsupported AOT artifact version {meta.get('version')}")
+    exported = jexport.deserialize(bytearray(data[8 + hlen:]))
+    return ExportedPlan(meta, exported)
