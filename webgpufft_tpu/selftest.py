@@ -86,6 +86,22 @@ def run(tol: float = 1e-5) -> bool:
     check("conv2d 3x3 same", np.asarray(p.exec(xi, kernel=w)),
           R.conv2d_direct(xi, w, pad=p.pad))
 
+    # four-step HBM route (forced small so the selftest stays fast)
+    z = rng.standard_normal((1, 4096)) + 1j * rng.standard_normal((1, 4096))
+    p = W.create_plan({"type": "c2c", "shape": [4096], "batch": 1,
+                       "tuning": {"fourStepMinN": 4096}}, cache=cache)
+    assert p.route.mode == "four-step-hbm", p.route
+    check("c2c four-step (4096)", np.asarray(p(interleave(z))),
+          interleave(R.fft_nd(z, [4096], "forward")))
+
+    # AOT export/load roundtrip on this backend
+    p = W.create_plan({"type": "c2c", "shape": [64], "batch": 2,
+                       "normalize": "unitary"}, cache=cache)
+    ep = W.load_exported_plan(W.export_plan(p))
+    z = rng.standard_normal((2, 64)) + 1j * rng.standard_normal((2, 64))
+    check("aot export/load (64)", np.asarray(ep(interleave(z))),
+          interleave(R.fft_nd(z, [64], "forward", "unitary")))
+
     print("SELFTEST", "PASS" if ok_all else "FAIL")
     return ok_all
 
