@@ -70,7 +70,17 @@ class MixedAxisPlan(AxisPlan):
                  out_scale: float = 1.0):
         super().__init__(n, prefix)
         self.direction = direction
-        self.subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
+        subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
+        if len(subs) > 2:
+            # Prefer an exactly-two-level balanced split when its folded
+            # stage-B tables stay small: two contractions, zero twiddle
+            # passes.  Measured on-chip (benches/r2 maxsub A/B): n=4096 as
+            # (64, 64) runs 1.38x faster than the 3-level [32, 32, 4].
+            # dftB table floats = 4*n*n2; bound n*n2 <= 2^20 (~16 MB f32).
+            two = factors.split_two_balanced(n, 128)
+            if two is not None and n * min(two) <= (1 << 20):
+                subs = [max(two), min(two)]
+        self.subs = subs
         assert math.prod(self.subs) == n, (n, self.subs)
         # plan normalize scale folded into the last sub-DFT table: saves a
         # whole elementwise pass over the output

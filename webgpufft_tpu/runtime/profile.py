@@ -110,13 +110,20 @@ def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
             v = fn(v)
         return v
 
+    def barrier(v):
+        # scalar readback via pure indexing — NEVER ravel/reshape here: a
+        # reshape of a trailing-dim-2 array can pick a 64x-padded tiled
+        # layout and allocate gigabytes for the copy (observed: 16 GB OOM
+        # on a (8192, 4096, 2) f32 barrier)
+        return float(v[(0,) * v.ndim])
+
     y = chain(x)
-    float(jnp.sum(y.ravel()[:1]))
+    barrier(y)
     t0 = time.perf_counter()
     z = x
     for _ in range(reps):
         z = chain(z)
-    float(jnp.sum(z.ravel()[:1]))
+    barrier(z)
     return max((time.perf_counter() - t0) / reps / unroll, 1e-9)
 
 
