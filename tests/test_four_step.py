@@ -146,3 +146,61 @@ def test_four_step_nd_non_last_axis(rng, assert_close):
     assert plan.route.mode == "four-step-hbm"
     y = uninterleave(np.asarray(plan(interleave(z))))
     assert_close(y, R.fft_nd(z, shape, "forward"), label="4step-axis0")
+
+
+# ---------------------------------------------------------------------------
+# four-step inside every plan family (threshold forced small)
+# ---------------------------------------------------------------------------
+
+FS = {"fourStepMinN": 2048}
+
+
+def test_four_step_in_r2c_c2r(rng, assert_close):
+    """r2c/c2r ride the four-step for their (half-length) axis-0 FFTs."""
+    n = 8192  # half-trick runs a 4096-point complex FFT >= threshold
+    x = rng.standard_normal((1, n)).astype(np.float32)
+    fwd = W.create_plan(type="r2c", shape=[n], direction="forward", tuning=FS)
+    inv = W.create_plan(type="c2r", shape=[n], direction="inverse",
+                       normalize="backward", tuning=FS)
+    y = uninterleave(np.asarray(fwd(x)))
+    ref = np.fft.rfft(x, axis=1)
+    assert_close(y.real, ref.real, label="r2c-4step.re")
+    assert_close(y.imag, ref.imag, label="r2c-4step.im")
+    back = np.asarray(inv(np.asarray(fwd(x))))
+    assert_close(back, x, label="c2r-4step roundtrip")
+
+
+def test_four_step_in_dct_fft_route(rng, assert_close):
+    """dct2's FFT route uses a four-step inner FFT for giant axes."""
+    n = 4096
+    x = rng.standard_normal((1, n)).astype(np.float32)
+    plan = W.create_plan(type="dct2", shape=[n], direction="forward",
+                        tuning={**FS, "dct_fft_min_n": 1024})
+    y = np.asarray(plan(x))
+    ref = R.dct_nd(x.astype(np.float64), [n], "dct2", "forward")
+    assert_close(y, ref, label="dct2-4step")
+
+
+def test_four_step_in_fftconv(rng, assert_close):
+    n = 4096
+    z = rand_c(rng, (1, n)) * 0.1
+    k = rand_c(rng, (n,)) * 0.1
+    plan = W.create_plan(type="fftconv", shape=[n], batch=1, tuning=FS)
+    y = uninterleave(np.asarray(plan.exec(interleave(z), kernel=interleave(k))))
+    ref = R.fftconv(z, k, [n], batch=1)
+    assert_close(y.real, ref.real, label="fftconv-4step.re")
+    assert_close(y.imag, ref.imag, label="fftconv-4step.im")
+
+
+def test_four_step_bf16_storage(rng):
+    import jax.numpy as jnp
+    n = 4096
+    z = rand_c(rng, (1, n)) * 0.5
+    plan = W.create_plan(type="c2c", shape=[n], batch=1,
+                        precision="bf16-storage", tuning=FS)
+    assert plan.route.mode == "four-step-hbm"
+    xb = jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+    y = uninterleave(np.asarray(plan(xb).astype(jnp.float32)))
+    ref = R.fft_nd(z, [n], "forward")
+    err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert err < 2e-2, err  # bf16 storage rounding dominates
