@@ -198,3 +198,42 @@ def test_distributed_fftconv_correlation(mesh8, rng, assert_close):
 def test_distributed_r2c_odd_raises(mesh8):
     with pytest.raises(ValueError, match="even"):
         sharded.build_distributed_r2c_1d(255, mesh8, "dp")
+
+
+def test_distributed_fftconv_nd(mesh24, rng, assert_close):
+    """ND circular fftconv with axis 0 spanning chips: distributed
+    four-step on axis 0, local FFTs for the rest, pointwise in the
+    sharded grid."""
+    from jax.sharding import NamedSharding
+    shape = (256, 6, 5)
+    batch = 2
+    z = rng.standard_normal((batch, *shape)) + 1j * rng.standard_normal((batch, *shape))
+    kt = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    fn = sharded.build_distributed_fftconv_nd(shape, mesh24, "sp",
+                                              batch_axis_name="dp")
+    x = jax.device_put(jnp.asarray(interleave(z)),
+                       NamedSharding(mesh24, P("dp", *([None] * 4))))
+    y = np.asarray(jax.jit(fn)(x, jnp.asarray(interleave(kt))))
+    ref = np.fft.ifftn(np.fft.fftn(z, axes=(1, 2, 3))
+                       * np.fft.fftn(kt), axes=(1, 2, 3))
+    got = uninterleave(y)
+    assert_close(got.real, ref.real, label="nd-dist-conv.re")
+    assert_close(got.imag, ref.imag, label="nd-dist-conv.im")
+
+
+def test_distributed_fftconv_nd_correlation_rader_rest_axis(mesh8, rng, assert_close):
+    """ND distributed correlation with a PRIME local axis (exercises the
+    local Rader plan riding the sharded grid)."""
+    shape = (256, 7)
+    batch = 2
+    z = rng.standard_normal((batch, *shape)) + 1j * rng.standard_normal((batch, *shape))
+    kt = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    fn = sharded.build_distributed_fftconv_nd(shape, mesh8, "dp",
+                                              mode="correlation")
+    y = np.asarray(jax.jit(fn)(jnp.asarray(interleave(z)),
+                               jnp.asarray(interleave(kt))))
+    ref = np.fft.ifftn(np.fft.fftn(z, axes=(1, 2))
+                       * np.conj(np.fft.fftn(kt)), axes=(1, 2))
+    got = uninterleave(y)
+    assert_close(got.real, ref.real, label="nd-dist-corr.re")
+    assert_close(got.imag, ref.imag, label="nd-dist-corr.im")

@@ -165,7 +165,8 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
 def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
                                 direction: str = "forward",
                                 normalize: str = "none",
-                                batch_axis_name: Optional[str] = None):
+                                batch_axis_name: Optional[str] = None,
+                                split: Optional[Tuple[int, int]] = None):
     """Distributed FFT along logical AXIS 0 of an ND array, trailing axes
     riding locally — the sequence-parallel building block for ND transforms
     whose leading axis spans chips.
@@ -180,11 +181,14 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
     n0 = shape[0]
     rest = tuple(shape[1:])
     ndev = mesh.shape[axis_name]
-    split = choose_distributed_split(n0, ndev)
+    if split is None:
+        split = choose_distributed_split(n0, ndev)
     if split is None:
         raise ValueError(
             f"cannot split n0={n0} into two smooth factors divisible by {ndev}")
     n1, n2 = split
+    if n1 * n2 != n0 or n1 % ndev or n2 % ndev:
+        raise ValueError(f"invalid split {split} for n0={n0}, ndev={ndev}")
     from ..utils.mathref import normalize_scale
     scale = normalize_scale(normalize, direction, n0)
 
@@ -313,6 +317,82 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
         y = jnp.concatenate([yf, yg], axis=-1)
         z = inv(y)                                    # (batch, k1', k2', 2)
         return z.reshape(x.shape[0], n, 2)
+
+    fn.split = (n1, n2)
+    return fn
+
+
+def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
+                                 mode: str = "convolution",
+                                 batch_axis_name: Optional[str] = None):
+    """Distributed circular ND FFT convolution: logical axis 0 spans chips
+    (distributed four-step over ICI); the remaining axes transform locally
+    on each shard (XLA propagates the k1 sharding — no extra collectives).
+
+    Returns fn(x, kernel): x (batch, *shape, 2), kernel (*shape, 2) or
+    (1, *shape, 2) time-domain interleaved -> (batch, *shape, 2).
+    """
+    if mode not in ("convolution", "correlation"):
+        raise ValueError(f"mode must be convolution|correlation, got {mode}")
+    shape = tuple(shape)
+    rest = shape[1:]
+    fwd0 = build_distributed_fft_axis0(shape, mesh, axis_name, "forward",
+                                       batch_axis_name=batch_axis_name)
+    n1, n2 = fwd0.split
+    inv0 = build_distributed_fft_axis0(shape, mesh, axis_name, "inverse",
+                                       "backward",
+                                       batch_axis_name=batch_axis_name,
+                                       split=(n2, n1))
+    kfwd0 = build_distributed_fft_axis0(shape, mesh, axis_name, "forward",
+                                        split=(n1, n2))
+    # local plans for the non-distributed axes (forward + unnormalized
+    # inverse; the 1/prod(rest) rides inv0's per-axis0 backward 1/n0... no:
+    # normalize="backward" on inv0 scales by 1/n0 only, so fold 1/prod(rest)
+    # into the last local inverse axis)
+    from ..core.axis import build_axis_plan
+    from ..spec import TuningSpec
+    tun = TuningSpec()
+    consts = {}
+    fplans, iplans = [], []
+    for d, m in enumerate(rest):
+        fp = build_axis_plan(m, d + 1, "forward", tun, f"df{d}")
+        ip = build_axis_plan(m, d + 1, "inverse", tun, f"di{d}")
+        consts.update(fp.consts())
+        consts.update(ip.consts())
+        fplans.append(fp)
+        iplans.append(ip)
+    rest_scale = 1.0 / math.prod(rest) if rest else 1.0
+    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+
+    from ..core.axis import apply_along_axis
+
+    def local_axes(y, plans, lead):
+        # y: (lead..., *rest, 2); rest axis d sits at array axis lead + d
+        for d, ap in enumerate(plans):
+            if ap.n > 1:
+                y = apply_along_axis(y, ap, lead + d, consts)
+        return y
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kernel.ndim == len(shape) + 1:
+            kernel = kernel[None]
+        # forward: distributed axis 0, then local rest axes
+        kf = local_axes(kfwd0(kernel), fplans, 3)     # (1, k2, k1, *rest, 2)
+        if mode == "correlation":
+            kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
+        xf = local_axes(fwd0(x), fplans, 3)           # (b, k2, k1, *rest, 2)
+        yr = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
+        yi = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
+        y = jnp.concatenate([yr, yi], axis=-1)
+        # inverse: local rest axes (scale folded), then distributed axis 0.
+        y = local_axes(y, iplans, 3)
+        if rest_scale != 1.0:
+            y = y * jnp.asarray(rest_scale, y.dtype)
+        b = y.shape[0]
+        y = y.reshape(b, n1 * n2, *rest, 2)           # grid -> flat k order
+        z = inv0(y)                                   # (b, k1', k2', *rest, 2)
+        return z.reshape(b, *shape, 2)
 
     fn.split = (n1, n2)
     return fn
