@@ -29,9 +29,14 @@ def _assert_close(actual, expected, atol_scale=1e-5, label=""):
     """Elementwise |a - e| <= tol with tol = atol_scale * max|e| (the
     "max rel err vs numpy.fft" criterion from BASELINE.md; the reference
     uses per-element atol+rtol*|e| at 1e-4, complete.node.test.js:14-25 —
-    ours is stricter)."""
-    actual = np.asarray(actual, dtype=np.float64)
-    expected = np.asarray(expected, dtype=np.float64)
+    ours is stricter).  Complex inputs compare BOTH components (casting to
+    float64 would silently discard the imaginary part)."""
+    actual = np.asarray(actual)
+    expected = np.asarray(expected)
+    dt = (np.complex128 if (np.iscomplexobj(actual) or np.iscomplexobj(expected))
+          else np.float64)
+    actual = actual.astype(dt)
+    expected = expected.astype(dt)
     assert actual.shape == expected.shape, (
         f"{label}: shape {actual.shape} != {expected.shape}")
     scale = max(np.max(np.abs(expected)), 1e-12)

@@ -69,3 +69,21 @@ def test_aot_rejects_corrupt():
         import json
         h = json.dumps({"schema": "nope"}).encode()
         W.load_exported_plan(len(h).to_bytes(8, "big") + h + b"xx")
+
+
+def test_aot_conv2d(rng, assert_close):
+    """conv2d plans export too (regression: _example_structs crashed on the
+    unset _expect_input); complex_input pins the data mode."""
+    plan = W.create_plan(type="conv2d", shape=[8, 8], batch=1,
+                        conv={"kernelSize": 3, "padding": "same"})
+    ep = W.load_exported_plan(W.export_plan(plan, complex_input=False))
+    x = rng.standard_normal((1, *plan.in_shape)).astype(np.float32)
+    w = rng.standard_normal((3, 3)).astype(np.float32)
+    got = np.asarray(ep(x, w))
+    ref = R.conv2d_direct(x, w, pad=plan.pad)
+    assert_close(got, ref, label="aot-conv2d")
+    # complex data mode
+    epc = W.load_exported_plan(W.export_plan(plan))
+    xc = rng.standard_normal((1, *plan.in_shape, 2)).astype(np.float32)
+    yc = np.asarray(epc(xc, w))
+    assert yc.shape == (1, 8, 8, 2)

@@ -96,3 +96,14 @@ def test_snapshot_legacy_v1_upgrade():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="version"):
         C.upgrade_snapshot({"schema": C.SNAPSHOT_SCHEMA, "version": 99})
+
+
+def test_snapshot_as_keyword_cache_option():
+    """cache={'snapshot': snap} works as a KEYWORD too (regression: the
+    dict used to be captured by the PlanCache-typed parameter and crash)."""
+    import webgpufft_tpu as W
+    own = W.PlanCache()
+    W.create_plan(type="c2c", shape=[16], cache=own)
+    snap = W.export_plan_cache_snapshot(own)
+    p = W.create_plan(type="c2c", shape=[32], cache={"snapshot": snap})
+    assert p.spec.shape == (32,)

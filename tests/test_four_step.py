@@ -204,3 +204,32 @@ def test_four_step_bf16_storage(rng):
     ref = R.fft_nd(z, [n], "forward")
     err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
     assert err < 2e-2, err  # bf16 storage rounding dominates
+
+
+def test_out_of_core_respects_lower_user_threshold(rng, assert_close):
+    """largeRoute='out-of-core' must not WEAKEN a lower user fourStepMinN
+    (regression: forcing used to replace it with the fixed 4096 floor)."""
+    plan = W.create_plan(type="c2c", shape=[2048], batch=1,
+                        tuning={"fourStepMinN": 2048,
+                                "largeRoute": "out-of-core"})
+    assert plan.route.mode == "four-step-hbm", plan.route
+    z = rand_c(rng, (1, 2048))
+    assert_close(uninterleave(np.asarray(plan(interleave(z)))),
+                 R.fft_nd(z, [2048], "forward"), label="oc-low-threshold")
+
+
+def test_two_level_split_respects_lowered_max_sub():
+    """A user who LOWERED maxSubLength keeps small sub-DFT tables; the
+    2-level preference only applies at/above the default."""
+    from webgpufft_tpu.core.axis import MixedAxisPlan
+    assert MixedAxisPlan(4096, "forward", "t", max_sub=8).subs[0] <= 8
+    assert MixedAxisPlan(4096, "forward", "t", max_sub=32).subs == [64, 64]
+
+
+def test_four_step_slabs_raise_when_unboundable():
+    """_slabs raises instead of silently exceeding the operand budget when
+    even single-digit slabs are too large."""
+    from webgpufft_tpu.core.axis import FourStepAxisPlan
+    ap = FourStepAxisPlan(64, "forward", "f", chunk_elems=16)
+    with pytest.raises(ValueError, match="cannot bound"):
+        ap._slabs(4)  # lead 4 x digit 8 > 16 even at full slabbing

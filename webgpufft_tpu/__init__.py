@@ -107,6 +107,12 @@ def create_plan(opts: Optional[Dict[str, Any]] = None, *,
     """
     merged = dict(opts or {})
     merged.update(kwargs)
+    if isinstance(cache, dict):
+        # cache given as a KEYWORD in reference-option style
+        # (create_plan(..., cache={'snapshot': snap})) — it is the option,
+        # not a PlanCache
+        merged.setdefault("cache", cache)
+        cache = None
     target = cache if cache is not None else default_cache()
     copt = merged.pop("cache", None)
     if copt is not None:

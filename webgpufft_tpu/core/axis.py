@@ -71,12 +71,14 @@ class MixedAxisPlan(AxisPlan):
         super().__init__(n, prefix)
         self.direction = direction
         subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
-        if len(subs) > 2:
+        if len(subs) > 2 and max_sub >= 32:
             # Prefer an exactly-two-level balanced split when its folded
             # stage-B tables stay small: two contractions, zero twiddle
             # passes.  Measured on-chip (benches/r2 maxsub A/B): n=4096 as
             # (64, 64) runs 1.38x faster than the 3-level [32, 32, 4].
             # dftB table floats = 4*n*n2; bound n*n2 <= 2^20 (~16 MB f32).
+            # Only applied when maxSubLength is at/above the default — a
+            # user who LOWERED it wants small tables, so respect that.
             two = factors.split_two_balanced(n, 128)
             if two is not None and n * min(two) <= (1 << 20):
                 subs = [max(two), min(two)]
@@ -222,7 +224,14 @@ class FourStepAxisPlan(AxisPlan):
             for s in range(1, digit + 1):
                 if digit % s == 0 and per_slab_base * (digit // s) <= budget:
                     return s
-            return digit
+            # even single-digit slabs exceed the budget: lead_elems alone is
+            # too large.  Never fall through silently — operands past the
+            # validated size risk the known silent miscompile.
+            raise ValueError(
+                f"four-step n={self.n}: cannot bound einsum operands within "
+                f"{budget} complex elements (lead elements {lead_elems} x "
+                f"full digit {self.n // digit} already exceed it); chunk the "
+                "batch/leading dims before this axis")
 
         if lead_elems * self.n <= budget:
             return 1, 1
@@ -395,7 +404,8 @@ def four_step_eligible(n: int, tuning, chunk_elems: int = None) -> bool:
         return False
     if not factors.is_smooth(n) or factors.split_two_balanced(n, n) is None:
         return False
-    minn = (FOUR_STEP_FORCE_MIN_N if tuning.large_route == "out-of-core"
+    minn = (min(FOUR_STEP_FORCE_MIN_N, tuning.four_step_min_n)
+            if tuning.large_route == "out-of-core"
             else tuning.four_step_min_n)
     # necessity overrides the perf threshold: a single line past the
     # validated einsum-operand size MUST decompose

@@ -83,11 +83,12 @@ class Plan:
         """Run the plan.
 
         ``input_offset_elements`` / ``output_offset_elements`` are RUNTIME
-        offsets added to flat-layout gathers/scatters — the element-unit
-        analog of exec-time inputOffsetBytes/outputOffsetBytes in the
-        reference (docs/API.md:115-116; strided kernels take the same value
-        as the `extraOffsetElements` uniform).  They require the
-        corresponding side to be in flat-layout mode.
+        offsets — the element-unit analog of exec-time inputOffsetBytes/
+        outputOffsetBytes in the reference (docs/API.md:115-116).  On
+        flat-layout sides they add to every gather/scatter index; on shaped
+        sides that side lowers to a contiguous flat view read/written at
+        the offset (output requires ``out=`` there).  Validated eagerly
+        against the concrete buffer lengths.
         """
         from ..utils.bufferview import BufferView
         out_view = None
@@ -165,10 +166,7 @@ class Plan:
                 raise PlanError(f"{self.spec.plan_type} exec does not take kernel=")
             args = (self._consts, x)
         if in_off is not None or out_off is not None:
-            if not self.supports_exec_offsets:
-                raise PlanError(
-                    f"{self.spec.plan_type}: exec offsets require a "
-                    "flat-layout staged transform plan")
+            # (misuse already rejected by the eager checks above)
             key = ("off", out is not None, in_off is not None, out_off is not None)
             fnv = self._jit_variants.get(key)
             if fnv is None:

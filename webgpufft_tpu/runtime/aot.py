@@ -26,20 +26,26 @@ AOT_VERSION = 1
 
 
 def _example_structs(plan, input_length: Optional[int],
-                     kernel_count_hint: Optional[int]):
+                     complex_input: bool):
     import jax
     import jax.numpy as jnp
 
     spec = plan.spec
-    expect, interleaved = plan._expect_input
-    if expect == (None,):
-        if input_length is None:
-            raise PlanError(
-                "export_plan: this plan has a flat-layout input side; pass "
-                "input_length= (flat element count) to fix the traced shape")
-        shape = (input_length, 2) if interleaved else (input_length,)
+    if plan._expect_input is None:
+        # conv2d: input is (batch, Hin, Win[, 2]), real/complex decided at
+        # trace time — the exported artifact pins one via complex_input
+        shape = ((spec.batch,) + tuple(plan.in_shape)
+                 + ((2,) if complex_input else ()))
     else:
-        shape = tuple(expect)
+        expect, interleaved = plan._expect_input
+        if expect == (None,):
+            if input_length is None:
+                raise PlanError(
+                    "export_plan: this plan has a flat-layout input side; pass "
+                    "input_length= (flat element count) to fix the traced shape")
+            shape = (input_length, 2) if interleaved else (input_length,)
+        else:
+            shape = tuple(expect)
     from ..plans import stages
     x = jax.ShapeDtypeStruct(shape, stages.expect_dtype(spec.precision))
     if not plan.needs_kernel:
@@ -58,6 +64,7 @@ def _example_structs(plan, input_length: Optional[int],
 
 
 def export_plan(plan, *, input_length: Optional[int] = None,
+                complex_input: bool = True,
                 path: Optional[str] = None) -> bytes:
     """Serialize ``plan``'s pipeline (constants baked) for the CURRENT
     backend platform.  Returns the artifact bytes; also writes ``path``
@@ -65,8 +72,9 @@ def export_plan(plan, *, input_length: Optional[int] = None,
 
     The exported function has the plan's canonical signature — ``f(x)`` or
     ``f(x, kernel)`` — with concrete shapes (use ``input_length`` for
-    flat-layout input sides).  Runtime exec offsets and ``out=`` merging
-    are build-time features and are not part of the exported artifact.
+    flat-layout input sides; ``complex_input`` pins conv2d's real-vs-
+    complex data mode).  Runtime exec offsets and ``out=`` merging are
+    build-time features and are not part of the exported artifact.
     """
     import jax
     from jax import export as jexport
@@ -79,7 +87,7 @@ def export_plan(plan, *, input_length: Optional[int] = None,
         def fn(x):
             return plan._fn(consts, x)
 
-    args, shape_meta = _example_structs(plan, input_length, None)
+    args, shape_meta = _example_structs(plan, input_length, complex_input)
     exp = jexport.export(jax.jit(fn))(*args)
     payload = exp.serialize()
     header = json.dumps({
