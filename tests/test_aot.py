@@ -87,3 +87,11 @@ def test_aot_conv2d(rng, assert_close):
     xc = rng.standard_normal((1, *plan.in_shape, 2)).astype(np.float32)
     yc = np.asarray(epc(xc, w))
     assert yc.shape == (1, 8, 8, 2)
+
+
+def test_aot_pathlib_path(rng, tmp_path):
+    plan = W.create_plan(type="c2c", shape=[16], batch=1)
+    p = tmp_path / "a.wftaot"
+    W.export_plan(plan, path=str(p))
+    ep = W.load_exported_plan(p)  # pathlib.Path, not str
+    assert ep.spec_dict["shape"] == [16]

@@ -107,3 +107,14 @@ def test_snapshot_as_keyword_cache_option():
     snap = W.export_plan_cache_snapshot(own)
     p = W.create_plan(type="c2c", shape=[32], cache={"snapshot": snap})
     assert p.spec.shape == (32,)
+
+
+def test_cache_option_collision_raises():
+    import webgpufft_tpu as W
+    own = W.PlanCache()
+    W.create_plan(type="c2c", shape=[16], cache=own)
+    snap = W.export_plan_cache_snapshot(own)
+    import pytest as _pytest
+    with _pytest.raises(W.PlanError, match="once"):
+        W.create_plan({"type": "c2c", "shape": [8], "cache": {"snapshot": snap}},
+                     cache={"snapshot": snap})

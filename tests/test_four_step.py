@@ -233,3 +233,35 @@ def test_four_step_slabs_raise_when_unboundable():
     ap = FourStepAxisPlan(64, "forward", "f", chunk_elems=16)
     with pytest.raises(ValueError, match="cannot bound"):
         ap._slabs(4)  # lead 4 x digit 8 > 16 even at full slabbing
+
+
+def test_composed_outer_and_inner_chunking(rng, assert_close, monkeypatch):
+    """Four-step axes whose RIDING elements exceed the budget compose:
+    outer slabs shrink the lead, internal digit slabs bound the rest
+    (regression: build passed feasibility, first exec raised ValueError)."""
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 1024)
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 1024)
+    shape = (64, 4096)  # axis1 four-step by necessity; lead 64 x digit 64 > 1024
+    z = rand_c(rng, (1, *shape))
+    plan = W.create_plan(type="c2c", shape=list(shape), batch=1)
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    assert_close(y, R.fft_nd(z, shape, "forward"), label="composed-chunking")
+
+
+def test_disable_out_of_core_four_step(rng, assert_close):
+    """disableOutOfCoreFourStep actually disables the route (regression:
+    it was classified as a WebGPU-only no-op)."""
+    plan = W.create_plan(type="c2c", shape=[8192], batch=1,
+                        tuning={"fourStepMinN": 4096,
+                                "disableOutOfCoreFourStep": True})
+    assert plan.route.mode == "xla", plan.route
+    z = rand_c(rng, (1, 8192))
+    assert_close(uninterleave(np.asarray(plan(interleave(z)))),
+                 R.fft_nd(z, [8192], "forward"), label="disable-4step")
+
+
+def test_two_level_split_honors_raised_max_sub():
+    """maxSubLength ABOVE the default also caps the 2-level split factors
+    (regression: a user cap of 64 was silently exceeded by 128)."""
+    from webgpufft_tpu.core.axis import MixedAxisPlan
+    assert max(MixedAxisPlan(8192, "forward", "t", max_sub=64).subs) <= 64

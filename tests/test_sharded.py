@@ -237,3 +237,21 @@ def test_distributed_fftconv_nd_correlation_rader_rest_axis(mesh8, rng, assert_c
     got = uninterleave(y)
     assert_close(got.real, ref.real, label="nd-dist-corr.re")
     assert_close(got.imag, ref.imag, label="nd-dist-corr.im")
+
+
+def test_distributed_operand_bounds(mesh8, rng, assert_close, monkeypatch):
+    """Per-device einsum operands in the distributed plans are bounded:
+    batch slabs inside shard_map (regression: unbounded), and a transform
+    too large per device fails at build."""
+    from webgpufft_tpu.core import axis as A
+    monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 512)
+    n, batch = 256, 32  # per-dev batch 4 x (256/8)=32/item -> slabbed
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fn = sharded.build_distributed_fft_1d(n, mesh8, "dp", "forward",
+                                          batch_axis_name=None)
+    y = uninterleave(np.asarray(jax.jit(fn)(jnp.asarray(interleave(z)))
+                                .reshape(batch, n, 2)))
+    assert_close(y, np.fft.fft(z, axis=1), label="dist-slabbed")
+    with pytest.raises(ValueError, match="per-device"):
+        monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 16)
+        sharded.build_distributed_fft_1d(n, mesh8, "dp")

@@ -111,7 +111,11 @@ def create_plan(opts: Optional[Dict[str, Any]] = None, *,
         # cache given as a KEYWORD in reference-option style
         # (create_plan(..., cache={'snapshot': snap})) — it is the option,
         # not a PlanCache
-        merged.setdefault("cache", cache)
+        if "cache" in merged:
+            raise PlanError(
+                "cache option given both in the options dict and as a "
+                "keyword; pass it once")
+        merged["cache"] = cache
         cache = None
     target = cache if cache is not None else default_cache()
     copt = merged.pop("cache", None)

@@ -56,6 +56,11 @@ class AxisPlan:
     def apply(self, x, consts):
         raise NotImplementedError
 
+    def can_self_chunk(self, lead_elems: int, budget: int) -> bool:
+        """True when apply() bounds its own einsum operand sizes within
+        ``budget`` for ``lead_elems`` riding elements per line."""
+        return False
+
 
 class MixedAxisPlan(AxisPlan):
     """Smooth-length FFT as a chain of sub-DFT matmuls + twiddles.
@@ -77,9 +82,12 @@ class MixedAxisPlan(AxisPlan):
             # passes.  Measured on-chip (benches/r2 maxsub A/B): n=4096 as
             # (64, 64) runs 1.38x faster than the 3-level [32, 32, 4].
             # dftB table floats = 4*n*n2; bound n*n2 <= 2^20 (~16 MB f32).
-            # Only applied when maxSubLength is at/above the default — a
-            # user who LOWERED it wants small tables, so respect that.
-            two = factors.split_two_balanced(n, 128)
+            # A maxSubLength ABOVE the default caps the split factors too;
+            # below the default the preference is skipped entirely (the
+            # user wants small tables); at the default (32) factors may
+            # reach 128.
+            cap = 128 if max_sub == 32 else max_sub
+            two = factors.split_two_balanced(n, cap)
             if two is not None and n * min(two) <= (1 << 20):
                 subs = [max(two), min(two)]
         self.subs = subs
@@ -202,6 +210,12 @@ class FourStepAxisPlan(AxisPlan):
         self.stage2 = MixedAxisPlan(self.n2, direction, f"{prefix}/s2", max_sub,
                                     out_scale=out_scale)
         self.rows_split = None  # no rows form; non-last axes use moveaxis
+        self.max_digit = max(self.n1, self.n2)
+
+    def can_self_chunk(self, lead_elems: int, budget: int) -> bool:
+        # minimum per-slab operand at full internal slabbing is
+        # lead * digit (stage 1: lead*n1 at s1=n2; stage 2: lead*n2 at s2=n1)
+        return lead_elems * self.max_digit <= (budget or OPERAND_CHUNK_ELEMS)
 
     def consts(self) -> Dict[str, np.ndarray]:
         sign = -1.0 if self.direction == "forward" else 1.0
@@ -301,9 +315,14 @@ class BluesteinAxisPlan(AxisPlan):
                                     tuning=tuning)
         self.inv = make_smooth_plan(self.m, "inverse", f"{prefix}/mi", max_sub,
                                     tuning=tuning)
-        # giant-M Bluestein self-chunks: the inner four-step plans bound
-        # their own einsum operand sizes; chirp muls are elementwise (safe)
-        self.self_chunking = isinstance(self.fwd, FourStepAxisPlan)
+        # giant-M Bluestein self-chunks when the inner four-step plans can
+        # bound their own einsum operand sizes; chirp muls are elementwise
+        self.max_digit = getattr(self.fwd, "max_digit", None)
+
+    def can_self_chunk(self, lead_elems: int, budget: int) -> bool:
+        if not isinstance(self.fwd, FourStepAxisPlan):
+            return False
+        return self.fwd.can_self_chunk(lead_elems, budget)
 
     def consts(self) -> Dict[str, np.ndarray]:
         ca, cb = const_pair(dft.bluestein_chirp(self.n, self.direction))
@@ -400,7 +419,8 @@ def four_step_eligible(n: int, tuning, chunk_elems: int = None) -> bool:
     route?  (The TPU reading of resolveLargeRoutingPolicy's out-of-core
     decision, reference: src/runtime/large_policy.js:301-450.)"""
     chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
-    if tuning is None or tuning.large_route == "chunk":
+    if (tuning is None or tuning.large_route == "chunk"
+            or tuning.disable_four_step):
         return False
     if not factors.is_smooth(n) or factors.split_two_balanced(n, n) is None:
         return False
@@ -481,6 +501,30 @@ def find_slab_axis(shape, array_axis: int, chunk_elems: int = None):
     return best
 
 
+def _slab_target(axis_plan: AxisPlan, chunk_elems: int) -> int:
+    """Per-slab element target for the outer slab search: plans with
+    internal digit slabbing only need the RIDING elements shrunk until
+    can_self_chunk holds; plain plans need the whole slab within budget."""
+    digit = getattr(axis_plan, "max_digit", None)
+    if digit:
+        return max((chunk_elems // digit) * axis_plan.n, 1)
+    return chunk_elems
+
+
+def slab_apply_feasible(shape, array_axis: int, axis_plan: AxisPlan,
+                        chunk_elems: int = None) -> bool:
+    """Static feasibility of slabbed_axis_apply for an array of ``shape``
+    (component dim excluded) — used for build-time validation so infeasible
+    plans fail at create_plan, not first exec."""
+    chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
+    elems = math.prod(shape)
+    lead = elems // max(axis_plan.n, 1)
+    if elems <= chunk_elems or axis_plan.can_self_chunk(lead, chunk_elems):
+        return True
+    return find_slab_axis(shape, array_axis,
+                          _slab_target(axis_plan, chunk_elems)) is not None
+
+
 def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
                        chunk_elems: int = None):
     """apply_along_axis with einsum operands bounded by chunk_elems.
@@ -488,15 +532,18 @@ def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
     Arrays past the validated operand size stream contiguous slabs of a
     complementary axis through jax.lax.map — the single-chip analog of the
     reference's axis-window line chunking (src/plan.js:597-838).  Four-step
-    and giant-Bluestein plans bound their own operand sizes and apply
-    directly.
+    and giant-Bluestein plans bound their own operand sizes when the riding
+    elements allow; otherwise outer slabs shrink the riding elements and
+    the plan's internal digit slabs handle the rest (composed chunking).
     """
     chunk_elems = chunk_elems or OPERAND_CHUNK_ELEMS
     elems = math.prod(x.shape[:-1])
-    if (elems <= chunk_elems or axis_plan.kind == "four-step"
-            or getattr(axis_plan, "self_chunking", False)):
+    lead = elems // max(axis_plan.n, 1)
+    if (elems <= chunk_elems
+            or axis_plan.can_self_chunk(lead, chunk_elems)):
         return apply_along_axis(x, axis_plan, array_axis, consts)
-    slab = find_slab_axis(x.shape[:-1], array_axis, chunk_elems)
+    slab = find_slab_axis(x.shape[:-1], array_axis,
+                          _slab_target(axis_plan, chunk_elems))
     if slab is None:
         raise ValueError(
             f"axis apply of n={axis_plan.n} on shape {x.shape} exceeds the "

@@ -45,6 +45,41 @@ def _cmul_pair(d, ca, cb):
     return d * ca + jnp.flip(d, axis=-1) * cb
 
 
+def _batch_chunk_divisor(b: int, per_item: int, budget: int) -> int:
+    """Largest divisor of b with slab*per_item <= budget (>= 1)."""
+    cap = max(1, budget // max(per_item, 1))
+    best = 1
+    for d in range(1, min(b, cap) + 1):
+        if b % d == 0:
+            best = d
+    return best
+
+
+def _check_per_device_operands(n_local_elems: int, what: str):
+    """Per-device einsum operands must stay within the validated size
+    (core.axis.OPERAND_CHUNK_ELEMS; see CLAUDE.md) even for batch 1."""
+    from ..core.axis import OPERAND_CHUNK_ELEMS
+    if n_local_elems > OPERAND_CHUNK_ELEMS:
+        raise ValueError(
+            f"{what}: per-device stage operands ({n_local_elems} complex "
+            f"elements) exceed the validated einsum operand size "
+            f"({OPERAND_CHUNK_ELEMS}); use more devices along the transform "
+            "axis")
+
+
+def _maybe_batch_slab(body, x_loc, per_item: int):
+    """Run ``body`` per batch-slab via lax.map when the full local batch
+    would push einsum operands past the validated size."""
+    from ..core.axis import OPERAND_CHUNK_ELEMS
+    b = x_loc.shape[0]
+    if b * per_item <= OPERAND_CHUNK_ELEMS:
+        return body(x_loc)
+    slab = _batch_chunk_divisor(b, per_item, OPERAND_CHUNK_ELEMS)
+    xs = x_loc.reshape(b // slab, slab, *x_loc.shape[1:])
+    ys = jax.lax.map(body, xs)
+    return ys.reshape(b, *ys.shape[2:])
+
+
 # ---------------------------------------------------------------------------
 # Batch sharding
 # ---------------------------------------------------------------------------
@@ -131,8 +166,9 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     twa, twb = jnp.asarray(twa), jnp.asarray(twb)
     n2_loc = n2 // ndev
 
-    def local_fn(x_loc):
-        # x_loc: (batch, n1, n2_loc, 2) — this device's n2-shard
+    _check_per_device_operands(n // ndev, f"distributed fft n={n}")
+
+    def local_body(x_loc):
         idx = jax.lax.axis_index(axis_name)
         # stage 1: contract the n1 digit: y[b, k1, j, comp]
         y = _einsum("baji,aick->bcjk", x_loc, w1)
@@ -145,6 +181,11 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
                                tiled=True)                # (b, k1_loc, n2, 2)
         # stage 2: contract the n2 digit
         return _einsum("bcai,aimk->bcmk", y, w2)          # (b, k1_loc, k2, 2)
+
+    def local_fn(x_loc):
+        # x_loc: (batch, n1, n2_loc, 2) — this device's n2-shard.  Batch
+        # slabs bound the per-device einsum operand sizes.
+        return _maybe_batch_slab(local_body, x_loc, n // ndev)
 
     def fn(x):
         if x.ndim == 3:
@@ -204,8 +245,10 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
     twb = jnp.asarray(twb.reshape(bshape))
     n2_loc = n2 // ndev
 
-    def local_fn(x_loc):
-        # x_loc: (b, n1, n2_loc, *rest, 2)
+    per_item = (n0 // ndev) * math.prod(rest)
+    _check_per_device_operands(per_item, f"distributed axis0 fft n0={n0}")
+
+    def local_body(x_loc):
         idx = jax.lax.axis_index(axis_name)
         y = _einsum("baj...i,aick->bcj...k", x_loc, w1)   # contract n1 digit
         ta = jax.lax.dynamic_slice_in_dim(twa, idx * n2_loc, n2_loc, axis=1)
@@ -214,6 +257,10 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
         y = jax.lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2,
                                tiled=True)                 # (b, k1_loc, n2, ...)
         return _einsum("bca...i,aimk->bcm...k", y, w2)     # contract n2 digit
+
+    def local_fn(x_loc):
+        # x_loc: (b, n1, n2_loc, *rest, 2); batch slabs bound the operands
+        return _maybe_batch_slab(local_body, x_loc, per_item)
 
     rest_none = (None,) * len(rest)
 
@@ -364,13 +411,15 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
     rest_scale = 1.0 / math.prod(rest) if rest else 1.0
     consts = {k: jnp.asarray(v) for k, v in consts.items()}
 
-    from ..core.axis import apply_along_axis
+    from ..core.axis import slabbed_axis_apply
 
     def local_axes(y, plans, lead):
-        # y: (lead..., *rest, 2); rest axis d sits at array axis lead + d
+        # y: (lead..., *rest, 2); rest axis d sits at array axis lead + d.
+        # slabbed form bounds einsum operands (conservative: global size,
+        # though SPMD partitioning divides per-device operands by ndev)
         for d, ap in enumerate(plans):
             if ap.n > 1:
-                y = apply_along_axis(y, ap, lead + d, consts)
+                y = slabbed_axis_apply(y, ap, lead + d, consts)
         return y
 
     def fn(x, kernel):

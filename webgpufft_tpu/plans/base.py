@@ -290,13 +290,13 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
                 batch_stride=s_in.batch_stride, batch=batch,
                 interleaved=in_interleaved, extra_offset=in_off)
         elif in_off is not None:
-            # exec-time offset on a shaped side: lower to a contiguous flat
-            # view (the reference's inputOffsetBytes works on any buffer
-            # exec, docs/API.md:115-116)
-            x = stages.gather_flat(
-                x, shape=in_phys, strides=stages.default_strides(in_phys),
-                offset=0, batch_stride=_math.prod(in_phys), batch=batch,
-                interleaved=in_interleaved, extra_offset=in_off)
+            # exec-time offset on a shaped side: a contiguous dynamic slice
+            # of the flat buffer (the reference's inputOffsetBytes works on
+            # any buffer exec, docs/API.md:115-116) — no index tensor
+            need = batch * _math.prod(in_phys)
+            x = jax.lax.dynamic_slice_in_dim(x, in_off, need, axis=0)
+            x = x.reshape((batch,) + tuple(in_phys)
+                          + ((2,) if in_interleaved else ()))
         if in_view is not None:
             x = stages.embed_view(x, in_view, in_domain, in_interleaved)
         x = stages.zero_pad_apply(x, zp.read, in_domain, in_interleaved)
@@ -304,10 +304,17 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
         y = stages.zero_pad_apply(y, zp.write, out_domain, out_interleaved)
         if out_view is not None:
             y = stages.extract_view(y, out_view, out_domain, out_interleaved)
-        if s_out.has_layout or out_off is not None:
+        if (not s_out.has_layout and out_off is not None
+                and (out_view is None or out_view.clear_outside)):
+            # shaped side + exec-time offset, whole-block write: one
+            # contiguous dynamic update into the caller buffer (out= is
+            # required by exec for runtime output offsets)
+            vals = y.reshape((-1, 2) if out_interleaved else (-1,))
+            y = jax.lax.dynamic_update_slice_in_dim(out, vals, out_off, axis=0)
+        elif s_out.has_layout or out_off is not None:
             if s_out.has_layout:
                 st, off, bs = s_out.strides, s_out.offset, s_out.batch_stride
-            else:  # shaped side + exec-time offset: contiguous flat scatter
+            else:  # shaped side + offset + keep-outside crop: strided scatter
                 st = stages.default_strides(out_phys)
                 off, bs = 0, _math.prod(out_phys)
             vals, sh = y, tuple(out_phys)

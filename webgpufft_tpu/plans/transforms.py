@@ -16,12 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import engine
-from ..core.axis import (apply_along_axis, find_slab_axis, make_smooth_plan,
-                         select_axis_kind, slabbed_axis_apply,
-                         OPERAND_CHUNK_ELEMS)
+from ..core.axis import (make_smooth_plan, select_axis_kind,
+                         slabbed_axis_apply, OPERAND_CHUNK_ELEMS)
 from ..core.cplx import cmul_const, const_pair as cplx_const_pair
 from ..spec import PlanError, PlanSpec
-from ..utils import factors
 from ..utils.mathref import trig_matrix
 from .base import Plan, RouteInfo, build_staged_fn
 
@@ -128,35 +126,32 @@ def build_c2c(spec: PlanSpec) -> Plan:
     eff_batch = chunk_b
 
     # A single item past the operand budget needs within-transform chunking
-    # (four-step internal slabs / slabbed_axis_apply) — the analog of the
-    # reference's out-of-core routes.  Validate feasibility at build time.
+    # (four-step internal slabs / slabbed_axis_apply, possibly composed) —
+    # the analog of the reference's out-of-core routes.  Validate
+    # feasibility at build time with the ACTUAL axis plans, mirroring
+    # slabbed_axis_apply's decision exactly.
     giant = eff_batch * spec.n_total > CHUNK_ELEMS
     if giant:
         allow_pallas = False
-        arr_shape = (eff_batch,) + tuple(shape)
-        for d in range(rank):
-            n = shape[d]
-            if n == 1:
-                continue
-            kind = select_axis_kind(n, d, tun)
-            from ..core.axis import four_step_eligible
-            self_chunks = (
-                (kind == "mixed" and four_step_eligible(n, tun))
-                or (kind == "bluestein" and four_step_eligible(
-                    factors.next_smooth_at_least(2 * n - 1), tun)))
-            if not self_chunks and find_slab_axis(arr_shape, 1 + d) is None:
-                raise PlanError(
-                    f"c2c axis {d} (n={n}): a single transform of "
-                    f"{spec.n_total} complex elements exceeds the validated "
-                    f"einsum operand size ({CHUNK_ELEMS}) and cannot be "
-                    "chunked (no four-step split, no divisible complementary "
-                    "axis)", axis=d, n=n, n_total=spec.n_total,
-                    chunk_elems=CHUNK_ELEMS)
-        route.reasons = route.reasons + ("single-item-exceeds-chunk",)
 
     # decide per-axis strategy (scale folds into the last axis's kernel)
     strategies = []  # (kind, fn_or_axisplan)
     axis_plans = engine.build_axis_plans(shape, spec.direction, tun)
+    if giant:
+        from ..core.axis import slab_apply_feasible
+        arr_shape = (eff_batch,) + tuple(shape)
+        for d in range(rank):
+            if shape[d] == 1:
+                continue
+            if not slab_apply_feasible(arr_shape, 1 + d, axis_plans[d]):
+                raise PlanError(
+                    f"c2c axis {d} (n={shape[d]}): a single transform of "
+                    f"{spec.n_total} complex elements exceeds the validated "
+                    f"einsum operand size ({CHUNK_ELEMS}) and cannot be "
+                    "chunked (no four-step split, no divisible complementary "
+                    "axis)", axis=d, n=shape[d], n_total=spec.n_total,
+                    chunk_elems=CHUNK_ELEMS)
+        route.reasons = route.reasons + ("single-item-exceeds-chunk",)
     for d in range(rank):
         n = shape[d]
         want_scale = scale if d == rank - 1 else 1.0

@@ -127,9 +127,10 @@ class ExportedPlan:
 
 def load_exported_plan(data) -> ExportedPlan:
     """Load an artifact produced by :func:`export_plan` (bytes or a path)."""
+    import os
     from jax import export as jexport
 
-    if isinstance(data, str):
+    if isinstance(data, (str, os.PathLike)):
         with open(data, "rb") as f:
             data = f.read()
     if not isinstance(data, (bytes, bytearray)) or len(data) < 9:

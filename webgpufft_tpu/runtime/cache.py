@@ -21,9 +21,10 @@ from typing import Any, Dict, List, Optional
 from ..spec import PlanSpec, spec_to_dict
 
 SNAPSHOT_SCHEMA = "webgpufft-tpu.plan-cache"
-# v1: bare spec list.  v2 (current): adds framework/schema metadata used for
-# compatibility checks.  v1 snapshots are upgraded on import, mirroring the
-# reference's legacy-version upgrade (pipeline_cache.js:39-114).
+# v1: bare spec list.  v2 (current): adds framework metadata, reported in
+# the diagnostic when a spec entry fails to rebuild (version drift).  v1
+# snapshots are upgraded on import, mirroring the reference's
+# legacy-version upgrade (pipeline_cache.js:39-114).
 SNAPSHOT_VERSION = 2
 
 
@@ -95,9 +96,16 @@ def import_plan_cache_snapshot(snapshot: Dict[str, Any],
         raise ValueError(f"unrecognized plan-cache snapshot schema: "
                          f"{snapshot.get('schema') if isinstance(snapshot, dict) else type(snapshot)}")
     snapshot = upgrade_snapshot(snapshot)
+    framework = (snapshot.get("metadata") or {}).get("framework", "")
     count = 0
     for d in snapshot.get("specs", []):
-        spec = _rebuild_spec(d)
+        try:
+            spec = _rebuild_spec(d)
+        except Exception as e:
+            raise ValueError(
+                f"snapshot spec entry could not be rebuilt ({e!r}); the "
+                f"snapshot may come from an incompatible framework version "
+                f"(recorded: {framework or 'unknown'})")
         if build:
             cache.get_or_create(spec)
         count += 1

@@ -165,6 +165,9 @@ class TuningSpec:
     # (benches/r2_fourstep_threshold.py, round-robin best-of-3): four-step
     # beats the generic einsum recursion 1.16-1.45x at every size 2^16-2^20.
     four_step_min_n: int = 1 << 16
+    # reference knob disableOutOfCoreFourStep — here it actually disables
+    # the four-step route (like largeRoute="chunk" but scoped to the knob)
+    disable_four_step: bool = False
     max_sub_length: int = 32                   # matmul sub-DFT cap (MXU tile friendliness)
     batch_tile: Optional[int] = None           # fused-kernel lines per grid step
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
@@ -326,7 +329,7 @@ def _norm_layout(layout: Optional[Dict[str, Any]], rank: int) -> LayoutSpec:
 # (reference knob surface: docs/API.md:88-104).
 WEBGPU_ONLY_TUNING_KEYS = frozenset({
     "workgroupSizeX", "maxStorageBufferBindingSize", "transposeMinElements",
-    "disableTranspose", "disableOutOfCoreFourStep",
+    "disableTranspose",
     "preferOutOfCoreForStrided", "largeChunkMaxBatches",
     "swapTo2Stage4Step", "swapTo3Stage4Step", "groupedBatch",
     "outOfCoreBurstWindows",
@@ -349,6 +352,7 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "maxSubLength": "max_sub_length",
         "batchTile": "batch_tile",
         "fourStepMinN": "four_step_min_n",
+        "disableOutOfCoreFourStep": "disable_four_step",
     }
     ignored = []
     for k, v in t.items():
