@@ -448,3 +448,42 @@ def test_fftconv_rejects_ioview():
     with pytest.raises(W.PlanError, match="ioView"):
         W.create_plan(type="fftconv", shape=[16],
                      ioView={"input": {"shape": [8]}})
+
+
+def test_bf16_storage_ioview_keep_outside(rng, assert_close):
+    """bf16-storage + ioView input AND output + clearOutside=false via
+    exec(out=) (reference: 'c2c f16-storage with ioView input+output works
+    (clearOutside=false preserves output)')."""
+    import jax.numpy as jnp
+    z = rand_c(rng, (1, 6)) * 0.5
+    plan = W.create_plan(type="c2c", shape=[8], batch=1,
+                        precision="bf16-storage",
+                        ioView={"input": {"shape": [6]},
+                                "output": {"shape": [12], "offset": [-2]}})
+    x = jnp.asarray(interleave(z)).astype(jnp.bfloat16)
+    sent = jnp.full((1, 12, 2), 7.5, jnp.bfloat16)
+    y = np.asarray(plan(x, out=sent).astype(jnp.float32))
+    assert np.all(y[:, :2] == 7.5) and np.all(y[:, 10:] == 7.5)
+    xe = np.asarray(x.astype(jnp.float32))
+    pad = np.zeros((1, 8), complex)
+    pad[:, :6] = xe[..., 0] + 1j * xe[..., 1]
+    ref = R.fft_nd(pad, [8], "forward")
+    got = y[:, 2:10, 0] + 1j * y[:, 2:10, 1]
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 2e-2, err  # bf16 storage rounding
+
+
+def test_in_place_with_input_offset_bluestein(rng, assert_close):
+    """inPlace + non-zero input offset on a Bluestein length (reference:
+    'c2c inPlace with non-zero inputOffset and BufferView temp works
+    (N=34)').  inPlace lowers to donation, which layout mode declines —
+    the combination still computes correctly."""
+    n, off = 34, 5
+    z = rand_c(rng, (off + n,))
+    plan = W.create_plan(type="c2c", shape=[n], batch=1, direction="forward",
+                        inPlace=True,
+                        layout={"inputStrides": [1], "inputOffsetElements": off,
+                                "outputStrides": [1]})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z[off:off + n][None], [n], "forward")[0]
+    assert_close(y[:n], ref, label="inplace+offset bluestein")

@@ -310,7 +310,8 @@ def build_staged_fn(spec: PlanSpec, core_fn: Callable,
             # contiguous dynamic update into the caller buffer (out= is
             # required by exec for runtime output offsets)
             vals = y.reshape((-1, 2) if out_interleaved else (-1,))
-            y = jax.lax.dynamic_update_slice_in_dim(out, vals, out_off, axis=0)
+            y = jax.lax.dynamic_update_slice_in_dim(
+                out, vals.astype(out.dtype), out_off, axis=0)
         elif s_out.has_layout or out_off is not None:
             if s_out.has_layout:
                 st, off, bs = s_out.strides, s_out.offset, s_out.batch_stride

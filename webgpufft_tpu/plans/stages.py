@@ -78,7 +78,7 @@ def merge_view_into(y_view, view: IoViewSide, logical: Sequence[int],
     vsl, _ = ov
     tail = (slice(None),) if interleaved else ()
     idx = (slice(None),) + vsl + tail
-    return out.at[idx].set(y_view[idx])
+    return out.at[idx].set(y_view[idx].astype(out.dtype))
 
 
 def extract_view(y, view: IoViewSide, logical: Sequence[int], interleaved: bool):
@@ -218,7 +218,7 @@ def scatter_flat(values, *, shape, strides, offset, batch_stride, batch,
             raise PlanError(f"output buffer too small: need {need} elements, got {out.shape[0]}")
     idx = flat_indices(shape, strides, offset, batch_stride, batch, extra_offset)
     return out.at[idx.reshape(-1)].set(
-        values.reshape((-1, 2) if interleaved else (-1,)))
+        values.reshape((-1, 2) if interleaved else (-1,)).astype(out.dtype))
 
 
 # ---------------------------------------------------------------------------
