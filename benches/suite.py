@@ -78,6 +78,27 @@ def main():
         record(f"c2c_1d_{n}_b{batch}", plan, x, 2 * batch * n * 8,
                route=plan.route.mode)
 
+    # ---- 2b. reference browser/node bench shapes: 2D up to 1024^2, the
+    #      2310 mixed-radix line (2*3*5*7*11), and the 64x64 transpose-path
+    #      trigger (web/bench_runner.js:131-222, bench/bench.js:71-113)
+    d2 = 256 if args.quick else 1024
+    plan = W.create_plan(type="c2c", shape=[d2, d2], batch=1,
+                        direction="forward", normalize="unitary")
+    x = jnp.asarray(rng.standard_normal((1, d2, d2, 2)).astype(np.float32))
+    record(f"c2c_2d_{d2}x{d2}_b1", plan, x, 2 * d2 * d2 * 8,
+           route=plan.route.mode)
+    b2310 = 64 if args.quick else 512
+    plan = W.create_plan(type="c2c", shape=[2310], batch=b2310,
+                        direction="forward", normalize="unitary")
+    x = jnp.asarray(rng.standard_normal((b2310, 2310, 2)).astype(np.float32))
+    record(f"c2c_1d_2310_b{b2310}", plan, x, 2 * b2310 * 2310 * 8,
+           route=plan.route.mode)
+    plan = W.create_plan(type="c2c", shape=[64, 64], batch=256,
+                        direction="forward", normalize="unitary")
+    x = jnp.asarray(rng.standard_normal((256, 64, 64, 2)).astype(np.float32))
+    record("c2c_2d_64x64_b256", plan, x, 2 * 256 * 64 * 64 * 8,
+           route=plan.route.mode)
+
     # r2c+c2r roundtrip (chained as a pair to keep shapes closed)
     n = 1024
     r2c = W.create_plan(type="r2c", shape=[n], direction="forward", batch=batch,
