@@ -1,0 +1,179 @@
+"""Plan-level distributed API (parallel/plans.create_distributed_plan) on
+the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import webgpufft_tpu as W
+from webgpufft_tpu import PlanError
+from webgpufft_tpu.core.cplx import interleave, uninterleave
+from webgpufft_tpu.parallel import sharded
+from webgpufft_tpu.parallel.plans import create_distributed_plan
+from webgpufft_tpu.utils import mathref as R
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return sharded.make_mesh({"sp": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return sharded.make_mesh({"dp": 2, "sp": 4})
+
+
+def test_c2c_1d_seq(mesh8, rng, assert_close):
+    n, batch = 1024, 2
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    plan = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                   direction="forward", normalize="unitary",
+                                   mesh=mesh8, seq_axis="sp")
+    assert plan.route.mode == "distributed-sp"
+    assert any(r.startswith("digit-split:") for r in plan.route.reasons)
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward") / np.sqrt(n)
+    assert_close(y.real, ref.real, label="dseq c2c.re")
+    assert_close(y.imag, ref.imag, label="dseq c2c.im")
+
+
+def test_c2c_1d_seq_inverse_roundtrip(mesh24, rng, assert_close):
+    n, batch = 512, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fwd = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                  mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    inv = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    back = uninterleave(np.asarray(inv(fwd(interleave(z)))))
+    assert_close(back.real, z.real, label="dseq roundtrip.re")
+    assert_close(back.imag, z.imag, label="dseq roundtrip.im")
+
+
+def test_c2c_nd_seq(mesh8, rng, assert_close):
+    shape, batch = [64, 24], 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    plan = create_distributed_plan(type="c2c", shape=shape, batch=batch,
+                                   normalize="unitary",
+                                   mesh=mesh8, seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, shape, "forward") / np.sqrt(np.prod(shape))
+    assert_close(y.real, ref.real, label="dseq nd.re")
+    assert_close(y.imag, ref.imag, label="dseq nd.im")
+
+
+def test_r2c_c2r_seq_roundtrip(mesh8, rng, assert_close):
+    n, batch = 2048, 2
+    x = rng.standard_normal((batch, n))
+    r2c = create_distributed_plan(type="r2c", shape=[n], batch=batch,
+                                  mesh=mesh8, seq_axis="sp")
+    c2r = create_distributed_plan(type="c2r", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    spec = np.asarray(r2c(jnp.asarray(x.astype(np.float32))))
+    ref = np.fft.rfft(x, axis=-1)
+    got = uninterleave(spec)
+    assert_close(got.real, ref.real, label="dseq r2c.re")
+    assert_close(got.imag, ref.imag, label="dseq r2c.im")
+    back = np.asarray(c2r(jnp.asarray(spec)))
+    assert_close(back, x, label="dseq c2r roundtrip")
+
+
+def test_fftconv_seq(mesh24, rng, assert_close):
+    n, batch = 256, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    k = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    plan = create_distributed_plan(type="fftconv", shape=[n], batch=batch,
+                                   mesh=mesh24, batch_axis="dp",
+                                   seq_axis="sp")
+    y = uninterleave(np.asarray(
+        plan(interleave(z), kernel=interleave(k)))).reshape(batch, n)
+    ref = R.fftconv(z, k, [n], batch=batch, boundary="circular")
+    assert_close(y.real, ref.real, label="dseq fftconv.re")
+    assert_close(y.imag, ref.imag, label="dseq fftconv.im")
+
+
+def test_fftconv_nd_seq_correlation(mesh8, rng, assert_close):
+    shape, batch = [64, 6], 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    k = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+    plan = create_distributed_plan(
+        type="fftconv", shape=shape, batch=batch,
+        fftConv={"mode": "correlation"}, mesh=mesh8, seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z), kernel=interleave(k))))
+    y = y.reshape(batch, *shape)
+    ref = R.fftconv(z, k, shape, batch=batch, boundary="circular",
+                    mode="correlation")
+    assert_close(y.real, ref.real, label="dseq ndcorr.re")
+    assert_close(y.imag, ref.imag, label="dseq ndcorr.im")
+
+
+def test_dp_only_wraps_local_plan(mesh24, rng, assert_close):
+    n, batch = 64, 8
+    x = rng.standard_normal((batch, n, n))
+    plan = create_distributed_plan(type="dct2", shape=[n, n], batch=batch,
+                                   normalize="unitary",
+                                   mesh=mesh24, batch_axis="dp")
+    assert plan.route.mode == "distributed-dp"
+    y = np.asarray(plan(jnp.asarray(x.astype(np.float32))))
+    ref = R.dct_nd(x, [n, n], "dct2", "forward", "unitary")
+    assert_close(y, ref, label="dp dct2")
+
+
+def test_dp_only_fftconv_kernel(mesh24, rng, assert_close):
+    n, batch = 32, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    k = rng.standard_normal(5) + 1j * rng.standard_normal(5)
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"boundary": "linear-same", "kernelShape": [5]},
+        mesh=mesh24, batch_axis="dp")
+    y = uninterleave(np.asarray(plan(interleave(z), kernel=interleave(k))))
+    ref = R.fftconv(z, k, [n], batch=batch, boundary="linear-same",
+                    kernel_shape=[5])
+    assert_close(y.real, ref.real, label="dp fftconv.re")
+
+
+def test_validation_errors(mesh24, mesh8):
+    with pytest.raises(PlanError, match="batch_axis and/or seq_axis"):
+        create_distributed_plan(type="c2c", shape=[64], mesh=mesh24)
+    with pytest.raises(PlanError, match="not a mesh axis"):
+        create_distributed_plan(type="c2c", shape=[64], mesh=mesh24,
+                                seq_axis="tp")
+    with pytest.raises(PlanError, match="distinct"):
+        create_distributed_plan(type="c2c", shape=[64], mesh=mesh24,
+                                batch_axis="sp", seq_axis="sp")
+    with pytest.raises(PlanError, match="divide evenly"):
+        create_distributed_plan(type="c2c", shape=[64], batch=3,
+                                mesh=mesh24, batch_axis="dp")
+    with pytest.raises(PlanError, match="not supported for type"):
+        create_distributed_plan(type="dct2", shape=[64], mesh=mesh24,
+                                seq_axis="sp")
+    with pytest.raises(PlanError, match="ioView"):
+        create_distributed_plan(type="c2c", shape=[64],
+                                ioView={"input": {"shape": [32]}},
+                                mesh=mesh24, seq_axis="sp")
+    with pytest.raises(PlanError, match="circular"):
+        create_distributed_plan(type="fftconv", shape=[64],
+                                fftConv={"boundary": "linear-full"},
+                                mesh=mesh24, seq_axis="sp")
+    with pytest.raises(PlanError, match="kernelCount=1"):
+        create_distributed_plan(type="fftconv", shape=[64],
+                                fftConv={"kernelCount": 2},
+                                mesh=mesh24, seq_axis="sp")
+    with pytest.raises(PlanError, match="requires kernel="):
+        plan = create_distributed_plan(type="fftconv", shape=[64],
+                                       mesh=mesh8, seq_axis="sp")
+        plan(np.zeros((1, 64, 2), np.float32))
+
+
+def test_workspace_and_destroy(mesh8):
+    plan = create_distributed_plan(type="c2c", shape=[512], batch=8,
+                                   mesh=mesh8, seq_axis="sp")
+    assert plan.get_workspace_size_bytes() == 2 * 8 * 512 * 8 // 8
+    plan.destroy()
+    assert plan._jit is None

@@ -65,7 +65,19 @@ __all__ = [
     "export_plan", "load_exported_plan", "ExportedPlan",
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
+    "create_distributed_plan",
 ]
+
+
+def create_distributed_plan(opts=None, *, mesh, batch_axis=None,
+                            seq_axis=None, **kwargs):
+    """Multi-chip plan from reference-style options (new TPU layer; see
+    parallel/plans.py).  ``mesh`` is a jax.sharding.Mesh; ``batch_axis``
+    shards the batch (data parallel), ``seq_axis`` distributes single
+    transforms over chips (all_to_all digit exchange over ICI)."""
+    from .parallel.plans import create_distributed_plan as _impl
+    return _impl(opts, mesh=mesh, batch_axis=batch_axis, seq_axis=seq_axis,
+                 **kwargs)
 
 
 def _build_plan(spec: PlanSpec) -> Plan:

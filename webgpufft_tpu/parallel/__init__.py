@@ -1,0 +1,24 @@
+"""Multi-chip layer: batch sharding, distributed single-transform FFT, and
+the plan-level ``create_distributed_plan`` surface (new TPU work — the
+reference is single-device, SURVEY.md §2.9)."""
+
+from .plans import DistributedPlan, create_distributed_plan
+from .sharded import (
+    build_distributed_c2r_1d,
+    build_distributed_fft_1d,
+    build_distributed_fft_axis0,
+    build_distributed_fftconv_1d,
+    build_distributed_fftconv_nd,
+    build_distributed_r2c_1d,
+    choose_distributed_split,
+    make_mesh,
+    shard_batch,
+)
+
+__all__ = [
+    "DistributedPlan", "create_distributed_plan",
+    "build_distributed_c2r_1d", "build_distributed_fft_1d",
+    "build_distributed_fft_axis0", "build_distributed_fftconv_1d",
+    "build_distributed_fftconv_nd", "build_distributed_r2c_1d",
+    "choose_distributed_split", "make_mesh", "shard_batch",
+]

@@ -1,0 +1,269 @@
+"""Plan-level distributed execution: ``create_distributed_plan``.
+
+The reference is a single-device library (SURVEY.md §2.9), so this surface
+is new TPU work: it composes the building blocks of parallel/sharded.py
+(distributed four-step FFT over ICI, half-complex r2c/c2r, distributed FFT
+convolution, batch sharding) behind the same options dict ``create_plan``
+takes, returning a plan-like object:
+
+    mesh = sharded.make_mesh({"dp": 2, "sp": 4})
+    plan = create_distributed_plan({"type": "c2c", "shape": [1 << 20],
+                                    "batch": 8, "normalize": "unitary"},
+                                   mesh=mesh, batch_axis="dp", seq_axis="sp")
+    y = plan(x)          # flat (batch, n, 2), standard bin order
+
+Modes:
+- ``seq_axis`` given: the transform itself is distributed over that mesh
+  axis (sequence parallel).  c2c (any rank: axis 0 spans chips, remaining
+  axes run locally on each shard), r2c/c2r (even n, rank 1), and circular
+  fftconv (rank >= 1, single kernel) are supported.
+- ``seq_axis=None``: pure batch sharding — the local plan runs on every
+  device's batch shard, collective-free (works for every plan type).
+
+Inputs/outputs are flat logical arrays in the standard order; the digit
+grids used internally never leak.  The returned plan jits once and lets the
+partitioner insert the collectives (all_to_all over ICI for the digit
+exchange; no DCN unless the mesh spans hosts).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..plans.base import RouteInfo
+from ..spec import PlanError, PlanSpec, normalize_spec
+from . import sharded
+
+
+class DistributedPlan:
+    """Executable distributed transform plan (plan-like surface: __call__/
+    exec/destroy/route/spec, mirroring plans.base.Plan)."""
+
+    def __init__(self, spec: PlanSpec, mesh: Mesh, route: RouteInfo, fn,
+                 *, needs_kernel: bool = False,
+                 batch_axis: Optional[str] = None,
+                 seq_axis: Optional[str] = None,
+                 input_sharding: Optional[NamedSharding] = None,
+                 jit: bool = True):
+        self.spec = spec
+        self.mesh = mesh
+        self.route = route
+        self.needs_kernel = needs_kernel
+        self.batch_axis = batch_axis
+        self.seq_axis = seq_axis
+        # recommended placement for inputs (callers may pre-place with
+        # jax.device_put to avoid a layout change at dispatch)
+        self.input_sharding = input_sharding
+        self._jit = jax.jit(fn) if jit else fn
+
+    def __call__(self, x, kernel=None):
+        return self.exec(x, kernel=kernel)
+
+    def exec(self, x, kernel=None):
+        x = jnp.asarray(x)
+        if self.input_sharding is not None:
+            x = jax.device_put(x, self.input_sharding)
+        if self.needs_kernel:
+            if kernel is None:
+                raise PlanError(f"{self.spec.plan_type} exec requires kernel=")
+            return self._jit(x, jnp.asarray(kernel))
+        if kernel is not None:
+            raise PlanError(
+                f"{self.spec.plan_type} exec does not take kernel=")
+        return self._jit(x)
+
+    def destroy(self):
+        self._jit = None
+
+    def get_workspace_size_bytes(self) -> int:
+        # XLA manages distributed temporaries; report the per-device digit
+        # grid estimate (informational, like plans.base.Plan)
+        ndev = 1
+        if self.seq_axis is not None:
+            ndev = self.mesh.shape[self.seq_axis]
+        return 2 * self.spec.batch * self.spec.n_total * 8 // ndev
+
+
+def _reject_unsupported(spec: PlanSpec, seq_axis: Optional[str]):
+    if seq_axis is None:
+        return  # batch sharding wraps the local plan: full option surface
+    if spec.precision != "f32":
+        raise PlanError("seq-axis plans support precision='f32' only")
+    if spec.io_view.input is not None or spec.io_view.output is not None:
+        raise PlanError("seq-axis plans do not support ioView")
+    if spec.zero_pad.read is not None or spec.zero_pad.write is not None:
+        raise PlanError("seq-axis plans do not support zeroPad")
+    if not spec.layout.is_trivial:
+        raise PlanError("seq-axis plans do not support layout strides/whdcn")
+    if spec.in_place:
+        raise PlanError("seq-axis plans do not support inPlace")
+    if spec.plan_type not in ("c2c", "r2c", "c2r", "fftconv"):
+        raise PlanError(
+            f"seq_axis sharding is not supported for type "
+            f"{spec.plan_type!r} (batch sharding via batch_axis works for "
+            "every type)", plan_type=spec.plan_type)
+
+
+def _validate_axes(mesh: Mesh, batch_axis: Optional[str],
+                   seq_axis: Optional[str], batch: int):
+    for name, label in ((batch_axis, "batch_axis"), (seq_axis, "seq_axis")):
+        if name is not None and name not in mesh.shape:
+            raise PlanError(f"{label} {name!r} is not a mesh axis "
+                            f"(mesh has {tuple(mesh.shape)})")
+    if batch_axis is not None and seq_axis == batch_axis:
+        raise PlanError("batch_axis and seq_axis must be distinct mesh axes")
+    if batch_axis is not None and batch % mesh.shape[batch_axis]:
+        raise PlanError(
+            f"batch ({batch}) must divide evenly over mesh axis "
+            f"{batch_axis!r} (size {mesh.shape[batch_axis]})",
+            batch=batch, devices=mesh.shape[batch_axis])
+
+
+def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
+    from ..core.engine import plan_scale
+    shape = spec.shape
+    if spec.rank == 1:
+        inner = sharded.build_distributed_fft_1d(
+            shape[0], mesh, seq_axis, spec.direction, spec.normalize,
+            batch_axis)
+
+        def fn(x):
+            return inner(x).reshape(x.shape[0], shape[0], 2)
+
+        return fn, inner.split
+
+    # ND: axis 0 spans chips; remaining axes transform locally per shard
+    # (embarrassingly parallel over the k1 sharding — no extra collectives).
+    fft0 = sharded.build_distributed_fft_axis0(
+        shape, mesh, seq_axis, spec.direction, "none", batch_axis)
+    from ..core.axis import build_axis_plan, slabbed_axis_apply
+    consts: Dict[str, Any] = {}
+    plans = []
+    for d, m in enumerate(shape[1:]):
+        ap = build_axis_plan(m, d + 1, spec.direction, spec.tuning, f"dx{d}")
+        consts.update(ap.consts())
+        plans.append(ap)
+    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+    scale = plan_scale(spec.normalize, spec.direction, spec.n_total)
+
+    def fn(x):
+        b = x.shape[0]
+        y = fft0(x.reshape(b, *shape, 2))        # (b, k2, k1, *rest, 2)
+        for d, ap in enumerate(plans):
+            if ap.n > 1:
+                y = slabbed_axis_apply(y, ap, 3 + d, consts)
+        if scale != 1.0:
+            y = y * jnp.asarray(scale, y.dtype)
+        return y.reshape(b, *shape, 2)
+
+    return fn, fft0.split
+
+
+def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
+    fc = spec.fft_conv
+    if fc.boundary != "circular":
+        raise PlanError(
+            "distributed fftconv supports boundary='circular' only "
+            f"(got {fc.boundary!r}); run linear boundaries on the batch-"
+            "sharded local plan", boundary=fc.boundary)
+    if fc.kernel_count != 1 or fc.channel_input is not None:
+        raise PlanError(
+            "distributed fftconv supports kernelCount=1 without "
+            "channelPolicy; use the batch-sharded local plan for "
+            "multi-kernel channel routing")
+    if fc.kernel_shape is not None and tuple(fc.kernel_shape) != spec.shape:
+        raise PlanError(
+            "distributed circular fftconv requires kernelShape == shape "
+            "(circular kernels are full-length)")
+    if spec.rank == 1:
+        inner = sharded.build_distributed_fftconv_1d(
+            spec.shape[0], mesh, seq_axis, fc.mode, batch_axis)
+        return inner, inner.split
+    inner = sharded.build_distributed_fftconv_nd(
+        spec.shape, mesh, seq_axis, fc.mode, batch_axis)
+    return inner, inner.split
+
+
+def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
+                            mesh: Mesh,
+                            batch_axis: Optional[str] = None,
+                            seq_axis: Optional[str] = None,
+                            **kwargs) -> DistributedPlan:
+    """Create a multi-chip transform plan from reference-style options.
+
+    ``mesh``: the jax.sharding.Mesh to run over.  ``batch_axis`` shards the
+    batch dim (data parallel); ``seq_axis`` distributes single transforms
+    over chips (sequence parallel, all_to_all digit exchange).  At least one
+    must be given.  See module docstring for supported combinations.
+    """
+    merged = dict(opts or {})
+    merged.update(kwargs)
+    spec = normalize_spec(merged)
+    if batch_axis is None and seq_axis is None:
+        raise PlanError("give batch_axis and/or seq_axis (a mesh axis name)")
+    _validate_axes(mesh, batch_axis, seq_axis, spec.batch)
+    _reject_unsupported(spec, seq_axis)
+
+    route = RouteInfo(
+        mode="distributed-sp" if seq_axis else "distributed-dp",
+        impl="xla+ici",
+        reasons=((f"mesh:{dict(mesh.shape)}",)
+                 + ((f"batch-axis:{batch_axis}",) if batch_axis else ())
+                 + ((f"seq-axis:{seq_axis}",) if seq_axis else ())))
+
+    needs_kernel = spec.plan_type in ("fftconv", "conv2d")
+    # input array ndim: batch + logical rank (+ component dim for
+    # interleaved-complex input sides)
+    real_input = (spec.plan_type == "r2c" or spec.plan_type == "conv2d"
+                  or spec.plan_type.startswith(("dct", "dst")))
+    in_ndim = 1 + spec.rank + (0 if real_input else 1)
+    in_sharding = (NamedSharding(mesh, P(batch_axis, *([None] * (in_ndim - 1))))
+                   if batch_axis is not None else None)
+
+    if seq_axis is None:
+        # batch sharding of the local single-chip plan (works for any type);
+        # exec places inputs on the batch sharding and the local plan's
+        # jitted pipeline partitions automatically (shard_batch semantics)
+        from .. import create_plan
+        local = create_plan(merged)
+        route.axis_kinds = local.route.axis_kinds
+        route.reasons = route.reasons + ("local:" + local.route.mode,)
+
+        def fn(x, kernel=None):
+            return local.exec(x, kernel=kernel) if needs_kernel \
+                else local.exec(x)
+
+        return DistributedPlan(
+            spec, mesh, route, fn, needs_kernel=needs_kernel,
+            batch_axis=batch_axis, seq_axis=None,
+            input_sharding=in_sharding, jit=False)
+
+    t = spec.plan_type
+    if t == "c2c":
+        fn, split = _build_seq_c2c(spec, mesh, batch_axis, seq_axis)
+    elif t == "r2c":
+        if spec.rank != 1:
+            raise PlanError("distributed r2c supports rank 1 (pair with "
+                            "batch sharding for ND batches)")
+        inner = sharded.build_distributed_r2c_1d(
+            spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        fn, split = inner, inner.split
+    elif t == "c2r":
+        if spec.rank != 1:
+            raise PlanError("distributed c2r supports rank 1")
+        inner = sharded.build_distributed_c2r_1d(
+            spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        fn, split = inner, inner.split
+    else:  # fftconv (guarded by _reject_unsupported)
+        fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)
+
+    route.reasons = route.reasons + (f"digit-split:{split}",)
+    return DistributedPlan(
+        spec, mesh, route, fn, needs_kernel=needs_kernel,
+        batch_axis=batch_axis, seq_axis=seq_axis,
+        input_sharding=in_sharding)

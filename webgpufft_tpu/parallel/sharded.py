@@ -323,6 +323,53 @@ def build_distributed_r2c_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                             normalize: str = "none",
+                             batch_axis_name: Optional[str] = None):
+    """Distributed packed-complex->real inverse 1D FFT — the mirror of
+    build_distributed_r2c_1d (multi-chip composition of
+    plans/transforms.build_c2r's half-complex core).
+
+    x: (batch, n//2 + 1, 2) packed non-negative bins, n even.  Returns
+    (batch, n) f32 real.  The re-tangle to the half-length complex spectrum
+    is elementwise + a flip gather on the flat spectrum; the length-n/2
+    inverse FFT runs as the distributed four-step (one all_to_all over ICI).
+    """
+    if n % 2:
+        raise ValueError("distributed c2r requires even n")
+    h = n // 2
+    from ..plans.transforms import _half_trick_consts
+    from ..utils.mathref import normalize_scale
+
+    ifftc = build_distributed_fft_1d(h, mesh, axis_name, "inverse", "none",
+                                     batch_axis_name)
+    cc = _half_trick_consts(n, inverse=True)
+    flip = jnp.asarray(cc["cr/flip"])
+    ca = jnp.asarray(cc["cr/ca"]).reshape(1, h, 2)
+    cb = jnp.asarray(cc["cr/cb"]).reshape(1, h, 2)
+    scale = normalize_scale(normalize, "inverse", n)
+
+    def fn(xp):
+        b = xp.shape[0]
+        # bins 0 and n/2 are self-conjugate for a real signal: drop any
+        # residual imag there (reference zeroes self-conjugate bins,
+        # real_complex.js:116-201)
+        bin_iota = jnp.arange(h + 1).reshape(1, h + 1, 1)
+        comp = jnp.arange(2).reshape(1, 1, 2)
+        selfconj = ((bin_iota == 0) | (bin_iota == h)) & (comp == 1)
+        y = jnp.where(selfconj, 0.0, xp)
+        xk = y[:, :h, :]
+        xf = jnp.take(y, flip, axis=1)
+        xf = xf * jnp.asarray([1.0, -1.0], dtype=y.dtype)     # conj
+        z = (xk + xf) + _cmul_pair(xk - xf, ca, cb)
+        z = ifftc(z).reshape(b, h, 2)      # unnormalized inverse, flat order
+        out = z.reshape(b, n)              # (re, im) pairs ARE (x[2m], x[2m+1])
+        return out if scale == 1.0 else out * jnp.asarray(scale, out.dtype)
+
+    fn.split = ifftc.split
+    return fn
+
+
 def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
                                  mode: str = "convolution",
                                  batch_axis_name: Optional[str] = None):
