@@ -27,17 +27,28 @@ def main():
     ndev = min(8, jax.device_count())
     mesh = sharded.make_mesh({"sp": ndev})
     n, batch = 2 ** 16, 2
-    fft = sharded.build_distributed_fft_1d(n, mesh, "sp", "forward")
-    print(f"devices={ndev} n={n} digit split={fft.split}")
+
+    # plan-level surface: same options as create_plan, plus the mesh
+    plan = wft.create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                       direction="forward",
+                                       mesh=mesh, seq_axis="sp")
+    print(f"devices={ndev} n={n} route={plan.route.mode} "
+          f"reasons={plan.route.reasons}")
 
     rng = np.random.default_rng(0)
     z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
-    y = jax.jit(fft)(jnp.asarray(wft.interleave(z)))
-    got = wft.uninterleave(np.asarray(y).reshape(batch, n, 2))
+    got = wft.uninterleave(np.asarray(plan(wft.interleave(z))))
     ref = np.fft.fft(z, axis=-1)
     err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     print(f"max rel err vs numpy: {err:.2e}")
     assert err < 1e-5
+
+    # lower-level building block (digit-grid output, reshape to flat)
+    fft = sharded.build_distributed_fft_1d(n, mesh, "sp", "forward")
+    y = jax.jit(fft)(jnp.asarray(wft.interleave(z)))
+    got2 = wft.uninterleave(np.asarray(y).reshape(batch, n, 2))
+    assert np.max(np.abs(got2 - ref)) / np.max(np.abs(ref)) < 1e-5
+    print(f"building-block digit split: {fft.split}")
 
 
 if __name__ == "__main__":
