@@ -30,13 +30,13 @@ def build(**opts):
     ([256, 256], 16, "pallas-auto", "pallas-fused",
      ["c2c-axis0-fused-cols", "c2c-axis1-fused-lines"]),
     ([64, 64], 16, "pallas-auto", "xla",
-     ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
-    # rank 2 auto: rows-xla + xla
+     ["c2c-axis0-xla", "c2c-axis1-xla"]),
+    # rank 2 auto: W4 mid-axis + last-axis einsum (both 'xla')
     ([64, 64], 16, "auto", "xla",
-     ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
-    # small lanes + tiny digits -> rows-xla / xla fallbacks
+     ["c2c-axis0-xla", "c2c-axis1-xla"]),
+    # small lanes + tiny digits -> xla fallbacks
     ([64, 8], 16, "pallas-auto", "xla",
-     ["c2c-axis0-rows-xla", "c2c-axis1-xla"]),
+     ["c2c-axis0-xla", "c2c-axis1-xla"]),
     # mixed prime + smooth rank 2
     ([17, 64], 4, "auto", "xla",
      ["c2c-axis0-xla", "c2c-axis1-xla"]),

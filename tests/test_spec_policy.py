@@ -131,3 +131,55 @@ def test_plan_error_details_payload():
         assert e.details["plan_type"] == "c2c"
         assert e.details["batch"] == 2
         assert "route_mode" in e.details
+
+
+def test_matmul_precision_knob_parsing():
+    """tuning.matmulPrecision: auto resolves per storage precision; bad
+    values raise (benches/r3_precision_transpose.py precision ladder)."""
+    p = W.create_plan(type="c2c", shape=[16])
+    assert p.spec.tuning.matmul_precision == "highest"   # f32 auto
+    assert not any(r.startswith("mxu-precision") for r in p.route.reasons)
+    p = W.create_plan(type="c2c", shape=[16], precision="bf16-storage")
+    assert p.spec.tuning.matmul_precision == "default"   # bf16 auto
+    assert "mxu-precision:default" in p.route.reasons
+    p = W.create_plan(type="c2c", shape=[16], precision="bf16-storage",
+                     tuning={"matmulPrecision": "highest"})
+    assert p.spec.tuning.matmul_precision == "highest"   # forced back
+    p = W.create_plan(type="c2c", shape=[16],
+                     tuning={"matmulPrecision": "high"})
+    assert "mxu-precision:high" in p.route.reasons
+    with pytest.raises(W.PlanError, match="matmulPrecision"):
+        W.create_plan(type="c2c", shape=[16],
+                     tuning={"matmulPrecision": "fast"})
+
+
+def test_matmul_precision_threads_through_plans(rng, assert_close):
+    """Plans built under every matmulPrecision stay correct (the CPU
+    backend ignores the enum, so this validates threading, not numerics)."""
+    from webgpufft_tpu.core.cplx import interleave, uninterleave
+    from webgpufft_tpu.utils import mathref as R
+    n, batch = 48, 3
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ref = R.fft_nd(z, [n], "forward")
+    for mp in ("highest", "high", "default"):
+        plan = W.create_plan(type="c2c", shape=[n], batch=batch,
+                            tuning={"matmulPrecision": mp})
+        y = uninterleave(np.asarray(plan(interleave(z))))
+        assert_close(y.real, ref.real, label=f"mp={mp}.re")
+        assert_close(y.imag, ref.imag, label=f"mp={mp}.im")
+    # a 2D four-step-eligible shape exercises rows-form + four-step threading
+    plan = W.create_plan(type="c2c", shape=[64, 16], batch=2,
+                        tuning={"matmulPrecision": "high",
+                                "fourStepMinN": 64})
+    z2 = (rng.standard_normal((2, 64, 16))
+          + 1j * rng.standard_normal((2, 64, 16)))
+    y2 = uninterleave(np.asarray(plan(interleave(z2))))
+    ref2 = R.fft_nd(z2, [64, 16], "forward")
+    assert_close(y2.real, ref2.real, label="mp-2d.re")
+    # dct matmul route under the knob
+    pd = W.create_plan(type="dct2", shape=[8], batch=4,
+                      tuning={"matmulPrecision": "high"})
+    xr = rng.standard_normal((4, 8))
+    yd = np.asarray(pd(xr.astype(np.float32)))
+    refd = R.dct_nd(xr, [8], "dct2", "forward", "none")
+    assert_close(yd, refd, label="mp-dct")

@@ -35,12 +35,29 @@ from ..utils import factors
 # f32 matmul accuracy on the MXU: DEFAULT lowers to bf16 passes (~3e-3 rel
 # error on a 1024-pt FFT — fails the 1e-5 accuracy bar); HIGHEST uses the
 # 6-pass f32 scheme.  The FFT stays memory-bound either way, so HIGHEST is
-# the right default (tuning can lower it for throughput experiments).
+# the default for f32 plans; tuning.matmulPrecision lowers it ("auto"
+# resolves to DEFAULT for bf16-storage plans — measured ladder in
+# benches/r3_precision_transpose.py: highest 2e-7 / high 2e-5 / default
+# 3e-3 rel err; default 35% faster on c2c-4096 b4096).
 _PRECISION = jax.lax.Precision.HIGHEST
 
+_PRECISION_BY_NAME = {
+    "auto": jax.lax.Precision.HIGHEST,  # pre-resolution fallback
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
-def _einsum(pattern, a, b):
-    return jnp.einsum(pattern, a, b, precision=_PRECISION)
+
+def mxu_precision(tuning):
+    """The MXU contraction precision a plan's tuning selects."""
+    if tuning is None:
+        return _PRECISION
+    return _PRECISION_BY_NAME[tuning.matmul_precision]
+
+
+def _einsum(pattern, a, b, prec=_PRECISION):
+    return jnp.einsum(pattern, a, b, precision=prec)
 
 
 class AxisPlan:
@@ -72,9 +89,10 @@ class MixedAxisPlan(AxisPlan):
     kind = "mixed"
 
     def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
-                 out_scale: float = 1.0):
+                 out_scale: float = 1.0, prec=_PRECISION):
         super().__init__(n, prefix)
         self.direction = direction
+        self.prec = prec
         subs = factors.split_sublengths(n, max_sub) if n > 1 else [1]
         if len(subs) > 2 and max_sub >= 32:
             # Prefer an exactly-two-level balanced split when its folded
@@ -95,10 +113,6 @@ class MixedAxisPlan(AxisPlan):
         # plan normalize scale folded into the last sub-DFT table: saves a
         # whole elementwise pass over the output
         self.out_scale = out_scale
-        # rows-form support: transform over a NON-last axis with trailing
-        # dims riding in lanes (no moveaxis transposes; core/rows.py)
-        from .fused_cols import choose_split as _cols_split
-        self.rows_split = _cols_split(n) if n > 1 else None
 
     def consts(self) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
@@ -129,18 +143,41 @@ class MixedAxisPlan(AxisPlan):
                     out[f"{self.prefix}/twa{lvl}"] = ta  # (n1, n2, 2)
                     out[f"{self.prefix}/twb{lvl}"] = tb
                 rem = n2
-        if self.rows_split is not None:
-            from .rows import rows_consts
-            out.update(rows_consts(self.n, self.direction, self.out_scale,
-                                   f"{self.prefix}/rw"))
         return out
 
-    def apply_rows(self, x, consts):
-        """Transform along axis -2 of (..., n, L) with trailing interleaved
-        elements in L lanes (rows form; requires rows_split)."""
-        from .rows import apply_rows
-        h1, h2 = self.rows_split
-        return apply_rows(x, consts, f"{self.prefix}/rw", self.n, h1, h2)
+    def apply_mid(self, x, consts):
+        """Transform along axis -3 of (..., n, L, 2): the same W4-form
+        contraction chain as ``apply`` with a riding lane dim L carried
+        through every einsum untouched — no moveaxis transposes and no
+        separate re/im dots.  Measured 2.4x faster than the retired
+        rows-form P/Q einsums on the 2^20 four-step stage 1 and 1.2x on 2D
+        axis-0 (benches/r3b_midaxis_forms.py)."""
+        return self._rec_mid(x, consts, 0)
+
+    def _rec_mid(self, x, consts, lvl: int):
+        subs = self.subs[lvl:]
+        n = math.prod(subs)
+        lead = x.shape[:-3]
+        L = x.shape[-2]
+        if len(subs) == 1:
+            return _einsum("...aLi,aicj->...cLj", x,
+                           consts[f"{self.prefix}/dft{lvl}"], self.prec)
+        n1 = subs[0]
+        n2 = n // n1
+        xm = x.reshape(*lead, n1, n2, L, 2)
+        y = _einsum("...abLi,aicj->...cbLj", xm,
+                    consts[f"{self.prefix}/dft{lvl}"], self.prec)
+        if len(subs) == 2:
+            z = _einsum("...abLi,abicj->...caLj", y,
+                        consts[f"{self.prefix}/dftB{lvl}"], self.prec)
+        else:
+            twa = consts[f"{self.prefix}/twa{lvl}"][:, :, None, :]  # ride L
+            twb = consts[f"{self.prefix}/twb{lvl}"][:, :, None, :]
+            y = cmul_const(y, twa, twb)
+            z = self._rec_mid(y, consts, lvl + 1)  # n2 digit sits at axis -3
+            z = z.reshape(*lead, n1, n2, L, 2)
+            z = jnp.swapaxes(z, -4, -3)            # out[k] at k = k1 + n1*k2
+        return z.reshape(*lead, n, L, 2)
 
     def apply(self, x, consts):
         return self._rec(x, consts, 0)
@@ -150,18 +187,21 @@ class MixedAxisPlan(AxisPlan):
         n = math.prod(subs)
         if len(subs) == 1:
             # out[..., c, j] = sum_{a,i} x[..., a, i] W4[a, i, c, j]
-            return _einsum("...ai,aicj->...cj", x, consts[f"{self.prefix}/dft{lvl}"])
+            return _einsum("...ai,aicj->...cj", x,
+                           consts[f"{self.prefix}/dft{lvl}"], self.prec)
         n1 = subs[0]
         n2 = n // n1
         lead = x.shape[:-2]
         xm = x.reshape(*lead, n1, n2, 2)
         # y[..., k1, m2, j] = sum_{a,i} xm[..., a, m2, i] W4[a, i, k1, j]
-        y = _einsum("...abi,aicj->...cbj", xm, consts[f"{self.prefix}/dft{lvl}"])
+        y = _einsum("...abi,aicj->...cbj", xm,
+                    consts[f"{self.prefix}/dft{lvl}"], self.prec)
         if len(subs) == 2:
             # final level: twiddle is folded into per-k1 stage-B matrices
             # (consts dftB) and the contraction emits the digit-reversed
             # order directly — two contractions total, zero twiddle pass
-            z = _einsum("...abi,abicj->...caj", y, consts[f"{self.prefix}/dftB{lvl}"])
+            z = _einsum("...abi,abicj->...caj", y,
+                        consts[f"{self.prefix}/dftB{lvl}"], self.prec)
         else:
             # measured on-chip: the flip-form const-pair multiply beats the
             # flip-free t4 2x2 form (XLA materializes more copies for t4)
@@ -196,20 +236,22 @@ class FourStepAxisPlan(AxisPlan):
     kind = "four-step"
 
     def __init__(self, n: int, direction: str, prefix: str, max_sub: int = 32,
-                 out_scale: float = 1.0, chunk_elems: int = None):
+                 out_scale: float = 1.0, chunk_elems: int = None,
+                 prec=_PRECISION):
         super().__init__(n, prefix)
         self.direction = direction
         self.out_scale = out_scale
         self.chunk_elems = chunk_elems
+        self.prec = prec
         split = factors.split_two_balanced(n, n)
         if split is None:
             raise ValueError(f"four-step axis needs a two-factor smooth split, n={n}")
         # n1 = the a1 (stride-n2) digit, n2 = the contiguous digit
         self.n1, self.n2 = split
-        self.stage1 = MixedAxisPlan(self.n1, direction, f"{prefix}/s1", max_sub)
+        self.stage1 = MixedAxisPlan(self.n1, direction, f"{prefix}/s1", max_sub,
+                                    prec=prec)
         self.stage2 = MixedAxisPlan(self.n2, direction, f"{prefix}/s2", max_sub,
-                                    out_scale=out_scale)
-        self.rows_split = None  # no rows form; non-last axes use moveaxis
+                                    out_scale=out_scale, prec=prec)
         self.max_digit = max(self.n1, self.n2)
 
     def can_self_chunk(self, lead_elems: int, budget: int) -> bool:
@@ -436,9 +478,11 @@ def make_smooth_plan(n: int, direction: str, prefix: str, max_sub: int = 32,
                      out_scale: float = 1.0, tuning=None) -> AxisPlan:
     """MixedAxisPlan, or FourStepAxisPlan when the axis is four-step
     eligible under ``tuning``."""
+    prec = mxu_precision(tuning)
     if n > 1 and four_step_eligible(n, tuning):
-        return FourStepAxisPlan(n, direction, prefix, max_sub, out_scale)
-    return MixedAxisPlan(n, direction, prefix, max_sub, out_scale)
+        return FourStepAxisPlan(n, direction, prefix, max_sub, out_scale,
+                                prec=prec)
+    return MixedAxisPlan(n, direction, prefix, max_sub, out_scale, prec=prec)
 
 
 def select_axis_kind(n: int, axis: int, tuning) -> str:
@@ -564,18 +608,18 @@ def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):
     """Apply an axis plan along complex array axis ``array_axis`` of
     interleaved x (..., 2).
 
-    Non-last axes of mixed plans use the rows form (trailing dims merged
-    into lanes; free reshapes, no moveaxis transpose passes).  Rader/
-    Bluestein and unsupported lengths fall back to moveaxis + lanes form.
+    Non-last mixed axes use the W4 mid-axis form (trailing complex dims
+    merged into a riding lane dim; free reshapes, no moveaxis transpose
+    passes).  Rader/Bluestein/four-step plans fall back to moveaxis.
     """
     last = x.ndim - 2
     if array_axis == last:
         return axis_plan.apply(x, consts)
-    if getattr(axis_plan, "rows_split", None) is not None:
+    if isinstance(axis_plan, MixedAxisPlan):
         lead = x.shape[:array_axis]
         n = x.shape[array_axis]
-        v = x.reshape(*lead, n, -1)          # lanes = trailing dims * 2
-        y = axis_plan.apply_rows(v, consts)
+        v = x.reshape(*lead, n, -1, 2)       # L = trailing complex elems
+        y = axis_plan.apply_mid(v, consts)
         return y.reshape(x.shape)
     x = jnp.moveaxis(x, array_axis, last)
     y = axis_plan.apply(x, consts)

@@ -84,8 +84,9 @@ def build_c2c(spec: PlanSpec) -> Plan:
 
     - default ("auto"): XLA everywhere — last axis via the einsum pipeline
       with digit-reversal and normalize scale folded into the final
-      contraction; earlier smooth axes via the rows-form XLA path
-      (core/rows.py — lanes ride, no moveaxis transposes).
+      contraction; earlier smooth axes via the W4 mid-axis form
+      (core/axis.MixedAxisPlan.apply_mid — lanes ride through every
+      contraction, no moveaxis transposes).
     - impl="pallas"/"pallas-auto": last axis via the fused 1D VMEM kernel
       (core/fused.py), earlier axes via the Pallas columns kernel
       (core/fused_cols.py), per-axis XLA fallback.
@@ -183,15 +184,10 @@ def build_c2c(spec: PlanSpec) -> Plan:
                         strat = ("fused-cols", fn)
             except ValueError:
                 strat = None
-        if strat is None and d < rank - 1 and n > 1 and not giant:
-            # non-last smooth axes: rows-form XLA (lanes ride; no moveaxis
-            # transpose passes)
-            from ..core import rows
-            if (axis_plans[d].kind == "mixed" and rows.supports_length(n)):
-                fn = rows.build_rows_fft(n, spec.direction, 1.0, consts,
-                                         f"rx{d}")
-                strat = ("rows-xla", fn)
         if strat is None:
+            # non-last smooth axes run the W4 mid-axis form inside
+            # apply_along_axis (lanes ride through the contractions; no
+            # moveaxis transpose passes) — the default "xla" strategy
             ap = axis_plans[d]
             if (d == rank - 1 and scale != 1.0
                     and ap.kind in ("mixed", "four-step") and n > 1):
@@ -250,10 +246,6 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 lanes = 2 * math.prod(shape[d + 1:])
                 pre = eff_batch * math.prod(shape[:d])
                 y = obj(y.reshape(pre, n, lanes), c).reshape(
-                    eff_batch, *shape, 2)
-            elif kind == "rows-xla":
-                lanes = 2 * math.prod(shape[d + 1:])
-                y = obj(y.reshape(eff_batch, *shape[:d], n, lanes), c).reshape(
                     eff_batch, *shape, 2)
             else:
                 y = slabbed_axis_apply(y, obj, 1 + d, c)
@@ -556,7 +548,9 @@ def build_dct(spec: PlanSpec) -> Plan:
                 y = _apply_dct_fft_axis(y, c, axis_objs[d], f"dct{d}",
                                         eff_kind, spec.shape[d])
             else:
-                y = jnp.matmul(y, c[f"trig{d}"], precision=_PRECISION)
+                from ..core.axis import mxu_precision
+                y = jnp.matmul(y, c[f"trig{d}"],
+                               precision=mxu_precision(spec.tuning))
             y = jnp.moveaxis(y, -1, ax)
         return _scale_mul(y, scale)
 

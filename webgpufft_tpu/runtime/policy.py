@@ -66,9 +66,13 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
 
 def knob_reasons(spec: PlanSpec) -> Tuple[str, ...]:
     """Route reasons recording reference WebGPU-only tuning knobs that were
-    accepted as no-ops (spec.WEBGPU_ONLY_TUNING_KEYS)."""
-    return tuple(f"ignored-webgpu-knob:{k}"
-                 for k in spec.tuning.ignored_webgpu_knobs)
+    accepted as no-ops (spec.WEBGPU_ONLY_TUNING_KEYS), plus any non-default
+    MXU contraction precision in effect."""
+    out = tuple(f"ignored-webgpu-knob:{k}"
+                for k in spec.tuning.ignored_webgpu_knobs)
+    if spec.tuning.matmul_precision != "highest":
+        out = out + (f"mxu-precision:{spec.tuning.matmul_precision}",)
+    return out
 
 
 def resolve_route(spec: PlanSpec, axis_kinds: Tuple[str, ...]):

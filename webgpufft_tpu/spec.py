@@ -173,6 +173,14 @@ class TuningSpec:
     dct_fft_min_n: int = 512                   # dct2/3, dst2/3 axes >= this use the FFT route
     fused_precision: str = "highest"           # fused-kernel matmul passes: highest|default
     fused_variant: str = "v1"                  # fused-kernel formulation: v1|v2 (see core/fused.py)
+    # MXU pass count for the XLA einsum pipeline.  "auto" resolves at spec
+    # normalization: "highest" (6-pass f32, meets the 1e-5 bar) for f32
+    # plans, "default" (1-pass bf16) for bf16-storage plans whose inputs are
+    # already bf16-rounded — measured 35% faster on c2c-4096 b4096 with the
+    # incremental error far below the storage rounding
+    # (benches/r3_precision_transpose.py).  "high" = 3-pass bf16_3x
+    # (~2e-5 rel err — just misses the f32 bar; offered for throughput).
+    matmul_precision: str = "auto"             # auto|highest|high|default
     # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
     # reference-style options dict runs unmodified (VERDICT r1 #8); each key
     # shows up as route reason "ignored-webgpu-knob:<key>"
@@ -353,6 +361,7 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "batchTile": "batch_tile",
         "fourStepMinN": "four_step_min_n",
         "disableOutOfCoreFourStep": "disable_four_step",
+        "matmulPrecision": "matmul_precision",
     }
     ignored = []
     for k, v in t.items():
@@ -371,6 +380,8 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
            "tuning.impl must be auto|pallas|pallas-auto|xla")
     _check(ts.large_route in ("auto", "chunk", "out-of-core"),
            "tuning.largeRoute must be auto|chunk|out-of-core")
+    _check(ts.matmul_precision in ("auto", "highest", "high", "default"),
+           "tuning.matmulPrecision must be auto|highest|high|default")
     return ts
 
 
@@ -516,6 +527,14 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
         _check(plan_type != "conv2d", "conv2d does not support zeroPad")
 
     tuning = _norm_tuning(d.get("tuning"))
+    if tuning.matmul_precision == "auto":
+        # bf16-storage inputs are already 8-bit-mantissa rounded, so 1-pass
+        # bf16 MXU contractions add error far below the storage rounding
+        # while running measurably faster; f32 plans keep the 6-pass scheme
+        # that meets the 1e-5 accuracy bar (see TuningSpec.matmul_precision)
+        tuning = dataclasses.replace(
+            tuning, matmul_precision=(
+                "default" if precision == "bf16-storage" else "highest"))
 
     return PlanSpec(
         plan_type=plan_type, shape=shape, direction=direction, batch=batch,
