@@ -100,3 +100,18 @@ def test_c2c_input_shape_validation():
     plan = W.create_plan(type="c2c", shape=[8], batch=2)
     with pytest.raises(W.PlanError, match="expected input shape"):
         plan(np.zeros((2, 8), np.float32))  # missing component dim
+
+
+def test_c2c_mid_axis_deep_chain(rng, assert_close):
+    """Non-last axis whose sub-length chain is deeper than 2 levels
+    (maxSubLength=8 -> 512 = [8, 8, 8]) exercises the W4 mid-axis
+    recursion's twiddle + digit-swap branch (core/axis._rec_mid)."""
+    shape = [512, 4]
+    z = (rng.standard_normal(tuple([2] + shape))
+         + 1j * rng.standard_normal(tuple([2] + shape)))
+    plan = W.create_plan(type="c2c", shape=shape, batch=2,
+                        tuning={"maxSubLength": 8})
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, shape, "forward")
+    assert_close(y.real, ref.real, label="mid-deep.re")
+    assert_close(y.imag, ref.imag, label="mid-deep.im")

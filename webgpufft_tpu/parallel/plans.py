@@ -28,7 +28,6 @@ exchange; no DCN unless the mesh spans hosts).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

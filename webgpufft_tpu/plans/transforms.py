@@ -511,6 +511,39 @@ def _apply_dct_fft_axis(x, c, ap, prefix: str, eff_kind: str, n: int):
     return y
 
 
+def _apply_dct_fft_axis_mid(x, c, ap, prefix: str, eff_kind: str, n: int):
+    """Mid-axis twin of _apply_dct_fft_axis: the DCT/DST axis sits at axis
+    -2 of real x (..., n, L) with trailing dims riding in L — gathers/flips
+    address axis -2, constants broadcast over L, and the inner FFT runs in
+    the W4 mid-axis form (MixedAxisPlan.apply_mid).  No moveaxis passes."""
+    dst = eff_kind.startswith("dst")
+    if dst and eff_kind == "dst2":
+        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        x = x * sgn[:, None]
+    if dst and eff_kind == "dst3":
+        x = jnp.flip(x, axis=-2)
+    if eff_kind in ("dct2", "dst2"):
+        v = jnp.take(x, c[f"{prefix}/perm"], axis=-2)
+        vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)   # (..., n, L, 2)
+        V = ap.apply_mid(vi, c)
+        wa = c[f"{prefix}/wa"][:, None, :]                # (n, 1, 2) rides L
+        wb = c[f"{prefix}/wb"][:, None, :]
+        y = cmul_const(V, wa, wb)[..., 0]
+        if eff_kind == "dst2":
+            y = jnp.flip(y, axis=-2)
+        return y
+    # dct3 / dst3
+    xm = jnp.take(x, c[f"{prefix}/xm"], axis=-2) * c[f"{prefix}/xm0"][:, None]
+    u = jnp.stack([x, -xm], axis=-1)
+    u = cmul_const(u, c[f"{prefix}/ua"][:, None, :], c[f"{prefix}/ub"][:, None, :])
+    v = ap.apply_mid(u, c)[..., 0]
+    y = jnp.take(v, c[f"{prefix}/inv"], axis=-2)
+    if eff_kind == "dst3":
+        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        y = y * sgn[:, None]
+    return y
+
+
 def build_dct(spec: PlanSpec) -> Plan:
     kind = spec.plan_type
     route = _route_for(spec)
@@ -539,19 +572,40 @@ def build_dct(spec: PlanSpec) -> Plan:
         f"dct-axis{d}-{m}" for d, m in enumerate(axis_mode))
     scale = engine.plan_scale(spec.normalize, spec.direction, spec.n_total)
 
+    from ..core.axis import mxu_precision
+    prec = mxu_precision(spec.tuning)
+
+    from ..core.axis import MixedAxisPlan
+
     def core(x, c):
         y = x
         for d in range(spec.rank):
             ax = 1 + d
-            y = jnp.moveaxis(y, ax, -1)
             if axis_mode[d] == "fft":
+                if ax < y.ndim - 1 and isinstance(axis_objs[d], MixedAxisPlan):
+                    lead = y.shape[:ax]
+                    n = spec.shape[d]
+                    v = y.reshape(*lead, n, -1)
+                    v = _apply_dct_fft_axis_mid(v, c, axis_objs[d], f"dct{d}",
+                                                eff_kind, n)
+                    y = v.reshape(y.shape)
+                    continue
+                y = jnp.moveaxis(y, ax, -1)
                 y = _apply_dct_fft_axis(y, c, axis_objs[d], f"dct{d}",
                                         eff_kind, spec.shape[d])
+                y = jnp.moveaxis(y, -1, ax)
+            elif ax == y.ndim - 1:
+                y = jnp.matmul(y, c[f"trig{d}"], precision=prec)
             else:
-                from ..core.axis import mxu_precision
-                y = jnp.matmul(y, c[f"trig{d}"],
-                               precision=mxu_precision(spec.tuning))
-            y = jnp.moveaxis(y, -1, ax)
+                # mid-axis trig contraction: trailing dims ride as a lane
+                # dim — no moveaxis transpose passes (same form as
+                # core/axis.MixedAxisPlan.apply_mid)
+                lead = y.shape[:ax]
+                n = spec.shape[d]
+                v = y.reshape(*lead, n, -1)
+                v = jnp.einsum("...aL,ak->...kL", v, c[f"trig{d}"],
+                               precision=prec)
+                y = v.reshape(y.shape)
         return _scale_mul(y, scale)
 
     core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
