@@ -28,7 +28,7 @@ def run_c2c(z, shape, assert_close, label="", **opts):
     (4,), (8,), (16,), (1024,), (12,), (60,), (2310,),   # mixed radix
     (17,), (97,), (101,),                                # rader primes
     (34,), (646,),                                       # bluestein composites
-    (8, 8), (16, 12), (9, 4), (17, 8), (4, 4, 4), (8, 3, 5),
+    (8, 8), (16, 12), (9, 4), (17, 8), (34, 6), (4, 4, 4), (8, 3, 5),
     (4, 3, 2, 5),                                        # rank 4
 ])
 @pytest.mark.parametrize("direction", ["forward", "inverse"])

@@ -145,6 +145,8 @@ class MixedAxisPlan(AxisPlan):
                 rem = n2
         return out
 
+    supports_mid = True
+
     def apply_mid(self, x, consts):
         """Transform along axis -3 of (..., n, L, 2): the same W4-form
         contraction chain as ``apply`` with a riding lane dim L carried
@@ -377,6 +379,11 @@ class BluesteinAxisPlan(AxisPlan):
         out.update(self.inv.consts())
         return out
 
+    @property
+    def supports_mid(self) -> bool:
+        return (isinstance(self.fwd, MixedAxisPlan)
+                and isinstance(self.inv, MixedAxisPlan))
+
     def apply(self, x, consts):
         n, m = self.n, self.m
         p = self.prefix
@@ -387,6 +394,26 @@ class BluesteinAxisPlan(AxisPlan):
         s = cmul_const(s, consts[f"{p}/hffta"], consts[f"{p}/hfftb"])
         y = self.inv.apply(s, consts)
         return cmul_const(y[..., :n, :], consts[f"{p}/chirpa"], consts[f"{p}/chirpb"])
+
+    def apply_mid(self, x, consts):
+        """Transform along axis -3 of (..., n, L, 2) — the chirp/pointwise
+        constants broadcast over the riding lane dim and the M-FFTs run in
+        the W4 mid-axis form (requires smooth-plan stages; see
+        apply_along_axis for the fallback)."""
+        n, m = self.n, self.m
+        p = self.prefix
+
+        def bc(name):
+            return consts[name][:, None, :]              # (len, 1, 2) rides L
+
+        a = cmul_const(x, bc(f"{p}/chirpa"), bc(f"{p}/chirpb"))
+        pad = [(0, 0)] * (a.ndim - 3) + [(0, m - n), (0, 0), (0, 0)]
+        a = jnp.pad(a, pad)
+        s = self.fwd.apply_mid(a, consts)
+        s = cmul_const(s, bc(f"{p}/hffta"), bc(f"{p}/hfftb"))
+        y = self.inv.apply_mid(s, consts)
+        return cmul_const(y[..., :n, :, :], bc(f"{p}/chirpa"),
+                          bc(f"{p}/chirpb"))
 
 
 class RaderAxisPlan(AxisPlan):
@@ -430,6 +457,11 @@ class RaderAxisPlan(AxisPlan):
         out.update(self.inv.consts())
         return out
 
+    @property
+    def supports_mid(self) -> bool:
+        return (isinstance(self.fwd, MixedAxisPlan)
+                and isinstance(self.inv, MixedAxisPlan))
+
     def apply(self, x, consts):
         p_ = self.prefix
         p, m = self.n, self.m
@@ -446,6 +478,27 @@ class RaderAxisPlan(AxisPlan):
         xk = x0 + conv                                       # X[g^{-j}] = x[0] + conv[j]
         tail = jnp.take(xk, consts[f"{p_}/scatter"], axis=-2)
         return jnp.concatenate([bin0, tail], axis=-2)
+
+    def apply_mid(self, x, consts):
+        """Transform along axis -3 of (..., p, L, 2) — gathers address the
+        prime axis, the b-spectrum broadcasts over the riding lane dim, and
+        the smooth convolution FFTs run in the W4 mid-axis form."""
+        p_ = self.prefix
+        m = self.m
+        L = self.n - 1
+        x0 = x[..., :1, :, :]
+        bin0 = jnp.sum(x, axis=-3, keepdims=True)
+        a = jnp.take(x, consts[f"{p_}/perm_in"], axis=-3)
+        if m > L:
+            pad = [(0, 0)] * (a.ndim - 3) + [(0, m - L), (0, 0), (0, 0)]
+            a = jnp.pad(a, pad)
+        s = self.fwd.apply_mid(a, consts)
+        s = cmul_const(s, consts[f"{p_}/bffta"][:, None, :],
+                       consts[f"{p_}/bfftb"][:, None, :])
+        conv = self.inv.apply_mid(s, consts)[..., :L, :, :]
+        xk = x0 + conv
+        tail = jnp.take(xk, consts[f"{p_}/scatter"], axis=-3)
+        return jnp.concatenate([bin0, tail], axis=-3)
 
 
 # Einsum operands past 2^24 complex elements miscompile silently on the
@@ -608,14 +661,15 @@ def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):
     """Apply an axis plan along complex array axis ``array_axis`` of
     interleaved x (..., 2).
 
-    Non-last mixed axes use the W4 mid-axis form (trailing complex dims
-    merged into a riding lane dim; free reshapes, no moveaxis transpose
-    passes).  Rader/Bluestein/four-step plans fall back to moveaxis.
+    Non-last mixed/Rader/Bluestein axes use the W4 mid-axis form (trailing
+    complex dims merged into a riding lane dim; free reshapes, no moveaxis
+    transpose passes).  Four-step plans — and Rader/Bluestein whose inner
+    convolution FFTs are themselves four-step — fall back to moveaxis.
     """
     last = x.ndim - 2
     if array_axis == last:
         return axis_plan.apply(x, consts)
-    if isinstance(axis_plan, MixedAxisPlan):
+    if getattr(axis_plan, "supports_mid", False):
         lead = x.shape[:array_axis]
         n = x.shape[array_axis]
         v = x.reshape(*lead, n, -1, 2)       # L = trailing complex elems

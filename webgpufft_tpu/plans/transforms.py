@@ -575,14 +575,13 @@ def build_dct(spec: PlanSpec) -> Plan:
     from ..core.axis import mxu_precision
     prec = mxu_precision(spec.tuning)
 
-    from ..core.axis import MixedAxisPlan
-
     def core(x, c):
         y = x
         for d in range(spec.rank):
             ax = 1 + d
             if axis_mode[d] == "fft":
-                if ax < y.ndim - 1 and isinstance(axis_objs[d], MixedAxisPlan):
+                if ax < y.ndim - 1 and getattr(axis_objs[d], "supports_mid",
+                                               False):
                     lead = y.shape[:ax]
                     n = spec.shape[d]
                     v = y.reshape(*lead, n, -1)
