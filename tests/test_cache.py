@@ -118,3 +118,18 @@ def test_cache_option_collision_raises():
     with _pytest.raises(W.PlanError, match="once"):
         W.create_plan({"type": "c2c", "shape": [8], "cache": {"snapshot": snap}},
                      cache={"snapshot": snap})
+
+
+def test_plan_get_pipeline_cache_snapshot():
+    """Per-plan snapshot export (reference: plan.getPipelineCacheSnapshot,
+    docs/API.md:121)."""
+    cache = W.PlanCache()
+    plan = W.create_plan({"type": "c2c", "shape": [16]}, cache=cache)
+    snap = plan.get_pipeline_cache_snapshot()
+    assert snap["schema"].startswith("webgpufft")
+    assert any(s["shape"] == [16] or tuple(s["shape"]) == (16,)
+               for s in snap["specs"])
+    # the snapshot round-trips into a fresh cache
+    fresh = W.PlanCache()
+    W.import_plan_cache_snapshot(snap, cache=fresh)
+    assert len(fresh) == 1

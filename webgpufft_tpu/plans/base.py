@@ -207,6 +207,16 @@ class Plan:
         src/runtime/base_plan.js:44-49)."""
         return self._workspace_bytes
 
+    _plan_cache = None  # set by PlanCache.get_or_create
+
+    def get_pipeline_cache_snapshot(self):
+        """Snapshot of the plan cache this plan was created through
+        (reference: plan.getPipelineCacheSnapshot(), docs/API.md:121) —
+        pass it to a later ``create_plan(..., cache={"snapshot": snap})``
+        or ``import_plan_cache_snapshot`` to prewarm."""
+        from ..runtime.cache import export_plan_cache_snapshot
+        return export_plan_cache_snapshot(cache=self._plan_cache)
+
     def destroy(self):
         """Release references to device constants (buffers are freed by the
         runtime once unreferenced; parity no-op otherwise)."""

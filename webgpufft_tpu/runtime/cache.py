@@ -38,6 +38,7 @@ class PlanCache:
             from .. import _build_plan
             plan = _build_plan(spec)
             self._plans[spec] = plan
+        plan._plan_cache = self  # for plan.get_pipeline_cache_snapshot()
         return plan
 
     def __len__(self):
