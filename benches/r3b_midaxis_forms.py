@@ -94,18 +94,53 @@ def main():
         return fn
 
     def build_rows_pq(n, direction="forward"):
-        """Current rows-form P/Q stage (core/rows.py) along axis -3 of
-        (..., n, L, 2) — library code driven directly."""
-        from webgpufft_tpu.core import rows
-        consts = {}
-        f = rows.build_rows_fft(n, direction, 1.0, consts, "r")
-        consts = {k: jnp.asarray(v) for k, v in consts.items()}
+        """Historical rows-form P/Q stage along axis -3 of (..., n, L, 2).
+
+        This was core/rows.py until commit 2e9b5d6 replaced it with the W4
+        mid form; the baseline is inlined here (verbatim math) so the
+        recorded comparison stays reproducible from this tree.
+        """
+        from webgpufft_tpu.core.fused_cols import choose_split
+        h1, h2 = choose_split(n)
+        w2 = dft.dft_matrix(h2, direction)
+        w1 = dft.dft_matrix(h1, direction)
+        sign = -1.0 if direction == "forward" else 1.0
+        tw = np.exp(sign * 2j * np.pi *
+                    (np.outer(np.arange(h1), np.arange(h2)) % n) / n)
+        m = tw.T[:, :, None] * w1[None, :, :]   # M[k2, h1, k1]
+        w2re = jnp.asarray(np.ascontiguousarray(w2.real.astype(np.float32)))
+        w2im = jnp.asarray(np.ascontiguousarray(w2.imag.astype(np.float32)))
+        bre = jnp.asarray(np.ascontiguousarray(m.real.astype(np.float32)))
+        bim = jnp.asarray(np.ascontiguousarray(m.imag.astype(np.float32)))
+
+        def swapadj(z):
+            even = (jax.lax.broadcasted_iota(
+                jnp.int32, z.shape, z.ndim - 1) % 2) == 0
+            return jnp.where(even, jnp.roll(z, -1, axis=-1),
+                             jnp.roll(z, 1, axis=-1))
+
+        def combine(p, q):
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, q.shape, q.ndim - 1)
+            sgn = jnp.where(lane % 2 == 0, -1.0, 1.0).astype(q.dtype)
+            return p + swapadj(q) * sgn
+
+        def apply_rows(v):              # (..., H, L2) interleaved lanes
+            lead = v.shape[:-2]
+            L2 = v.shape[-1]
+            v = v.reshape(*lead, h2, h1, L2)
+            p = jnp.einsum("...bal,bk->...kal", v, w2re, precision=HI)
+            q = jnp.einsum("...bal,bk->...kal", v, w2im, precision=HI)
+            u = combine(p, q)
+            p2 = jnp.einsum("...bal,bak->...kbl", u, bre, precision=HI)
+            q2 = jnp.einsum("...bal,bak->...kbl", u, bim, precision=HI)
+            return combine(p2, q2).reshape(*lead, n, L2)
 
         def fn(x):                      # (..., n, L, 2) -> merge (L,2) lanes
             lead = x.shape[:-3]
             L = x.shape[-2]
             v = x.reshape(*lead, n, L * 2)
-            return f(v, consts).reshape(*lead, n, L, 2)
+            return apply_rows(v).reshape(*lead, n, L, 2)
 
         return fn
 

@@ -98,6 +98,23 @@ def test_snapshot_legacy_v1_upgrade():
         C.upgrade_snapshot({"schema": C.SNAPSHOT_SCHEMA, "version": 99})
 
 
+def test_snapshot_without_matmul_precision_prewarms():
+    """Snapshots saved before the matmulPrecision knob rebuild with the
+    'auto' default; the rebuild must resolve it exactly like normalize_spec
+    or the prewarmed plan never hits the live cache key (regression)."""
+    import webgpufft_tpu as W
+    own = W.PlanCache()
+    W.create_plan(type="c2c", shape=[16], batch=2, cache=own)
+    snap = W.export_plan_cache_snapshot(own)
+    for s in snap["specs"]:
+        s["tuning"].pop("matmul_precision", None)
+    fresh = W.PlanCache()
+    W.import_plan_cache_snapshot(snap, cache=fresh)
+    assert len(fresh) == 1
+    W.create_plan(type="c2c", shape=[16], batch=2, cache=fresh)
+    assert len(fresh) == 1, "prewarmed plan was not reused (cache key drift)"
+
+
 def test_snapshot_as_keyword_cache_option():
     """cache={'snapshot': snap} works as a KEYWORD too (regression: the
     dict used to be captured by the PlanCache-typed parameter and crash)."""

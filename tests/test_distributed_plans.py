@@ -171,6 +171,44 @@ def test_validation_errors(mesh24, mesh8):
         plan(np.zeros((1, 64, 2), np.float32))
 
 
+def test_nd_seq_flat_input_with_batch_axis(mesh24, rng, assert_close):
+    """Flat (batch, n_total, 2) input to an ND seq plan with dp batch
+    sharding: the batch placement must adapt to the actual input ndim
+    (regression: a static shaped-ndim sharding crashed device_put)."""
+    shape, batch = [64, 24], 4
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    plan = create_distributed_plan(type="c2c", shape=shape, batch=batch,
+                                   normalize="unitary", mesh=mesh24,
+                                   batch_axis="dp", seq_axis="sp")
+    flat = interleave(z).reshape(batch, int(np.prod(shape)), 2)
+    y = uninterleave(np.asarray(plan(flat)).reshape(batch, *shape, 2))
+    ref = R.fft_nd(z, shape, "forward") / np.sqrt(np.prod(shape))
+    assert_close(y.real, ref.real, label="dseq nd flat.re")
+    assert_close(y.imag, ref.imag, label="dseq nd flat.im")
+
+
+def test_dp_only_strided_flat_buffer(mesh24, rng, assert_close):
+    """Batch-sharded local plan with layout strides takes a flat 1-D buffer
+    whose leading dim is NOT the batch; exec must not force a batch
+    placement onto it (regression: device_put ndim mismatch)."""
+    n, batch, stride = 32, 4, 3
+    span = 1 + (n - 1) * stride
+    z = (rng.standard_normal(batch * span)
+         + 1j * rng.standard_normal(batch * span))
+    plan = create_distributed_plan(
+        type="c2c", shape=[n], batch=batch, layout={"strides": [stride]},
+        mesh=mesh24, batch_axis="dp")
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    gathered = np.stack([z[b * span: b * span + n * stride: stride]
+                         for b in range(batch)])
+    ref = R.fft_nd(gathered, [n], "forward")
+    got = np.stack([y[b * span: b * span + n * stride: stride]
+                    for b in range(batch)])
+    assert_close(got.real, ref.real, label="dp strided.re")
+    assert_close(got.imag, ref.imag, label="dp strided.im")
+
+
 def test_workspace_and_destroy(mesh8):
     plan = create_distributed_plan(type="c2c", shape=[512], batch=8,
                                    mesh=mesh8, seq_axis="sp")

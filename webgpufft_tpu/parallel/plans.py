@@ -47,7 +47,6 @@ class DistributedPlan:
                  *, needs_kernel: bool = False,
                  batch_axis: Optional[str] = None,
                  seq_axis: Optional[str] = None,
-                 input_sharding: Optional[NamedSharding] = None,
                  jit: bool = True):
         self.spec = spec
         self.mesh = mesh
@@ -55,9 +54,6 @@ class DistributedPlan:
         self.needs_kernel = needs_kernel
         self.batch_axis = batch_axis
         self.seq_axis = seq_axis
-        # recommended placement for inputs (callers may pre-place with
-        # jax.device_put to avoid a layout change at dispatch)
-        self.input_sharding = input_sharding
         self._jit = jax.jit(fn) if jit else fn
 
     def __call__(self, x, kernel=None):
@@ -65,8 +61,9 @@ class DistributedPlan:
 
     def exec(self, x, kernel=None):
         x = jnp.asarray(x)
-        if self.input_sharding is not None:
-            x = jax.device_put(x, self.input_sharding)
+        sh = self._placement_for(x)
+        if sh is not None:
+            x = jax.device_put(x, sh)
         if self.needs_kernel:
             if kernel is None:
                 raise PlanError(f"{self.spec.plan_type} exec requires kernel=")
@@ -75,6 +72,20 @@ class DistributedPlan:
             raise PlanError(
                 f"{self.spec.plan_type} exec does not take kernel=")
         return self._jit(x)
+
+    def _placement_for(self, x) -> Optional[NamedSharding]:
+        """Batch placement derived from the concrete input array.
+
+        Inputs may be shaped ``(batch, *shape, [2])`` or flat
+        ``(batch, n_total, 2)`` — and batch-sharded local plans also accept
+        flat 1-D buffers with layout strides, where the leading dim is NOT
+        the batch.  Shard dim 0 over batch_axis only when it really is the
+        batch dim; otherwise leave placement to the partitioner.
+        """
+        if self.batch_axis is None or x.ndim < 2 or x.shape[0] != self.spec.batch:
+            return None
+        return NamedSharding(
+            self.mesh, P(self.batch_axis, *([None] * (x.ndim - 1))))
 
     def destroy(self):
         self._jit = None
@@ -216,13 +227,6 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
                  + ((f"seq-axis:{seq_axis}",) if seq_axis else ())))
 
     needs_kernel = spec.plan_type in ("fftconv", "conv2d")
-    # input array ndim: batch + logical rank (+ component dim for
-    # interleaved-complex input sides)
-    real_input = (spec.plan_type == "r2c" or spec.plan_type == "conv2d"
-                  or spec.plan_type.startswith(("dct", "dst")))
-    in_ndim = 1 + spec.rank + (0 if real_input else 1)
-    in_sharding = (NamedSharding(mesh, P(batch_axis, *([None] * (in_ndim - 1))))
-                   if batch_axis is not None else None)
 
     if seq_axis is None:
         # batch sharding of the local single-chip plan (works for any type);
@@ -239,8 +243,7 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
 
         return DistributedPlan(
             spec, mesh, route, fn, needs_kernel=needs_kernel,
-            batch_axis=batch_axis, seq_axis=None,
-            input_sharding=in_sharding, jit=False)
+            batch_axis=batch_axis, seq_axis=None, jit=False)
 
     t = spec.plan_type
     if t == "c2c":
@@ -264,5 +267,4 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
     route.reasons = route.reasons + (f"digit-split:{split}",)
     return DistributedPlan(
         spec, mesh, route, fn, needs_kernel=needs_kernel,
-        batch_axis=batch_axis, seq_axis=seq_axis,
-        input_sharding=in_sharding)
+        batch_axis=batch_axis, seq_axis=seq_axis)

@@ -482,65 +482,50 @@ def _dct_axis_fft_consts(n: int, eff_kind: str, prefix: str, tuning):
     return ap, consts
 
 
-def _apply_dct_fft_axis(x, c, ap, prefix: str, eff_kind: str, n: int):
-    """Apply one FFT-routed DCT/DST axis along the LAST axis of real x."""
+def _apply_dct_fft_axis(x, c, ap, prefix: str, eff_kind: str, n: int,
+                        mid: bool = False):
+    """Apply one FFT-routed DCT/DST axis.
+
+    mid=False: along the LAST axis of real x.
+    mid=True: the axis sits at axis -2 of real x (..., n, L) with trailing
+    dims riding in L — gathers/flips address axis -2, constants broadcast
+    over L, and the inner FFT runs in the W4 mid-axis form
+    (MixedAxisPlan.apply_mid).  No moveaxis passes either way.
+    """
+    ax = -2 if mid else -1
+    fft = ap.apply_mid if mid else ap.apply
+
+    def bc(t):       # per-n real constant: ride the lane dim in mid form
+        return t[:, None] if mid else t
+
+    def bc2(t):      # per-n complex const pair (n, 2): (n, 1, 2) rides L
+        return t[:, None, :] if mid else t
+
     dst = eff_kind.startswith("dst")
     if dst and eff_kind == "dst2":
         # dst2(x)[k] = reverse(dct2(altsign(x)))[k]
         sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
-        x = x * sgn
+        x = x * bc(sgn)
     if dst and eff_kind == "dst3":
-        x = jnp.flip(x, axis=-1)
+        x = jnp.flip(x, axis=ax)
     if eff_kind in ("dct2", "dst2"):
-        v = jnp.take(x, c[f"{prefix}/perm"], axis=-1)
+        v = jnp.take(x, c[f"{prefix}/perm"], axis=ax)
         vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)
-        V = ap.apply(vi, c)
-        y = cmul_const(V, c[f"{prefix}/wa"], c[f"{prefix}/wb"])[..., 0]
+        V = fft(vi, c)
+        y = cmul_const(V, bc2(c[f"{prefix}/wa"]),
+                       bc2(c[f"{prefix}/wb"]))[..., 0]
         if eff_kind == "dst2":
-            y = jnp.flip(y, axis=-1)
+            y = jnp.flip(y, axis=ax)
         return y
     # dct3 / dst3
-    xm = jnp.take(x, c[f"{prefix}/xm"], axis=-1) * c[f"{prefix}/xm0"]
+    xm = jnp.take(x, c[f"{prefix}/xm"], axis=ax) * bc(c[f"{prefix}/xm0"])
     u = jnp.stack([x, -xm], axis=-1)                    # X[k] - i*X[n-k]
-    u = cmul_const(u, c[f"{prefix}/ua"], c[f"{prefix}/ub"])
-    v = ap.apply(u, c)[..., 0]                          # Re(IFFT_unnorm(U))
-    y = jnp.take(v, c[f"{prefix}/inv"], axis=-1)
+    u = cmul_const(u, bc2(c[f"{prefix}/ua"]), bc2(c[f"{prefix}/ub"]))
+    v = fft(u, c)[..., 0]                               # Re(IFFT_unnorm(U))
+    y = jnp.take(v, c[f"{prefix}/inv"], axis=ax)
     if eff_kind == "dst3":
         sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
-        y = y * sgn
-    return y
-
-
-def _apply_dct_fft_axis_mid(x, c, ap, prefix: str, eff_kind: str, n: int):
-    """Mid-axis twin of _apply_dct_fft_axis: the DCT/DST axis sits at axis
-    -2 of real x (..., n, L) with trailing dims riding in L — gathers/flips
-    address axis -2, constants broadcast over L, and the inner FFT runs in
-    the W4 mid-axis form (MixedAxisPlan.apply_mid).  No moveaxis passes."""
-    dst = eff_kind.startswith("dst")
-    if dst and eff_kind == "dst2":
-        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
-        x = x * sgn[:, None]
-    if dst and eff_kind == "dst3":
-        x = jnp.flip(x, axis=-2)
-    if eff_kind in ("dct2", "dst2"):
-        v = jnp.take(x, c[f"{prefix}/perm"], axis=-2)
-        vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)   # (..., n, L, 2)
-        V = ap.apply_mid(vi, c)
-        wa = c[f"{prefix}/wa"][:, None, :]                # (n, 1, 2) rides L
-        wb = c[f"{prefix}/wb"][:, None, :]
-        y = cmul_const(V, wa, wb)[..., 0]
-        if eff_kind == "dst2":
-            y = jnp.flip(y, axis=-2)
-        return y
-    # dct3 / dst3
-    xm = jnp.take(x, c[f"{prefix}/xm"], axis=-2) * c[f"{prefix}/xm0"][:, None]
-    u = jnp.stack([x, -xm], axis=-1)
-    u = cmul_const(u, c[f"{prefix}/ua"][:, None, :], c[f"{prefix}/ub"][:, None, :])
-    v = ap.apply_mid(u, c)[..., 0]
-    y = jnp.take(v, c[f"{prefix}/inv"], axis=-2)
-    if eff_kind == "dst3":
-        sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32)
-        y = y * sgn[:, None]
+        y = y * bc(sgn)
     return y
 
 
@@ -585,8 +570,8 @@ def build_dct(spec: PlanSpec) -> Plan:
                     lead = y.shape[:ax]
                     n = spec.shape[d]
                     v = y.reshape(*lead, n, -1)
-                    v = _apply_dct_fft_axis_mid(v, c, axis_objs[d], f"dct{d}",
-                                                eff_kind, n)
+                    v = _apply_dct_fft_axis(v, c, axis_objs[d], f"dct{d}",
+                                            eff_kind, n, mid=True)
                     y = v.reshape(y.shape)
                     continue
                 y = jnp.moveaxis(y, ax, -1)

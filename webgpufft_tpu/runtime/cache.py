@@ -162,6 +162,11 @@ def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
     tun = dict(d.get("tuning") or {})
     for k in ("force_bluestein_axes", "force_rader_axes", "ignored_webgpu_knobs"):
         tun[k] = tuple(tun.get(k, ()))
+    # pre-matmulPrecision snapshots rebuild with the 'auto' default; resolve
+    # it the same way normalize_spec does or the rebuilt spec can never hit
+    # the cache key a live create_plan produces (prewarm would be lost)
+    tuning = S.resolve_auto_tuning(S.TuningSpec(**tun),
+                                   d.get("precision", "f32"))
     return S.PlanSpec(
         plan_type=d["plan_type"], shape=tuple(d["shape"]),
         direction=d.get("direction", "forward"), batch=d.get("batch", 1),
@@ -169,7 +174,7 @@ def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
         in_place=d.get("in_place", False),
         layout=S.LayoutSpec(**lay) if lay else S.LayoutSpec(),
         io_view=S.IoViewSpec(**io_sides), zero_pad=S.ZeroPadSpec(**zp_sides),
-        fft_conv=fc, conv=conv, tuning=S.TuningSpec(**tun),
+        fft_conv=fc, conv=conv, tuning=tuning,
     )
 
 

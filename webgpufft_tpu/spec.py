@@ -362,6 +362,7 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "fourStepMinN": "four_step_min_n",
         "disableOutOfCoreFourStep": "disable_four_step",
         "matmulPrecision": "matmul_precision",
+        "dctFftMinN": "dct_fft_min_n",
     }
     ignored = []
     for k, v in t.items():
@@ -383,6 +384,24 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     _check(ts.matmul_precision in ("auto", "highest", "high", "default"),
            "tuning.matmulPrecision must be auto|highest|high|default")
     return ts
+
+
+def resolve_auto_tuning(tuning: TuningSpec, precision: str) -> TuningSpec:
+    """Resolve 'auto' tuning values to their concrete per-plan choices.
+
+    Shared by normalize_spec and the snapshot rebuild path so cached specs
+    always key on resolved values (an unresolved 'auto' would never equal a
+    normalize_spec-produced spec and would silently defeat snapshot prewarm).
+    """
+    if tuning.matmul_precision == "auto":
+        # bf16-storage inputs are already 8-bit-mantissa rounded, so 1-pass
+        # bf16 MXU contractions add error far below the storage rounding
+        # while running measurably faster; f32 plans keep the 6-pass scheme
+        # that meets the 1e-5 accuracy bar (see TuningSpec.matmul_precision)
+        tuning = dataclasses.replace(
+            tuning, matmul_precision=(
+                "default" if precision == "bf16-storage" else "highest"))
+    return tuning
 
 
 def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
@@ -526,15 +545,7 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
     if zero_pad.read or zero_pad.write:
         _check(plan_type != "conv2d", "conv2d does not support zeroPad")
 
-    tuning = _norm_tuning(d.get("tuning"))
-    if tuning.matmul_precision == "auto":
-        # bf16-storage inputs are already 8-bit-mantissa rounded, so 1-pass
-        # bf16 MXU contractions add error far below the storage rounding
-        # while running measurably faster; f32 plans keep the 6-pass scheme
-        # that meets the 1e-5 accuracy bar (see TuningSpec.matmul_precision)
-        tuning = dataclasses.replace(
-            tuning, matmul_precision=(
-                "default" if precision == "bf16-storage" else "highest"))
+    tuning = resolve_auto_tuning(_norm_tuning(d.get("tuning")), precision)
 
     return PlanSpec(
         plan_type=plan_type, shape=shape, direction=direction, batch=batch,
