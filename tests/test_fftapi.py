@@ -1,0 +1,166 @@
+"""numpy/scipy-style functional façade (webgpufft_tpu.fftapi).
+
+Oracles are numpy.fft / scipy.fft / scipy.signal themselves, so these tests
+pin the façade to the exact upstream call conventions (norm modes, n/s
+crop-pad, axis handling, packing, convolve modes).
+"""
+
+import numpy as np
+import pytest
+
+import scipy.fft as sf
+import scipy.signal as ss
+
+from webgpufft_tpu import fftapi as F
+from webgpufft_tpu import PlanError
+
+
+def _close(a, b, tol=3e-5, label=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if np.iscomplexobj(b) and not np.iscomplexobj(a):
+        a = F.ascomplex(a)
+    assert a.shape == b.shape, (label, a.shape, b.shape)
+    err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12)
+    assert err < tol, (label, err)
+
+
+@pytest.fixture()
+def zc(rng):
+    return rng.standard_normal((3, 32)) + 1j * rng.standard_normal((3, 32))
+
+
+@pytest.mark.parametrize("norm", [None, "backward", "ortho", "forward"])
+def test_fft_ifft_norms(zc, norm):
+    _close(F.fft(zc, norm=norm), np.fft.fft(zc, axis=-1, norm=norm), label="fft")
+    _close(F.ifft(zc, norm=norm), np.fft.ifft(zc, axis=-1, norm=norm), label="ifft")
+
+
+def test_fft_crop_pad_axis(zc):
+    _close(F.fft(zc, n=20), np.fft.fft(zc, n=20, axis=-1))
+    _close(F.fft(zc, n=48), np.fft.fft(zc, n=48, axis=-1))
+    _close(F.fft(zc, axis=0), np.fft.fft(zc, axis=0))
+
+
+def test_fft_interleaved_input(zc):
+    xi = np.stack([zc.real, zc.imag], -1).astype(np.float32)
+    _close(F.fft(xi), np.fft.fft(zc, axis=-1))
+    # a real array is widened to complex unless its trailing dim is 2
+    xr = np.asarray(zc.real, np.float32)
+    _close(F.fft(xr), np.fft.fft(zc.real, axis=-1))
+    # trailing dim 2 + interleaved=False forces real interpretation
+    xr2 = np.asarray(zc.real[:, :2], np.float32)
+    _close(F.fft(xr2, interleaved=False), np.fft.fft(xr2, axis=-1))
+
+
+def test_fftn_axes(rng):
+    z = (rng.standard_normal((2, 8, 12, 10))
+         + 1j * rng.standard_normal((2, 8, 12, 10)))
+    _close(F.fft2(z), np.fft.fft2(z))
+    _close(F.fftn(z), np.fft.fftn(z))
+    _close(F.ifftn(z), np.fft.ifftn(z))
+    _close(F.fftn(z, axes=(1, 3)), np.fft.fftn(z, axes=(1, 3)))
+    _close(F.fftn(z, axes=(3, 1)), np.fft.fftn(z, axes=(3, 1)))
+    _close(F.ifft2(z, s=(16, 8)), np.fft.ifft2(z, s=(16, 8)))
+    with pytest.raises(PlanError, match="duplicate"):
+        F.fftn(z, axes=(1, 1))
+    with pytest.raises(PlanError, match="entries"):
+        F.fftn(z, s=(4,), axes=(1, 2))
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_rfft_irfft(rng, norm):
+    x = rng.standard_normal((3, 32))
+    _close(F.rfft(x, norm=norm), np.fft.rfft(x, axis=-1, norm=norm))
+    pk = np.fft.rfft(x, axis=-1)
+    _close(F.irfft(pk, norm=norm), np.fft.irfft(pk, axis=-1, norm=norm))
+
+
+def test_rfft_axis_and_odd(rng):
+    x = rng.standard_normal((3, 32))
+    _close(F.rfft(x, axis=0), np.fft.rfft(x, axis=0))
+    pk = np.fft.rfft(x, axis=-1)
+    _close(F.irfft(pk, n=31), np.fft.irfft(pk, n=31, axis=-1))
+
+
+def test_rfftn_irfftn(rng):
+    x = rng.standard_normal((2, 12, 16))
+    _close(F.rfft2(x), np.fft.rfft2(x))
+    _close(F.rfftn(x), np.fft.rfftn(x))
+    pk = np.fft.rfft2(x)
+    _close(F.irfft2(pk), np.fft.irfft2(pk))
+    _close(F.irfftn(pk, s=(12, 16), axes=(-2, -1)),
+           np.fft.irfftn(pk, s=(12, 16), axes=(-2, -1)))
+
+
+@pytest.mark.parametrize("kind", ["dct", "dst"])
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+@pytest.mark.parametrize("m", [15, 16])
+def test_trig_vs_scipy(rng, kind, type, norm, m):
+    x = rng.standard_normal((3, m))
+    ours_f = getattr(F, kind)
+    ours_i = getattr(F, "i" + kind)
+    sp_f = getattr(sf, kind)
+    sp_i = getattr(sf, "i" + kind)
+    _close(ours_f(x.astype(np.float32), type=type, norm=norm),
+           sp_f(x, type=type, norm=norm), label=f"{kind}{type}/{norm}")
+    _close(ours_i(x.astype(np.float32), type=type, norm=norm),
+           sp_i(x, type=type, norm=norm), label=f"i{kind}{type}/{norm}")
+
+
+def test_trig_axis_and_n(rng):
+    x = rng.standard_normal((5, 12))
+    _close(F.dct(x, axis=0), sf.dct(x, axis=0))
+    _close(F.dct(x, n=8), sf.dct(x, n=8))
+    _close(F.dst(x, n=20), sf.dst(x, n=20))
+    with pytest.raises(PlanError, match="type"):
+        F.dct(x, type=5)
+    with pytest.raises(PlanError, match="norm"):
+        F.dct(x, norm="forward")
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fftconvolve_real(rng, mode):
+    a = rng.standard_normal((3, 20))
+    b = rng.standard_normal((1, 5))
+    _close(F.fftconvolve(a, b, mode=mode, axes=(1,)),
+           ss.fftconvolve(a, b, mode=mode, axes=1))
+    a2 = rng.standard_normal((6, 9))
+    b2 = rng.standard_normal((3, 4))
+    _close(F.fftconvolve(a2, b2, mode), ss.fftconvolve(a2, b2, mode))
+
+
+def test_fftconvolve_complex_and_swap(rng):
+    zc = rng.standard_normal(16) + 1j * rng.standard_normal(16)
+    kc = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+    _close(F.fftconvolve(zc, kc, "full"), ss.fftconvolve(zc, kc, "full"))
+    a2 = rng.standard_normal((6, 9))
+    b2 = rng.standard_normal((3, 4))
+    _close(F.fftconvolve(b2, a2, "valid"), ss.fftconvolve(b2, a2, "valid"))
+    with pytest.raises(PlanError, match="rank"):
+        F.fftconvolve(a2, np.zeros(3))
+    with pytest.raises(PlanError, match="size-1"):
+        F.fftconvolve(np.zeros((3, 8)), np.zeros((2, 3)), axes=(1,))
+
+
+def test_utilities():
+    assert np.array_equal(F.fftfreq(8, 0.5), np.fft.fftfreq(8, 0.5))
+    assert np.array_equal(F.rfftfreq(8, 0.5), np.fft.rfftfreq(8, 0.5))
+    x = np.arange(8.0)
+    assert np.array_equal(np.asarray(F.fftshift(x, interleaved=False)),
+                          np.fft.fftshift(x))
+    assert np.array_equal(np.asarray(F.ifftshift(x, interleaved=False)),
+                          np.fft.ifftshift(x))
+    # interleaved arrays never shift the component dim
+    zi = np.stack([x, -x], -1).astype(np.float32)
+    got = np.asarray(F.fftshift(zi))
+    assert np.array_equal(got[..., 0], np.fft.fftshift(x))
+    assert np.array_equal(got[..., 1], np.fft.fftshift(-x))
+    assert F.next_fast_len(17) == 18
+    assert F.next_fast_len(1) == 1
+
+
+def test_module_alias():
+    import webgpufft_tpu as W
+    assert W.fft is F

@@ -66,6 +66,7 @@ __all__ = [
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
     "create_distributed_plan",
+    "fft", "fftapi",
 ]
 
 
@@ -211,3 +212,9 @@ def create_fftconv_kernel_major_channel_lane_preset(opts: Dict[str, Any]) -> Dic
 def create_fftconv_batch_major_channel_lane_preset(opts: Dict[str, Any]) -> Dict[str, Any]:
     frag = create_fftconv_channel_lane_preset({**opts, "outputLayout": "batch-major"})
     return frag
+
+
+# numpy/scipy-style functional façade: webgpufft_tpu.fft.fft(x) etc.
+# (module import is cheap — plans build lazily inside the functions)
+from . import fftapi  # noqa: E402
+fft = fftapi

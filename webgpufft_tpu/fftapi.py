@@ -1,0 +1,533 @@
+"""numpy/scipy-style functional API over the plan layer.
+
+The reference exposes only the plan API (createPlan/exec); most scientific
+users coming to a TPU FFT library expect the ``numpy.fft`` / ``scipy.fft``
+call surface instead.  This module provides it as a thin façade over
+``create_plan`` — every call compiles (once, memoized in the default
+PlanCache) a plan for the concrete (type, shape, batch, normalize) and
+executes it, so repeated same-shape calls run at plan speed.
+
+Complex representation: the TPU backend has no complex dtype, so complex
+arrays are **interleaved float32** with a trailing component dim
+(``[..., 0]`` = re, ``[..., 1]`` = im) — the package-wide convention
+(core/cplx.py).  Inputs may be:
+
+- host complex arrays (numpy complex64/128): converted automatically;
+- interleaved float arrays whose last dim is 2: used as-is (pass
+  ``interleaved=False`` to force a real array with trailing length-2 axis
+  to be treated as real data instead);
+- real float arrays: widened with a zero imaginary part.
+
+Outputs of complex-valued transforms are interleaved device arrays; use
+``ascomplex(y)`` for a numpy complex view.
+
+Normalization follows numpy: ``norm`` in {None/"backward", "ortho",
+"forward"} with the scale on the inverse / split / forward respectively.
+DCT/DST ``norm`` in {None, "ortho"} matches ``scipy.fft`` conventions
+(verified against scipy in tests/test_fftapi.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .spec import PlanError
+from .utils import factors
+
+__all__ = [
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+    "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+    "dct", "idct", "dst", "idst",
+    "fftconvolve",
+    "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
+    "ascomplex", "asinterleaved",
+]
+
+
+# ---------------------------------------------------------------- helpers
+
+def asinterleaved(x, interleaved: Optional[bool] = None):
+    """Coerce ``x`` to an interleaved complex array (..., 2) float32."""
+    if np.iscomplexobj(x):
+        xc = np.asarray(x)
+        return jnp.asarray(
+            np.stack([xc.real, xc.imag], axis=-1).astype(np.float32))
+    x = jnp.asarray(x)
+    if interleaved is None:
+        interleaved = x.ndim >= 2 and x.shape[-1] == 2
+    x = x.astype(jnp.float32)
+    if interleaved:
+        if x.ndim < 1 or x.shape[-1] != 2:
+            raise PlanError(
+                f"interleaved array must have a trailing component dim of "
+                f"2, got shape {tuple(x.shape)}")
+        return x
+    return jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+
+
+def ascomplex(y) -> np.ndarray:
+    """Interleaved device array -> numpy complex128."""
+    y = np.asarray(y)
+    return y[..., 0] + 1j * y[..., 1]
+
+
+def _real_f32(x):
+    x = jnp.asarray(x)
+    if np.iscomplexobj(x):
+        raise PlanError("expected a real array, got complex input")
+    return x.astype(jnp.float32)
+
+
+def _norm_modes(norm: Optional[str], inverse: bool) -> Tuple[str, float]:
+    """numpy norm -> (plan normalize mode, extra post-scale factor-exponent).
+
+    Returns the plan's normalize mode plus the exponent e such that the
+    output must additionally be scaled by N**e (0 = no extra pass).
+    """
+    if norm is None or norm == "backward":
+        return ("backward" if inverse else "none"), 0
+    if norm == "ortho":
+        return "unitary", 0
+    if norm == "forward":
+        # numpy: 1/N on the FORWARD transform, inverse unscaled
+        return ("none", -1) if not inverse else ("none", 0)
+    raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
+                    f"got {norm!r}")
+
+
+def _axes_list(x_cplx_ndim: int, axes, default_all: bool) -> Tuple[int, ...]:
+    """Normalize an axes argument against the COMPLEX rank (component dim
+    excluded)."""
+    if axes is None:
+        axes = tuple(range(x_cplx_ndim)) if default_all else (-1,)
+    elif isinstance(axes, int):
+        axes = (axes,)
+    out = []
+    for a in axes:
+        a = a + x_cplx_ndim if a < 0 else a
+        if not 0 <= a < x_cplx_ndim:
+            raise PlanError(f"axis {a} out of range for rank {x_cplx_ndim}")
+        out.append(a)
+    if len(set(out)) != len(out):
+        raise PlanError(f"duplicate axes in {tuple(axes)}")
+    return tuple(out)
+
+
+def _crop_or_pad(x, n: int, axis: int):
+    """numpy n=/s= semantics: crop or zero-pad ``axis`` to length n."""
+    cur = x.shape[axis]
+    if n == cur:
+        return x
+    if n < cur:
+        return jnp.take(x, jnp.arange(n), axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - cur)
+    return jnp.pad(x, pad)
+
+
+def _exec_nd(x, plan_type: str, shape: Sequence[int], direction: str,
+             normalize: str, interleaved_in: bool, interleaved_out: bool):
+    """Collapse leading dims to batch, run the plan, restore leading dims."""
+    from . import create_plan
+    comp_in = 1 if interleaved_in else 0
+    lead = x.shape[: x.ndim - len(shape) - comp_in]
+    batch = int(np.prod(lead)) if lead else 1
+    xin = x.reshape(batch, *x.shape[len(lead):])
+    plan = create_plan(type=plan_type, shape=list(shape), batch=batch,
+                       direction=direction, normalize=normalize)
+    y = plan(xin)
+    out_shape = y.shape[1:]
+    return y.reshape(*lead, *out_shape)
+
+
+def _move_to_trailing(x, axes: Tuple[int, ...], comp: bool):
+    """Move the given complex axes (in order) to the trailing positions
+    just before the component dim (if comp)."""
+    nd = x.ndim - (1 if comp else 0)
+    dest = tuple(range(nd - len(axes), nd))
+    if axes == dest:
+        return x, None
+    x = jnp.moveaxis(x, axes, dest)
+    return x, (dest, axes)
+
+
+def _restore_axes(y, undo, comp: bool):
+    if undo is None:
+        return y
+    dest, axes = undo
+    return jnp.moveaxis(y, dest, axes)
+
+
+# ---------------------------------------------------------------- c2c
+
+def _c2c(x, n, axes, norm, inverse: bool, default_all_axes: bool,
+         interleaved):
+    x = asinterleaved(x, interleaved)
+    nd = x.ndim - 1
+    axes = _axes_list(nd, axes, default_all_axes)
+    if n is not None:
+        sizes = (n,) if isinstance(n, int) else tuple(n)
+        if len(sizes) != len(axes):
+            raise PlanError(f"n/s has {len(sizes)} entries for {len(axes)} axes")
+        for a, m in zip(axes, sizes):
+            x = _crop_or_pad(x, m, a)
+    normalize, scale_exp = _norm_modes(norm, inverse)
+    x, undo = _move_to_trailing(x, axes, comp=True)
+    shape = x.shape[x.ndim - 1 - len(axes): x.ndim - 1]
+    y = _exec_nd(x, "c2c", shape, "inverse" if inverse else "forward",
+                 normalize, True, True)
+    if scale_exp:
+        y = y * jnp.asarray(
+            float(np.prod(shape)) ** scale_exp, y.dtype)
+    return _restore_axes(y, undo, comp=True)
+
+
+def fft(x, n: Optional[int] = None, axis: int = -1,
+        norm: Optional[str] = None, *, interleaved: Optional[bool] = None):
+    """1-D complex FFT along ``axis`` (numpy.fft.fft semantics)."""
+    return _c2c(x, n, (axis,), norm, False, False, interleaved)
+
+
+def ifft(x, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None, *, interleaved: Optional[bool] = None):
+    return _c2c(x, n, (axis,), norm, True, False, interleaved)
+
+
+def fft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None, *,
+         interleaved: Optional[bool] = None):
+    return _c2c(x, s, axes, norm, False, True, interleaved)
+
+
+def ifft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None, *,
+          interleaved: Optional[bool] = None):
+    return _c2c(x, s, axes, norm, True, True, interleaved)
+
+
+def fftn(x, s=None, axes=None, norm: Optional[str] = None, *,
+         interleaved: Optional[bool] = None):
+    return _c2c(x, s, axes, norm, False, True, interleaved)
+
+
+def ifftn(x, s=None, axes=None, norm: Optional[str] = None, *,
+          interleaved: Optional[bool] = None):
+    return _c2c(x, s, axes, norm, True, True, interleaved)
+
+
+# ---------------------------------------------------------------- r2c/c2r
+
+def rfft(x, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None):
+    """Real FFT along ``axis``: real input -> packed half-spectrum
+    (..., n//2+1, 2) interleaved (numpy.fft.rfft semantics)."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    if n is not None:
+        x = _crop_or_pad(x, n, axes[0])
+    normalize, scale_exp = _norm_modes(norm, False)
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    m = x.shape[-1]
+    y = _exec_nd(x, "r2c", (m,), "forward", normalize, False, True)
+    if scale_exp:
+        y = y * jnp.asarray(float(m) ** scale_exp, y.dtype)
+    return _restore_axes(y, undo, comp=True)
+
+
+def irfft(x, n: Optional[int] = None, axis: int = -1,
+          norm: Optional[str] = None, *, interleaved: Optional[bool] = None):
+    """Inverse real FFT: packed half-spectrum (..., m, 2) -> real (..., n)
+    with n defaulting to 2*(m-1) (numpy.fft.irfft semantics)."""
+    x = asinterleaved(x, interleaved)
+    nd = x.ndim - 1
+    axes = _axes_list(nd, (axis,), False)
+    if n is None:
+        n = 2 * (x.shape[axes[0]] - 1)
+    packed = n // 2 + 1
+    x = _crop_or_pad(x, packed, axes[0])
+    normalize, scale_exp = _norm_modes(norm, True)
+    x, undo = _move_to_trailing(x, axes, comp=True)
+    y = _exec_nd(x, "c2r", (n,), "inverse", normalize, True, False)
+    if scale_exp:
+        y = y * jnp.asarray(float(n) ** scale_exp, y.dtype)
+    return _restore_axes(y, undo, comp=False)
+
+
+def _split_last(axes):
+    """(other_axes, last_axis) for the rfftn composition order."""
+    return tuple(axes[:-1]), axes[-1]
+
+
+def rfftn(x, s=None, axes=None, norm: Optional[str] = None):
+    """ND real FFT: rfft along the last given axis, then complex FFTs over
+    the remaining axes of the packed spectrum (numpy.fft.rfftn semantics:
+    the LAST axis in ``axes`` is the packed one)."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, axes, True)
+    if s is not None:
+        s = tuple(s)
+        if len(s) != len(axes):
+            raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
+        for a, m in zip(axes, s):
+            x = _crop_or_pad(x, m, a)
+    others, last = _split_last(axes)
+    y = rfft(x, axis=last, norm=norm)
+    if others:
+        y = _c2c(y, None, others, norm, False, True, True)
+    return y
+
+
+def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
+           interleaved: Optional[bool] = None):
+    """ND inverse real FFT (numpy.fft.irfftn semantics)."""
+    x = asinterleaved(x, interleaved)
+    nd = x.ndim - 1
+    axes = _axes_list(nd, axes, True)
+    others, last = _split_last(axes)
+    n_last = None
+    if s is not None:
+        s = tuple(s)
+        if len(s) != len(axes):
+            raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
+        for a, m in zip(others, s[:-1]):
+            x = _crop_or_pad(x, m, a)
+        n_last = s[-1]
+    if others:
+        x = _c2c(x, None, others, norm, True, True, True)
+    return irfft(x, n=n_last, axis=last, norm=norm)
+
+
+def rfft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None):
+    return rfftn(x, s, axes, norm)
+
+
+def irfft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None, *,
+           interleaved: Optional[bool] = None):
+    return irfftn(x, s, axes, norm, interleaved=interleaved)
+
+
+# ---------------------------------------------------------------- dct/dst
+
+def _trig_ortho_vectors(kind: str, type: int, m: int):
+    """(pre, post) diagonal scalings turning the plan layer's half-amplitude
+    'none' transform into scipy's orthonormal one.  ``pre`` scales the input
+    along the axis, ``post`` the output; either may be None (identity).
+
+    The plan layer's 'none' outputs are scipy's norm=None divided by 2
+    (except dct1, which matches scipy exactly) — the reference's math.js
+    sum conventions.  These vectors absorb both that factor and scipy's
+    per-bin ortho weights (the k=0 / k=N-1 special bins).
+    """
+    r2 = math.sqrt(2.0)
+    if kind == "dct":
+        if type == 1:
+            pre = np.ones(m, np.float32)
+            pre[0] = pre[-1] = r2
+            post = np.full(m, math.sqrt(1.0 / (2 * (m - 1))), np.float32)
+            post[0] /= r2
+            post[-1] /= r2
+            return pre, post
+        if type == 2:
+            post = np.full(m, 2 * math.sqrt(1.0 / (2 * m)), np.float32)
+            post[0] = math.sqrt(1.0 / m)
+            return None, post
+        if type == 3:
+            pre = np.full(m, math.sqrt(2.0 / m), np.float32)
+            pre[0] = 2.0 / math.sqrt(m)
+            return pre, None
+        return None, np.full(m, math.sqrt(2.0 / m), np.float32)  # dct4
+    if type == 1:
+        return None, np.full(m, math.sqrt(2.0 / (m + 1)), np.float32)
+    if type == 2:
+        post = np.full(m, math.sqrt(2.0 / m), np.float32)
+        post[-1] = math.sqrt(1.0 / m)
+        return None, post
+    if type == 3:
+        pre = np.full(m, math.sqrt(2.0 / m), np.float32)
+        pre[-1] = 2.0 / math.sqrt(m)
+        return pre, None
+    return None, np.full(m, math.sqrt(2.0 / m), np.float32)      # dst4
+
+
+def _scipy_trig(x, kind: str, type: int, n, axis: int,
+                norm: Optional[str], inverse: bool):
+    """scipy.fft.dct/dst/idct/idst semantics over the plan layer.
+
+    scipy's inverse is the type-swapped transform (2<->3; 1 and 4 are
+    self-inverse) with the normalization folded in; all modes lower to the
+    plan layer's 'none' forward transform plus explicit diagonal scalings.
+    Validated per (kind, type, norm, direction) against scipy in
+    tests/test_fftapi.py.
+    """
+    if type not in (1, 2, 3, 4):
+        raise PlanError(f"{kind} type must be 1..4, got {type}")
+    if norm not in (None, "backward", "ortho"):
+        raise PlanError(f"{kind} norm must be None|'backward'|'ortho', got {norm!r}")
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    if n is not None:
+        x = _crop_or_pad(x, n, axes[0])
+    m = x.shape[axes[0]]
+    inv_type = {1: 1, 2: 3, 3: 2, 4: 4}[type]
+    eff_type = inv_type if inverse else type
+    pre = post = None
+    scale = 1.0
+    if norm == "ortho":
+        # an orthonormal transform's inverse is the forward orthonormal
+        # transform of the swapped type, so the same vector table serves
+        # both directions (keyed by the EFFECTIVE type)
+        pre, post = _trig_ortho_vectors(kind, eff_type, m)
+    elif inverse:
+        # scipy idct/idst norm=None: the exact inverse of the norm=None
+        # forward; scaling derived from the unnormalized roundtrip gains
+        if kind == "dct" and type == 1:
+            scale = 1.0 / (2 * (m - 1))
+        elif kind == "dst" and type == 1:
+            scale = 1.0 / (m + 1)
+        else:
+            scale = 1.0 / m
+    else:
+        # plan 'none' is scipy's norm=None / 2 (dct1 matches exactly)
+        scale = 1.0 if (kind == "dct" and type == 1) else 2.0
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    if pre is not None:
+        x = x * jnp.asarray(pre)
+    y = _exec_nd(x, f"{kind}{eff_type}", (m,), "forward", "none",
+                 False, False)
+    if post is not None:
+        y = y * jnp.asarray(post)
+    if scale != 1.0:
+        y = y * jnp.asarray(scale, y.dtype)
+    return _restore_axes(y, undo, comp=False)
+
+
+def dct(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
+        norm: Optional[str] = None):
+    """DCT along ``axis`` (scipy.fft.dct semantics)."""
+    return _scipy_trig(x, "dct", type, n, axis, norm, False)
+
+
+def idct(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None):
+    return _scipy_trig(x, "dct", type, n, axis, norm, True)
+
+
+def dst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
+        norm: Optional[str] = None):
+    """DST along ``axis`` (scipy.fft.dst semantics)."""
+    return _scipy_trig(x, "dst", type, n, axis, norm, False)
+
+
+def idst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None):
+    return _scipy_trig(x, "dst", type, n, axis, norm, True)
+
+
+# ---------------------------------------------------------------- conv
+
+def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
+                interleaved: Optional[bool] = None):
+    """FFT convolution of two arrays (scipy.signal.fftconvolve semantics).
+
+    Convolves over ``axes`` (default: all); the non-convolved axes must
+    match and ride as batch.  Real inputs give a real output; complex
+    (or interleaved) inputs give an interleaved output.
+    """
+    if mode not in ("full", "same", "valid"):
+        raise PlanError(f"mode must be full|same|valid, got {mode!r}")
+    complex_in = (np.iscomplexobj(in1) or np.iscomplexobj(in2)
+                  or (interleaved is True))
+    if interleaved is None and not complex_in:
+        # floats whose trailing dim is 2 are ambiguous here; real data is
+        # the overwhelmingly common fftconvolve case, so floats are REAL
+        # unless the caller passes interleaved=True
+        pass
+    x = asinterleaved(in1, interleaved if complex_in else False)
+    k = asinterleaved(in2, interleaved if complex_in else False)
+    nd = x.ndim - 1
+    if k.ndim != x.ndim:
+        raise PlanError(
+            f"fftconvolve inputs must have equal rank, got {nd} and {k.ndim - 1}")
+    axes = _axes_list(nd, axes, True)
+    for a in range(nd):
+        if a not in axes and x.shape[a] != k.shape[a] and k.shape[a] != 1:
+            raise PlanError(
+                f"non-convolved axis {a} sizes differ: {x.shape[a]} vs "
+                f"{k.shape[a]} (only a size-1 second input broadcasts; use "
+                "the plan API's multi-kernel channel policy otherwise)")
+    boundary = {"full": "linear-full", "same": "linear-same",
+                "valid": "linear-valid"}[mode]
+    # arrange: batch = non-axes dims of x; kernel batch dims must be 1-like
+    x, undo_x = _move_to_trailing(x, axes, comp=True)
+    k, _ = _move_to_trailing(k, axes, comp=True)
+    shape = x.shape[x.ndim - 1 - len(axes): x.ndim - 1]
+    kshape = k.shape[k.ndim - 1 - len(axes): k.ndim - 1]
+    if mode == "valid":
+        # scipy requires one input to be at least as large everywhere
+        if not (all(a >= b for a, b in zip(shape, kshape))
+                or all(b >= a for a, b in zip(shape, kshape))):
+            raise PlanError(
+                "valid mode requires one input to be at least as large as "
+                "the other in every convolved dimension")
+        if any(b > a for a, b in zip(shape, kshape)):
+            x, k = k, x
+            shape, kshape = kshape, shape
+    klead = k.shape[: k.ndim - 1 - len(axes)]
+    if any(d != 1 for d in klead):
+        raise PlanError(
+            "fftconvolve kernel may not vary along non-convolved axes "
+            f"(got kernel leading shape {klead}); use the plan API's "
+            "multi-kernel channel policy for that")
+    from . import create_plan
+    lead = x.shape[: x.ndim - 1 - len(axes)]
+    batch = int(np.prod(lead)) if lead else 1
+    plan = create_plan(type="fftconv", shape=list(shape), batch=batch,
+                       fftConv={"boundary": boundary,
+                                "kernelShape": list(kshape)})
+    y = plan.exec(x.reshape(batch, *shape, 2),
+                  kernel=k.reshape(*kshape, 2))
+    y = y.reshape(*lead, *y.shape[1:])
+    y = _restore_axes(y, undo_x, comp=True)
+    if not complex_in:
+        return y[..., 0]
+    return y
+
+
+# ---------------------------------------------------------------- utilities
+
+def fftfreq(n: int, d: float = 1.0):
+    return np.fft.fftfreq(n, d)
+
+
+def rfftfreq(n: int, d: float = 1.0):
+    return np.fft.rfftfreq(n, d)
+
+
+def _shift(x, axes, sign: int, interleaved):
+    x = asinterleaved(x, interleaved) if np.iscomplexobj(x) else jnp.asarray(x)
+    comp = x.ndim >= 1 and x.shape[-1] == 2 and interleaved is not False
+    nd = x.ndim - (1 if comp else 0)
+    axes = _axes_list(nd, axes, True)
+    for a in axes:
+        n = x.shape[a]
+        sh = (n // 2) if sign > 0 else -(n // 2)
+        x = jnp.roll(x, sh, axis=a)
+    return x
+
+
+def fftshift(x, axes=None, *, interleaved: Optional[bool] = None):
+    """Shift the zero-frequency bin to the center (complex axes only —
+    the trailing component dim of interleaved arrays is never shifted)."""
+    return _shift(x, axes, 1, interleaved)
+
+
+def ifftshift(x, axes=None, *, interleaved: Optional[bool] = None):
+    return _shift(x, axes, -1, interleaved)
+
+
+def next_fast_len(n: int) -> int:
+    """Smallest radix-supported (smooth) length >= n
+    (scipy.fft.next_fast_len analog over the framework's radix set)."""
+    return factors.next_smooth_at_least(max(int(n), 1))
