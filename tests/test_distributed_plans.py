@@ -112,6 +112,53 @@ def test_fftconv_nd_seq_correlation(mesh8, rng, assert_close):
     assert_close(y.imag, ref.imag, label="dseq ndcorr.im")
 
 
+@pytest.mark.parametrize("boundary", ["linear-full", "linear-same",
+                                      "linear-valid"])
+def test_fftconv_seq_linear_1d(mesh24, rng, assert_close, boundary):
+    """Linear-boundary distributed fftconv: smooth-padded circular conv +
+    boundary crop (new; the seq path used to reject linear boundaries)."""
+    n, kn, batch = 100, 17, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    k = rng.standard_normal(kn) + 1j * rng.standard_normal(kn)
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"boundary": boundary, "kernelShape": [kn]},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    y = np.asarray(plan(interleave(z), kernel=interleave(k)))
+    ref = R.fftconv(z, k, [n], batch=batch, boundary=boundary,
+                    kernel_shape=[kn])
+    assert y.shape == (batch, ref.shape[1], 2)
+    assert_close(y[..., 0], ref.real, label=f"dseq lin {boundary}.re")
+    assert_close(y[..., 1], ref.imag, label=f"dseq lin {boundary}.im")
+
+
+def test_fftconv_seq_linear_nd_correlation(mesh8, rng, assert_close):
+    shape, kshape, batch = [30, 10], [5, 3], 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    k = rng.standard_normal(kshape) + 1j * rng.standard_normal(kshape)
+    plan = create_distributed_plan(
+        type="fftconv", shape=shape, batch=batch,
+        fftConv={"boundary": "linear-same", "kernelShape": kshape,
+                 "mode": "correlation"},
+        mesh=mesh8, seq_axis="sp")
+    y = np.asarray(plan(interleave(z), kernel=interleave(k)))
+    ref = R.fftconv(z, k, shape, batch=batch, boundary="linear-same",
+                    kernel_shape=kshape, mode="correlation")
+    assert_close(y[..., 0].reshape(ref.shape), ref.real,
+                 label="dseq lin ndcorr.re")
+    assert_close(y[..., 1].reshape(ref.shape), ref.imag,
+                 label="dseq lin ndcorr.im")
+
+
+def test_fftconv_seq_linear_valid_too_big_kernel(mesh8):
+    with pytest.raises(PlanError, match="valid"):
+        create_distributed_plan(
+            type="fftconv", shape=[16], batch=1,
+            fftConv={"boundary": "linear-valid", "kernelShape": [20]},
+            mesh=mesh8, seq_axis="sp")
+
+
 def test_dp_only_wraps_local_plan(mesh24, rng, assert_close):
     n, batch = 64, 8
     x = rng.standard_normal((batch, n, n))
@@ -157,9 +204,12 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="c2c", shape=[64],
                                 ioView={"input": {"shape": [32]}},
                                 mesh=mesh24, seq_axis="sp")
-    with pytest.raises(PlanError, match="circular"):
+    # linear boundaries are supported (padded-circular route); circular
+    # still requires a full-length kernel
+    with pytest.raises(PlanError, match="kernelShape == shape"):
         create_distributed_plan(type="fftconv", shape=[64],
-                                fftConv={"boundary": "linear-full"},
+                                fftConv={"boundary": "circular",
+                                         "kernelShape": [5]},
                                 mesh=mesh24, seq_axis="sp")
     with pytest.raises(PlanError, match="kernelCount=1"):
         create_distributed_plan(type="fftconv", shape=[64],

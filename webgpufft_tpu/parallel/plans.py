@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -174,18 +176,31 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     return fn, fft0.split
 
 
+def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
+    """Smallest smooth length >= m0 whose two-factor digit split divides
+    the seq mesh axis (the working length for padded distributed FFTs)."""
+    from ..utils import factors
+    ndev = mesh.shape[seq_axis]
+    m = m0
+    for _ in range(64):
+        m = factors.next_smooth_at_least(m)
+        if sharded.choose_distributed_split(m, ndev) is not None:
+            return m
+        m += 1
+    raise PlanError(
+        f"no smooth distributed working length >= {m0} for mesh axis "
+        f"{seq_axis!r} (size {ndev})")
+
+
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     fc = spec.fft_conv
-    if fc.boundary != "circular":
-        raise PlanError(
-            "distributed fftconv supports boundary='circular' only "
-            f"(got {fc.boundary!r}); run linear boundaries on the batch-"
-            "sharded local plan", boundary=fc.boundary)
     if fc.kernel_count != 1 or fc.channel_input is not None:
         raise PlanError(
             "distributed fftconv supports kernelCount=1 without "
             "channelPolicy; use the batch-sharded local plan for "
             "multi-kernel channel routing")
+    if fc.boundary != "circular":
+        return _build_seq_fftconv_linear(spec, mesh, batch_axis, seq_axis)
     if fc.kernel_shape is not None and tuple(fc.kernel_shape) != spec.shape:
         raise PlanError(
             "distributed circular fftconv requires kernelShape == shape "
@@ -197,6 +212,69 @@ def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     inner = sharded.build_distributed_fftconv_nd(
         spec.shape, mesh, seq_axis, fc.mode, batch_axis)
     return inner, inner.split
+
+
+def _build_seq_fftconv_linear(spec: PlanSpec, mesh: Mesh, batch_axis,
+                              seq_axis):
+    """Linear-boundary distributed fftconv: circular convolution at a
+    smooth-padded working shape >= shape + kernelShape - 1, then the
+    boundary crop (same shape math as the local plan,
+    utils/mathref.fftconv_out_shape; reference: fftconv.js:353-373)."""
+    from ..utils import factors
+    from ..utils.mathref import fftconv_out_shape
+    fc = spec.fft_conv
+    kshape = (tuple(fc.kernel_shape) if fc.kernel_shape is not None
+              else spec.shape)
+    try:
+        _, out_shape, out_off = fftconv_out_shape(
+            spec.shape, kshape, fc.boundary)
+    except ValueError as e:
+        raise PlanError(str(e), boundary=fc.boundary,
+                        kernel_shape=kshape) from None
+    need = [spec.shape[d] + kshape[d] - 1 for d in range(spec.rank)]
+    work = (_smooth_distributed_len(need[0], mesh, seq_axis),
+            *(factors.next_smooth_at_least(v) for v in need[1:]))
+    if spec.rank == 1:
+        inner = sharded.build_distributed_fftconv_1d(
+            work[0], mesh, seq_axis, fc.mode, batch_axis)
+    else:
+        inner = sharded.build_distributed_fftconv_nd(
+            work, mesh, seq_axis, fc.mode, batch_axis)
+    rank = spec.rank
+
+    def pad_to(a, lead_dims: int):
+        pad = [(0, 0)] * a.ndim
+        for d, w in enumerate(work):
+            pad[lead_dims + d] = (0, w - a.shape[lead_dims + d])
+        return jnp.pad(a, pad)
+
+    # Output extraction per axis.  Convolution results are lag-positional
+    # and unaffected by extra padding: a plain [off, off+out) slice.
+    # Correlation wraps negative lags to the END of the transform length,
+    # so oracle index j (defined at length n+k-1) lives at j when j < n
+    # (positive lags) and at j + (m - (n+k-1)) when j >= n (the wrapped
+    # negative-lag tail shifts with the padded length m) — a static gather.
+    gathers = []
+    for d in range(rank):
+        j = np.arange(out_off[d], out_off[d] + out_shape[d])
+        if fc.mode == "correlation":
+            g = np.where(j < spec.shape[d], j, j + (work[d] - need[d]))
+        else:
+            g = j
+        gathers.append(jnp.asarray(g.astype(np.int32)))
+
+    def fn(x, kernel):
+        b = x.shape[0]
+        xp = pad_to(x.reshape(b, *spec.shape, 2), 1)
+        kernel = jnp.asarray(kernel)
+        kp = pad_to(kernel.reshape(*kshape, 2), 0)
+        y = inner(xp, kp)                       # circular at work shape
+        y = y.reshape(b, *work, 2)
+        for d in range(rank):
+            y = jnp.take(y, gathers[d], axis=1 + d)
+        return y
+
+    return fn, inner.split
 
 
 def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
