@@ -151,6 +151,48 @@ def test_fftconv_seq_linear_nd_correlation(mesh8, rng, assert_close):
                  label="dseq lin ndcorr.im")
 
 
+@pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
+@pytest.mark.parametrize("direction", ["forward", "inverse"])
+def test_trig_seq(mesh24, rng, assert_close, kind, direction):
+    """Sequence-parallel DCT/DST (FFT-routable kinds) vs the CPU oracle."""
+    n, batch = 256, 4
+    x = rng.standard_normal((batch, n))
+    plan = create_distributed_plan(type=kind, shape=[n], batch=batch,
+                                   direction=direction, normalize="unitary",
+                                   mesh=mesh24, batch_axis="dp",
+                                   seq_axis="sp")
+    y = np.asarray(plan(x.astype(np.float32)))
+    ref = R.dct_nd(x, [n], kind, direction, "unitary")
+    assert_close(y, ref, label=f"dseq {kind} {direction}")
+
+
+def test_trig_seq_roundtrip(mesh8, rng, assert_close):
+    n, batch = 512, 2
+    x = rng.standard_normal((batch, n))
+    fwd = create_distributed_plan(type="dct2", shape=[n], batch=batch,
+                                  normalize="none", mesh=mesh8,
+                                  seq_axis="sp")
+    inv = create_distributed_plan(type="dct2", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    back = np.asarray(inv(np.asarray(fwd(x.astype(np.float32)))))
+    # the half-amplitude convention's none-fwd/backward-inv roundtrip
+    # yields x/2, exactly like the local plan pair
+    import webgpufft_tpu as W
+    lf = W.create_plan(type="dct2", shape=[n], batch=batch, normalize="none")
+    li = W.create_plan(type="dct2", shape=[n], batch=batch,
+                       direction="inverse", normalize="backward")
+    local = np.asarray(li(np.asarray(lf(x.astype(np.float32)))))
+    assert_close(back, local, label="dseq dct2 roundtrip vs local")
+    assert_close(back * 2.0, x, label="dseq dct2 roundtrip to x")
+
+
+def test_trig_seq_rejects_non_fft_kinds(mesh8):
+    with pytest.raises(PlanError, match="no FFT route"):
+        create_distributed_plan(type="dct4", shape=[64], mesh=mesh8,
+                                seq_axis="sp")
+
+
 def test_fftconv_seq_linear_valid_too_big_kernel(mesh8):
     with pytest.raises(PlanError, match="valid"):
         create_distributed_plan(
@@ -198,8 +240,9 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="c2c", shape=[64], batch=3,
                                 mesh=mesh24, batch_axis="dp")
     with pytest.raises(PlanError, match="not supported for type"):
-        create_distributed_plan(type="dct2", shape=[64], mesh=mesh24,
-                                seq_axis="sp")
+        create_distributed_plan(type="conv2d", shape=[8, 8],
+                                conv={"kernelSize": 3},
+                                mesh=mesh24, seq_axis="sp")
     with pytest.raises(PlanError, match="ioView"):
         create_distributed_plan(type="c2c", shape=[64],
                                 ioView={"input": {"shape": [32]}},

@@ -114,11 +114,13 @@ def _reject_unsupported(spec: PlanSpec, seq_axis: Optional[str]):
         raise PlanError("seq-axis plans do not support layout strides/whdcn")
     if spec.in_place:
         raise PlanError("seq-axis plans do not support inPlace")
-    if spec.plan_type not in ("c2c", "r2c", "c2r", "fftconv"):
+    if spec.plan_type not in ("c2c", "r2c", "c2r", "fftconv",
+                              "dct2", "dct3", "dst2", "dst3"):
         raise PlanError(
             f"seq_axis sharding is not supported for type "
             f"{spec.plan_type!r} (batch sharding via batch_axis works for "
-            "every type)", plan_type=spec.plan_type)
+            "every type; dct1/dst1/dct4/dst4 have no FFT route to "
+            "distribute)", plan_type=spec.plan_type)
 
 
 def _validate_axes(mesh: Mesh, batch_axis: Optional[str],
@@ -338,6 +340,14 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
             raise PlanError("distributed c2r supports rank 1")
         inner = sharded.build_distributed_c2r_1d(
             spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        fn, split = inner, inner.split
+    elif t in ("dct2", "dct3", "dst2", "dst3"):
+        if spec.rank != 1:
+            raise PlanError(f"distributed {t} supports rank 1 (pair with "
+                            "batch sharding for ND batches)")
+        inner = sharded.build_distributed_trig_1d(
+            spec.shape[0], t, mesh, seq_axis, spec.direction,
+            spec.normalize, batch_axis)
         fn, split = inner, inner.split
     else:  # fftconv (guarded by _reject_unsupported)
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)

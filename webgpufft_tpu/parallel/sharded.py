@@ -370,6 +370,80 @@ def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def build_distributed_trig_1d(n: int, kind: str, mesh: Mesh,
+                              axis_name: str = "sp",
+                              direction: str = "forward",
+                              normalize: str = "none",
+                              batch_axis_name: Optional[str] = None):
+    """Distributed 1D DCT/DST for the FFT-routable kinds (dct2/dct3/dst2/
+    dst3): the even/odd reorder, half-sample phase twist, and sign/flip
+    wrappers run as pointwise/gather stages around the distributed c2c
+    four-step — the multi-chip composition of
+    plans/transforms._apply_dct_fft_axis.  x: (batch, n) f32 real ->
+    (batch, n) real; one all_to_all per transform.
+    """
+    from ..plans.transforms import _dct_reorder_perms
+    from ..utils.mathref import normalize_scale
+
+    alias = {"dct2": "dct3", "dct3": "dct2", "dst2": "dst3", "dst3": "dst2"}
+    if kind not in alias:
+        raise ValueError(
+            f"distributed trig supports dct2/dct3/dst2/dst3 (the FFT-"
+            f"routable kinds), got {kind!r}")
+    eff = kind if direction == "forward" else alias[kind]
+    perm, inv = _dct_reorder_perms(n)
+    w = np.exp(-1j * np.pi * np.arange(n) / (2 * n))
+    scale = normalize_scale(normalize, direction, n)
+    dst = eff.startswith("dst")
+    sgn = jnp.asarray(
+        np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32))
+
+    if eff in ("dct2", "dst2"):
+        fftc = build_distributed_fft_1d(n, mesh, axis_name, "forward",
+                                        "none", batch_axis_name)
+        wa_, wb_ = const_pair(w)
+        wa, wb = jnp.asarray(wa_)[None], jnp.asarray(wb_)[None]
+        permj = jnp.asarray(perm)
+
+        def fn(x):
+            b = x.shape[0]
+            if dst:                      # dst2 = flip(dct2(altsign(x)))
+                x = x * sgn
+            v = jnp.take(x, permj, axis=1)
+            vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)
+            V = fftc(vi).reshape(b, n, 2)
+            y = _cmul_pair(V, wa, wb)[..., 0]
+            if dst:
+                y = jnp.flip(y, axis=1)
+            return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+    else:
+        fftc = build_distributed_fft_1d(n, mesh, axis_name, "inverse",
+                                        "none", batch_axis_name)
+        ua_, ub_ = const_pair(0.5 * np.conj(w))
+        ua, ub = jnp.asarray(ua_)[None], jnp.asarray(ub_)[None]
+        xm_idx = jnp.asarray(
+            np.concatenate([[0], np.arange(n - 1, 0, -1)]).astype(np.int32))
+        xm0 = jnp.asarray(
+            np.concatenate([[0.0], np.ones(n - 1)]).astype(np.float32))
+        invj = jnp.asarray(inv)
+
+        def fn(x):
+            b = x.shape[0]
+            if dst:                      # dst3 = altsign(dct3(flip(x)))
+                x = jnp.flip(x, axis=1)
+            xm = jnp.take(x, xm_idx, axis=1) * xm0
+            u = jnp.stack([x, -xm], axis=-1)     # X[k] - i*X[n-k]
+            u = _cmul_pair(u, ua, ub)
+            v = fftc(u).reshape(b, n, 2)[..., 0]  # Re(IFFT_unnorm(U))
+            y = jnp.take(v, invj, axis=1)
+            if dst:
+                y = y * sgn
+            return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fftc.split
+    return fn
+
+
 def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
                                  mode: str = "convolution",
                                  batch_axis_name: Optional[str] = None):
