@@ -151,6 +151,66 @@ def test_fftconv_seq_linear_nd_correlation(mesh8, rng, assert_close):
                  label="dseq lin ndcorr.im")
 
 
+def test_c2c_seq_bluestein_prime(mesh24, rng, assert_close):
+    """Arbitrary-length distributed FFT: prime n cannot digit-split over a
+    power-of-two mesh axis, so the seq path runs the distributed Bluestein
+    chirp-Z embedding (new; used to raise 'cannot split')."""
+    n, batch = 101, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    plan = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                   normalize="none", mesh=mesh24,
+                                   batch_axis="dp", seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [n], "forward")
+    assert_close(y.real, ref.real, label="dseq bluestein.re")
+    assert_close(y.imag, ref.imag, label="dseq bluestein.im")
+
+
+def test_c2c_seq_bluestein_inverse_roundtrip(mesh8, rng, assert_close):
+    n, batch = 225, 2       # smooth but odd: no split divisible by 8
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    fwd = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                  mesh=mesh8, seq_axis="sp")
+    inv = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    back = uninterleave(np.asarray(inv(fwd(interleave(z)))))
+    assert_close(back.real, z.real, label="dseq blu roundtrip.re")
+    assert_close(back.imag, z.imag, label="dseq blu roundtrip.im")
+
+
+def test_r2c_c2r_seq_odd_n(mesh8, rng, assert_close):
+    """Odd-n distributed r2c/c2r (complex widening + Bluestein; the
+    half-complex trick needs even n)."""
+    n, batch = 225, 2
+    x = rng.standard_normal((batch, n))
+    r2c = create_distributed_plan(type="r2c", shape=[n], batch=batch,
+                                  mesh=mesh8, seq_axis="sp")
+    pk = np.asarray(r2c(x.astype(np.float32)))
+    ref = np.fft.rfft(x, axis=-1)
+    assert pk.shape == (batch, n // 2 + 1, 2)
+    assert_close(pk[..., 0], ref.real, label="dseq r2c odd.re")
+    assert_close(pk[..., 1], ref.imag, label="dseq r2c odd.im")
+    c2r = create_distributed_plan(type="c2r", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    back = np.asarray(c2r(pk))
+    assert_close(back, x, label="dseq c2r odd roundtrip")
+
+
+def test_trig_seq_bluestein_length(mesh24, rng, assert_close):
+    """dct2 at a length with no mesh-divisible split rides the Bluestein
+    distributed FFT."""
+    n, batch = 1000, 4
+    x = rng.standard_normal((batch, n))
+    plan = create_distributed_plan(type="dct2", shape=[n], batch=batch,
+                                   normalize="unitary", mesh=mesh24,
+                                   batch_axis="dp", seq_axis="sp")
+    y = np.asarray(plan(x.astype(np.float32)))
+    ref = R.dct_nd(x, [n], "dct2", "forward", "unitary")
+    assert_close(y, ref, label="dseq dct2 bluestein")
+
+
 @pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
 @pytest.mark.parametrize("direction", ["forward", "inverse"])
 def test_trig_seq(mesh24, rng, assert_close, kind, direction):

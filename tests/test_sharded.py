@@ -195,9 +195,17 @@ def test_distributed_fftconv_correlation(mesh8, rng, assert_close):
     assert_close(y.imag, ref.imag, label="dist-corr.im")
 
 
-def test_distributed_r2c_odd_raises(mesh8):
-    with pytest.raises(ValueError, match="even"):
-        sharded.build_distributed_r2c_1d(255, mesh8, "dp")
+def test_distributed_r2c_odd_widens(mesh8, rng, assert_close):
+    """Odd n takes the complex-widening path (Bluestein when the length
+    has no mesh-divisible split) instead of raising."""
+    n = 255                      # 3*5*17: not even smooth
+    x = rng.standard_normal((2, n))
+    fn = sharded.build_distributed_r2c_1d(n, mesh8, "dp")
+    pk = np.asarray(fn(jnp.asarray(x.astype(np.float32))))
+    ref = np.fft.rfft(x, axis=-1)
+    assert pk.shape == (2, n // 2 + 1, 2)
+    assert_close(pk[..., 0], ref.real, label="odd r2c.re")
+    assert_close(pk[..., 1], ref.imag, label="odd r2c.im")
 
 
 def test_distributed_fftconv_nd(mesh24, rng, assert_close):

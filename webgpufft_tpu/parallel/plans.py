@@ -142,7 +142,9 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     from ..core.engine import plan_scale
     shape = spec.shape
     if spec.rank == 1:
-        inner = sharded.build_distributed_fft_1d(
+        # four-step digit plan for splittable smooth lengths; Bluestein
+        # chirp-Z embedding otherwise (any length distributes)
+        inner = sharded.build_distributed_fft_any_1d(
             shape[0], mesh, seq_axis, spec.direction, spec.normalize,
             batch_axis)
 

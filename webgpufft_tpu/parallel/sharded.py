@@ -289,13 +289,27 @@ def build_distributed_r2c_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     trick on the distributed digit plan (the multi-chip composition of
     plans/transforms.build_r2c's core).
 
-    x: (batch, n) f32 real, n even.  Returns (batch, n//2 + 1, 2) packed
-    non-negative bins.  The half-length complex FFT runs as the distributed
-    four-step (one all_to_all over ICI); the untangle to packed bins runs on
-    the sharded spectrum — XLA inserts the flip collective.
+    x: (batch, n) f32 real.  Returns (batch, n//2 + 1, 2) packed
+    non-negative bins.  Even n uses the half-complex trick: the
+    half-length complex FFT runs as the distributed four-step (one
+    all_to_all over ICI) and the untangle to packed bins runs on the
+    sharded spectrum — XLA inserts the flip collective.  Odd n widens to
+    a full complex FFT (2x the traffic; the half-complex untangle needs
+    an even split).
     """
     if n % 2:
-        raise ValueError("distributed r2c requires even n")
+        fftc = build_distributed_fft_any_1d(n, mesh, axis_name, "forward",
+                                            normalize, batch_axis_name)
+        packed = n // 2 + 1
+
+        def fn(x):
+            b = x.shape[0]
+            v = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
+            z = fftc(v).reshape(b, n, 2)
+            return z[:, :packed, :]
+
+        fn.split = fftc.split
+        return fn
     h = n // 2
     from ..plans.transforms import _half_trick_consts
     from ..utils.mathref import normalize_scale
@@ -330,13 +344,40 @@ def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     build_distributed_r2c_1d (multi-chip composition of
     plans/transforms.build_c2r's half-complex core).
 
-    x: (batch, n//2 + 1, 2) packed non-negative bins, n even.  Returns
-    (batch, n) f32 real.  The re-tangle to the half-length complex spectrum
-    is elementwise + a flip gather on the flat spectrum; the length-n/2
-    inverse FFT runs as the distributed four-step (one all_to_all over ICI).
+    x: (batch, n//2 + 1, 2) packed non-negative bins.  Returns (batch, n)
+    f32 real.  Even n re-tangles to the half-length complex spectrum
+    (elementwise + a flip gather on the flat spectrum) and runs the
+    length-n/2 inverse as the distributed four-step (one all_to_all over
+    ICI).  Odd n unpacks the full Hermitian spectrum and runs a length-n
+    inverse (2x the traffic; the half-complex re-tangle needs an even
+    split).
     """
     if n % 2:
-        raise ValueError("distributed c2r requires even n")
+        from ..utils.mathref import normalize_scale
+        ifftc = build_distributed_fft_any_1d(n, mesh, axis_name, "inverse",
+                                             "none", batch_axis_name)
+        packed = n // 2 + 1
+        # mirror gather: bin k>n//2 reads conj(packed[n-k]); bin 0's imag
+        # is zeroed (self-conjugate for a real signal)
+        mirror = np.concatenate(
+            [np.arange(packed), np.arange(n - packed, 0, -1)]).astype(np.int32)
+        conj_mask = np.concatenate(
+            [np.ones(packed), -np.ones(n - packed)]).astype(np.float32)
+        mirror_j = jnp.asarray(mirror)
+        cm = jnp.asarray(np.stack([np.ones(n, np.float32), conj_mask], -1))
+        scale = normalize_scale(normalize, "inverse", n)
+
+        def fn(xp):
+            b = xp.shape[0]
+            bin_iota = jnp.arange(packed).reshape(1, packed, 1)
+            comp = jnp.arange(2).reshape(1, 1, 2)
+            xp = jnp.where((bin_iota == 0) & (comp == 1), 0.0, xp)
+            full = jnp.take(xp, mirror_j, axis=1) * cm
+            out = ifftc(full).reshape(b, n, 2)[..., 0]
+            return out if scale == 1.0 else out * jnp.asarray(scale, out.dtype)
+
+        fn.split = ifftc.split
+        return fn
     h = n // 2
     from ..plans.transforms import _half_trick_consts
     from ..utils.mathref import normalize_scale
@@ -370,6 +411,90 @@ def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def smooth_distributed_len_at_least(m0: int, ndev: int) -> int:
+    """Smallest smooth length >= m0 admitting a two-factor digit split with
+    both digits divisible by ndev (the distributed four-step requirement)."""
+    m = m0
+    for _ in range(64):
+        m = factors.next_smooth_at_least(m)
+        if choose_distributed_split(m, ndev) is not None:
+            return m
+        m += 1
+    raise ValueError(
+        f"no smooth distributed length >= {m0} for {ndev} devices")
+
+
+def build_distributed_bluestein_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                                   direction: str = "forward",
+                                   normalize: str = "none",
+                                   batch_axis_name: Optional[str] = None):
+    """Distributed 1D FFT of ARBITRARY length via the chirp-Z embedding.
+
+    The four-step path needs n to split into two smooth digits each
+    divisible by the mesh axis — impossible for odd/prime n on a
+    power-of-two mesh.  Bluestein lifts the transform to a circular
+    convolution at a smooth padded length M >= 2n-1 chosen to satisfy the
+    split, so ANY length distributes: chirp mul -> distributed forward
+    M-FFT -> pointwise kernel-spectrum multiply in the sharded (k2, k1)
+    digit grid -> distributed inverse M-FFT (swapped split; spectra flow
+    grid-to-grid with no resharding) -> chirp mul.  Two all_to_alls per
+    transform (the M-FFT pair); 1/M is folded into the kernel spectrum
+    (multi-chip composition of core/axis.BluesteinAxisPlan).
+
+    x: (batch, n, 2) -> (batch, n, 2), standard bin order.
+    """
+    from ..utils.mathref import normalize_scale
+    ndev = mesh.shape[axis_name]
+    m = smooth_distributed_len_at_least(max(2 * n - 1, ndev * ndev), ndev)
+    fwd = build_distributed_fft_1d(m, mesh, axis_name, "forward", "none",
+                                   batch_axis_name)
+    n1, n2 = fwd.split
+    inv = build_distributed_fft_1d(m, mesh, axis_name, "inverse", "none",
+                                   batch_axis_name, split=(n2, n1))
+    ca_, cb_ = const_pair(dft.bluestein_chirp(n, direction))
+    ca, cb = jnp.asarray(ca_)[None], jnp.asarray(cb_)[None]
+    h = dft.bluestein_kernel_fft(n, m, direction)     # (m,), 1/m folded
+    # the fwd output grid (b, k2, k1, 2) has flat k = k1 + n1*k2, so the
+    # kernel spectrum reorders into the grid as a host-side reshape
+    ha_, hb_ = const_pair(h.reshape(n2, n1))
+    ha, hb = jnp.asarray(ha_)[None], jnp.asarray(hb_)[None]
+    scale = normalize_scale(normalize, direction, n)
+
+    def fn(x):
+        b = x.shape[0]
+        a = _cmul_pair(x, ca, cb)
+        a = jnp.pad(a, ((0, 0), (0, m - n), (0, 0)))
+        s = fwd(a)                                    # (b, k2, k1, 2)
+        s = _cmul_pair(s, ha, hb)
+        y = inv(s).reshape(b, m, 2)[:, :n, :]
+        y = _cmul_pair(y, ca, cb)
+        return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fwd.split
+    fn.bluestein_m = m
+    return fn
+
+
+def build_distributed_fft_any_1d(n: int, mesh: Mesh, axis_name: str = "sp",
+                                 direction: str = "forward",
+                                 normalize: str = "none",
+                                 batch_axis_name: Optional[str] = None):
+    """Distributed 1D FFT for any length: the four-step digit plan when n
+    admits a divisible smooth split, the Bluestein embedding otherwise.
+    Returns fn(x: (batch, n, 2)) -> flat (batch, n, 2)."""
+    if choose_distributed_split(n, mesh.shape[axis_name]) is not None:
+        inner = build_distributed_fft_1d(n, mesh, axis_name, direction,
+                                         normalize, batch_axis_name)
+
+        def fn(x):
+            return inner(x).reshape(x.shape[0], n, 2)
+
+        fn.split = inner.split
+        return fn
+    return build_distributed_bluestein_1d(n, mesh, axis_name, direction,
+                                          normalize, batch_axis_name)
+
+
 def build_distributed_trig_1d(n: int, kind: str, mesh: Mesh,
                               axis_name: str = "sp",
                               direction: str = "forward",
@@ -399,8 +524,8 @@ def build_distributed_trig_1d(n: int, kind: str, mesh: Mesh,
         np.where(np.arange(n) % 2 == 0, 1.0, -1.0).astype(np.float32))
 
     if eff in ("dct2", "dst2"):
-        fftc = build_distributed_fft_1d(n, mesh, axis_name, "forward",
-                                        "none", batch_axis_name)
+        fftc = build_distributed_fft_any_1d(n, mesh, axis_name, "forward",
+                                            "none", batch_axis_name)
         wa_, wb_ = const_pair(w)
         wa, wb = jnp.asarray(wa_)[None], jnp.asarray(wb_)[None]
         permj = jnp.asarray(perm)
@@ -417,8 +542,8 @@ def build_distributed_trig_1d(n: int, kind: str, mesh: Mesh,
                 y = jnp.flip(y, axis=1)
             return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
     else:
-        fftc = build_distributed_fft_1d(n, mesh, axis_name, "inverse",
-                                        "none", batch_axis_name)
+        fftc = build_distributed_fft_any_1d(n, mesh, axis_name, "inverse",
+                                            "none", batch_axis_name)
         ua_, ub_ = const_pair(0.5 * np.conj(w))
         ua, ub = jnp.asarray(ua_)[None], jnp.asarray(ub_)[None]
         xm_idx = jnp.asarray(
