@@ -151,6 +151,52 @@ def test_fftconv_seq_linear_nd_correlation(mesh8, rng, assert_close):
                  label="dseq lin ndcorr.im")
 
 
+def test_fftconv_seq_multi_kernel(mesh24, rng, assert_close):
+    """Multi-kernel distributed fftconv: the data spectrum is computed once
+    and shared; output is kernel-major (kcount, batch, ..., 2) like the
+    local plan's default layout."""
+    n, batch, kcount = 128, 4, 3
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ks = (rng.standard_normal((kcount, n))
+          + 1j * rng.standard_normal((kcount, n)))
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"kernelCount": kcount},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    kin = np.stack([ks.real, ks.imag], -1).astype(np.float32)
+    y = np.asarray(plan(interleave(z), kernel=kin))
+    assert y.shape == (kcount, batch, n, 2)
+    for k in range(kcount):
+        ref = R.fftconv(z, ks[k], [n], batch=batch, boundary="circular")
+        assert_close(y[k, ..., 0], ref.real, label=f"dseq mk{k}.re")
+        assert_close(y[k, ..., 1], ref.imag, label=f"dseq mk{k}.im")
+    with pytest.raises(PlanError, match="kernelCount"):
+        plan(interleave(z), kernel=kin[0])
+
+
+def test_fftconv_seq_multi_kernel_linear_batch_major(mesh8, rng,
+                                                     assert_close):
+    shape, kshape, batch, kcount = [32, 8], [5, 3], 2, 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    ks = (rng.standard_normal((kcount, *kshape))
+          + 1j * rng.standard_normal((kcount, *kshape)))
+    plan = create_distributed_plan(
+        type="fftconv", shape=shape, batch=batch,
+        fftConv={"boundary": "linear-full", "kernelShape": kshape,
+                 "kernelCount": kcount, "outputLayout": "batch-major"},
+        mesh=mesh8, seq_axis="sp")
+    kin = np.stack([ks.real, ks.imag], -1).astype(np.float32)
+    y = np.asarray(plan(interleave(z), kernel=kin))
+    out_shape = tuple(shape[d] + kshape[d] - 1 for d in range(2))
+    assert y.shape == (batch, kcount, *out_shape, 2)
+    for k in range(kcount):
+        ref = R.fftconv(z, ks[k], shape, batch=batch,
+                        boundary="linear-full", kernel_shape=kshape)
+        assert_close(y[:, k, ..., 0], ref.real, label=f"dseq mklin{k}.re")
+        assert_close(y[:, k, ..., 1], ref.imag, label=f"dseq mklin{k}.im")
+
+
 def test_c2c_seq_bluestein_prime(mesh24, rng, assert_close):
     """Arbitrary-length distributed FFT: prime n cannot digit-split over a
     power-of-two mesh axis, so the seq path runs the distributed Bluestein
@@ -314,10 +360,12 @@ def test_validation_errors(mesh24, mesh8):
                                 fftConv={"boundary": "circular",
                                          "kernelShape": [5]},
                                 mesh=mesh24, seq_axis="sp")
-    with pytest.raises(PlanError, match="kernelCount=1"):
-        create_distributed_plan(type="fftconv", shape=[64],
-                                fftConv={"kernelCount": 2},
-                                mesh=mesh24, seq_axis="sp")
+    with pytest.raises(PlanError, match="channelPolicy"):
+        create_distributed_plan(
+            type="fftconv", shape=[64],
+            fftConv={"channelPolicy": {"input": {"channels": 2},
+                                       "output": {"channels": 2}}},
+            mesh=mesh24, seq_axis="sp")
     with pytest.raises(PlanError, match="requires kernel="):
         plan = create_distributed_plan(type="fftconv", shape=[64],
                                        mesh=mesh8, seq_axis="sp")

@@ -196,13 +196,33 @@ def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
         f"{seq_axis!r} (size {ndev})")
 
 
+def _wrap_kernel_layout(inner, fc, kshape):
+    """Validate the runtime kernel's leading kcount dim and apply the
+    output layout (inner builders return kernel-major (kc, b, ..., 2))."""
+    kc = fc.kernel_count
+    krank = len(kshape)
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kc > 1 and (kernel.ndim != krank + 2 or kernel.shape[0] != kc):
+            raise PlanError(
+                f"fftconv with kernelCount={kc} expects kernel shaped "
+                f"(kcount, *kernelShape, 2), got {tuple(kernel.shape)}")
+        y = inner(x, kernel)
+        if kc > 1 and fc.output_layout == "batch-major":
+            y = jnp.moveaxis(y, 0, 1)
+        return y
+
+    fn.split = inner.split
+    return fn
+
+
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     fc = spec.fft_conv
-    if fc.kernel_count != 1 or fc.channel_input is not None:
+    if fc.channel_input is not None or fc.channel_output is not None:
         raise PlanError(
-            "distributed fftconv supports kernelCount=1 without "
-            "channelPolicy; use the batch-sharded local plan for "
-            "multi-kernel channel routing")
+            "distributed fftconv does not support channelPolicy lane "
+            "routing; use the batch-sharded local plan for channel lanes")
     if fc.boundary != "circular":
         return _build_seq_fftconv_linear(spec, mesh, batch_axis, seq_axis)
     if fc.kernel_shape is not None and tuple(fc.kernel_shape) != spec.shape:
@@ -212,10 +232,11 @@ def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     if spec.rank == 1:
         inner = sharded.build_distributed_fftconv_1d(
             spec.shape[0], mesh, seq_axis, fc.mode, batch_axis)
-        return inner, inner.split
-    inner = sharded.build_distributed_fftconv_nd(
-        spec.shape, mesh, seq_axis, fc.mode, batch_axis)
-    return inner, inner.split
+    else:
+        inner = sharded.build_distributed_fftconv_nd(
+            spec.shape, mesh, seq_axis, fc.mode, batch_axis)
+    wrapped = _wrap_kernel_layout(inner, fc, spec.shape)
+    return wrapped, wrapped.split
 
 
 def _build_seq_fftconv_linear(spec: PlanSpec, mesh: Mesh, batch_axis,
@@ -267,18 +288,25 @@ def _build_seq_fftconv_linear(spec: PlanSpec, mesh: Mesh, batch_axis,
             g = j
         gathers.append(jnp.asarray(g.astype(np.int32)))
 
-    def fn(x, kernel):
+    kc = fc.kernel_count
+
+    def raw(x, kernel):
         b = x.shape[0]
         xp = pad_to(x.reshape(b, *spec.shape, 2), 1)
-        kernel = jnp.asarray(kernel)
-        kp = pad_to(kernel.reshape(*kshape, 2), 0)
+        if kc > 1:
+            kp = pad_to(kernel.reshape(kc, *kshape, 2), 1)
+        else:
+            kp = pad_to(kernel.reshape(*kshape, 2), 0)
         y = inner(xp, kp)                       # circular at work shape
-        y = y.reshape(b, *work, 2)
+        lead = (kc, b) if kc > 1 else (b,)
+        y = y.reshape(*lead, *work, 2)
         for d in range(rank):
-            y = jnp.take(y, gathers[d], axis=1 + d)
+            y = jnp.take(y, gathers[d], axis=len(lead) + d)
         return y
 
-    return fn, inner.split
+    raw.split = inner.split
+    wrapped = _wrap_kernel_layout(raw, fc, kshape)
+    return wrapped, wrapped.split
 
 
 def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,

@@ -579,11 +579,14 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     fftconv plan cannot express; reference fftconv is one-device,
     src/runtime/plans/fftconv.js).
 
-    Returns fn(x, kernel): x (batch, n, 2), kernel (n, 2) or (1, n, 2)
-    time-domain interleaved -> (batch, n, 2).  The kernel rides the same
-    distributed forward plan (batch 1), so its spectrum lands in the same
-    digit grid as the data with no reordering; the inverse plan is built
-    with the swapped split so the grid feeds it directly.
+    Returns fn(x, kernel): x (batch, n, 2), kernel (n, 2), (1, n, 2), or
+    (kcount, n, 2) time-domain interleaved -> (batch, n, 2), or kernel-major
+    (kcount, batch, n, 2) when kcount > 1.  The data spectrum is computed
+    ONCE and shared across kernels; all kernel forwards run as one batched
+    plan.  The kernel rides the same distributed forward plan, so its
+    spectrum lands in the same digit grid as the data with no reordering;
+    the inverse plan is built with the swapped split so the grid feeds it
+    directly.
     """
     if mode not in ("convolution", "correlation"):
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
@@ -592,8 +595,8 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     n1, n2 = fwd.split
     inv = build_distributed_fft_1d(n, mesh, axis_name, "inverse", "backward",
                                    batch_axis_name, split=(n2, n1))
-    # the kernel's batch of 1 cannot shard over the batch axis: run its
-    # forward replicated over dp (same split, so the grids align)
+    # the kernel's batch of kcount cannot shard over the batch axis: run
+    # its forward replicated over dp (same split, so the grids align)
     kfwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
                                     split=(n1, n2))
 
@@ -601,15 +604,19 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
         kernel = jnp.asarray(kernel)
         if kernel.ndim == 2:
             kernel = kernel[None]
-        kf = kfwd(kernel)                             # (1, k2, k1, 2)
+        kc = kernel.shape[0]
+        b = x.shape[0]
+        kf = kfwd(kernel)                             # (kc, k2, k1, 2)
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
-        xf = fwd(x)                                   # (batch, k2, k1, 2)
+        xf = fwd(x)[None]                             # (1, batch, k2, k1, 2)
+        kf = kf[:, None]                              # (kc, 1, k2, k1, 2)
         yf = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
         yg = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
-        y = jnp.concatenate([yf, yg], axis=-1)
-        z = inv(y)                                    # (batch, k1', k2', 2)
-        return z.reshape(x.shape[0], n, 2)
+        y = jnp.concatenate([yf, yg], axis=-1)        # (kc, b, k2, k1, 2)
+        z = inv(y.reshape(kc * b, *y.shape[2:]))      # (kc*b, k1', k2', 2)
+        z = z.reshape(kc, b, n, 2)
+        return z[0] if kc == 1 else z                 # kernel-major
 
     fn.split = (n1, n2)
     return fn
@@ -622,8 +629,10 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
     (distributed four-step over ICI); the remaining axes transform locally
     on each shard (XLA propagates the k1 sharding — no extra collectives).
 
-    Returns fn(x, kernel): x (batch, *shape, 2), kernel (*shape, 2) or
-    (1, *shape, 2) time-domain interleaved -> (batch, *shape, 2).
+    Returns fn(x, kernel): x (batch, *shape, 2), kernel (*shape, 2),
+    (1, *shape, 2), or (kcount, *shape, 2) time-domain interleaved ->
+    (batch, *shape, 2), or kernel-major (kcount, batch, *shape, 2) when
+    kcount > 1 (the data spectrum is computed once and shared).
     """
     if mode not in ("convolution", "correlation"):
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
@@ -672,22 +681,27 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         kernel = jnp.asarray(kernel)
         if kernel.ndim == len(shape) + 1:
             kernel = kernel[None]
+        kc = kernel.shape[0]
+        b = x.shape[0]
         # forward: distributed axis 0, then local rest axes
-        kf = local_axes(kfwd0(kernel), fplans, 3)     # (1, k2, k1, *rest, 2)
+        kf = local_axes(kfwd0(kernel), fplans, 3)     # (kc, k2, k1, *rest, 2)
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
         xf = local_axes(fwd0(x), fplans, 3)           # (b, k2, k1, *rest, 2)
+        xf = xf[None]                                 # (1, b, ...)
+        kf = kf[:, None]                              # (kc, 1, ...)
         yr = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
         yi = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
-        y = jnp.concatenate([yr, yi], axis=-1)
+        y = jnp.concatenate([yr, yi], axis=-1)        # (kc, b, grid..., 2)
+        y = y.reshape(kc * b, *y.shape[2:])
         # inverse: local rest axes (scale folded), then distributed axis 0.
         y = local_axes(y, iplans, 3)
         if rest_scale != 1.0:
             y = y * jnp.asarray(rest_scale, y.dtype)
-        b = y.shape[0]
-        y = y.reshape(b, n1 * n2, *rest, 2)           # grid -> flat k order
-        z = inv0(y)                                   # (b, k1', k2', *rest, 2)
-        return z.reshape(b, *shape, 2)
+        y = y.reshape(kc * b, n1 * n2, *rest, 2)      # grid -> flat k order
+        z = inv0(y)                                   # (kc*b, k1', k2', ...)
+        z = z.reshape(kc, b, *shape, 2)
+        return z[0] if kc == 1 else z                 # kernel-major
 
     fn.split = (n1, n2)
     return fn
