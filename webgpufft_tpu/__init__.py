@@ -36,7 +36,7 @@ from .runtime.aot import ExportedPlan, export_plan, load_exported_plan
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def upload_complex(z, device=None):
