@@ -131,6 +131,32 @@ def test_fftconvolve_real(rng, mode):
     _close(F.fftconvolve(a2, b2, mode), ss.fftconvolve(a2, b2, mode))
 
 
+def test_fftn_s_without_axes(rng):
+    """numpy applies s to the LAST len(s) axes when axes is omitted
+    (regression: used to raise an entry-count error)."""
+    z = (rng.standard_normal((2, 8, 12, 10))
+         + 1j * rng.standard_normal((2, 8, 12, 10)))
+    _close(F.fftn(z, s=(16, 16)), np.fft.fftn(z, s=(16, 16), axes=(-2, -1)))
+    x = rng.standard_normal((2, 12, 16))
+    _close(F.rfftn(x, s=(8, 8)), np.fft.rfftn(x, s=(8, 8), axes=(-2, -1)))
+    pk = np.fft.rfft2(x)
+    _close(F.irfftn(pk, s=(12, 16)),
+           np.fft.irfftn(pk, s=(12, 16), axes=(-2, -1)))
+
+
+def test_fftconvolve_valid_swap_batched(rng):
+    """valid mode with a batched in1 and a larger size-1-broadcast in2:
+    the swap used to put the batch in the kernel slot and raise; now it
+    runs as one multi-kernel plan (regression)."""
+    a = rng.standard_normal((3, 5))
+    b = rng.standard_normal((1, 12))
+    _close(F.fftconvolve(a, b, "valid", axes=(1,)),
+           ss.fftconvolve(a, b, "valid", axes=1))
+    with pytest.raises(PlanError, match="size-1"):
+        F.fftconvolve(np.zeros((3, 5)), np.zeros((2, 12)), "valid",
+                      axes=(1,))
+
+
 def test_fftconvolve_complex_and_swap(rng):
     zc = rng.standard_normal(16) + 1j * rng.standard_normal(16)
     kc = rng.standard_normal(4) + 1j * rng.standard_normal(4)

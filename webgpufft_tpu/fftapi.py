@@ -99,11 +99,16 @@ def _norm_modes(norm: Optional[str], inverse: bool) -> Tuple[str, float]:
                     f"got {norm!r}")
 
 
-def _axes_list(x_cplx_ndim: int, axes, default_all: bool) -> Tuple[int, ...]:
+def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
+               s=None) -> Tuple[int, ...]:
     """Normalize an axes argument against the COMPLEX rank (component dim
-    excluded)."""
+    excluded).  numpy semantics for the s-without-axes form: ``s`` given
+    with ``axes=None`` applies to the LAST len(s) axes."""
     if axes is None:
-        axes = tuple(range(x_cplx_ndim)) if default_all else (-1,)
+        if s is not None:
+            axes = tuple(range(x_cplx_ndim - len(tuple(s)), x_cplx_ndim))
+        else:
+            axes = tuple(range(x_cplx_ndim)) if default_all else (-1,)
     elif isinstance(axes, int):
         axes = (axes,)
     out = []
@@ -119,18 +124,20 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool) -> Tuple[int, ...]:
 
 def _crop_or_pad(x, n: int, axis: int):
     """numpy n=/s= semantics: crop or zero-pad ``axis`` to length n."""
+    import jax
     cur = x.shape[axis]
     if n == cur:
         return x
     if n < cur:
-        return jnp.take(x, jnp.arange(n), axis=axis)
+        # static contiguous crop: a slice, not a gather
+        return jax.lax.slice_in_dim(x, 0, n, axis=axis)
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, n - cur)
     return jnp.pad(x, pad)
 
 
 def _exec_nd(x, plan_type: str, shape: Sequence[int], direction: str,
-             normalize: str, interleaved_in: bool, interleaved_out: bool):
+             normalize: str, interleaved_in: bool):
     """Collapse leading dims to batch, run the plan, restore leading dims."""
     from . import create_plan
     comp_in = 1 if interleaved_in else 0
@@ -168,7 +175,8 @@ def _c2c(x, n, axes, norm, inverse: bool, default_all_axes: bool,
          interleaved):
     x = asinterleaved(x, interleaved)
     nd = x.ndim - 1
-    axes = _axes_list(nd, axes, default_all_axes)
+    s = None if (n is None or isinstance(n, int)) else tuple(n)
+    axes = _axes_list(nd, axes, default_all_axes, s=s)
     if n is not None:
         sizes = (n,) if isinstance(n, int) else tuple(n)
         if len(sizes) != len(axes):
@@ -179,7 +187,7 @@ def _c2c(x, n, axes, norm, inverse: bool, default_all_axes: bool,
     x, undo = _move_to_trailing(x, axes, comp=True)
     shape = x.shape[x.ndim - 1 - len(axes): x.ndim - 1]
     y = _exec_nd(x, "c2c", shape, "inverse" if inverse else "forward",
-                 normalize, True, True)
+                 normalize, True)
     if scale_exp:
         y = y * jnp.asarray(
             float(np.prod(shape)) ** scale_exp, y.dtype)
@@ -230,7 +238,7 @@ def rfft(x, n: Optional[int] = None, axis: int = -1,
     normalize, scale_exp = _norm_modes(norm, False)
     x, undo = _move_to_trailing(x, axes, comp=False)
     m = x.shape[-1]
-    y = _exec_nd(x, "r2c", (m,), "forward", normalize, False, True)
+    y = _exec_nd(x, "r2c", (m,), "forward", normalize, False)
     if scale_exp:
         y = y * jnp.asarray(float(m) ** scale_exp, y.dtype)
     return _restore_axes(y, undo, comp=True)
@@ -247,11 +255,11 @@ def irfft(x, n: Optional[int] = None, axis: int = -1,
         n = 2 * (x.shape[axes[0]] - 1)
     packed = n // 2 + 1
     x = _crop_or_pad(x, packed, axes[0])
-    normalize, scale_exp = _norm_modes(norm, True)
+    # every inverse norm mode maps to a plan normalize with no extra pass
+    # (_norm_modes returns exponent 0 for inverse transforms)
+    normalize, _ = _norm_modes(norm, True)
     x, undo = _move_to_trailing(x, axes, comp=True)
-    y = _exec_nd(x, "c2r", (n,), "inverse", normalize, True, False)
-    if scale_exp:
-        y = y * jnp.asarray(float(n) ** scale_exp, y.dtype)
+    y = _exec_nd(x, "c2r", (n,), "inverse", normalize, True)
     return _restore_axes(y, undo, comp=False)
 
 
@@ -265,7 +273,7 @@ def rfftn(x, s=None, axes=None, norm: Optional[str] = None):
     the remaining axes of the packed spectrum (numpy.fft.rfftn semantics:
     the LAST axis in ``axes`` is the packed one)."""
     x = _real_f32(x)
-    axes = _axes_list(x.ndim, axes, True)
+    axes = _axes_list(x.ndim, axes, True, s=s)
     if s is not None:
         s = tuple(s)
         if len(s) != len(axes):
@@ -284,7 +292,7 @@ def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
     """ND inverse real FFT (numpy.fft.irfftn semantics)."""
     x = asinterleaved(x, interleaved)
     nd = x.ndim - 1
-    axes = _axes_list(nd, axes, True)
+    axes = _axes_list(nd, axes, True, s=s)
     others, last = _split_last(axes)
     n_last = None
     if s is not None:
@@ -395,7 +403,7 @@ def _scipy_trig(x, kind: str, type: int, n, axis: int,
     if pre is not None:
         x = x * jnp.asarray(pre)
     y = _exec_nd(x, f"{kind}{eff_type}", (m,), "forward", "none",
-                 False, False)
+                 False)
     if post is not None:
         y = y * jnp.asarray(post)
     if scale != 1.0:
@@ -439,11 +447,9 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
         raise PlanError(f"mode must be full|same|valid, got {mode!r}")
     complex_in = (np.iscomplexobj(in1) or np.iscomplexobj(in2)
                   or (interleaved is True))
-    if interleaved is None and not complex_in:
-        # floats whose trailing dim is 2 are ambiguous here; real data is
-        # the overwhelmingly common fftconvolve case, so floats are REAL
-        # unless the caller passes interleaved=True
-        pass
+    # floats whose trailing dim is 2 are ambiguous here; real data is the
+    # overwhelmingly common fftconvolve case, so floats are REAL unless
+    # the caller passes interleaved=True
     x = asinterleaved(in1, interleaved if complex_in else False)
     k = asinterleaved(in2, interleaved if complex_in else False)
     nd = x.ndim - 1
@@ -474,21 +480,35 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
         if any(b > a for a, b in zip(shape, kshape)):
             x, k = k, x
             shape, kshape = kshape, shape
-    klead = k.shape[: k.ndim - 1 - len(axes)]
-    if any(d != 1 for d in klead):
-        raise PlanError(
-            "fftconvolve kernel may not vary along non-convolved axes "
-            f"(got kernel leading shape {klead}); use the plan API's "
-            "multi-kernel channel policy for that")
     from . import create_plan
+    klead = k.shape[: k.ndim - 1 - len(axes)]
     lead = x.shape[: x.ndim - 1 - len(axes)]
-    batch = int(np.prod(lead)) if lead else 1
-    plan = create_plan(type="fftconv", shape=list(shape), batch=batch,
-                       fftConv={"boundary": boundary,
-                                "kernelShape": list(kshape)})
-    y = plan.exec(x.reshape(batch, *shape, 2),
-                  kernel=k.reshape(*kshape, 2))
-    y = y.reshape(*lead, *y.shape[1:])
+    if any(d != 1 for d in klead):
+        # the kernel slot varies along non-convolved axes (e.g. a batched
+        # in1 swapped into it by valid mode): when the data slot is
+        # singleton there, run one multi-kernel plan (convolution
+        # commutes), matching scipy's broadcast semantics
+        if any(d != 1 for d in lead):
+            raise PlanError(
+                "fftconvolve inputs may not BOTH vary along a non-"
+                f"convolved axis (leading shapes {lead} and {klead}); use "
+                "the plan API's multi-kernel channel policy for that")
+        kc = int(np.prod(klead)) if klead else 1
+        plan = create_plan(type="fftconv", shape=list(shape), batch=1,
+                           fftConv={"boundary": boundary,
+                                    "kernelShape": list(kshape),
+                                    "kernelCount": kc})
+        y = plan.exec(x.reshape(1, *shape, 2),
+                      kernel=k.reshape(kc, *kshape, 2))
+        y = y.reshape(*klead, *y.shape[2:])   # kernel-major -> lead dims
+    else:
+        batch = int(np.prod(lead)) if lead else 1
+        plan = create_plan(type="fftconv", shape=list(shape), batch=batch,
+                           fftConv={"boundary": boundary,
+                                    "kernelShape": list(kshape)})
+        y = plan.exec(x.reshape(batch, *shape, 2),
+                      kernel=k.reshape(*kshape, 2))
+        y = y.reshape(*lead, *y.shape[1:])
     y = _restore_axes(y, undo_x, comp=True)
     if not complex_in:
         return y[..., 0]

@@ -14,9 +14,13 @@ takes, returning a plan-like object:
 
 Modes:
 - ``seq_axis`` given: the transform itself is distributed over that mesh
-  axis (sequence parallel).  c2c (any rank: axis 0 spans chips, remaining
-  axes run locally on each shard), r2c/c2r (even n, rank 1), and circular
-  fftconv (rank >= 1, single kernel) are supported.
+  axis (sequence parallel).  Supported: c2c any rank (axis 0 spans chips,
+  remaining axes run locally) and ANY rank-1 length (four-step digit plan
+  when a mesh-divisible smooth split exists, Bluestein chirp-Z embedding
+  otherwise); r2c/c2r rank 1 (even n via the half-complex trick, odd n
+  via complex widening); dct2/dct3/dst2/dst3 rank 1; fftconv any rank
+  with every boundary mode (linear = smooth-padded circular + crop) and
+  multi-kernel ``kernelCount`` (data spectrum computed once).
 - ``seq_axis=None``: pure batch sharding — the local plan runs on every
   device's batch shard, collective-free (works for every plan type).
 
@@ -143,15 +147,12 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     shape = spec.shape
     if spec.rank == 1:
         # four-step digit plan for splittable smooth lengths; Bluestein
-        # chirp-Z embedding otherwise (any length distributes)
+        # chirp-Z embedding otherwise (any length distributes).  The
+        # builder already returns flat (batch, n, 2).
         inner = sharded.build_distributed_fft_any_1d(
             shape[0], mesh, seq_axis, spec.direction, spec.normalize,
             batch_axis)
-
-        def fn(x):
-            return inner(x).reshape(x.shape[0], shape[0], 2)
-
-        return fn, inner.split
+        return inner, inner.split
 
     # ND: axis 0 spans chips; remaining axes transform locally per shard
     # (embarrassingly parallel over the k1 sharding — no extra collectives).
@@ -181,19 +182,12 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
 
 
 def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
-    """Smallest smooth length >= m0 whose two-factor digit split divides
-    the seq mesh axis (the working length for padded distributed FFTs)."""
-    from ..utils import factors
-    ndev = mesh.shape[seq_axis]
-    m = m0
-    for _ in range(64):
-        m = factors.next_smooth_at_least(m)
-        if sharded.choose_distributed_split(m, ndev) is not None:
-            return m
-        m += 1
-    raise PlanError(
-        f"no smooth distributed working length >= {m0} for mesh axis "
-        f"{seq_axis!r} (size {ndev})")
+    """sharded.smooth_distributed_len_at_least with a PlanError surface."""
+    try:
+        return sharded.smooth_distributed_len_at_least(
+            m0, mesh.shape[seq_axis])
+    except ValueError as e:
+        raise PlanError(f"{e} (mesh axis {seq_axis!r})") from None
 
 
 def _wrap_kernel_layout(inner, fc, kshape):
