@@ -109,6 +109,39 @@ def test_trig_vs_scipy(rng, kind, type, norm, m):
            sp_i(x, type=type, norm=norm), label=f"i{kind}{type}/{norm}")
 
 
+@pytest.mark.parametrize("kind", ["dct", "dst"])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_trig_nd(rng, kind, norm):
+    x = rng.standard_normal((2, 10, 12))
+    ours_f = getattr(F, kind + "n")
+    ours_i = getattr(F, "i" + kind + "n")
+    sp_f = getattr(sf, kind + "n")
+    sp_i = getattr(sf, "i" + kind + "n")
+    _close(ours_f(x.astype(np.float32), norm=norm), sp_f(x, norm=norm))
+    _close(ours_i(x.astype(np.float32), norm=norm), sp_i(x, norm=norm))
+    _close(ours_f(x.astype(np.float32), type=3, axes=(1, 2), norm=norm),
+           sp_f(x, type=3, axes=(1, 2), norm=norm))
+    _close(ours_f(x.astype(np.float32), s=(8, 16)),
+           sp_f(x, s=(8, 16), axes=(-2, -1)))
+
+
+def test_facade_composes_under_user_jit(rng):
+    """fftapi calls work inside a caller's jax.jit (shapes are static under
+    tracing, plan exec nests)."""
+    import jax
+
+    z = rng.standard_normal((4, 64)) + 1j * rng.standard_normal((4, 64))
+    xi = np.stack([z.real, z.imag], -1).astype(np.float32)
+
+    @jax.jit
+    def pipeline(v):
+        Y = F.fft(v, norm="ortho")
+        return F.ifft(Y, norm="ortho")
+
+    back = np.asarray(pipeline(xi))
+    _close(back, xi, label="jit roundtrip", tol=1e-5)
+
+
 def test_trig_axis_and_n(rng):
     x = rng.standard_normal((5, 12))
     _close(F.dct(x, axis=0), sf.dct(x, axis=0))

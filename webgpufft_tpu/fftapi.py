@@ -41,7 +41,7 @@ from .utils import factors
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
-    "dct", "idct", "dst", "idst",
+    "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
@@ -431,6 +431,37 @@ def dst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
 def idst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
          norm: Optional[str] = None):
     return _scipy_trig(x, "dst", type, n, axis, norm, True)
+
+
+def _trig_nd(x, kind: str, type: int, s, axes, norm, inverse: bool):
+    """scipy.fft.dctn-family semantics: the separable 1-D transform applied
+    along each requested axis in turn."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, axes, True, s=s)
+    sizes = (None,) * len(axes) if s is None else tuple(s)
+    if len(sizes) != len(axes):
+        raise PlanError(f"s has {len(sizes)} entries for {len(axes)} axes")
+    for a, m in zip(axes, sizes):
+        x = _scipy_trig(x, kind, type, m, a, norm, inverse)
+    return x
+
+
+def dctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """ND DCT (scipy.fft.dctn semantics)."""
+    return _trig_nd(x, "dct", type, s, axes, norm, False)
+
+
+def idctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    return _trig_nd(x, "dct", type, s, axes, norm, True)
+
+
+def dstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    """ND DST (scipy.fft.dstn semantics)."""
+    return _trig_nd(x, "dst", type, s, axes, norm, False)
+
+
+def idstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+    return _trig_nd(x, "dst", type, s, axes, norm, True)
 
 
 # ---------------------------------------------------------------- conv
