@@ -101,3 +101,117 @@ def test_fuzz_fftconv(seed, assert_close):
     assert_close(y, ref, atol_scale=5e-5,
                  label=f"fuzz fftconv seed={seed} {shape}*{kshape} "
                  f"{boundary}/{mode}")
+
+
+# ---------------------------------------------------------------------------
+# Distributed fuzz lane (8 virtual CPU devices; seeded like the local lane)
+# ---------------------------------------------------------------------------
+
+from webgpufft_tpu.parallel import sharded
+from webgpufft_tpu.parallel.plans import create_distributed_plan
+
+
+@pytest.fixture(scope="module")
+def _dmeshes():
+    return {
+        "sp8": sharded.make_mesh({"sp": 8}),
+        "dp2sp4": sharded.make_mesh({"dp": 2, "sp": 4}),
+        "dp4sp2": sharded.make_mesh({"dp": 4, "sp": 2}),
+    }
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_distributed_c2c(seed, _dmeshes, assert_close):
+    """Random 1-D lengths (splittable and Bluestein), meshes, directions,
+    and norms through create_distributed_plan vs the oracle."""
+    rng = np.random.default_rng(5000 + seed)
+    key = str(rng.choice(["sp8", "dp2sp4", "dp4sp2"]))
+    mesh = _dmeshes[key]
+    dp = "dp" if "dp" in mesh.shape else None
+    n = int(rng.choice([64, 96, 101, 128, 144, 225, 256, 360, 509, 1000]))
+    batch = int(rng.choice([2, 4])) * (mesh.shape[dp] if dp else 1)
+    direction = str(rng.choice(["forward", "inverse"]))
+    normalize = str(rng.choice(["none", "backward", "unitary"]))
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    plan = create_distributed_plan(type="c2c", shape=[n], batch=batch,
+                                   direction=direction, normalize=normalize,
+                                   mesh=mesh, batch_axis=dp, seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, [n], direction, normalize)
+    assert_close(y, ref, label=f"dfuzz c2c seed={seed} n={n} {key} "
+                 f"{direction}/{normalize}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_distributed_fftconv(seed, _dmeshes, assert_close):
+    rng = np.random.default_rng(6000 + seed)
+    key = str(rng.choice(["sp8", "dp2sp4"]))
+    mesh = _dmeshes[key]
+    dp = "dp" if "dp" in mesh.shape else None
+    n = int(rng.choice([64, 100, 128, 160]))
+    kn = int(rng.integers(1, 33))
+    boundary = str(rng.choice(["circular", "linear-full", "linear-same",
+                               "linear-valid"]))
+    mode = str(rng.choice(["convolution", "correlation"]))
+    kcount = int(rng.choice([1, 2]))
+    batch = 2 * (mesh.shape[dp] if dp else 1)
+    if boundary == "circular":
+        kn = n                         # circular kernels are full-length
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ks = (rng.standard_normal((kcount, kn))
+          + 1j * rng.standard_normal((kcount, kn)))
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"boundary": boundary, "mode": mode, "kernelShape": [kn],
+                 "kernelCount": kcount},
+        mesh=mesh, batch_axis=dp, seq_axis="sp")
+    kin = (np.stack([ks.real, ks.imag], -1).astype(np.float32)
+           if kcount > 1 else interleave(ks[0]))
+    y = np.asarray(plan(interleave(z), kernel=kin))
+    if kcount == 1:
+        y = y[None]
+    for k in range(kcount):
+        ref = R.fftconv(z, ks[k], [n], batch=batch, mode=mode,
+                        boundary=boundary, kernel_shape=[kn])
+        assert_close(y[k, ..., 0], ref.real, atol_scale=5e-5,
+                     label=f"dfuzz conv seed={seed} n={n} k{kn} "
+                     f"{boundary}/{mode} kc{kcount} #{k}.re")
+        assert_close(y[k, ..., 1], ref.imag, atol_scale=5e-5,
+                     label=f"dfuzz conv seed={seed} #{k}.im")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_distributed_real_and_trig(seed, _dmeshes, assert_close):
+    rng = np.random.default_rng(7000 + seed)
+    mesh = _dmeshes["dp2sp4"]
+    n = int(rng.choice([64, 128, 225, 256, 360, 1000]))
+    batch = 4
+    x = rng.standard_normal((batch, n))
+    which = str(rng.choice(["r2c", "trig"]))
+    if which == "r2c":
+        r2c = create_distributed_plan(type="r2c", shape=[n], batch=batch,
+                                      mesh=mesh, batch_axis="dp",
+                                      seq_axis="sp")
+        pk = np.asarray(r2c(x.astype(np.float32)))
+        ref = np.fft.rfft(x, axis=-1)
+        assert_close(pk[..., 0], ref.real,
+                     label=f"dfuzz r2c seed={seed} n={n}.re")
+        assert_close(pk[..., 1], ref.imag,
+                     label=f"dfuzz r2c seed={seed} n={n}.im")
+        c2r = create_distributed_plan(type="c2r", shape=[n], batch=batch,
+                                      direction="inverse",
+                                      normalize="backward", mesh=mesh,
+                                      batch_axis="dp", seq_axis="sp")
+        back = np.asarray(c2r(pk))
+        assert_close(back, x, label=f"dfuzz c2r seed={seed} n={n}")
+    else:
+        kind = str(rng.choice(["dct2", "dct3", "dst2", "dst3"]))
+        direction = str(rng.choice(["forward", "inverse"]))
+        plan = create_distributed_plan(type=kind, shape=[n], batch=batch,
+                                       direction=direction,
+                                       normalize="unitary", mesh=mesh,
+                                       batch_axis="dp", seq_axis="sp")
+        y = np.asarray(plan(x.astype(np.float32)))
+        ref = R.dct_nd(x, [n], kind, direction, "unitary")
+        assert_close(y, ref, atol_scale=5e-5,
+                     label=f"dfuzz {kind} seed={seed} n={n} {direction}")

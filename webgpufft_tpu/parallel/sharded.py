@@ -290,14 +290,16 @@ def build_distributed_r2c_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     plans/transforms.build_r2c's core).
 
     x: (batch, n) f32 real.  Returns (batch, n//2 + 1, 2) packed
-    non-negative bins.  Even n uses the half-complex trick: the
-    half-length complex FFT runs as the distributed four-step (one
-    all_to_all over ICI) and the untangle to packed bins runs on the
-    sharded spectrum — XLA inserts the flip collective.  Odd n widens to
-    a full complex FFT (2x the traffic; the half-complex untangle needs
-    an even split).
+    non-negative bins.  When n is even AND n/2 admits a mesh-divisible
+    digit split, the half-complex trick runs the half-length complex FFT
+    as the distributed four-step (one all_to_all over ICI) with the
+    untangle on the sharded spectrum — XLA inserts the flip collective.
+    Otherwise (odd n, or an unsplittable half like n=360 on a 4-wide
+    axis) the input widens to a full-length complex FFT (2x the traffic;
+    Bluestein when n itself has no split).
     """
-    if n % 2:
+    if n % 2 or choose_distributed_split(n // 2,
+                                         mesh.shape[axis_name]) is None:
         fftc = build_distributed_fft_any_1d(n, mesh, axis_name, "forward",
                                             normalize, batch_axis_name)
         packed = n // 2 + 1
@@ -345,14 +347,16 @@ def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     plans/transforms.build_c2r's half-complex core).
 
     x: (batch, n//2 + 1, 2) packed non-negative bins.  Returns (batch, n)
-    f32 real.  Even n re-tangles to the half-length complex spectrum
-    (elementwise + a flip gather on the flat spectrum) and runs the
-    length-n/2 inverse as the distributed four-step (one all_to_all over
-    ICI).  Odd n unpacks the full Hermitian spectrum and runs a length-n
-    inverse (2x the traffic; the half-complex re-tangle needs an even
-    split).
+    f32 real.  When n is even and n/2 admits a mesh-divisible split, the
+    packed bins re-tangle to the half-length complex spectrum (elementwise
+    + a flip gather on the flat spectrum) and the length-n/2 inverse runs
+    as the distributed four-step (one all_to_all over ICI).  Otherwise
+    (odd n, or an unsplittable half) the full Hermitian spectrum is
+    unpacked and a length-n inverse runs (2x the traffic; Bluestein when
+    n itself has no split).
     """
-    if n % 2:
+    if n % 2 or choose_distributed_split(n // 2,
+                                         mesh.shape[axis_name]) is None:
         from ..utils.mathref import normalize_scale
         ifftc = build_distributed_fft_any_1d(n, mesh, axis_name, "inverse",
                                              "none", batch_axis_name)
