@@ -95,3 +95,61 @@ def test_aot_pathlib_path(rng, tmp_path):
     W.export_plan(plan, path=str(p))
     ep = W.load_exported_plan(p)  # pathlib.Path, not str
     assert ep.spec_dict["shape"] == [16]
+
+
+def test_aot_distributed_c2c(rng, assert_close, tmp_path):
+    """Multi-chip AOT: export a seq-parallel plan (collectives included),
+    reload, and call on an equivalent mesh."""
+    from webgpufft_tpu.parallel import sharded
+    from webgpufft_tpu.utils import mathref as R
+
+    mesh = sharded.make_mesh({"dp": 2, "sp": 4})
+    plan = W.create_distributed_plan(type="c2c", shape=[256], batch=4,
+                                     normalize="unitary", mesh=mesh,
+                                     batch_axis="dp", seq_axis="sp")
+    p = tmp_path / "dist.wftaot"
+    W.export_distributed_plan(plan, path=str(p))
+    ep = W.load_exported_plan(p)
+    assert ep.distributed["nr_devices"] == 8
+    assert ep.distributed["mesh"] == {"dp": 2, "sp": 4}
+    z = (rng.standard_normal((4, 256))
+         + 1j * rng.standard_normal((4, 256)))
+    xi = np.stack([z.real, z.imag], -1).astype(np.float32)
+    serving_mesh = sharded.make_mesh({"dp": 2, "sp": 4})
+    y = np.asarray(ep(xi, mesh=serving_mesh))
+    ref = R.fft_nd(z, [256], "forward") / np.sqrt(256)
+    assert_close(y[..., 0], ref.real, label="aot dist.re")
+    assert_close(y[..., 1], ref.imag, label="aot dist.im")
+    with pytest.raises(W.PlanError, match="mesh axes"):
+        ep(xi, mesh=sharded.make_mesh({"sp": 8}))
+
+
+def test_aot_distributed_fftconv_kernel(rng, assert_close):
+    from webgpufft_tpu.parallel import sharded
+    from webgpufft_tpu.utils import mathref as R
+
+    mesh = sharded.make_mesh({"sp": 8})
+    plan = W.create_distributed_plan(
+        type="fftconv", shape=[64], batch=2,
+        fftConv={"boundary": "linear-same", "kernelShape": [9]},
+        mesh=mesh, seq_axis="sp")
+    ep = W.load_exported_plan(W.export_distributed_plan(plan))
+    z = rng.standard_normal((2, 64)) + 1j * rng.standard_normal((2, 64))
+    k = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    xi = np.stack([z.real, z.imag], -1).astype(np.float32)
+    ki = np.stack([k.real, k.imag], -1).astype(np.float32)[None]
+    y = np.asarray(ep(xi, ki, mesh=mesh))
+    ref = R.fftconv(z, k, [64], batch=2, boundary="linear-same",
+                    kernel_shape=[9])
+    assert_close(y[..., 0], ref.real, label="aot dconv.re")
+    assert_close(y[..., 1], ref.imag, label="aot dconv.im")
+
+
+def test_aot_distributed_rejects_dp_only():
+    from webgpufft_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh({"dp": 8})
+    plan = W.create_distributed_plan(type="c2c", shape=[32], batch=8,
+                                     mesh=mesh, batch_axis="dp")
+    with pytest.raises(W.PlanError, match="export_plan"):
+        W.export_distributed_plan(plan)

@@ -32,7 +32,8 @@ from .runtime.cache import (
     export_plan_cache_snapshot,
     import_plan_cache_snapshot,
 )
-from .runtime.aot import ExportedPlan, export_plan, load_exported_plan
+from .runtime.aot import (ExportedPlan, export_distributed_plan, export_plan,
+                          load_exported_plan)
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
@@ -62,7 +63,8 @@ __all__ = [
     "create_fftconv_channel_lane_preset",
     "create_fftconv_kernel_major_channel_lane_preset",
     "create_fftconv_batch_major_channel_lane_preset",
-    "export_plan", "load_exported_plan", "ExportedPlan",
+    "export_plan", "export_distributed_plan", "load_exported_plan",
+    "ExportedPlan",
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
     "create_distributed_plan",

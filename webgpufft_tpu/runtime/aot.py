@@ -105,17 +105,107 @@ def export_plan(plan, *, input_length: Optional[int] = None,
     return blob
 
 
+def export_distributed_plan(dplan, *, path: Optional[str] = None) -> bytes:
+    """Serialize a sequence-parallel DistributedPlan's whole multi-chip
+    pipeline (collectives included) as a versioned ``jax.export`` artifact.
+
+    The artifact records the mesh axes and device count; a serving process
+    loads it with :func:`load_exported_plan` and calls it with inputs
+    placed on an equivalent mesh (``ep(x, mesh=serving_mesh)`` places the
+    batch sharding automatically).  Batch-sharded (dp-only) plans wrap a
+    local plan — export that with :func:`export_plan` instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if getattr(dplan, "seq_axis", None) is None:
+        raise PlanError(
+            "export_distributed_plan: a batch-sharded (dp-only) plan wraps "
+            "the local single-chip plan; export that plan with export_plan "
+            "and shard its inputs at serving time")
+    spec = dplan.spec
+    t = spec.plan_type
+    if t == "c2r":
+        shape = (spec.batch, spec.shape[0] // 2 + 1, 2)
+    elif t == "r2c" or t.startswith(("dct", "dst")):
+        shape = (spec.batch, spec.shape[0])
+    else:
+        shape = (spec.batch,) + tuple(spec.shape) + (2,)
+    x = jax.ShapeDtypeStruct(shape, jnp.float32)
+    args = (x,)
+    shape_meta: Dict[str, Any] = {"input": list(shape)}
+    if dplan.needs_kernel:
+        fc = spec.fft_conv
+        kshape = (tuple(fc.kernel_shape) if fc.kernel_shape is not None
+                  else spec.shape)
+        k = jax.ShapeDtypeStruct((fc.kernel_count,) + kshape + (2,),
+                                 jnp.float32)
+        args = (x, k)
+        shape_meta["kernel"] = list(k.shape)
+    exp = jexport.export(dplan._jit)(*args)
+    header = json.dumps({
+        "schema": AOT_SCHEMA,
+        "version": AOT_VERSION,
+        "spec": spec_to_dict(spec),
+        "platforms": list(exp.platforms),
+        "shapes": shape_meta,
+        "route_mode": dplan.route.mode,
+        "distributed": {
+            "mesh": {k: int(v) for k, v in dplan.mesh.shape.items()},
+            "batch_axis": dplan.batch_axis,
+            "seq_axis": dplan.seq_axis,
+            "nr_devices": int(exp.nr_devices),
+        },
+    }).encode("utf-8")
+    blob = len(header).to_bytes(8, "big") + header + bytes(exp.serialize())
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 class ExportedPlan:
-    """A loaded AOT artifact: ``ep(x[, kernel])`` runs the pipeline."""
+    """A loaded AOT artifact: ``ep(x[, kernel])`` runs the pipeline.
+
+    Distributed artifacts take ``mesh=`` (an equivalent
+    ``jax.sharding.Mesh`` in the serving process) to place the recorded
+    batch sharding on the inputs before the call; alternatively pre-place
+    inputs yourself and omit it.
+    """
 
     def __init__(self, meta: Dict[str, Any], exported):
         self.meta = meta
         self.platforms = tuple(meta.get("platforms", ()))
         self.shapes = meta.get("shapes", {})
         self.route_mode = meta.get("route_mode")
+        self.distributed = meta.get("distributed")
         self._exported = exported
 
-    def __call__(self, x, kernel=None):
+    def _place(self, x, mesh):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jnp.asarray(x)
+        ba = self.distributed.get("batch_axis")
+        if ba is None:
+            spec = PartitionSpec()
+        else:
+            spec = PartitionSpec(ba, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def __call__(self, x, kernel=None, *, mesh=None):
+        if mesh is not None:
+            if self.distributed is None:
+                raise PlanError(
+                    "mesh= is only meaningful for distributed artifacts")
+            want = self.distributed.get("mesh", {})
+            if dict(mesh.shape) != {k: int(v) for k, v in want.items()}:
+                raise PlanError(
+                    f"serving mesh axes {dict(mesh.shape)} do not match the "
+                    f"exported mesh {want}")
+            x = self._place(x, mesh)
         if kernel is not None:
             return self._exported.call(x, kernel)
         return self._exported.call(x)
