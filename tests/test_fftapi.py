@@ -83,6 +83,19 @@ def test_rfft_axis_and_odd(rng):
     _close(F.irfft(pk, n=31), np.fft.irfft(pk, n=31, axis=-1))
 
 
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_ihfft(rng, norm):
+    m = 17                       # packed length -> n = 32
+    a = rng.standard_normal((3, m)) + 1j * rng.standard_normal((3, m))
+    _close(F.hfft(a, norm=norm), np.fft.hfft(a, axis=-1, norm=norm))
+    _close(F.hfft(a, n=31, norm=norm), np.fft.hfft(a, n=31, axis=-1,
+                                                   norm=norm))
+    x = rng.standard_normal((3, 32))
+    _close(F.ihfft(x, norm=norm), np.fft.ihfft(x, axis=-1, norm=norm))
+    _close(F.ihfft(x, n=20, norm=norm), np.fft.ihfft(x, n=20, axis=-1,
+                                                     norm=norm))
+
+
 def test_rfftn_irfftn(rng):
     x = rng.standard_normal((2, 12, 16))
     _close(F.rfft2(x), np.fft.rfft2(x))

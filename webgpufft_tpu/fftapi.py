@@ -41,6 +41,7 @@ from .utils import factors
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+    "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
@@ -305,6 +306,55 @@ def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
     if others:
         x = _c2c(x, None, others, norm, True, True, True)
     return irfft(x, n=n_last, axis=last, norm=norm)
+
+
+def _conj(x):
+    """Conjugate an interleaved array (negate the imag lane)."""
+    return x * jnp.asarray([1.0, -1.0], x.dtype)
+
+
+def hfft(x, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None, *, interleaved: Optional[bool] = None):
+    """FFT of a Hermitian-symmetric (real-spectrum) signal -> real output
+    (numpy.fft.hfft semantics: hfft(a, n) == irfft(conj(a), n) * n with
+    the norm scale on the forward side)."""
+    x = _conj(asinterleaved(x, interleaved))
+    nd = x.ndim - 1
+    axes = _axes_list(nd, (axis,), False)
+    if n is None:
+        n = 2 * (x.shape[axes[0]] - 1)
+    # hfft is a FORWARD transform in numpy's norm accounting
+    y = irfft(x, n=n, axis=axis, norm="forward")   # unscaled inverse core
+    if norm is None or norm == "backward":
+        return y
+    if norm == "ortho":
+        return y * jnp.asarray(1.0 / math.sqrt(n), y.dtype)
+    if norm == "forward":
+        return y * jnp.asarray(1.0 / n, y.dtype)
+    raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
+                    f"got {norm!r}")
+
+
+def ihfft(x, n: Optional[int] = None, axis: int = -1,
+          norm: Optional[str] = None):
+    """Inverse of hfft: real input -> packed Hermitian half-spectrum
+    (numpy.fft.ihfft semantics: conj(rfft(a, n)) / n for the default
+    norm)."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    m = n if n is not None else x.shape[axes[0]]
+    y = rfft(x, n=n, axis=axis, norm=None)
+    if norm is None or norm == "backward":
+        scale = 1.0 / m
+    elif norm == "ortho":
+        scale = 1.0 / math.sqrt(m)
+    elif norm == "forward":
+        scale = 1.0
+    else:
+        raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
+                        f"got {norm!r}")
+    y = _conj(y)
+    return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
 
 
 def rfft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None):
