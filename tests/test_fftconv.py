@@ -185,3 +185,91 @@ def test_fftconv_large_batch_chunk(rng, assert_close):
         got = y[kk].reshape(512, 8, 1024)[0]
         assert_close(got.real, ref.real, label=f"chunked k{kk}.re")
         assert_close(got.imag, ref.imag, label=f"chunked k{kk}.im")
+
+
+# ---------------------------------------------------------------------------
+# Overlap-save streaming route
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("boundary", ["circular", "linear-full",
+                                      "linear-same", "linear-valid"])
+def test_overlap_save_all_boundaries(rng, assert_close, boundary):
+    """Forced overlap-save (small shapes via overlapBlock) matches the
+    oracle for every boundary mode."""
+    n, k, B, batch = 777, 9, 60, 2
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kk = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    plan = W.create_plan(type="fftconv", shape=[n], batch=batch,
+                        fftConv={"boundary": boundary, "kernelShape": [k],
+                                 "tuning": {"overlapSave": "on",
+                                            "overlapBlock": B}},
+                        cache=W.PlanCache())
+    assert plan.route.mode == "overlap-save"
+    assert any(r.startswith("os-block") for r in plan.route.reasons)
+    y = uninterleave(np.asarray(plan.exec(interleave(z),
+                                          kernel=interleave(kk))))
+    ref = R.fftconv(z, kk, [n], batch=batch, boundary=boundary,
+                    kernel_shape=[k])
+    assert_close(y, ref, label=f"os {boundary}")
+
+
+def test_overlap_save_auto_selection():
+    """Auto picks overlap-save only for long-signal/short-kernel 1-D
+    convolution; off disables; structural blockers fall back."""
+    big = W.create_plan(type="fftconv", shape=[1 << 18], batch=1,
+                       fftConv={"boundary": "linear-same",
+                                "kernelShape": [129]},
+                       cache=W.PlanCache())
+    assert big.route.mode == "overlap-save"
+    off = W.create_plan(type="fftconv", shape=[1 << 18], batch=1,
+                       fftConv={"boundary": "linear-same",
+                                "kernelShape": [129],
+                                "tuning": {"overlapSave": "off"}},
+                       cache=W.PlanCache())
+    assert off.route.mode != "overlap-save"
+    # correlation / small n / chunk-forcing batch stay on the standard
+    # route (serialized block groups measured 2.5x slower on chip)
+    corr = W.create_plan(type="fftconv", shape=[1 << 18], batch=1,
+                        fftConv={"boundary": "linear-same", "mode": "correlation",
+                                 "kernelShape": [129]},
+                        cache=W.PlanCache())
+    assert corr.route.mode != "overlap-save"
+    chunky = W.create_plan(type="fftconv", shape=[1 << 20], batch=4,
+                          fftConv={"boundary": "linear-same",
+                                   "kernelShape": [129]},
+                          cache=W.PlanCache())
+    assert chunky.route.mode != "overlap-save"
+    unchunked = W.create_plan(type="fftconv", shape=[1 << 20], batch=1,
+                             fftConv={"boundary": "linear-same",
+                                      "kernelShape": [129]},
+                             cache=W.PlanCache())
+    assert unchunked.route.mode == "overlap-save"
+    small = W.create_plan(type="fftconv", shape=[4096], batch=1,
+                         fftConv={"boundary": "linear-same",
+                                  "kernelShape": [129]},
+                         cache=W.PlanCache())
+    assert small.route.mode != "overlap-save"
+    with pytest.raises(W.PlanError, match="overlapSave"):
+        W.create_plan(type="fftconv", shape=[64, 64],
+                     fftConv={"tuning": {"overlapSave": "on"}},
+                     cache=W.PlanCache())
+
+
+def test_overlap_save_block_chunking(rng, assert_close):
+    """Block groups stream through lax.map when batch*nb*B exceeds the
+    operand bound (forced tiny bound is impossible here, so force many
+    blocks instead and check correctness of the grouped path)."""
+    n, k, B, batch = 2048, 5, 16, 3   # nb = ceil(2052/12) = 171 blocks
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kk = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    plan = W.create_plan(type="fftconv", shape=[n], batch=batch,
+                        fftConv={"boundary": "linear-full",
+                                 "kernelShape": [k],
+                                 "tuning": {"overlapSave": "on",
+                                            "overlapBlock": B}},
+                        cache=W.PlanCache())
+    y = uninterleave(np.asarray(plan.exec(interleave(z),
+                                          kernel=interleave(kk))))
+    ref = R.fftconv(z, kk, [n], batch=batch, boundary="linear-full",
+                    kernel_shape=[k])
+    assert_close(y, ref, label="os grouped")

@@ -30,11 +30,190 @@ from . import stages
 from .base import Plan, RouteInfo
 
 
+# Overlap-save auto-selection bounds: the route wins when the direct
+# fftShape FFT would be a giant four-step chain but the kernel is short —
+# batched small-block FFTs keep every einsum in the 2-contraction sweet
+# spot and bound memory to ~B/H (~1.14x) of the signal.  Measured on-chip
+# (benches/r3e_overlap_save.py): 1.16x at n=2^20 b=1, par at n=2^18 b=4,
+# but 2.5x SLOWER when the operand bound forces serialized block groups —
+# so auto requires the whole block tensor to fit the validated einsum
+# operand size.
+OS_MIN_N = 1 << 18
+OS_MAX_TAP = 1 << 12
+
+
+def _os_block(fc, k: int) -> int:
+    """Resolved smooth block length (seam trick requires B >= 2*(k-1))."""
+    from ..utils import factors
+    pad_k = max(k - 1, 1)
+    b = fc.overlap_block or max(8192, 8 * pad_k)
+    return factors.next_smooth_at_least(max(b, 2 * pad_k))
+
+
+def _os_blocks(fc, n: int, k: int) -> int:
+    """Block count nb for the resolved geometry."""
+    B = _os_block(fc, k)
+    H = B - (k - 1)
+    _, out_shape, out_off = fftconv_out_shape([n], [k], fc.boundary)
+    wrap = (k - 1) if fc.boundary == "circular" else 0
+    return -(-(out_off[0] + wrap + out_shape[0]) // H)
+
+
+def _overlap_save_route(spec: PlanSpec, kshape) -> bool:
+    fc = spec.fft_conv
+    if fc.overlap_save == "off":
+        return False
+    structural_ok = (
+        spec.rank == 1 and fc.kernel_count == 1
+        and fc.channel_input is None and fc.channel_output is None
+        and fc.output_kernel_stride_elements is None
+        and spec.zero_pad.read is None and spec.zero_pad.write is None
+        and fc.mode == "convolution" and spec.precision == "f32")
+    if fc.overlap_save == "on":
+        if not structural_ok:
+            raise PlanError(
+                "fftConv.tuning.overlapSave='on' requires rank 1, "
+                "kernelCount 1, convolution mode, f32, and no "
+                "channelPolicy/zeroPad/outputKernelStride")
+        if kshape[0] < 2 or kshape[0] >= spec.shape[0]:
+            raise PlanError(
+                "overlapSave needs 2 <= kernel length < shape")
+        return True
+    n, k = spec.shape[0], kshape[0]
+    if not (structural_ok and n >= OS_MIN_N and 2 <= k
+            and k - 1 <= OS_MAX_TAP and 8 * k <= n):
+        return False
+    # serialized block groups lose to the standard route (measured);
+    # auto only takes overlap-save when the block tensor runs unchunked
+    from .transforms import CHUNK_ELEMS
+    return spec.batch * _os_blocks(fc, n, k) * _os_block(fc, k) <= CHUNK_ELEMS
+
+
+def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
+    """Overlap-save streaming convolution: block FFTs of length B with
+    (k-1)-sample overlap instead of one length-(n+k-1) FFT.
+
+    The single-chip analog of the reference's long-sequence line-window
+    chunking (src/plan.js:597-838, large_policy.js:95-163) applied to
+    convolution: cost O(n log B) instead of O(n log n), memory bounded by
+    the block expansion B/(B-k+1).  Circular boundaries prepend the
+    (k-1)-sample wrap so every mode reduces to a crop of the linear-full
+    result.
+    """
+    from ..core.axis import MixedAxisPlan, mxu_precision
+    from ..utils import factors
+
+    fc = spec.fft_conv
+    n = spec.shape[0]
+    k = kshape[0]
+    batch = spec.batch
+    pad_k = k - 1
+    B = _os_block(fc, k)
+    H = B - pad_k
+    if H < max(pad_k, 1):
+        raise PlanError(
+            f"overlapSave block ({B}) must be >= twice the kernel "
+            f"overlap ({pad_k})")
+    _, out_shape, out_off = fftconv_out_shape([n], [k], fc.boundary)
+    out_len = out_shape[0]
+    # the linear-full result of the (possibly wrap-extended) input
+    wrap = pad_k if fc.boundary == "circular" else 0
+    L = n + wrap
+    s0 = out_off[0] + wrap            # crop start in linear-full indices
+    nb = -(-(s0 + out_len) // H)      # blocks needed to cover the crop
+    total = (nb + 1) * H              # shifted-reshape span (>= pad_k + L)
+    right = total - pad_k - L
+    prec = mxu_precision(spec.tuning)
+    fwd = MixedAxisPlan(B, "forward", "os/f", spec.tuning.max_sub_length,
+                        prec=prec)
+    inv = MixedAxisPlan(B, "inverse", "os/i", spec.tuning.max_sub_length,
+                        prec=prec)
+    consts: Dict[str, np.ndarray] = {}
+    consts.update(fwd.consts())
+    consts.update(inv.consts())
+
+    from ..runtime.policy import knob_reasons
+    route = RouteInfo(
+        mode="overlap-save", impl="xla", axis_kinds=("mixed",),
+        reasons=("fftconv-overlap-save", f"os-block({B})", f"os-hop({H})",
+                 f"os-blocks({nb})") + knob_reasons(spec),
+        attempts=("overlap-save",))
+
+    # bound einsum operands: process block groups through lax.map so each
+    # group's (batch * group * B) stays within the validated size
+    from .transforms import CHUNK_ELEMS
+    group = nb
+    if batch * nb * B > CHUNK_ELEMS:
+        cap = max(1, CHUNK_ELEMS // max(1, batch * B))
+        group = 1
+        for d_ in range(1, min(nb, cap) + 1):
+            if nb % d_ == 0:
+                group = d_
+        route.reasons = route.reasons + (f"os-block-chunk({group})",)
+
+    def fn(consts_, x, kernel, out=None):
+        b = x.shape[0]
+        if wrap:
+            x = jnp.concatenate([x[:, n - wrap:, :], x], axis=1)
+        xp = jnp.pad(x, ((0, 0), (pad_k, right), (0, 0)))
+        # seam-trick overlapping windows: window i is the contiguous
+        # [i*H, i*H+H) hop plus the next hop's first pad_k samples — two
+        # free reshapes and a concat instead of a (slow) overlap gather
+        hops = xp[:, :nb * H, :].reshape(b, nb, H, 2)
+        seam = xp[:, H:(nb + 1) * H, :].reshape(b, nb, H, 2)[:, :, :pad_k, :]
+        blocks = jnp.concatenate([hops, seam], axis=2)   # (b, nb, B, 2)
+        ke = jnp.pad(kernel.reshape(k, 2), ((0, B - k), (0, 0)))
+        kf = fwd.apply(ke, consts_) * jnp.asarray(1.0 / B, jnp.float32)
+
+        def one(blk):                 # (b, g, B, 2) -> valid (b, g, H, 2)
+            xf = fwd.apply(blk, consts_)
+            ar, ai = xf[..., 0], xf[..., 1]
+            br, bi = kf[..., 0], kf[..., 1]
+            yf = jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+            yt = inv.apply(yf, consts_)
+            return yt[..., pad_k:, :]
+
+        if group == nb:
+            valid = one(blocks)
+        else:
+            xs = jnp.moveaxis(
+                blocks.reshape(b, nb // group, group, B, 2), 1, 0)
+            valid = jnp.moveaxis(jax.lax.map(one, xs), 0, 1)
+            valid = valid.reshape(b, nb, H, 2)
+        y = valid.reshape(b, nb * H, 2)
+        return jax.lax.slice_in_dim(y, s0, s0 + out_len, axis=1)
+
+    ws = 2 * batch * nb * B * 8
+    plan = Plan(spec, consts, fn, route, needs_kernel=True,
+                workspace_bytes=ws)
+    plan.accepts_out = False
+    plan._expect_input = ((batch, n, 2), True)
+    plan.fft_shape = (B,)
+    plan.out_shape = (out_len,)
+
+    def coerce_kernel(kernel):
+        kernel = jnp.asarray(kernel, dtype=jnp.float32)
+        if kernel.shape == (k, 2):
+            return kernel
+        if kernel.shape == (1, k, 2):
+            return kernel[0]
+        if kernel.ndim == 1 and kernel.size == k * 2:
+            return kernel.reshape(k, 2)
+        raise PlanError(
+            f"fftconv kernel shape {tuple(kernel.shape)} not understood; "
+            f"expected ({k}, 2)")
+
+    plan._coerce_kernel = coerce_kernel
+    return plan
+
+
 def build_fftconv(spec: PlanSpec) -> Plan:
     fc = spec.fft_conv
     shape = spec.shape
     rank = spec.rank
     kshape = tuple(fc.kernel_shape) if fc.kernel_shape is not None else tuple(shape)
+    if _overlap_save_route(spec, kshape):
+        return _build_fftconv_overlap_save(spec, kshape)
     fft_shape, out_shape, out_off = fftconv_out_shape(shape, kshape, fc.boundary)
     fft_shape, out_shape = tuple(fft_shape), tuple(out_shape)
     nf = math.prod(fft_shape)

@@ -137,6 +137,10 @@ class FftConvSpec:
     output_kernel_stride_elements: Optional[int] = None
     pointwise_chunk_elements: Optional[int] = None   # accepted for parity; XLA fuses
     extract_copy_chunk_elements: Optional[int] = None
+    # overlap-save streaming route for long signals with small kernels
+    # (auto: selected when shape is 1-D-huge and the kernel is small)
+    overlap_save: str = "auto"                       # auto|on|off
+    overlap_block: Optional[int] = None              # FFT block length override
 
 
 @dataclass(frozen=True)
@@ -494,7 +498,15 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
                 if "outputKernelStrideElements" in fc else None),
             pointwise_chunk_elements=tun.get("pointwiseChunkElements"),
             extract_copy_chunk_elements=tun.get("extractCopyChunkElements"),
+            overlap_save=tun.get("overlapSave", tun.get("overlap_save", "auto")),
+            overlap_block=(int(tun["overlapBlock"]) if "overlapBlock" in tun
+                           else tun.get("overlap_block")),
         )
+        _check(fft_conv.overlap_save in ("auto", "on", "off"),
+               "fftConv.tuning.overlapSave must be auto|on|off")
+        if fft_conv.overlap_block is not None:
+            _check(fft_conv.overlap_block >= 2,
+                   "fftConv.tuning.overlapBlock must be >= 2")
         # zeroPad for fftconv lives in the FFT logical domain (fftShape)
         from .utils.mathref import fftconv_out_shape
         fshape, _, _ = fftconv_out_shape(shape, list(eff_k), boundary)
