@@ -152,6 +152,18 @@ def main():
            (2 + 3 * 2 + 3) * 16 * 8 * 4 * 8, route=plan.route.mode,
            u=max(2, unroll // 2))
 
+    # ---- 4b. overlap-save streaming convolution (long signal, short
+    #          kernel; circular keeps the chain shape-preserving)
+    n = 2 ** 18 if args.quick else 2 ** 20
+    plan = W.create_plan(type="fftconv", shape=[n], batch=1,
+                        fftConv={"boundary": "circular",
+                                 "kernelShape": [129]})
+    xs = jnp.asarray(rng.standard_normal((1, n, 2)).astype(np.float32) * 0.05)
+    ks = jnp.asarray(rng.standard_normal((129, 2)).astype(np.float32) * 0.05)
+    record(f"fftconv_os_2pow{n.bit_length() - 1}_k129",
+           lambda v: plan.exec(v, kernel=ks), xs, 2 * n * 8,
+           route=plan.route.mode, u=max(2, unroll // 2))
+
     # ---- 5. large-mode c2c N=2^20 (four-step route; + bf16 storage)
     n = 2 ** 20
     b = 1 if args.quick else 4
