@@ -236,3 +236,10 @@ def test_utilities():
 def test_module_alias():
     import webgpufft_tpu as W
     assert W.fft is F
+
+
+def test_oaconvolve_alias(rng):
+    a = rng.standard_normal((2, 30))
+    b = rng.standard_normal((1, 7))
+    _close(F.oaconvolve(a, b, "same", axes=(1,)),
+           ss.oaconvolve(a, b, "same", axes=1))

@@ -43,7 +43,7 @@ __all__ = [
     "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
-    "fftconvolve",
+    "fftconvolve", "oaconvolve",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -594,6 +594,16 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
     if not complex_in:
         return y[..., 0]
     return y
+
+
+def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
+               interleaved: Optional[bool] = None):
+    """Block-streamed convolution for long-signal/short-kernel workloads
+    (scipy.signal.oaconvolve's role).  Same semantics as
+    :func:`fftconvolve`; the plan layer auto-selects the overlap-save
+    block route when the shapes warrant it (see docs/API.md), so this is
+    an alias kept for scipy API familiarity."""
+    return fftconvolve(in1, in2, mode, axes, interleaved=interleaved)
 
 
 # ---------------------------------------------------------------- utilities
