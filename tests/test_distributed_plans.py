@@ -151,6 +151,49 @@ def test_fftconv_seq_linear_nd_correlation(mesh8, rng, assert_close):
                  label="dseq lin ndcorr.im")
 
 
+@pytest.mark.parametrize("boundary", ["circular", "linear-full",
+                                      "linear-same", "linear-valid"])
+def test_fftconv_seq_halo_route(mesh24, rng, assert_close, boundary):
+    """Short-kernel distributed convolution takes the halo-exchange route
+    (one (k-1)-sample ppermute; no all_to_all), every boundary mode."""
+    n, k, batch = 1024, 17, 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kk = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"boundary": boundary, "kernelShape": [k]},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    assert any(r.startswith("fftconv-halo") for r in plan.route.reasons)
+    y = np.asarray(plan(interleave(z), kernel=interleave(kk)))
+    ref = R.fftconv(z, kk, [n], batch=batch, boundary=boundary,
+                    kernel_shape=[k])
+    assert_close(y[..., 0], ref.real, label=f"halo {boundary}.re")
+    assert_close(y[..., 1], ref.imag, label=f"halo {boundary}.im")
+
+
+def test_fftconv_seq_halo_ineligible_falls_back(mesh8, rng, assert_close):
+    """Large kernels and correlation stay on the spectrum route."""
+    n = 256
+    big = create_distributed_plan(
+        type="fftconv", shape=[n], batch=2,
+        fftConv={"boundary": "linear-full", "kernelShape": [n // 2]},
+        mesh=mesh8, seq_axis="sp")
+    assert not any(r.startswith("fftconv-halo") for r in big.route.reasons)
+    corr = create_distributed_plan(
+        type="fftconv", shape=[n], batch=2,
+        fftConv={"boundary": "linear-same", "kernelShape": [9],
+                 "mode": "correlation"},
+        mesh=mesh8, seq_axis="sp")
+    assert not any(r.startswith("fftconv-halo") for r in corr.route.reasons)
+    # and the fallback stays correct
+    z = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    kk = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    y = np.asarray(corr(interleave(z), kernel=interleave(kk)))
+    ref = R.fftconv(z, kk, [n], batch=2, boundary="linear-same",
+                    kernel_shape=[9], mode="correlation")
+    assert_close(y[..., 0], ref.real, label="spectrum corr fallback")
+
+
 def test_fftconv_seq_multi_kernel(mesh24, rng, assert_close):
     """Multi-kernel distributed fftconv: the data spectrum is computed once
     and shared; output is kernel-major (kcount, batch, ..., 2) like the
@@ -353,12 +396,13 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="c2c", shape=[64],
                                 ioView={"input": {"shape": [32]}},
                                 mesh=mesh24, seq_axis="sp")
-    # linear boundaries are supported (padded-circular route); circular
-    # still requires a full-length kernel
+    # linear boundaries are supported (padded-circular route) and short
+    # circular kernels ride the halo route; a LONG partial circular kernel
+    # (halo-ineligible) still requires full length on the spectrum route
     with pytest.raises(PlanError, match="kernelShape == shape"):
         create_distributed_plan(type="fftconv", shape=[64],
                                 fftConv={"boundary": "circular",
-                                         "kernelShape": [5]},
+                                         "kernelShape": [32]},
                                 mesh=mesh24, seq_axis="sp")
     with pytest.raises(PlanError, match="channelPolicy"):
         create_distributed_plan(

@@ -211,12 +211,40 @@ def _wrap_kernel_layout(inner, fc, kshape):
     return fn
 
 
+def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
+    """Short-kernel 1-D convolution takes the halo-exchange route: one
+    (k-1)-sample ppermute instead of two whole-signal all_to_alls."""
+    fc = spec.fft_conv
+    if (spec.rank != 1 or fc.kernel_count != 1
+            or fc.mode != "convolution" or fc.kernel_shape is None):
+        return False
+    ndev = mesh.shape[seq_axis]
+    n, k = spec.shape[0], fc.kernel_shape[0]
+    if k < 2 or 8 * k > n:
+        return False
+    if fc.boundary == "circular" and n % ndev:
+        return False
+    n_ext = n if fc.boundary == "circular" else ndev * (-(-(n + k - 1) // ndev))
+    return n_ext // ndev >= k - 1
+
+
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     fc = spec.fft_conv
     if fc.channel_input is not None or fc.channel_output is not None:
         raise PlanError(
             "distributed fftconv does not support channelPolicy lane "
             "routing; use the batch-sharded local plan for channel lanes")
+    if _halo_conv_eligible(spec, mesh, seq_axis):
+        inner = sharded.build_distributed_fftconv_halo_1d(
+            spec.shape[0], fc.kernel_shape[0], spec.batch, mesh, seq_axis,
+            fc.boundary, batch_axis)
+
+        def fn(x, kernel):
+            return inner(x.reshape(x.shape[0], spec.shape[0], 2), kernel)
+
+        fn.split = inner.split
+        fn.halo = inner.halo
+        return fn, inner.split
     if fc.boundary != "circular":
         return _build_seq_fftconv_linear(spec, mesh, batch_axis, seq_axis)
     if fc.kernel_shape is not None and tuple(fc.kernel_shape) != spec.shape:
@@ -377,6 +405,8 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)
 
     route.reasons = route.reasons + (f"digit-split:{split}",)
+    if hasattr(fn, "halo"):
+        route.reasons = route.reasons + (f"fftconv-halo({fn.halo})",)
     return DistributedPlan(
         spec, mesh, route, fn, needs_kernel=needs_kernel,
         batch_axis=batch_axis, seq_axis=seq_axis)

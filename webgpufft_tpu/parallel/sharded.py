@@ -626,6 +626,94 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
+                                      axis_name: str = "sp",
+                                      boundary: str = "linear-full",
+                                      batch_axis_name: Optional[str] = None):
+    """Halo-exchange distributed convolution for SHORT kernels.
+
+    When the kernel is much shorter than the signal, convolution outputs
+    depend only on a (k-1)-sample neighborhood — so the signal shards
+    contiguously, each device receives its left neighbor's (k-1)-sample
+    tail via ONE ``ppermute`` over ICI, and convolves locally (the local
+    plan auto-selects overlap-save for big shards).  Communication is
+    k-1 elements per device instead of the spectrum pipeline's two
+    whole-signal ``all_to_all``s — the asymptotically right algorithm,
+    and a design the single-device reference has no counterpart for.
+
+    Circular boundaries use the cyclic ppermute wrap directly (requires
+    ndev | n); linear modes zero device 0's halo and pad the tail so
+    every linear-full output lands in some shard.
+
+    fn(x, kernel): x (batch, n, 2), kernel (k, 2) -> (batch, out_len, 2).
+    """
+    from ..utils.mathref import fftconv_out_shape
+    from ..spec import normalize_spec
+    from ..plans.fftconv import build_fftconv
+
+    ndev = mesh.shape[axis_name]
+    pad_k = k - 1
+    _, out_shape, out_off = fftconv_out_shape([n], [k], boundary)
+    out_len = out_shape[0]
+    if boundary == "circular":
+        if n % ndev:
+            raise ValueError(
+                f"halo circular conv needs ndev | n (n={n}, ndev={ndev})")
+        n_ext = n
+    else:
+        n_ext = ndev * (-(-(n + pad_k) // ndev))
+    C = n_ext // ndev
+    if C < max(pad_k, 1):
+        raise ValueError(
+            f"halo conv needs shard length >= kernel overlap "
+            f"(C={C}, k-1={pad_k}); use the spectrum route")
+    b_loc = batch
+    if batch_axis_name is not None:
+        if batch % mesh.shape[batch_axis_name]:
+            raise ValueError(f"batch {batch} must divide the "
+                             f"{batch_axis_name} axis")
+        b_loc = batch // mesh.shape[batch_axis_name]
+    # per-device local plan: linear-valid conv of the haloed shard
+    # (C + k - 1 samples -> exactly C outputs = this shard's span of the
+    # global linear-full result)
+    lspec = normalize_spec({
+        "type": "fftconv", "shape": [C + pad_k], "batch": b_loc,
+        "fftConv": {"boundary": "linear-valid", "kernelShape": [k]}})
+    lplan = build_fftconv(lspec)
+    lconsts = {kk_: jnp.asarray(v) for kk_, v in lplan._consts.items()}
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local_fn(x_loc, kernel):
+        halo = jax.lax.ppermute(x_loc[:, C - pad_k:, :], axis_name, perm)
+        if boundary != "circular":
+            first = jax.lax.axis_index(axis_name) == 0
+            halo = jnp.where(first, 0.0, halo)
+        xin = jnp.concatenate([halo, x_loc], axis=1)
+        # _coerce_kernel handles both local routes (standard wants a
+        # leading kcount dim, overlap-save wants the bare (k, 2))
+        return lplan._fn(lconsts, xin,
+                         lplan._coerce_kernel(kernel))   # (b_loc, C, 2)
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kernel.ndim == 3:
+            kernel = kernel[0]
+        b = x.shape[0]
+        if n_ext != n:
+            x = jnp.pad(x, ((0, 0), (0, n_ext - n), (0, 0)))
+        y = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(batch_axis_name, axis_name, None), P(None, None)),
+            out_specs=P(batch_axis_name, axis_name, None),
+        )(x, kernel)                                     # (b, n_ext, 2)
+        return jax.lax.slice_in_dim(y, out_off[0], out_off[0] + out_len,
+                                    axis=1)
+
+    fn.split = (ndev, C)
+    fn.halo = pad_k
+    return fn
+
+
 def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
                                  mode: str = "convolution",
                                  batch_axis_name: Optional[str] = None):
