@@ -213,19 +213,18 @@ def _wrap_kernel_layout(inner, fc, kshape):
 
 def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
     """Short-kernel 1-D convolution takes the halo-exchange route: one
-    (k-1)-sample ppermute instead of two whole-signal all_to_alls."""
+    (k-1)-sample ppermute instead of two whole-signal all_to_alls.
+    Geometry feasibility is the builder's own rule
+    (sharded.halo_conv_geometry), so gate and builder cannot drift."""
     fc = spec.fft_conv
     if (spec.rank != 1 or fc.kernel_count != 1
             or fc.mode != "convolution" or fc.kernel_shape is None):
         return False
-    ndev = mesh.shape[seq_axis]
     n, k = spec.shape[0], fc.kernel_shape[0]
-    if k < 2 or 8 * k > n:
+    if 8 * k > n:
         return False
-    if fc.boundary == "circular" and n % ndev:
-        return False
-    n_ext = n if fc.boundary == "circular" else ndev * (-(-(n + k - 1) // ndev))
-    return n_ext // ndev >= k - 1
+    return sharded.halo_conv_geometry(
+        n, k, mesh.shape[seq_axis], fc.boundary) is not None
 
 
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
@@ -237,7 +236,8 @@ def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     if _halo_conv_eligible(spec, mesh, seq_axis):
         inner = sharded.build_distributed_fftconv_halo_1d(
             spec.shape[0], fc.kernel_shape[0], spec.batch, mesh, seq_axis,
-            fc.boundary, batch_axis)
+            fc.boundary, batch_axis, tuning=spec.tuning,
+            overlap_save=fc.overlap_save, overlap_block=fc.overlap_block)
 
         def fn(x, kernel):
             return inner(x.reshape(x.shape[0], spec.shape[0], 2), kernel)
@@ -404,9 +404,13 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
     else:  # fftconv (guarded by _reject_unsupported)
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)
 
-    route.reasons = route.reasons + (f"digit-split:{split}",)
     if hasattr(fn, "halo"):
-        route.reasons = route.reasons + (f"fftconv-halo({fn.halo})",)
+        # (split) is the (ndev, shard_len) SHARD geometry here, not a
+        # digit factorization — label it accordingly
+        route.reasons = route.reasons + (
+            f"shard-split:{split}", f"fftconv-halo({fn.halo})")
+    else:
+        route.reasons = route.reasons + (f"digit-split:{split}",)
     return DistributedPlan(
         spec, mesh, route, fn, needs_kernel=needs_kernel,
         batch_axis=batch_axis, seq_axis=seq_axis)

@@ -626,10 +626,41 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def halo_conv_geometry(n: int, k: int, ndev: int,
+                       boundary: str) -> Optional[Tuple[int, int]]:
+    """(C, n_ext) for the halo-exchange convolution, or None when the
+    shape cannot take the route.  Shared by the route gate and the
+    builder so the two can never drift.
+
+    C is the per-device shard length; n_ext = ndev*C the padded signal.
+    Linear modes round C up until the per-shard FFT length C + 2(k-1) is
+    smooth (extra zero tail is free — outputs past n+k-2 are cropped);
+    circular needs ndev | n exactly (no padding allowed).
+    """
+    pad_k = k - 1
+    if k < 2:
+        return None
+    if boundary == "circular":
+        if n % ndev:
+            return None
+        C = n // ndev
+        return (C, n) if C >= pad_k else None
+    C = -(-(n + pad_k) // ndev)
+    if C < pad_k:
+        return None
+    for _ in range(4096):
+        if factors.is_smooth(C + 2 * pad_k):
+            return C, ndev * C
+        C += 1
+    return None
+
+
 def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
                                       axis_name: str = "sp",
                                       boundary: str = "linear-full",
-                                      batch_axis_name: Optional[str] = None):
+                                      batch_axis_name: Optional[str] = None,
+                                      tuning=None, overlap_save: str = "auto",
+                                      overlap_block: Optional[int] = None):
     """Halo-exchange distributed convolution for SHORT kernels.
 
     When the kernel is much shorter than the signal, convolution outputs
@@ -655,18 +686,12 @@ def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
     pad_k = k - 1
     _, out_shape, out_off = fftconv_out_shape([n], [k], boundary)
     out_len = out_shape[0]
-    if boundary == "circular":
-        if n % ndev:
-            raise ValueError(
-                f"halo circular conv needs ndev | n (n={n}, ndev={ndev})")
-        n_ext = n
-    else:
-        n_ext = ndev * (-(-(n + pad_k) // ndev))
-    C = n_ext // ndev
-    if C < max(pad_k, 1):
+    geom = halo_conv_geometry(n, k, ndev, boundary)
+    if geom is None:
         raise ValueError(
-            f"halo conv needs shard length >= kernel overlap "
-            f"(C={C}, k-1={pad_k}); use the spectrum route")
+            f"halo conv infeasible for n={n}, k={k}, ndev={ndev}, "
+            f"{boundary}; use the spectrum route")
+    C, n_ext = geom
     b_loc = batch
     if batch_axis_name is not None:
         if batch % mesh.shape[batch_axis_name]:
@@ -675,12 +700,21 @@ def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
         b_loc = batch // mesh.shape[batch_axis_name]
     # per-device local plan: linear-valid conv of the haloed shard
     # (C + k - 1 samples -> exactly C outputs = this shard's span of the
-    # global linear-full result)
+    # global linear-full result); the caller's tuning knobs carry through
+    topts = {}
+    if tuning is not None:
+        topts = {"maxSubLength": tuning.max_sub_length,
+                 "matmulPrecision": tuning.matmul_precision}
+    fopts = {"overlapSave": overlap_save}
+    if overlap_block is not None:
+        fopts["overlapBlock"] = overlap_block
     lspec = normalize_spec({
         "type": "fftconv", "shape": [C + pad_k], "batch": b_loc,
-        "fftConv": {"boundary": "linear-valid", "kernelShape": [k]}})
+        "tuning": topts,
+        "fftConv": {"boundary": "linear-valid", "kernelShape": [k],
+                    "tuning": fopts}})
     lplan = build_fftconv(lspec)
-    lconsts = {kk_: jnp.asarray(v) for kk_, v in lplan._consts.items()}
+    lconsts = lplan._consts          # already jnp arrays (Plan.__init__)
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
 
     def local_fn(x_loc, kernel):
@@ -698,7 +732,6 @@ def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
         kernel = jnp.asarray(kernel)
         if kernel.ndim == 3:
             kernel = kernel[0]
-        b = x.shape[0]
         if n_ext != n:
             x = jnp.pad(x, ((0, 0), (0, n_ext - n), (0, 0)))
         y = jax.shard_map(
