@@ -171,6 +171,28 @@ def test_fftconv_seq_halo_route(mesh24, rng, assert_close, boundary):
     assert_close(y[..., 1], ref.imag, label=f"halo {boundary}.im")
 
 
+@pytest.mark.parametrize("boundary", ["circular", "linear-full",
+                                      "linear-same", "linear-valid"])
+def test_fftconv_seq_halo_nd(mesh24, rng, assert_close, boundary):
+    """ND halo route: axis 0 shards with a (k0-1)-slab ppermute; other
+    axes convolve locally (wrap-padded for circular)."""
+    shape, kshape, batch = (200, 8, 6), (9, 3, 2), 4
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    kk = rng.standard_normal(kshape) + 1j * rng.standard_normal(kshape)
+    plan = create_distributed_plan(
+        type="fftconv", shape=list(shape), batch=batch,
+        fftConv={"boundary": boundary, "kernelShape": list(kshape)},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    assert any(r.startswith("fftconv-halo") for r in plan.route.reasons)
+    y = np.asarray(plan(interleave(z), kernel=interleave(kk)))
+    ref = R.fftconv(z, kk, list(shape), batch=batch, boundary=boundary,
+                    kernel_shape=list(kshape))
+    got = (y[..., 0] + 1j * y[..., 1]).reshape(ref.shape)
+    assert_close(got.real, ref.real, label=f"nd-halo {boundary}.re")
+    assert_close(got.imag, ref.imag, label=f"nd-halo {boundary}.im")
+
+
 def test_fftconv_seq_halo_ineligible_falls_back(mesh8, rng, assert_close):
     """Large kernels and correlation stay on the spectrum route."""
     n = 256

@@ -217,8 +217,8 @@ def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
     Geometry feasibility is the builder's own rule
     (sharded.halo_conv_geometry), so gate and builder cannot drift."""
     fc = spec.fft_conv
-    if (spec.rank != 1 or fc.kernel_count != 1
-            or fc.mode != "convolution" or fc.kernel_shape is None):
+    if (fc.kernel_count != 1 or fc.mode != "convolution"
+            or fc.kernel_shape is None):
         return False
     n, k = spec.shape[0], fc.kernel_shape[0]
     if 8 * k > n:
@@ -234,13 +234,19 @@ def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
             "distributed fftconv does not support channelPolicy lane "
             "routing; use the batch-sharded local plan for channel lanes")
     if _halo_conv_eligible(spec, mesh, seq_axis):
-        inner = sharded.build_distributed_fftconv_halo_1d(
-            spec.shape[0], fc.kernel_shape[0], spec.batch, mesh, seq_axis,
-            fc.boundary, batch_axis, tuning=spec.tuning,
-            overlap_save=fc.overlap_save, overlap_block=fc.overlap_block)
+        if spec.rank == 1:
+            inner = sharded.build_distributed_fftconv_halo_1d(
+                spec.shape[0], fc.kernel_shape[0], spec.batch, mesh,
+                seq_axis, fc.boundary, batch_axis, tuning=spec.tuning,
+                overlap_save=fc.overlap_save,
+                overlap_block=fc.overlap_block)
+        else:
+            inner = sharded.build_distributed_fftconv_halo_nd(
+                spec.shape, fc.kernel_shape, spec.batch, mesh, seq_axis,
+                fc.boundary, batch_axis, tuning=spec.tuning)
 
         def fn(x, kernel):
-            return inner(x.reshape(x.shape[0], spec.shape[0], 2), kernel)
+            return inner(x.reshape(x.shape[0], *spec.shape, 2), kernel)
 
         fn.split = inner.split
         fn.halo = inner.halo

@@ -747,6 +747,137 @@ def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
     return fn
 
 
+def build_distributed_fftconv_halo_nd(shape, kshape, batch: int, mesh: Mesh,
+                                      axis_name: str = "sp",
+                                      boundary: str = "linear-full",
+                                      batch_axis_name: Optional[str] = None,
+                                      tuning=None):
+    """ND halo-exchange convolution: logical axis 0 shards contiguously
+    with a (k0-1)-slab ppermute halo; the remaining axes convolve locally
+    per shard.  Communication is one (k0-1)-thick slab per device instead
+    of the spectrum route's whole-volume all_to_alls — the right
+    algorithm for large volumes with small kernels (3-D stacks sharded
+    along z, short Gaussian/PSF kernels).
+
+    Every axis reduces to a LOCAL linear-valid convolution by pre-padding:
+    axis 0 prepends the ppermute halo (zeroed on device 0 for linear
+    modes, wrapped for circular); non-0 axes pad per the boundary (both
+    sides for linear-full/same, left wrap for circular, none for valid),
+    plus free right zero-pad to make each local FFT length smooth.  The
+    boundary crop happens on the unsharded output.
+
+    fn(x, kernel): x (batch, *shape, 2), kernel (*kshape, 2) ->
+    (batch, *out_shape, 2).
+    """
+    from ..utils.mathref import fftconv_out_shape
+    from ..spec import normalize_spec
+    from ..plans.fftconv import build_fftconv
+
+    shape = tuple(shape)
+    kshape = tuple(kshape)
+    rank = len(shape)
+    ndev = mesh.shape[axis_name]
+    n0, k0 = shape[0], kshape[0]
+    pad0 = k0 - 1
+    _, out_shape, out_off = fftconv_out_shape(list(shape), list(kshape),
+                                              boundary)
+    geom = halo_conv_geometry(n0, k0, ndev, boundary)
+    if geom is None:
+        raise ValueError(
+            f"halo conv infeasible for n0={n0}, k0={k0}, ndev={ndev}, "
+            f"{boundary}; use the spectrum route")
+    C, n0_ext = geom
+    b_loc = batch
+    if batch_axis_name is not None:
+        if batch % mesh.shape[batch_axis_name]:
+            raise ValueError(f"batch {batch} must divide the "
+                             f"{batch_axis_name} axis")
+        b_loc = batch // mesh.shape[batch_axis_name]
+    # non-0 axes: (left, right) pads turning the boundary into a local
+    # linear-valid window, + extra right pad for a smooth local FFT len
+    rest_pads = []
+    rest_crop = []
+    lshape = [C + pad0]
+    for d in range(1, rank):
+        m, kd = shape[d], kshape[d]
+        pd = kd - 1
+        if boundary in ("linear-full", "linear-same"):
+            left, right_p = pd, pd
+            crop0 = out_off[d] if boundary == "linear-same" else 0
+        elif boundary == "linear-valid":
+            left, right_p = 0, 0
+            crop0 = 0
+        else:                           # circular: left wrap, concatenated
+            # from the axis's own tail at exec (zeros would be wrong) —
+            # the pad list carries only the smoothing zeros
+            left, right_p = 0, 0
+            crop0 = 0
+        ln = m + left + right_p + (pd if boundary == "circular" else 0)
+        smooth = factors.next_smooth_at_least(ln + pd) - pd
+        right_p += smooth - ln
+        rest_pads.append((left, right_p))
+        rest_crop.append((crop0, out_shape[d]))
+        lshape.append(smooth)
+    lspec = normalize_spec({
+        "type": "fftconv", "shape": lshape, "batch": b_loc,
+        "tuning": ({"maxSubLength": tuning.max_sub_length,
+                    "matmulPrecision": tuning.matmul_precision}
+                   if tuning is not None else {}),
+        "fftConv": {"boundary": "linear-valid",
+                    "kernelShape": list(kshape)}})
+    lplan = build_fftconv(lspec)
+    lconsts = lplan._consts
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local_fn(x_loc, kernel):        # x_loc (b_loc, C, *rest, 2)
+        halo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(x_loc, C - pad0, C, axis=1),
+            axis_name, perm)
+        if boundary != "circular":
+            first = jax.lax.axis_index(axis_name) == 0
+            halo = jnp.where(first, 0.0, halo)
+        xin = jnp.concatenate([halo, x_loc], axis=1)
+        if boundary == "circular":
+            # non-0 axes wrap: prepend each axis's own (k_d - 1) tail
+            for d in range(1, rank):
+                pd = kshape[d] - 1
+                if pd:
+                    ax = 1 + d
+                    m = xin.shape[ax]
+                    tail = jax.lax.slice_in_dim(xin, m - pd, m, axis=ax)
+                    xin = jnp.concatenate([tail, xin], axis=ax)
+        pads = [(0, 0), (0, 0)] + list(rest_pads) + [(0, 0)]
+        xin = jnp.pad(xin, pads)
+        # local conv emits (b_loc, C, *(rest out), 2); keep only each
+        # non-0 axis's boundary window (static slice)
+        y = lplan._fn(lconsts, xin, lplan._coerce_kernel(kernel))
+        for d in range(1, rank):
+            c0, clen = rest_crop[d - 1]
+            y = jax.lax.slice_in_dim(y, c0, c0 + clen, axis=1 + d)
+        return y
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kernel.ndim == rank + 2:
+            kernel = kernel[0]
+        if n0_ext != n0:
+            pads = [(0, 0), (0, n0_ext - n0)] + [(0, 0)] * rank
+            x = jnp.pad(x, pads)
+        nones = [None] * rank
+        y = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(batch_axis_name, axis_name, *nones),
+                      P(*([None] * (rank + 1)))),
+            out_specs=P(batch_axis_name, axis_name, *nones),
+        )(x, kernel)
+        return jax.lax.slice_in_dim(y, out_off[0], out_off[0] + out_shape[0],
+                                    axis=1)
+
+    fn.split = (ndev, C)
+    fn.halo = pad0
+    return fn
+
+
 def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
                                  mode: str = "convolution",
                                  batch_axis_name: Optional[str] = None):
