@@ -243,3 +243,38 @@ def test_oaconvolve_alias(rng):
     b = rng.standard_normal((1, 7))
     _close(F.oaconvolve(a, b, "same", axes=(1,)),
            ss.oaconvolve(a, b, "same", axes=1))
+
+
+@pytest.mark.parametrize("cfg", [(256, None, None), (128, 96, None),
+                                 (256, 128, 512), (200, 100, None)])
+def test_stft_istft_vs_scipy(rng, cfg):
+    nperseg, nov, nfft = cfg
+    x = rng.standard_normal(2000).astype(np.float32)
+    f, t, Z = F.stft(x, fs=8000.0, nperseg=nperseg, noverlap=nov, nfft=nfft)
+    fs_, ts_, Zs = ss.stft(x, fs=8000.0, nperseg=nperseg, noverlap=nov,
+                           nfft=nfft)
+    assert np.allclose(f, fs_) and np.allclose(t, ts_)
+    _close(Z, Zs, label=f"stft {cfg}")
+    t2, y = F.istft(Z, fs=8000.0, nperseg=nperseg, noverlap=nov, nfft=nfft)
+    y = np.asarray(y)
+    assert y.shape[-1] >= len(x)
+    assert np.max(np.abs(y[:len(x)] - x)) < 1e-4, "istft roundtrip"
+
+
+def test_stft_batched_and_custom_window(rng):
+    x = rng.standard_normal((3, 1024)).astype(np.float32)
+    win = np.hamming(128).astype(np.float32)
+    f, t, Z = F.stft(x, window=win, nperseg=128)
+    _, _, Zs = ss.stft(x, window=win, nperseg=128)
+    _close(Z, Zs, label="stft batched hamming")
+    _, y = F.istft(Z, window=win, nperseg=128)
+    assert np.max(np.abs(np.asarray(y)[:, :1024] - x)) < 1e-4
+
+
+def test_stft_validation():
+    with pytest.raises(PlanError, match="hop"):
+        F.stft(np.zeros(512, np.float32), nperseg=100, noverlap=30)
+    with pytest.raises(PlanError, match="nfft"):
+        F.stft(np.zeros(512, np.float32), nperseg=256, nfft=128)
+    with pytest.raises(PlanError, match="boundary"):
+        F.stft(np.zeros(512, np.float32), boundary="reflect")

@@ -33,6 +33,7 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .spec import PlanError
@@ -44,6 +45,7 @@ __all__ = [
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
+    "stft", "istft",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -125,7 +127,6 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
 
 def _crop_or_pad(x, n: int, axis: int):
     """numpy n=/s= semantics: crop or zero-pad ``axis`` to length n."""
-    import jax
     cur = x.shape[axis]
     if n == cur:
         return x
@@ -604,6 +605,131 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
     block route when the shapes warrant it (see docs/API.md), so this is
     an alias kept for scipy API familiarity."""
     return fftconvolve(in1, in2, mode, axes, interleaved=interleaved)
+
+
+# ---------------------------------------------------------------- stft
+
+def _get_window(window, W: int) -> np.ndarray:
+    if isinstance(window, str):
+        try:
+            from scipy.signal import get_window as _gw
+            return np.asarray(_gw(window, W), np.float32)
+        except ImportError:
+            table = {"hann": np.hanning, "hamming": np.hamming,
+                     "blackman": np.blackman}
+            if window not in table:
+                raise PlanError(
+                    f"window {window!r} needs scipy; available without it: "
+                    f"{sorted(table)}")
+            # numpy's windows are symmetric; scipy's get_window default is
+            # periodic — build periodic from the W+1 symmetric form
+            return np.asarray(table[window](W + 1)[:W], np.float32)
+    w = np.asarray(window, np.float32)
+    if w.shape != (W,):
+        raise PlanError(f"window must have length nperseg ({W}), "
+                        f"got {w.shape}")
+    return w
+
+
+def _frame_segments(xp, W: int, H: int, nb: int):
+    """(..., L) -> overlapping frames (..., nb, W) via hop-block reshapes
+    (the seam trick generalized: q = W // H shifted reshapes + a concat;
+    no gathers).  Requires H | W."""
+    q = W // H
+    lead = xp.shape[:-1]
+    segs = []
+    for j in range(q):
+        s = jax.lax.slice_in_dim(xp, j * H, j * H + nb * H, axis=xp.ndim - 1)
+        segs.append(s.reshape(*lead, nb, H))
+    return jnp.concatenate(segs, axis=-1)
+
+
+def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
+         noverlap: Optional[int] = None, nfft: Optional[int] = None,
+         boundary: str = "zeros", padded: bool = True, axis: int = -1):
+    """Short-time Fourier transform of a REAL signal
+    (scipy.signal.stft semantics: detrend off, one-sided, 'spectrum'
+    scaling — Zxx scaled by 1/win.sum()).
+
+    Returns (f, t, Zxx) with Zxx interleaved (..., nfft//2+1, nb, 2).
+    Requires the hop (nperseg - noverlap) to divide nperseg (true for the
+    default noverlap = nperseg//2 and all power-of-two overlaps), which
+    keeps the framing a pure reshape pipeline on TPU.
+    """
+    if boundary not in ("zeros", None):
+        raise PlanError("stft supports boundary='zeros' or None")
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    W = int(nperseg)
+    H = W - (int(noverlap) if noverlap is not None else W // 2)
+    if H <= 0 or W % H:
+        raise PlanError(
+            f"stft needs hop | nperseg (hop={H}, nperseg={W}); pick "
+            "noverlap = nperseg - nperseg/q")
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise PlanError("nfft must be >= nperseg")
+    win = _get_window(window, W)
+    n = x.shape[-1]
+    lpad = W // 2 if boundary == "zeros" else 0
+    L = n + 2 * lpad
+    nb = max(-(-(L - W) // H) + 1, 1) if (padded or (L - W) % H == 0) \
+        else (L - W) // H + 1
+    total = (nb - 1) * H + W
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lpad, total - n - lpad)])
+    frames = _frame_segments(xp, W, H, nb) * win          # (..., nb, W)
+    if m > W:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                         + [(0, m - W)])
+    Z = rfft(frames, axis=-1) / np.float32(win.sum())     # (..., nb, f, 2)
+    Z = jnp.swapaxes(Z, -3, -2)                           # (..., f, nb, 2)
+    f = np.fft.rfftfreq(m, 1.0 / fs)
+    t = (np.arange(nb) * H + W / 2 - lpad) / fs
+    return f, t, _restore_axes(Z, undo, comp=True)
+
+
+def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          boundary: bool = True, *, interleaved: Optional[bool] = None):
+    """Inverse STFT (scipy.signal.istft semantics for one-sided input
+    produced by :func:`stft`): windowed overlap-add with the COLA
+    win^2 normalization.  Zxx: (..., f, t[, 2]); returns (t_axis, x).
+    """
+    Z = asinterleaved(Zxx, interleaved)
+    m_bins = Z.shape[-3]
+    nb = Z.shape[-2]
+    m = int(nfft) if nfft is not None else 2 * (m_bins - 1)
+    W = int(nperseg) if nperseg is not None else m
+    H = W - (int(noverlap) if noverlap is not None else W // 2)
+    if H <= 0 or W % H:
+        raise PlanError(f"istft needs hop | nperseg (hop={H}, nperseg={W})")
+    win = _get_window(window, W)
+    Zt = jnp.swapaxes(Z, -3, -2)                          # (..., nb, f, 2)
+    frames = irfft(Zt, n=m, axis=-1) * np.float32(win.sum())
+    frames = frames[..., :W] * win                        # (..., nb, W)
+    # overlap-add via the inverse seam trick: q shifted hop-block layouts
+    q = W // H
+    lead = frames.shape[:-2]
+    out_blocks = nb + q - 1
+    acc = jnp.zeros((*lead, out_blocks, H), frames.dtype)
+    norm = np.zeros(out_blocks * H, np.float64)
+    for j in range(q):
+        seg = frames[..., j * H:(j + 1) * H]              # (..., nb, H)
+        pad = [(0, 0)] * len(lead) + [(j, q - 1 - j), (0, 0)]
+        acc = acc + jnp.pad(seg, pad)
+        w2 = (win * win)[j * H:(j + 1) * H]
+        for i in range(nb):
+            norm[(i + j) * H:(i + j + 1) * H] += w2
+    y = acc.reshape(*lead, out_blocks * H)
+    norm = np.where(norm > 1e-10, norm, 1.0).astype(np.float32)
+    y = y / norm
+    lpad = W // 2 if boundary else 0
+    n_out = out_blocks * H - 2 * lpad
+    y = jax.lax.slice_in_dim(y, lpad, lpad + n_out, axis=y.ndim - 1) \
+        if lpad else y
+    t = np.arange(y.shape[-1]) / fs
+    return t, y
 
 
 # ---------------------------------------------------------------- utilities
