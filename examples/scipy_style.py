@@ -49,3 +49,12 @@ sm = np.asarray(wfft.fftconvolve(sig, kern, mode="same", axes=(1,)))
 print("fftconvolve same output:", sm.shape)
 
 print("next_fast_len(1000) ->", wfft.next_fast_len(1000))
+
+# --- short-time Fourier analysis (scipy.signal semantics)
+tone = (np.sin(2 * np.pi * 440 * np.arange(16000) / 8000)
+        + 0.05 * rng.standard_normal(16000)).astype(np.float32)
+f, t, Z = wfft.stft(tone, fs=8000.0, nperseg=512, noverlap=384)
+peak = f[np.argmax(np.mean(np.abs(wfft.ascomplex(Z)), axis=1))]
+_, back = wfft.istft(Z, fs=8000.0, nperseg=512, noverlap=384)
+print(f"stft grid {Z.shape[:-1]}, dominant bin {peak:.0f} Hz, "
+      f"istft roundtrip err {np.max(np.abs(np.asarray(back)[:16000] - tone)):.2e}")
