@@ -482,3 +482,23 @@ def test_workspace_and_destroy(mesh8):
     assert plan.get_workspace_size_bytes() == 2 * 8 * 512 * 8 // 8
     plan.destroy()
     assert plan._jit is None
+
+
+def test_fftconv_seq_halo_packed_kernel(mesh8, rng, assert_close):
+    """The halo route accepts the packed-flat kernel convention the
+    spectrum route takes (regression: shard_map spec mismatch)."""
+    shape, kshape = (96, 5), (4, 2)
+    z = (rng.standard_normal((2, *shape))
+         + 1j * rng.standard_normal((2, *shape)))
+    kk = rng.standard_normal(kshape) + 1j * rng.standard_normal(kshape)
+    plan = create_distributed_plan(
+        type="fftconv", shape=list(shape), batch=2,
+        fftConv={"boundary": "linear-full", "kernelShape": list(kshape)},
+        mesh=mesh8, seq_axis="sp")
+    assert any(r.startswith("fftconv-halo") for r in plan.route.reasons)
+    packed = interleave(kk.reshape(-1))          # (prod(kshape), 2)
+    y = np.asarray(plan(interleave(z), kernel=packed))
+    ref = R.fftconv(z, kk, list(shape), batch=2, boundary="linear-full",
+                    kernel_shape=list(kshape))
+    got = (y[..., 0] + 1j * y[..., 1]).reshape(ref.shape)
+    assert_close(got.real, ref.real, label="halo packed kernel")

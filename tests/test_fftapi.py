@@ -278,3 +278,29 @@ def test_stft_validation():
         F.stft(np.zeros(512, np.float32), nperseg=256, nfft=128)
     with pytest.raises(PlanError, match="boundary"):
         F.stft(np.zeros(512, np.float32), boundary="reflect")
+
+
+def test_stft_unaligned_and_odd(rng):
+    """Regressions from review: padded=False truncation, noverlap=0 with
+    an unaligned length, odd-nperseg time grid, NOLA gate."""
+    x = rng.standard_normal(1000).astype(np.float32)
+    f, t, Z = F.stft(x, nperseg=256, noverlap=128, boundary=None,
+                     padded=False)
+    fs_, ts_, Zs = ss.stft(x, nperseg=256, noverlap=128, boundary=None,
+                           padded=False)
+    assert np.allclose(t, ts_)
+    _close(Z, Zs, label="stft padded=False")
+    x4 = rng.standard_normal(400).astype(np.float32)
+    f, t, Z = F.stft(x4, nperseg=256, noverlap=0)
+    _, ts_, Zs = ss.stft(x4, nperseg=256, noverlap=0)
+    assert np.allclose(t, ts_)
+    _close(Z, Zs, label="stft nov=0 unaligned")
+    x9 = rng.standard_normal(100).astype(np.float32)
+    f, t, Z = F.stft(x9, nperseg=9, noverlap=6)
+    _, ts_, Zs = ss.stft(x9, nperseg=9, noverlap=6)
+    assert np.allclose(t, ts_), "odd-nperseg time grid must match scipy"
+    _close(Z, Zs, label="stft odd nperseg")
+    # hann with zero overlap fails NOLA: hard error, not silent garbage
+    f, t, Z = F.stft(x, nperseg=128, noverlap=0)
+    with pytest.raises(PlanError, match="NOLA"):
+        F.istft(Z, nperseg=128, noverlap=0)

@@ -652,9 +652,10 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     scaling — Zxx scaled by 1/win.sum()).
 
     Returns (f, t, Zxx) with Zxx interleaved (..., nfft//2+1, nb, 2).
-    Requires the hop (nperseg - noverlap) to divide nperseg (true for the
-    default noverlap = nperseg//2 and all power-of-two overlaps), which
-    keeps the framing a pure reshape pipeline on TPU.
+    Requires the hop (nperseg - noverlap) to divide nperseg — true for
+    the default noverlap = nperseg//2 whenever nperseg is even, and for
+    all power-of-two overlaps — which keeps the framing a pure reshape
+    pipeline on TPU (odd nperseg needs an explicit dividing noverlap).
     """
     if boundary not in ("zeros", None):
         raise PlanError("stft supports boundary='zeros' or None")
@@ -674,10 +675,18 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     n = x.shape[-1]
     lpad = W // 2 if boundary == "zeros" else 0
     L = n + 2 * lpad
-    nb = max(-(-(L - W) // H) + 1, 1) if (padded or (L - W) % H == 0) \
-        else (L - W) // H + 1
+    if L < W or padded or (L - W) % H == 0:
+        nb = max(-(-(L - W) // H) + 1, 1)     # pad up to frame-aligned
+    else:
+        nb = (L - W) // H + 1                 # padded=False: truncate tail
     total = (nb - 1) * H + W
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lpad, total - n - lpad)])
+    # the boundary pad is lpad on the LEFT only; the right side absorbs
+    # the second boundary pad plus frame alignment (or truncates when
+    # padded=False leaves a partial tail)
+    right = total - n - lpad
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lpad, max(right, 0))])
+    if right < 0:
+        xp = jax.lax.slice_in_dim(xp, 0, total, axis=xp.ndim - 1)
     frames = _frame_segments(xp, W, H, nb) * win          # (..., nb, W)
     if m > W:
         frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
@@ -685,7 +694,7 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     Z = rfft(frames, axis=-1) / np.float32(win.sum())     # (..., nb, f, 2)
     Z = jnp.swapaxes(Z, -3, -2)                           # (..., f, nb, 2)
     f = np.fft.rfftfreq(m, 1.0 / fs)
-    t = (np.arange(nb) * H + W / 2 - lpad) / fs
+    t = (np.arange(nb) * H + W // 2 - lpad) / fs   # scipy uses the floor
     return f, t, _restore_axes(Z, undo, comp=True)
 
 
@@ -713,19 +722,36 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     lead = frames.shape[:-2]
     out_blocks = nb + q - 1
     acc = jnp.zeros((*lead, out_blocks, H), frames.dtype)
-    norm = np.zeros(out_blocks * H, np.float64)
     for j in range(q):
         seg = frames[..., j * H:(j + 1) * H]              # (..., nb, H)
         pad = [(0, 0)] * len(lead) + [(j, q - 1 - j), (0, 0)]
         acc = acc + jnp.pad(seg, pad)
-        w2 = (win * win)[j * H:(j + 1) * H]
-        for i in range(nb):
-            norm[(i + j) * H:(i + j + 1) * H] += w2
     y = acc.reshape(*lead, out_blocks * H)
-    norm = np.where(norm > 1e-10, norm, 1.0).astype(np.float32)
-    y = y / norm
+    # COLA win^2 normalization: every interior hop-block sees all q
+    # window segments, only the first/last q-1 blocks differ — O(q^2 H)
+    # host work regardless of signal length
+    w2segs = (win.astype(np.float64) ** 2).reshape(q, H)
+    full = w2segs.sum(0)
+    norm_blocks = np.broadcast_to(full, (out_blocks, H)).copy()
+    edge = list(range(min(q - 1, out_blocks))) + list(
+        range(max(out_blocks - (q - 1), 0), out_blocks))
+    for m in edge:
+        lo, hi = max(0, m - nb + 1), min(q - 1, m)
+        norm_blocks[m] = w2segs[lo:hi + 1].sum(0)
+    norm = norm_blocks.reshape(-1)
     lpad = W // 2 if boundary else 0
     n_out = out_blocks * H - 2 * lpad
+    # NOLA gate: a window/hop whose win^2 overlap-add vanishes inside the
+    # reconstruction region cannot be inverted — raise instead of quietly
+    # dividing by 1 and returning garbage (scipy warns; we hard-fail)
+    interior = norm[lpad:lpad + n_out]
+    if interior.size and interior.min() <= 1e-10 * max(norm.max(), 1e-30):
+        raise PlanError(
+            f"istft: window/hop fails the NOLA constraint (win^2 "
+            f"overlap-add has zeros inside the signal; nperseg={W}, "
+            f"hop={H}) — reconstruction is impossible for this framing")
+    norm = np.where(norm > 1e-10, norm, 1.0).astype(np.float32)
+    y = y / norm
     y = jax.lax.slice_in_dim(y, lpad, lpad + n_out, axis=y.ndim - 1) \
         if lpad else y
     t = np.arange(y.shape[-1]) / fs

@@ -661,97 +661,24 @@ def build_distributed_fftconv_halo_1d(n: int, k: int, batch: int, mesh: Mesh,
                                       batch_axis_name: Optional[str] = None,
                                       tuning=None, overlap_save: str = "auto",
                                       overlap_block: Optional[int] = None):
-    """Halo-exchange distributed convolution for SHORT kernels.
-
-    When the kernel is much shorter than the signal, convolution outputs
-    depend only on a (k-1)-sample neighborhood — so the signal shards
-    contiguously, each device receives its left neighbor's (k-1)-sample
-    tail via ONE ``ppermute`` over ICI, and convolves locally (the local
-    plan auto-selects overlap-save for big shards).  Communication is
-    k-1 elements per device instead of the spectrum pipeline's two
-    whole-signal ``all_to_all``s — the asymptotically right algorithm,
-    and a design the single-device reference has no counterpart for.
-
-    Circular boundaries use the cyclic ppermute wrap directly (requires
-    ndev | n); linear modes zero device 0's halo and pad the tail so
-    every linear-full output lands in some shard.
+    """Halo-exchange distributed 1-D convolution — the rank-1 case of
+    :func:`build_distributed_fftconv_halo_nd` (see there for the
+    algorithm); kept as a named entry point.
 
     fn(x, kernel): x (batch, n, 2), kernel (k, 2) -> (batch, out_len, 2).
     """
-    from ..utils.mathref import fftconv_out_shape
-    from ..spec import normalize_spec
-    from ..plans.fftconv import build_fftconv
-
-    ndev = mesh.shape[axis_name]
-    pad_k = k - 1
-    _, out_shape, out_off = fftconv_out_shape([n], [k], boundary)
-    out_len = out_shape[0]
-    geom = halo_conv_geometry(n, k, ndev, boundary)
-    if geom is None:
-        raise ValueError(
-            f"halo conv infeasible for n={n}, k={k}, ndev={ndev}, "
-            f"{boundary}; use the spectrum route")
-    C, n_ext = geom
-    b_loc = batch
-    if batch_axis_name is not None:
-        if batch % mesh.shape[batch_axis_name]:
-            raise ValueError(f"batch {batch} must divide the "
-                             f"{batch_axis_name} axis")
-        b_loc = batch // mesh.shape[batch_axis_name]
-    # per-device local plan: linear-valid conv of the haloed shard
-    # (C + k - 1 samples -> exactly C outputs = this shard's span of the
-    # global linear-full result); the caller's tuning knobs carry through
-    topts = {}
-    if tuning is not None:
-        topts = {"maxSubLength": tuning.max_sub_length,
-                 "matmulPrecision": tuning.matmul_precision}
-    fopts = {"overlapSave": overlap_save}
-    if overlap_block is not None:
-        fopts["overlapBlock"] = overlap_block
-    lspec = normalize_spec({
-        "type": "fftconv", "shape": [C + pad_k], "batch": b_loc,
-        "tuning": topts,
-        "fftConv": {"boundary": "linear-valid", "kernelShape": [k],
-                    "tuning": fopts}})
-    lplan = build_fftconv(lspec)
-    lconsts = lplan._consts          # already jnp arrays (Plan.__init__)
-    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
-
-    def local_fn(x_loc, kernel):
-        halo = jax.lax.ppermute(x_loc[:, C - pad_k:, :], axis_name, perm)
-        if boundary != "circular":
-            first = jax.lax.axis_index(axis_name) == 0
-            halo = jnp.where(first, 0.0, halo)
-        xin = jnp.concatenate([halo, x_loc], axis=1)
-        # _coerce_kernel handles both local routes (standard wants a
-        # leading kcount dim, overlap-save wants the bare (k, 2))
-        return lplan._fn(lconsts, xin,
-                         lplan._coerce_kernel(kernel))   # (b_loc, C, 2)
-
-    def fn(x, kernel):
-        kernel = jnp.asarray(kernel)
-        if kernel.ndim == 3:
-            kernel = kernel[0]
-        if n_ext != n:
-            x = jnp.pad(x, ((0, 0), (0, n_ext - n), (0, 0)))
-        y = jax.shard_map(
-            local_fn, mesh=mesh,
-            in_specs=(P(batch_axis_name, axis_name, None), P(None, None)),
-            out_specs=P(batch_axis_name, axis_name, None),
-        )(x, kernel)                                     # (b, n_ext, 2)
-        return jax.lax.slice_in_dim(y, out_off[0], out_off[0] + out_len,
-                                    axis=1)
-
-    fn.split = (ndev, C)
-    fn.halo = pad_k
-    return fn
+    return build_distributed_fftconv_halo_nd(
+        [n], [k], batch, mesh, axis_name, boundary, batch_axis_name,
+        tuning=tuning, overlap_save=overlap_save,
+        overlap_block=overlap_block)
 
 
 def build_distributed_fftconv_halo_nd(shape, kshape, batch: int, mesh: Mesh,
                                       axis_name: str = "sp",
                                       boundary: str = "linear-full",
                                       batch_axis_name: Optional[str] = None,
-                                      tuning=None):
+                                      tuning=None, overlap_save: str = "auto",
+                                      overlap_block: Optional[int] = None):
     """ND halo-exchange convolution: logical axis 0 shards contiguously
     with a (k0-1)-slab ppermute halo; the remaining axes convolve locally
     per shard.  Communication is one (k0-1)-thick slab per device instead
@@ -818,13 +745,20 @@ def build_distributed_fftconv_halo_nd(shape, kshape, batch: int, mesh: Mesh,
         rest_pads.append((left, right_p))
         rest_crop.append((crop0, out_shape[d]))
         lshape.append(smooth)
+    fopts = {}
+    if rank == 1:
+        # overlap-save knobs apply to the rank-1 local shard plan only
+        # (the local route itself is 1-D)
+        fopts = {"overlapSave": overlap_save}
+        if overlap_block is not None:
+            fopts["overlapBlock"] = overlap_block
     lspec = normalize_spec({
         "type": "fftconv", "shape": lshape, "batch": b_loc,
         "tuning": ({"maxSubLength": tuning.max_sub_length,
                     "matmulPrecision": tuning.matmul_precision}
                    if tuning is not None else {}),
         "fftConv": {"boundary": "linear-valid",
-                    "kernelShape": list(kshape)}})
+                    "kernelShape": list(kshape), "tuning": fopts}})
     lplan = build_fftconv(lspec)
     lconsts = lplan._consts
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
@@ -856,10 +790,21 @@ def build_distributed_fftconv_halo_nd(shape, kshape, batch: int, mesh: Mesh,
             y = jax.lax.slice_in_dim(y, c0, c0 + clen, axis=1 + d)
         return y
 
+    kn = math.prod(kshape)
+
     def fn(x, kernel):
-        kernel = jnp.asarray(kernel)
-        if kernel.ndim == rank + 2:
+        # accept every kernel convention the spectrum route takes:
+        # (*kshape, 2), (1, *kshape, 2), packed flat (kn, 2) or (2*kn,)
+        kernel = jnp.asarray(kernel, dtype=jnp.float32)
+        if kernel.shape == (1,) + kshape + (2,):
             kernel = kernel[0]
+        elif kernel.shape != kshape + (2,):
+            if kernel.size != kn * 2:
+                raise ValueError(
+                    f"halo conv kernel shape {tuple(kernel.shape)} not "
+                    f"understood; expected {kshape + (2,)} or a packed "
+                    f"({kn}, 2) buffer")
+            kernel = kernel.reshape(kshape + (2,))
         if n0_ext != n0:
             pads = [(0, 0), (0, n0_ext - n0)] + [(0, 0)] * rank
             x = jnp.pad(x, pads)
