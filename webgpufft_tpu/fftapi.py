@@ -314,6 +314,19 @@ def _conj(x):
     return x * jnp.asarray([1.0, -1.0], x.dtype)
 
 
+def _hermitian_scale(norm: Optional[str], n: int, inverse: bool) -> float:
+    """hfft/ihfft norm factor (numpy folds the 1/n onto ihfft for the
+    default 'backward' mode; 'forward' swaps it, 'ortho' splits it)."""
+    if norm is None or norm == "backward":
+        return 1.0 / n if inverse else 1.0
+    if norm == "ortho":
+        return 1.0 / math.sqrt(n)
+    if norm == "forward":
+        return 1.0 if inverse else 1.0 / n
+    raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
+                    f"got {norm!r}")
+
+
 def hfft(x, n: Optional[int] = None, axis: int = -1,
          norm: Optional[str] = None, *, interleaved: Optional[bool] = None):
     """FFT of a Hermitian-symmetric (real-spectrum) signal -> real output
@@ -326,14 +339,8 @@ def hfft(x, n: Optional[int] = None, axis: int = -1,
         n = 2 * (x.shape[axes[0]] - 1)
     # hfft is a FORWARD transform in numpy's norm accounting
     y = irfft(x, n=n, axis=axis, norm="forward")   # unscaled inverse core
-    if norm is None or norm == "backward":
-        return y
-    if norm == "ortho":
-        return y * jnp.asarray(1.0 / math.sqrt(n), y.dtype)
-    if norm == "forward":
-        return y * jnp.asarray(1.0 / n, y.dtype)
-    raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
-                    f"got {norm!r}")
+    scale = _hermitian_scale(norm, n, inverse=False)
+    return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
 
 
 def ihfft(x, n: Optional[int] = None, axis: int = -1,
@@ -344,17 +351,8 @@ def ihfft(x, n: Optional[int] = None, axis: int = -1,
     x = _real_f32(x)
     axes = _axes_list(x.ndim, (axis,), False)
     m = n if n is not None else x.shape[axes[0]]
-    y = rfft(x, n=n, axis=axis, norm=None)
-    if norm is None or norm == "backward":
-        scale = 1.0 / m
-    elif norm == "ortho":
-        scale = 1.0 / math.sqrt(m)
-    elif norm == "forward":
-        scale = 1.0
-    else:
-        raise PlanError(f"norm must be None|'backward'|'ortho'|'forward', "
-                        f"got {norm!r}")
-    y = _conj(y)
+    y = _conj(rfft(x, n=n, axis=axis, norm=None))
+    scale = _hermitian_scale(norm, m, inverse=True)
     return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
 
 
@@ -631,6 +629,17 @@ def _get_window(window, W: int) -> np.ndarray:
     return w
 
 
+def _stft_hop(what: str, nperseg, noverlap) -> Tuple[int, int]:
+    """(nperseg, hop) with the reshape-framing divisibility check."""
+    W = int(nperseg)
+    H = W - (int(noverlap) if noverlap is not None else W // 2)
+    if H <= 0 or W % H:
+        raise PlanError(
+            f"{what} needs hop | nperseg (hop={H}, nperseg={W}); pick "
+            "noverlap = nperseg - nperseg/q")
+    return W, H
+
+
 def _frame_segments(xp, W: int, H: int, nb: int):
     """(..., L) -> overlapping frames (..., nb, W) via hop-block reshapes
     (the seam trick generalized: q = W // H shifted reshapes + a concat;
@@ -662,12 +671,7 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     x = _real_f32(x)
     axes = _axes_list(x.ndim, (axis,), False)
     x, undo = _move_to_trailing(x, axes, comp=False)
-    W = int(nperseg)
-    H = W - (int(noverlap) if noverlap is not None else W // 2)
-    if H <= 0 or W % H:
-        raise PlanError(
-            f"stft needs hop | nperseg (hop={H}, nperseg={W}); pick "
-            "noverlap = nperseg - nperseg/q")
+    W, H = _stft_hop("stft", nperseg, noverlap)
     m = int(nfft) if nfft is not None else W
     if m < W:
         raise PlanError("nfft must be >= nperseg")
@@ -709,10 +713,8 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     m_bins = Z.shape[-3]
     nb = Z.shape[-2]
     m = int(nfft) if nfft is not None else 2 * (m_bins - 1)
-    W = int(nperseg) if nperseg is not None else m
-    H = W - (int(noverlap) if noverlap is not None else W // 2)
-    if H <= 0 or W % H:
-        raise PlanError(f"istft needs hop | nperseg (hop={H}, nperseg={W})")
+    W, H = _stft_hop("istft", nperseg if nperseg is not None else m,
+                     noverlap)
     win = _get_window(window, W)
     Zt = jnp.swapaxes(Z, -3, -2)                          # (..., nb, f, 2)
     frames = irfft(Zt, n=m, axis=-1) * np.float32(win.sum())
