@@ -304,3 +304,33 @@ def test_stft_unaligned_and_odd(rng):
     f, t, Z = F.stft(x, nperseg=128, noverlap=0)
     with pytest.raises(PlanError, match="NOLA"):
         F.istft(Z, nperseg=128, noverlap=0)
+
+
+@pytest.mark.parametrize("cfg", [dict(nperseg=256),
+                                 dict(nperseg=256, noverlap=192),
+                                 dict(nperseg=128, nfft=256),
+                                 dict(nperseg=200, noverlap=100),
+                                 dict(nperseg=256, scaling="spectrum")])
+def test_welch_vs_scipy(rng, cfg):
+    x = rng.standard_normal(4096).astype(np.float32)
+    f, P = F.welch(x, fs=1000.0, **cfg)
+    fs_, Ps = ss.welch(x, fs=1000.0, **cfg)
+    assert np.allclose(f, fs_)
+    _close(P, Ps, label=f"welch {cfg}")
+
+
+def test_welch_batched_and_periodogram(rng):
+    xb = rng.standard_normal((3, 2048)).astype(np.float32)
+    f, P = F.welch(xb, nperseg=256)
+    fs_, Ps = ss.welch(xb, nperseg=256)
+    _close(P, Ps, label="welch batched")
+    x = rng.standard_normal(4096).astype(np.float32)
+    for cfg in (dict(), dict(window="hann"), dict(nfft=8192)):
+        f, P = F.periodogram(x, fs=1000.0, **cfg)
+        fs_, Ps = ss.periodogram(x, fs=1000.0, **cfg)
+        assert np.allclose(f, fs_)
+        _close(P, Ps, label=f"periodogram {cfg}")
+    with pytest.raises(PlanError, match="scaling"):
+        F.welch(x, nperseg=256, scaling="bogus")
+    with pytest.raises(PlanError, match="shorter"):
+        F.welch(np.zeros(100, np.float32), nperseg=256)

@@ -45,7 +45,7 @@ __all__ = [
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
-    "stft", "istft",
+    "stft", "istft", "welch", "periodogram",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -758,6 +758,67 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
         if lpad else y
     t = np.arange(y.shape[-1]) / fs
     return t, y
+
+
+def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          scaling: str = "density", axis: int = -1):
+    """Welch power-spectral-density estimate of a REAL signal
+    (scipy.signal.welch semantics with detrend='constant'): averaged
+    one-sided periodograms of overlapping windowed segments.
+
+    Returns (f, Pxx).  Built on the stft framing (hop | nperseg applies).
+    """
+    if scaling not in ("density", "spectrum"):
+        raise PlanError("scaling must be 'density' or 'spectrum'")
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    W, H = _stft_hop("welch", nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise PlanError("nfft must be >= nperseg")
+    win = _get_window(window, W)
+    n = x.shape[-1]
+    if n < W:
+        raise PlanError(f"signal shorter than nperseg ({n} < {W})")
+    nb = (n - W) // H + 1                 # scipy: trailing partial dropped
+    total = (nb - 1) * H + W
+    xp = (x if total == n
+          else jax.lax.slice_in_dim(x, 0, total, axis=x.ndim - 1))
+    frames = _frame_segments(xp, W, H, nb)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)  # detrend
+    frames = frames * win
+    if m > W:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                         + [(0, m - W)])
+    Z = rfft(frames, axis=-1)                          # (..., nb, f, 2)
+    P = Z[..., 0] ** 2 + Z[..., 1] ** 2                # |Z|^2
+    # one-sided doubling (all bins except DC and, for even m, Nyquist)
+    dbl = np.full(m // 2 + 1, 2.0, np.float32)
+    dbl[0] = 1.0
+    if m % 2 == 0:
+        dbl[-1] = 1.0
+    if scaling == "density":
+        s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
+    else:
+        s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
+    P = jnp.mean(P, axis=-2) * (dbl * np.float32(s))
+    f = np.fft.rfftfreq(m, 1.0 / fs)
+    return f, _restore_axes(P, undo, comp=False)
+
+
+def periodogram(x, fs: float = 1.0, window="boxcar",
+                nfft: Optional[int] = None, scaling: str = "density",
+                axis: int = -1):
+    """Single-segment PSD estimate (scipy.signal.periodogram semantics
+    with detrend='constant'): Welch with one full-length segment."""
+    x = _real_f32(x)
+    n = x.shape[axis]
+    if window == "boxcar":
+        window = np.ones(n, np.float32)
+    return welch(x, fs=fs, window=window, nperseg=n, noverlap=0,
+                 nfft=nfft, scaling=scaling, axis=axis)
 
 
 # ---------------------------------------------------------------- utilities
