@@ -334,3 +334,23 @@ def test_welch_batched_and_periodogram(rng):
         F.welch(x, nperseg=256, scaling="bogus")
     with pytest.raises(PlanError, match="shorter"):
         F.welch(np.zeros(100, np.float32), nperseg=256)
+
+
+def test_csd_coherence_vs_scipy(rng):
+    t = np.arange(8192) / 1000.0
+    x = (np.sin(2 * np.pi * 50 * t)
+         + 0.5 * rng.standard_normal(8192)).astype(np.float32)
+    y = (np.sin(2 * np.pi * 50 * t + 0.7)
+         + 0.5 * rng.standard_normal(8192)).astype(np.float32)
+    for cfg in (dict(nperseg=256), dict(nperseg=256, noverlap=192),
+                dict(nperseg=128, nfft=256)):
+        f, P = F.csd(x, y, fs=1000.0, **cfg)
+        fs_, Ps = ss.csd(x, y, fs=1000.0, **cfg)
+        assert np.allclose(f, fs_)
+        _close(P, Ps, label=f"csd {cfg}")
+    f, C = F.coherence(x, y, fs=1000.0, nperseg=256)
+    fs_, Cs = ss.coherence(x, y, fs=1000.0, nperseg=256)
+    assert np.allclose(f, fs_)
+    _close(C, Cs, label="coherence")
+    # the common tone must be coherent
+    assert np.asarray(C)[np.argmin(np.abs(f - 50))] > 0.9

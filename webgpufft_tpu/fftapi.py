@@ -45,7 +45,7 @@ __all__ = [
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
-    "stft", "istft", "welch", "periodogram",
+    "stft", "istft", "welch", "periodogram", "csd", "coherence",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -760,21 +760,20 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     return t, y
 
 
-def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
-          noverlap: Optional[int] = None, nfft: Optional[int] = None,
-          scaling: str = "density", axis: int = -1):
-    """Welch power-spectral-density estimate of a REAL signal
-    (scipy.signal.welch semantics with detrend='constant'): averaged
-    one-sided periodograms of overlapping windowed segments.
+def _segment_spectra(x, fs, window, nperseg, noverlap, nfft, scaling,
+                     axis, what):
+    """Windowed mean-detrended segment rffts for the Welch estimators.
 
-    Returns (f, Pxx).  Built on the stft framing (hop | nperseg applies).
+    Returns (Z, scale_vec, undo, f): Z interleaved (..., nb, f, 2), the
+    one-sided PSD scale vector (doubling folded in), the axis-restore
+    token, and the frequency grid.
     """
     if scaling not in ("density", "spectrum"):
         raise PlanError("scaling must be 'density' or 'spectrum'")
     x = _real_f32(x)
     axes = _axes_list(x.ndim, (axis,), False)
     x, undo = _move_to_trailing(x, axes, comp=False)
-    W, H = _stft_hop("welch", nperseg, noverlap)
+    W, H = _stft_hop(what, nperseg, noverlap)
     m = int(nfft) if nfft is not None else W
     if m < W:
         raise PlanError("nfft must be >= nperseg")
@@ -793,7 +792,6 @@ def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
         frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
                          + [(0, m - W)])
     Z = rfft(frames, axis=-1)                          # (..., nb, f, 2)
-    P = Z[..., 0] ** 2 + Z[..., 1] ** 2                # |Z|^2
     # one-sided doubling (all bins except DC and, for even m, Nyquist)
     dbl = np.full(m // 2 + 1, 2.0, np.float32)
     dbl[0] = 1.0
@@ -803,9 +801,61 @@ def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
         s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
     else:
         s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
-    P = jnp.mean(P, axis=-2) * (dbl * np.float32(s))
-    f = np.fft.rfftfreq(m, 1.0 / fs)
+    return Z, dbl * np.float32(s), undo, np.fft.rfftfreq(m, 1.0 / fs)
+
+
+def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
+          noverlap: Optional[int] = None, nfft: Optional[int] = None,
+          scaling: str = "density", axis: int = -1):
+    """Welch power-spectral-density estimate of a REAL signal
+    (scipy.signal.welch semantics with detrend='constant'): averaged
+    one-sided periodograms of overlapping windowed segments.
+
+    Returns (f, Pxx).  Built on the stft framing (hop | nperseg applies).
+    """
+    Z, sv, undo, f = _segment_spectra(x, fs, window, nperseg, noverlap,
+                                      nfft, scaling, axis, "welch")
+    P = jnp.mean(Z[..., 0] ** 2 + Z[..., 1] ** 2, axis=-2) * sv
     return f, _restore_axes(P, undo, comp=False)
+
+
+def csd(x, y, fs: float = 1.0, window="hann", nperseg: int = 256,
+        noverlap: Optional[int] = None, nfft: Optional[int] = None,
+        scaling: str = "density", axis: int = -1):
+    """Cross-spectral density of two REAL signals
+    (scipy.signal.csd semantics: Pxy = averaged conj(X)*Y of the
+    windowed segments, Welch scaling).  Returns (f, Pxy) with Pxy
+    interleaved (..., f, 2) — ``ascomplex`` for a numpy complex view.
+    """
+    Zx, sv, undo, f = _segment_spectra(x, fs, window, nperseg, noverlap,
+                                       nfft, scaling, axis, "csd")
+    Zy, _, _, _ = _segment_spectra(y, fs, window, nperseg, noverlap,
+                                   nfft, scaling, axis, "csd")
+    if Zx.shape != Zy.shape:
+        raise PlanError(
+            f"csd inputs must frame identically, got spectra "
+            f"{tuple(Zx.shape)} vs {tuple(Zy.shape)}")
+    xr, xi = Zx[..., 0], Zx[..., 1]
+    yr, yi = Zy[..., 0], Zy[..., 1]
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)          # Re(conj(X) Y)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)          # Im(conj(X) Y)
+    P = jnp.stack([pr * sv, pi * sv], axis=-1)
+    return f, _restore_axes(P, undo, comp=True)
+
+
+def coherence(x, y, fs: float = 1.0, window="hann", nperseg: int = 256,
+              noverlap: Optional[int] = None, nfft: Optional[int] = None,
+              axis: int = -1):
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx * Pyy)
+    (scipy.signal.coherence semantics).  Returns (f, Cxy)."""
+    f, Pxy = csd(x, y, fs, window, nperseg, noverlap, nfft, "density",
+                 axis)
+    _, Pxx = welch(x, fs, window, nperseg, noverlap, nfft, "density",
+                   axis)
+    _, Pyy = welch(y, fs, window, nperseg, noverlap, nfft, "density",
+                   axis)
+    mag2 = Pxy[..., 0] ** 2 + Pxy[..., 1] ** 2
+    return f, mag2 / (Pxx * Pyy)
 
 
 def periodogram(x, fs: float = 1.0, window="boxcar",
