@@ -354,3 +354,36 @@ def test_csd_coherence_vs_scipy(rng):
     _close(C, Cs, label="coherence")
     # the common tone must be coherent
     assert np.asarray(C)[np.argmin(np.abs(f - 50))] > 0.9
+
+
+def test_istft_boundary_false_and_validation(rng):
+    """Review regressions: boundary=False must reconstruct (tapered edges,
+    not a NOLA false positive); inconsistent nperseg/nfft raises cleanly;
+    fftshift treats a 1-D length-2 real vector as data."""
+    x = rng.standard_normal(1024).astype(np.float32)
+    f, t, Z = F.stft(x, nperseg=256, noverlap=128, boundary=None)
+    fs_, ts_, Zs = ss.stft(x, nperseg=256, noverlap=128, boundary=None)
+    _close(Z, Zs, label="stft boundary=None")
+    t2, y = F.istft(Z, nperseg=256, noverlap=128, boundary=False)
+    ts2, ys = ss.istft(Zs, nperseg=256, noverlap=128, boundary=False)
+    y = np.asarray(y)
+    m = min(y.shape[-1], ys.shape[-1])
+    # interior matches scipy exactly; the tapered (partial-overlap) edge
+    # regions differ only in normalization arithmetic (~1e-3, and both
+    # are equally far from the original signal there)
+    assert np.max(np.abs(y[128:m - 128] - ys[128:m - 128])) < 1e-4
+    assert np.max(np.abs(y[:m] - ys[:m])) < 5e-3
+    with pytest.raises(PlanError, match="nfft"):
+        F.istft(Z, nperseg=512, noverlap=256)
+    assert np.array_equal(np.asarray(F.fftshift(np.array([1.0, 2.0]))),
+                          np.fft.fftshift([1.0, 2.0]))
+
+
+def test_csd_unequal_lengths(rng):
+    """scipy zero-pads the shorter csd input; so do we."""
+    x = rng.standard_normal(4096).astype(np.float32)
+    y = rng.standard_normal(3000).astype(np.float32)
+    f, P = F.csd(x, y, nperseg=256)
+    fs_, Ps = ss.csd(x, y, nperseg=256)
+    assert np.allclose(f, fs_)
+    _close(P, Ps, label="csd unequal")

@@ -273,3 +273,26 @@ def test_overlap_save_block_chunking(rng, assert_close):
     ref = R.fftconv(z, kk, [n], batch=batch, boundary="linear-full",
                     kernel_shape=[k])
     assert_close(y, ref, label="os grouped")
+
+
+def test_overlap_save_grouped_path_forced(rng, assert_close, monkeypatch):
+    """Force the lax.map block-group streaming branch (operand bound
+    lowered) and check correctness + the os-block-chunk route reason —
+    the only coverage of that branch (review finding)."""
+    import webgpufft_tpu.plans.transforms as T
+    monkeypatch.setattr(T, "CHUNK_ELEMS", 1 << 12)
+    n, k, B, batch = 2048, 5, 16, 3
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    kk = rng.standard_normal(k) + 1j * rng.standard_normal(k)
+    plan = W.create_plan(type="fftconv", shape=[n], batch=batch,
+                        fftConv={"boundary": "linear-full",
+                                 "kernelShape": [k],
+                                 "tuning": {"overlapSave": "on",
+                                            "overlapBlock": B}},
+                        cache=W.PlanCache())
+    assert any(r.startswith("os-block-chunk") for r in plan.route.reasons)
+    y = uninterleave(np.asarray(plan.exec(interleave(z),
+                                          kernel=interleave(kk))))
+    ref = R.fftconv(z, kk, [n], batch=batch, boundary="linear-full",
+                    kernel_shape=[k])
+    assert_close(y, ref, label="os grouped forced")

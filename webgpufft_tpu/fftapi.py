@@ -36,6 +36,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .core.cplx import interleave as _np_interleave
+from .core.cplx import jnp_conj as _conj
+from .core.cplx import uninterleave as _np_uninterleave
 from .spec import PlanError
 from .utils import factors
 
@@ -56,9 +59,7 @@ __all__ = [
 def asinterleaved(x, interleaved: Optional[bool] = None):
     """Coerce ``x`` to an interleaved complex array (..., 2) float32."""
     if np.iscomplexobj(x):
-        xc = np.asarray(x)
-        return jnp.asarray(
-            np.stack([xc.real, xc.imag], axis=-1).astype(np.float32))
+        return jnp.asarray(_np_interleave(np.asarray(x)))
     x = jnp.asarray(x)
     if interleaved is None:
         interleaved = x.ndim >= 2 and x.shape[-1] == 2
@@ -74,8 +75,7 @@ def asinterleaved(x, interleaved: Optional[bool] = None):
 
 def ascomplex(y) -> np.ndarray:
     """Interleaved device array -> numpy complex128."""
-    y = np.asarray(y)
-    return y[..., 0] + 1j * y[..., 1]
+    return _np_uninterleave(np.asarray(y))
 
 
 def _real_f32(x):
@@ -307,11 +307,6 @@ def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
     if others:
         x = _c2c(x, None, others, norm, True, True, True)
     return irfft(x, n=n_last, axis=last, norm=norm)
-
-
-def _conj(x):
-    """Conjugate an interleaved array (negate the imag lane)."""
-    return x * jnp.asarray([1.0, -1.0], x.dtype)
 
 
 def _hermitian_scale(norm: Optional[str], n: int, inverse: bool) -> float:
@@ -715,6 +710,8 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     m = int(nfft) if nfft is not None else 2 * (m_bins - 1)
     W, H = _stft_hop("istft", nperseg if nperseg is not None else m,
                      noverlap)
+    if W > m:
+        raise PlanError(f"nfft ({m}) must be >= nperseg ({W})")
     win = _get_window(window, W)
     Zt = jnp.swapaxes(Z, -3, -2)                          # (..., nb, f, 2)
     frames = irfft(Zt, n=m, axis=-1) * np.float32(win.sum())
@@ -743,15 +740,16 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     norm = norm_blocks.reshape(-1)
     lpad = W // 2 if boundary else 0
     n_out = out_blocks * H - 2 * lpad
-    # NOLA gate: a window/hop whose win^2 overlap-add vanishes inside the
-    # reconstruction region cannot be inverted — raise instead of quietly
-    # dividing by 1 and returning garbage (scipy warns; we hard-fail)
-    interior = norm[lpad:lpad + n_out]
-    if interior.size and interior.min() <= 1e-10 * max(norm.max(), 1e-30):
+    # NOLA gate on the STEADY-STATE overlap profile (`full` — what every
+    # interior hop sees, scipy check_NOLA's criterion): a window/hop whose
+    # win^2 overlap-add vanishes there cannot be inverted — raise instead
+    # of quietly dividing by 1 and returning garbage.  Edge blocks are
+    # legitimately partial (tapered reconstruction, like scipy's).
+    if full.min() <= 1e-10 * max(full.max(), 1e-30):
         raise PlanError(
-            f"istft: window/hop fails the NOLA constraint (win^2 "
-            f"overlap-add has zeros inside the signal; nperseg={W}, "
-            f"hop={H}) — reconstruction is impossible for this framing")
+            f"istft: window/hop fails the NOLA constraint (steady-state "
+            f"win^2 overlap-add has zeros; nperseg={W}, hop={H}) — "
+            "reconstruction is impossible for this framing")
     norm = np.where(norm > 1e-10, norm, 1.0).astype(np.float32)
     y = y / norm
     y = jax.lax.slice_in_dim(y, lpad, lpad + n_out, axis=y.ndim - 1) \
@@ -819,43 +817,68 @@ def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     return f, _restore_axes(P, undo, comp=False)
 
 
+def _pair_spectra(x, y, fs, window, nperseg, noverlap, nfft, scaling,
+                  axis, what):
+    """Segment spectra of a signal pair on one common framing (scipy
+    zero-pads the shorter input to the longer along the axis)."""
+    x = _real_f32(x)
+    y = _real_f32(y)
+    ax = _axes_list(x.ndim, (axis,), False)[0]
+    if x.shape[ax] != y.shape[ax]:
+        n = max(x.shape[ax], y.shape[ax])
+        x = _crop_or_pad(x, n, ax)
+        y = _crop_or_pad(y, n, ax)
+    Zx, sv, undo, f = _segment_spectra(x, fs, window, nperseg, noverlap,
+                                       nfft, scaling, axis, what)
+    Zy, _, _, _ = _segment_spectra(y, fs, window, nperseg, noverlap,
+                                   nfft, scaling, axis, what)
+    if Zx.shape != Zy.shape:
+        raise PlanError(
+            f"{what} inputs must frame identically, got spectra "
+            f"{tuple(Zx.shape)} vs {tuple(Zy.shape)}")
+    return Zx, Zy, sv, undo, f
+
+
+def _cross_mean(Zx, Zy, sv):
+    """(Pxy_re, Pxy_im) = segment-averaged conj(X)*Y, scaled."""
+    xr, xi = Zx[..., 0], Zx[..., 1]
+    yr, yi = Zy[..., 0], Zy[..., 1]
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)          # Re(conj(X) Y)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)          # Im(conj(X) Y)
+    return pr * sv, pi * sv
+
+
 def csd(x, y, fs: float = 1.0, window="hann", nperseg: int = 256,
         noverlap: Optional[int] = None, nfft: Optional[int] = None,
         scaling: str = "density", axis: int = -1):
     """Cross-spectral density of two REAL signals
     (scipy.signal.csd semantics: Pxy = averaged conj(X)*Y of the
-    windowed segments, Welch scaling).  Returns (f, Pxy) with Pxy
-    interleaved (..., f, 2) — ``ascomplex`` for a numpy complex view.
+    windowed segments, Welch scaling, shorter input zero-padded).
+    Returns (f, Pxy) with Pxy interleaved (..., f, 2) — ``ascomplex``
+    for a numpy complex view.
     """
-    Zx, sv, undo, f = _segment_spectra(x, fs, window, nperseg, noverlap,
-                                       nfft, scaling, axis, "csd")
-    Zy, _, _, _ = _segment_spectra(y, fs, window, nperseg, noverlap,
-                                   nfft, scaling, axis, "csd")
-    if Zx.shape != Zy.shape:
-        raise PlanError(
-            f"csd inputs must frame identically, got spectra "
-            f"{tuple(Zx.shape)} vs {tuple(Zy.shape)}")
-    xr, xi = Zx[..., 0], Zx[..., 1]
-    yr, yi = Zy[..., 0], Zy[..., 1]
-    pr = jnp.mean(xr * yr + xi * yi, axis=-2)          # Re(conj(X) Y)
-    pi = jnp.mean(xr * yi - xi * yr, axis=-2)          # Im(conj(X) Y)
-    P = jnp.stack([pr * sv, pi * sv], axis=-1)
-    return f, _restore_axes(P, undo, comp=True)
+    Zx, Zy, sv, undo, f = _pair_spectra(x, y, fs, window, nperseg,
+                                        noverlap, nfft, scaling, axis,
+                                        "csd")
+    pr, pi = _cross_mean(Zx, Zy, sv)
+    return f, _restore_axes(jnp.stack([pr, pi], axis=-1), undo, comp=True)
 
 
 def coherence(x, y, fs: float = 1.0, window="hann", nperseg: int = 256,
               noverlap: Optional[int] = None, nfft: Optional[int] = None,
               axis: int = -1):
     """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx * Pyy)
-    (scipy.signal.coherence semantics).  Returns (f, Cxy)."""
-    f, Pxy = csd(x, y, fs, window, nperseg, noverlap, nfft, "density",
-                 axis)
-    _, Pxx = welch(x, fs, window, nperseg, noverlap, nfft, "density",
-                   axis)
-    _, Pyy = welch(y, fs, window, nperseg, noverlap, nfft, "density",
-                   axis)
-    mag2 = Pxy[..., 0] ** 2 + Pxy[..., 1] ** 2
-    return f, mag2 / (Pxx * Pyy)
+    (scipy.signal.coherence semantics).  Returns (f, Cxy).  Pxx/Pyy are
+    computed from the same segment spectra as Pxy — one framing + FFT
+    pass per signal, not two."""
+    Zx, Zy, sv, undo, f = _pair_spectra(x, y, fs, window, nperseg,
+                                        noverlap, nfft, "density", axis,
+                                        "coherence")
+    pr, pi = _cross_mean(Zx, Zy, sv)
+    Pxx = jnp.mean(Zx[..., 0] ** 2 + Zx[..., 1] ** 2, axis=-2) * sv
+    Pyy = jnp.mean(Zy[..., 0] ** 2 + Zy[..., 1] ** 2, axis=-2) * sv
+    C = (pr ** 2 + pi ** 2) / (Pxx * Pyy)
+    return f, _restore_axes(C, undo, comp=False)
 
 
 def periodogram(x, fs: float = 1.0, window="boxcar",
@@ -883,7 +906,9 @@ def rfftfreq(n: int, d: float = 1.0):
 
 def _shift(x, axes, sign: int, interleaved):
     x = asinterleaved(x, interleaved) if np.iscomplexobj(x) else jnp.asarray(x)
-    comp = x.ndim >= 1 and x.shape[-1] == 2 and interleaved is not False
+    # same heuristic as asinterleaved: a 1-D length-2 real vector is DATA,
+    # not an interleaved scalar
+    comp = x.ndim >= 2 and x.shape[-1] == 2 and interleaved is not False
     nd = x.ndim - (1 if comp else 0)
     axes = _axes_list(nd, axes, True)
     for a in axes:

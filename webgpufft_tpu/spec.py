@@ -499,8 +499,10 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
             pointwise_chunk_elements=tun.get("pointwiseChunkElements"),
             extract_copy_chunk_elements=tun.get("extractCopyChunkElements"),
             overlap_save=tun.get("overlapSave", tun.get("overlap_save", "auto")),
-            overlap_block=(int(tun["overlapBlock"]) if "overlapBlock" in tun
-                           else tun.get("overlap_block")),
+            overlap_block=(int(tun.get("overlapBlock",
+                                       tun.get("overlap_block")))
+                           if ("overlapBlock" in tun
+                               or "overlap_block" in tun) else None),
         )
         _check(fft_conv.overlap_save in ("auto", "on", "off"),
                "fftConv.tuning.overlapSave must be auto|on|off")
