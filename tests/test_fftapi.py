@@ -387,3 +387,24 @@ def test_csd_unequal_lengths(rng):
     fs_, Ps = ss.csd(x, y, nperseg=256)
     assert np.allclose(f, fs_)
     _close(P, Ps, label="csd unequal")
+
+
+@pytest.mark.parametrize("src,num", [(100, 50), (100, 51), (100, 64),
+                                     (100, 150), (100, 151), (101, 50),
+                                     (101, 202)])
+def test_resample_vs_scipy(rng, src, num):
+    x = rng.standard_normal((3, src)).astype(np.float32)
+    y = np.asarray(F.resample(x, num, axis=-1))
+    ys = ss.resample(x.astype(np.float64), num, axis=-1)
+    assert y.shape == ys.shape
+    _close(y, ys, label=f"resample {src}->{num}")
+
+
+@pytest.mark.parametrize("n", [64, 65])
+def test_hilbert_vs_scipy(rng, n):
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    ya = F.hilbert(x)
+    ysci = ss.hilbert(x.astype(np.float64), axis=-1)
+    _close(ya, ysci, label=f"hilbert n={n}")
+    # analytic-signal property: real part is the input
+    assert np.max(np.abs(np.asarray(ya)[..., 0] - x)) < 1e-5

@@ -49,6 +49,7 @@ __all__ = [
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
     "stft", "istft", "welch", "periodogram", "csd", "coherence",
+    "resample", "hilbert",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -892,6 +893,64 @@ def periodogram(x, fs: float = 1.0, window="boxcar",
         window = np.ones(n, np.float32)
     return welch(x, fs=fs, window=window, nperseg=n, noverlap=0,
                  nfft=nfft, scaling=scaling, axis=axis)
+
+
+def resample(x, num: int, axis: int = -1):
+    """Fourier-method resampling of a REAL signal to ``num`` samples
+    (scipy.signal.resample semantics: crop or zero-pad the spectrum,
+    with the Nyquist-bin split/merge scipy applies)."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    n = x.shape[-1]
+    num = int(num)
+    if num < 1:
+        raise PlanError("resample num must be >= 1")
+    X = rfft(x, axis=-1)                        # (..., n//2+1, 2)
+    nb_in, nb_out = n // 2 + 1, num // 2 + 1
+    if nb_out <= nb_in:
+        Y = jax.lax.slice_in_dim(X, 0, nb_out, axis=X.ndim - 2)
+        # downsampling onto an even num: the new Nyquist bin aggregates
+        # the symmetric pair, which for the packed form means doubling
+        # its real part and dropping its imaginary part... scipy keeps
+        # X[num/2] real by adding the conjugate: 2*Re for interior bins,
+        # but only when the source bin is NOT the source Nyquist
+        if num % 2 == 0 and nb_out - 1 < nb_in - 1 + (n % 2):
+            mask = np.ones((nb_out, 2), np.float32)
+            mask[-1, 0] = 2.0 if (nb_out - 1) != (nb_in - 1) or n % 2 else 1.0
+            mask[-1, 1] = 0.0
+            Y = Y * mask
+    else:
+        pads = [(0, 0)] * (X.ndim - 2) + [(0, nb_out - nb_in), (0, 0)]
+        if n % 2 == 0:
+            # the source Nyquist bin splits into a conjugate pair:
+            # scipy halves it before padding
+            mask = np.ones((nb_in, 2), np.float32)
+            mask[-1] = 0.5
+            X = X * mask
+        Y = jnp.pad(X, pads)
+    y = irfft(Y, n=num, axis=-1) * np.float32(num / n)
+    return _restore_axes(y, undo, comp=False)
+
+
+def hilbert(x, axis: int = -1):
+    """Analytic signal via the frequency-domain method
+    (scipy.signal.hilbert semantics).  Returns interleaved (..., 2):
+    real part = x, imaginary part = its Hilbert transform."""
+    x = _real_f32(x)
+    axes = _axes_list(x.ndim, (axis,), False)
+    x, undo = _move_to_trailing(x, axes, comp=False)
+    n = x.shape[-1]
+    X = fft(x, axis=-1, interleaved=False)      # (..., n, 2)
+    h = np.zeros(n, np.float32)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[1:(n + 1) // 2] = 2.0
+    y = ifft(X * h[:, None], axis=-1)
+    return _restore_axes(y, undo, comp=True)
 
 
 # ---------------------------------------------------------------- utilities
