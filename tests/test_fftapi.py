@@ -272,8 +272,10 @@ def test_stft_batched_and_custom_window(rng):
 
 
 def test_stft_validation():
-    with pytest.raises(PlanError, match="hop"):
-        F.stft(np.zeros(512, np.float32), nperseg=100, noverlap=30)
+    # non-dividing hops are supported (gather fallback); only a
+    # non-positive hop is invalid
+    with pytest.raises(PlanError, match="noverlap"):
+        F.stft(np.zeros(512, np.float32), nperseg=100, noverlap=100)
     with pytest.raises(PlanError, match="nfft"):
         F.stft(np.zeros(512, np.float32), nperseg=256, nfft=128)
     with pytest.raises(PlanError, match="boundary"):
@@ -408,3 +410,33 @@ def test_hilbert_vs_scipy(rng, n):
     _close(ya, ysci, label=f"hilbert n={n}")
     # analytic-signal property: real part is the input
     assert np.max(np.abs(np.asarray(ya)[..., 0] - x)) < 1e-5
+
+
+@pytest.mark.parametrize("cfg", [dict(), dict(nperseg=512),
+                                 dict(nperseg=256, noverlap=128),
+                                 dict(window="hann", nperseg=256),
+                                 dict(scaling="spectrum")])
+def test_spectrogram_vs_scipy(rng, cfg):
+    """Incl. scipy's default tukey window + nperseg//8 overlap, whose hop
+    does NOT divide nperseg (exercises the gather framing fallback)."""
+    x = rng.standard_normal(4096).astype(np.float32)
+    f, t, S = F.spectrogram(x, fs=1000.0, **cfg)
+    fs_, ts_, Ss = ss.spectrogram(x, fs=1000.0, **cfg)
+    assert np.allclose(f, fs_) and np.allclose(t, ts_)
+    _close(S, Ss, label=f"spectrogram {cfg}")
+
+
+def test_stft_istft_non_dividing_hop(rng):
+    """Hops that do not divide nperseg use the gather/scatter fallback
+    and still match scipy + roundtrip."""
+    x = rng.standard_normal(1000).astype(np.float32)
+    f, t, Z = F.stft(x, nperseg=256, noverlap=56)       # hop 200
+    fs_, ts_, Zs = ss.stft(x, nperseg=256, noverlap=56)
+    assert np.allclose(t, ts_)
+    _close(Z, Zs, label="stft non-dividing hop")
+    _, y = F.istft(Z, nperseg=256, noverlap=56)
+    _, ys = ss.istft(Zs, nperseg=256, noverlap=56)
+    y = np.asarray(y)
+    m = min(len(y), len(ys))
+    assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3
+    assert np.max(np.abs(y[256:744] - x[256:744])) < 1e-4

@@ -48,8 +48,8 @@ __all__ = [
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
-    "stft", "istft", "welch", "periodogram", "csd", "coherence",
-    "resample", "hilbert",
+    "stft", "istft", "spectrogram", "welch", "periodogram",
+    "csd", "coherence", "resample", "hilbert",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -604,14 +604,14 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
 # ---------------------------------------------------------------- stft
 
 def _get_window(window, W: int) -> np.ndarray:
-    if isinstance(window, str):
+    if isinstance(window, (str, tuple)):
         try:
             from scipy.signal import get_window as _gw
             return np.asarray(_gw(window, W), np.float32)
         except ImportError:
             table = {"hann": np.hanning, "hamming": np.hamming,
                      "blackman": np.blackman}
-            if window not in table:
+            if not isinstance(window, str) or window not in table:
                 raise PlanError(
                     f"window {window!r} needs scipy; available without it: "
                     f"{sorted(table)}")
@@ -626,27 +626,35 @@ def _get_window(window, W: int) -> np.ndarray:
 
 
 def _stft_hop(what: str, nperseg, noverlap) -> Tuple[int, int]:
-    """(nperseg, hop) with the reshape-framing divisibility check."""
+    """(nperseg, hop) with basic validation.  Hops dividing nperseg get
+    the gather-free reshape framing; others fall back to a gather."""
     W = int(nperseg)
     H = W - (int(noverlap) if noverlap is not None else W // 2)
-    if H <= 0 or W % H:
+    if H <= 0:
         raise PlanError(
-            f"{what} needs hop | nperseg (hop={H}, nperseg={W}); pick "
-            "noverlap = nperseg - nperseg/q")
+            f"{what} needs noverlap < nperseg (hop={H}, nperseg={W})")
     return W, H
 
 
 def _frame_segments(xp, W: int, H: int, nb: int):
-    """(..., L) -> overlapping frames (..., nb, W) via hop-block reshapes
-    (the seam trick generalized: q = W // H shifted reshapes + a concat;
-    no gathers).  Requires H | W."""
-    q = W // H
+    """(..., L) -> overlapping frames (..., nb, W).
+
+    When H | W: hop-block reshapes (the seam trick: q = W // H shifted
+    reshapes + a concat; no gathers — the TPU-fast path).  Otherwise a
+    static gather (correct everywhere; pick a dividing hop for hot
+    loops)."""
     lead = xp.shape[:-1]
-    segs = []
-    for j in range(q):
-        s = jax.lax.slice_in_dim(xp, j * H, j * H + nb * H, axis=xp.ndim - 1)
-        segs.append(s.reshape(*lead, nb, H))
-    return jnp.concatenate(segs, axis=-1)
+    if W % H == 0:
+        q = W // H
+        segs = []
+        for j in range(q):
+            s = jax.lax.slice_in_dim(xp, j * H, j * H + nb * H,
+                                     axis=xp.ndim - 1)
+            segs.append(s.reshape(*lead, nb, H))
+        return jnp.concatenate(segs, axis=-1)
+    idx = (np.arange(nb)[:, None] * H + np.arange(W)[None, :]).reshape(-1)
+    out = jnp.take(xp, jnp.asarray(idx.astype(np.int32)), axis=xp.ndim - 1)
+    return out.reshape(*lead, nb, W)
 
 
 def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
@@ -657,10 +665,10 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     scaling — Zxx scaled by 1/win.sum()).
 
     Returns (f, t, Zxx) with Zxx interleaved (..., nfft//2+1, nb, 2).
-    Requires the hop (nperseg - noverlap) to divide nperseg — true for
-    the default noverlap = nperseg//2 whenever nperseg is even, and for
-    all power-of-two overlaps — which keeps the framing a pure reshape
-    pipeline on TPU (odd nperseg needs an explicit dividing noverlap).
+    Hops dividing nperseg (the default noverlap = nperseg//2 for even
+    nperseg, and all power-of-two overlaps) frame via pure reshapes —
+    the TPU-fast path; other hops fall back to a gather (correct, but
+    pick a dividing hop for hot loops).
     """
     if boundary not in ("zeros", None):
         raise PlanError("stft supports boundary='zeros' or None")
@@ -717,30 +725,48 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     Zt = jnp.swapaxes(Z, -3, -2)                          # (..., nb, f, 2)
     frames = irfft(Zt, n=m, axis=-1) * np.float32(win.sum())
     frames = frames[..., :W] * win                        # (..., nb, W)
-    # overlap-add via the inverse seam trick: q shifted hop-block layouts
-    q = W // H
     lead = frames.shape[:-2]
-    out_blocks = nb + q - 1
-    acc = jnp.zeros((*lead, out_blocks, H), frames.dtype)
-    for j in range(q):
-        seg = frames[..., j * H:(j + 1) * H]              # (..., nb, H)
-        pad = [(0, 0)] * len(lead) + [(j, q - 1 - j), (0, 0)]
-        acc = acc + jnp.pad(seg, pad)
-    y = acc.reshape(*lead, out_blocks * H)
-    # COLA win^2 normalization: every interior hop-block sees all q
-    # window segments, only the first/last q-1 blocks differ — O(q^2 H)
-    # host work regardless of signal length
-    w2segs = (win.astype(np.float64) ** 2).reshape(q, H)
-    full = w2segs.sum(0)
-    norm_blocks = np.broadcast_to(full, (out_blocks, H)).copy()
-    edge = list(range(min(q - 1, out_blocks))) + list(
-        range(max(out_blocks - (q - 1), 0), out_blocks))
-    for m in edge:
-        lo, hi = max(0, m - nb + 1), min(q - 1, m)
-        norm_blocks[m] = w2segs[lo:hi + 1].sum(0)
-    norm = norm_blocks.reshape(-1)
+    total_out = (nb - 1) * H + W
+    w2 = win.astype(np.float64) ** 2
+    if W % H == 0:
+        # overlap-add via the inverse seam trick: q shifted hop-block
+        # layouts (no scatter — the TPU-fast path)
+        q = W // H
+        out_blocks = nb + q - 1
+        acc = jnp.zeros((*lead, out_blocks, H), frames.dtype)
+        for j in range(q):
+            seg = frames[..., j * H:(j + 1) * H]          # (..., nb, H)
+            pad = [(0, 0)] * len(lead) + [(j, q - 1 - j), (0, 0)]
+            acc = acc + jnp.pad(seg, pad)
+        y = acc.reshape(*lead, out_blocks * H)
+        # COLA win^2 normalization: every interior hop-block sees all q
+        # window segments, only the first/last q-1 blocks differ —
+        # O(q^2 H) host work regardless of signal length
+        w2segs = w2.reshape(q, H)
+        full = w2segs.sum(0)
+        norm_blocks = np.broadcast_to(full, (out_blocks, H)).copy()
+        edge = list(range(min(q - 1, out_blocks))) + list(
+            range(max(out_blocks - (q - 1), 0), out_blocks))
+        for m in edge:
+            lo, hi = max(0, m - nb + 1), min(q - 1, m)
+            norm_blocks[m] = w2segs[lo:hi + 1].sum(0)
+        norm = norm_blocks.reshape(-1)
+    else:
+        # non-dividing hop: scatter-add fallback (correct everywhere;
+        # pick a dividing hop for hot loops)
+        idx = (np.arange(nb)[:, None] * H
+               + np.arange(W)[None, :]).reshape(-1).astype(np.int32)
+        y = jnp.zeros((*lead, total_out), frames.dtype).at[
+            ..., jnp.asarray(idx)].add(frames.reshape(*lead, nb * W))
+        norm = np.zeros(total_out)
+        np.add.at(norm, idx, np.tile(w2, nb))
+        # steady-state overlap profile: samples covered by the maximal
+        # frame count (positions [W-1, (nb-1)*H]); edges are legitimately
+        # partial like the seam path's edge blocks
+        lo, hi = W - 1, (nb - 1) * H + 1
+        full = norm[lo:hi] if hi > lo else norm
     lpad = W // 2 if boundary else 0
-    n_out = out_blocks * H - 2 * lpad
+    n_out = total_out - 2 * lpad
     # NOLA gate on the STEADY-STATE overlap profile (`full` — what every
     # interior hop sees, scipy check_NOLA's criterion): a window/hop whose
     # win^2 overlap-add vanishes there cannot be inverted — raise instead
@@ -801,6 +827,29 @@ def _segment_spectra(x, fs, window, nperseg, noverlap, nfft, scaling,
     else:
         s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
     return Z, dbl * np.float32(s), undo, np.fft.rfftfreq(m, 1.0 / fs)
+
+
+def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
+                nperseg: int = 256, noverlap: Optional[int] = None,
+                nfft: Optional[int] = None, scaling: str = "density",
+                axis: int = -1):
+    """Per-segment PSD spectrogram of a REAL signal
+    (scipy.signal.spectrogram semantics, mode='psd': Welch scaling but
+    NOT averaged over segments; scipy's noverlap default nperseg//8).
+
+    Returns (f, t, Sxx) with Sxx (..., f, nb) real.
+    """
+    if noverlap is None:
+        noverlap = int(nperseg) // 8
+    Z, sv, undo, f = _segment_spectra(x, fs, window, nperseg, noverlap,
+                                      nfft, scaling, axis, "spectrogram")
+    S = (Z[..., 0] ** 2 + Z[..., 1] ** 2) * sv         # (..., nb, f)
+    S = jnp.swapaxes(S, -2, -1)                        # (..., f, nb)
+    W = int(nperseg)
+    H = W - int(noverlap)
+    nb = Z.shape[-3]
+    t = (np.arange(nb) * H + W / 2) / fs
+    return f, t, _restore_axes(S, undo, comp=True)
 
 
 def welch(x, fs: float = 1.0, window="hann", nperseg: int = 256,
