@@ -440,3 +440,22 @@ def test_stft_istft_non_dividing_hop(rng):
     m = min(len(y), len(ys))
     assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3
     assert np.max(np.abs(y[256:744] - x[256:744])) < 1e-4
+
+
+def test_czt_zoom_fft_vs_scipy(rng):
+    z = rng.standard_normal((3, 50)) + 1j * rng.standard_normal((3, 50))
+    for m, w, a in ((50, None, 1 + 0j), (30, None, 1 + 0j),
+                    (64, np.exp(-1j * 0.1), 1 + 0j),
+                    (40, np.exp(-1j * 0.07), np.exp(1j * 0.3))):
+        y = F.czt(z, m=m, w=w, a=a)
+        ys = ss.czt(z, m=m, w=w, a=a, axis=-1)
+        _close(y, ys, label=f"czt m={m}")
+    # decaying spirals are f32-limited (documented): loose bound only
+    y = F.ascomplex(F.czt(z, m=25, w=0.99 * np.exp(-1j * 0.2), a=1.01))
+    ys = ss.czt(z, m=25, w=0.99 * np.exp(-1j * 0.2), a=1.01, axis=-1)
+    assert np.max(np.abs(y - ys)) / np.max(np.abs(ys)) < 2e-2
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    for fn, m in ((0.4, 40), ([0.1, 0.3], 33), ([0.2, 0.8], 64)):
+        y = F.zoom_fft(x, fn, m=m)
+        ys = ss.zoom_fft(x, fn, m=m, axis=-1)
+        _close(y, ys, label=f"zoom_fft fn={fn}")

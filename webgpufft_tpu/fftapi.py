@@ -49,7 +49,7 @@ __all__ = [
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve",
     "stft", "istft", "spectrogram", "welch", "periodogram",
-    "csd", "coherence", "resample", "hilbert",
+    "csd", "coherence", "resample", "hilbert", "czt", "zoom_fft",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -942,6 +942,71 @@ def periodogram(x, fs: float = 1.0, window="boxcar",
         window = np.ones(n, np.float32)
     return welch(x, fs=fs, window=window, nperseg=n, noverlap=0,
                  nfft=nfft, scaling=scaling, axis=axis)
+
+
+def czt(x, m: Optional[int] = None, w=None, a=1 + 0j, *, axis: int = -1,
+        interleaved: Optional[bool] = None):
+    """Chirp-Z transform along ``axis`` (scipy.signal.czt semantics):
+    X[k] = sum_n x[n] a^{-n} w^{nk} for k < m, evaluated via the
+    Bluestein convolution at a smooth padded length — the general form
+    of the spiral-contour z-transform (the FFT is the w=exp(-2j pi/n),
+    a=1 special case).  Returns interleaved (..., m, 2).
+
+    Accuracy note: unit-modulus contours (|w| = 1, the zoom-FFT case)
+    match scipy at float32 precision (~1e-7 rel).  Decaying/growing
+    spirals make the chirp tables span orders of magnitude, which the
+    float32 device math resolves to ~1e-3 rel — use scipy on the host
+    if you need f64 spirals.
+    """
+    x = asinterleaved(x, interleaved)
+    nd = x.ndim - 1
+    axes = _axes_list(nd, (axis,), False)
+    x, undo = _move_to_trailing(x, axes, comp=True)
+    n = x.shape[-2]
+    m = int(m) if m is not None else n
+    if m < 1:
+        raise PlanError("czt m must be >= 1")
+    w = complex(w) if w is not None else np.exp(-2j * np.pi / m)
+    a = complex(a)
+    # Bluestein: w^{nk} = w^{(n^2 + k^2 - (k-n)^2)/2}, so the transform
+    # is a pre-chirp multiply, a linear convolution with w^{-j^2/2}, and
+    # a post-chirp multiply — all host-precomputed tables (float64)
+    from .core.cplx import const_pair
+    k2 = np.arange(max(m, n), dtype=np.float64) ** 2 / 2.0
+    ypre = np.power(a, -np.arange(n, dtype=np.float64)) * np.power(w, k2[:n])
+    L = factors.next_smooth_at_least(m + n - 1)
+    v = np.zeros(L, np.complex128)
+    v[:m] = np.power(w, -k2[:m])
+    v[L - n + 1:] = np.power(w, -k2[1:n][::-1])
+    pa, pb = const_pair(ypre)
+    va, vb = const_pair(np.fft.fft(v))
+    oa, ob = const_pair(np.power(w, k2[:m]))
+    y = x * jnp.asarray(pa) + jnp.flip(x, -1) * jnp.asarray(pb)
+    pads = [(0, 0)] * (y.ndim - 2) + [(0, L - n), (0, 0)]
+    y = jnp.pad(y, pads)
+    Y = fft(y, axis=-1)
+    Y = Y * jnp.asarray(va) + jnp.flip(Y, -1) * jnp.asarray(vb)
+    g = ifft(Y, axis=-1)
+    g = jax.lax.slice_in_dim(g, 0, m, axis=g.ndim - 2)
+    out = g * jnp.asarray(oa) + jnp.flip(g, -1) * jnp.asarray(ob)
+    return _restore_axes(out, undo, comp=True)
+
+
+def zoom_fft(x, fn, m: Optional[int] = None, *, fs: float = 2.0,
+             axis: int = -1, interleaved: Optional[bool] = None):
+    """Zoomed FFT over the band [fn[0], fn[1]] (scipy.signal.zoom_fft
+    semantics, endpoint=False; scalar fn means [0, fn]): frequencies
+    f1 + (f2-f1)*k/m for k < m."""
+    if np.isscalar(fn):
+        f1, f2 = 0.0, float(fn)
+    else:
+        f1, f2 = float(fn[0]), float(fn[1])
+    xx = asinterleaved(x, interleaved)
+    n = xx.shape[_axes_list(xx.ndim - 1, (axis,), False)[0]]
+    m = int(m) if m is not None else n
+    w = np.exp(-2j * np.pi * (f2 - f1) / (fs * m))
+    a = np.exp(2j * np.pi * f1 / fs)
+    return czt(xx, m=m, w=w, a=a, axis=axis, interleaved=True)
 
 
 def resample(x, num: int, axis: int = -1):
