@@ -459,3 +459,18 @@ def test_czt_zoom_fft_vs_scipy(rng):
         y = F.zoom_fft(x, fn, m=m)
         ys = ss.zoom_fft(x, fn, m=m, axis=-1)
         _close(y, ys, label=f"zoom_fft fn={fn}")
+
+
+def test_istft_short_signal_non_dividing_hop(rng):
+    """Short signals (nb <= 2 frames) with a valid non-dividing hop must
+    reconstruct, not NOLA-false-positive (review regression)."""
+    x = rng.standard_normal(456).astype(np.float32)
+    f, t, Z = F.stft(x, nperseg=256, noverlap=56, boundary=None)
+    _, y = F.istft(Z, nperseg=256, noverlap=56, boundary=False)
+    _, ys = ss.istft(*[np.asarray(a) for a in
+                       [ss.stft(x, nperseg=256, noverlap=56,
+                                boundary=None)[2]]],
+                     nperseg=256, noverlap=56, boundary=False)
+    y = np.asarray(y)
+    m = min(len(y), len(ys))
+    assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3

@@ -760,11 +760,11 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
             ..., jnp.asarray(idx)].add(frames.reshape(*lead, nb * W))
         norm = np.zeros(total_out)
         np.add.at(norm, idx, np.tile(w2, nb))
-        # steady-state overlap profile: samples covered by the maximal
-        # frame count (positions [W-1, (nb-1)*H]); edges are legitimately
-        # partial like the seam path's edge blocks
-        lo, hi = W - 1, (nb - 1) * H + 1
-        full = norm[lo:hi] if hi > lo else norm
+        # steady-state overlap profile built from the window alone (the
+        # H-periodic sum every interior sample sees with unbounded
+        # frames) — independent of nb, so short signals with a valid
+        # hop are not false-positived and every hop phase is checked
+        full = np.array([w2[p::H].sum() for p in range(H)])
     lpad = W // 2 if boundary else 0
     n_out = total_out - 2 * lpad
     # NOLA gate on the STEADY-STATE overlap profile (`full` — what every
@@ -971,7 +971,7 @@ def czt(x, m: Optional[int] = None, w=None, a=1 + 0j, *, axis: int = -1,
     # Bluestein: w^{nk} = w^{(n^2 + k^2 - (k-n)^2)/2}, so the transform
     # is a pre-chirp multiply, a linear convolution with w^{-j^2/2}, and
     # a post-chirp multiply — all host-precomputed tables (float64)
-    from .core.cplx import const_pair
+    from .core.cplx import cmul_const, const_pair
     k2 = np.arange(max(m, n), dtype=np.float64) ** 2 / 2.0
     ypre = np.power(a, -np.arange(n, dtype=np.float64)) * np.power(w, k2[:n])
     L = factors.next_smooth_at_least(m + n - 1)
@@ -981,14 +981,13 @@ def czt(x, m: Optional[int] = None, w=None, a=1 + 0j, *, axis: int = -1,
     pa, pb = const_pair(ypre)
     va, vb = const_pair(np.fft.fft(v))
     oa, ob = const_pair(np.power(w, k2[:m]))
-    y = x * jnp.asarray(pa) + jnp.flip(x, -1) * jnp.asarray(pb)
+    y = cmul_const(x, jnp.asarray(pa), jnp.asarray(pb))
     pads = [(0, 0)] * (y.ndim - 2) + [(0, L - n), (0, 0)]
     y = jnp.pad(y, pads)
-    Y = fft(y, axis=-1)
-    Y = Y * jnp.asarray(va) + jnp.flip(Y, -1) * jnp.asarray(vb)
+    Y = cmul_const(fft(y, axis=-1), jnp.asarray(va), jnp.asarray(vb))
     g = ifft(Y, axis=-1)
     g = jax.lax.slice_in_dim(g, 0, m, axis=g.ndim - 2)
-    out = g * jnp.asarray(oa) + jnp.flip(g, -1) * jnp.asarray(ob)
+    out = cmul_const(g, jnp.asarray(oa), jnp.asarray(ob))
     return _restore_axes(out, undo, comp=True)
 
 
@@ -1030,8 +1029,11 @@ def resample(x, num: int, axis: int = -1):
         # X[num/2] real by adding the conjugate: 2*Re for interior bins,
         # but only when the source bin is NOT the source Nyquist
         if num % 2 == 0 and nb_out - 1 < nb_in - 1 + (n % 2):
+            # the new Nyquist bin aggregates its conjugate pair: double
+            # the real part, drop the imaginary (scipy's merge; the
+            # enclosing guard already excludes a source-Nyquist passthrough)
             mask = np.ones((nb_out, 2), np.float32)
-            mask[-1, 0] = 2.0 if (nb_out - 1) != (nb_in - 1) or n % 2 else 1.0
+            mask[-1, 0] = 2.0
             mask[-1, 1] = 0.0
             Y = Y * mask
     else:
