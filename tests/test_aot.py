@@ -153,3 +153,34 @@ def test_aot_distributed_rejects_dp_only():
                                      mesh=mesh, batch_axis="dp")
     with pytest.raises(W.PlanError, match="export_plan"):
         W.export_distributed_plan(plan)
+
+
+@pytest.mark.parametrize("kind", ["r2c", "c2r", "dct2", "dst3",
+                                  "dct1", "dst4"])
+def test_aot_every_transform_family(rng, assert_close, kind, tmp_path):
+    """AOT export/load roundtrip for the real and trig families (c2c,
+    fftconv, conv2d are covered above) — the serving story holds for
+    every plan type."""
+    from webgpufft_tpu.utils import mathref as R
+    n, batch = 16, 2
+    direction = "inverse" if kind == "c2r" else "forward"
+    plan = W.create_plan(type=kind, shape=[n], batch=batch,
+                        direction=direction, normalize="none",
+                        cache=W.PlanCache())
+    ep = W.load_exported_plan(W.export_plan(plan))
+    if kind == "r2c":
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        y = np.asarray(ep(x))
+        ref = np.fft.rfft(x, axis=-1)
+        assert_close(y[..., 0], ref.real, label="aot r2c")
+    elif kind == "c2r":
+        pk = np.fft.rfft(rng.standard_normal((batch, n)), axis=-1)
+        xi = np.stack([pk.real, pk.imag], -1).astype(np.float32)
+        y = np.asarray(ep(xi))
+        live = np.asarray(plan(xi))
+        assert_close(y, live, label="aot c2r == live")
+    else:
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        y = np.asarray(ep(x))
+        ref = R.dct_nd(x.astype(np.float64), [n], kind, "forward")
+        assert_close(y, ref, label=f"aot {kind}")
