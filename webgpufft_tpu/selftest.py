@@ -94,6 +94,28 @@ def run(tol: float = 1e-5) -> bool:
     check("c2c four-step (4096)", np.asarray(p(interleave(z))),
           interleave(R.fft_nd(z, [4096], "forward")))
 
+    # overlap-save streaming convolution route (forced small blocks)
+    zc = rng.standard_normal((1, 512)) + 1j * rng.standard_normal((1, 512))
+    k = rng.standard_normal((9,)) + 1j * rng.standard_normal((9,))
+    p = W.create_plan({"type": "fftconv", "shape": [512], "batch": 1,
+                       "fftConv": {"boundary": "circular",
+                                   "kernelShape": [9],
+                                   "tuning": {"overlapSave": "on",
+                                              "overlapBlock": 64}}},
+                      cache=cache)
+    assert p.route.mode == "overlap-save", p.route
+    check("fftconv overlap-save (512)",
+          np.asarray(p.exec(interleave(zc), kernel=interleave(k))),
+          interleave(R.fftconv(zc, k, [512], batch=1, boundary="circular",
+                               kernel_shape=[9])))
+
+    # functional facade (stft roundtrip through the plan cache)
+    from . import fftapi
+    xs = rng.standard_normal(1024).astype(np.float32)
+    _, _, Zs = fftapi.stft(xs, nperseg=128)
+    _, back = fftapi.istft(Zs, nperseg=128)
+    check("facade stft/istft (1024)", np.asarray(back)[:1024], xs)
+
     # AOT export/load roundtrip on this backend
     p = W.create_plan({"type": "c2c", "shape": [64], "batch": 2,
                        "normalize": "unitary"}, cache=cache)
