@@ -14,6 +14,15 @@ Public API (reference: src/index.js / src/public_api.js / docs/API.md):
     y = plan(x)                      # x: float32 (batch, *shape, 2) interleaved
     y = plan.exec(x, kernel=k)       # fftconv / conv2d
 
+Beyond the reference surface:
+
+    from webgpufft_tpu import fft as wfft      # numpy/scipy-style facade
+    Y = wfft.fft(z); S = wfft.welch(x)         # full numpy.fft + scipy.signal
+
+    plan = create_distributed_plan(opts, mesh=mesh,   # multi-chip (ICI)
+                                   batch_axis="dp", seq_axis="sp")
+    blob = export_plan(plan)                   # AOT serving artifacts
+
 Complex tensors are interleaved float32 with a trailing component dim
 ([..., 0]=re, [..., 1]=im) — byte-compatible with the reference's
 interleaved storage, and the natural layout for the TPU's real-valued MXU.
