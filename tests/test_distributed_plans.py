@@ -502,3 +502,24 @@ def test_fftconv_seq_halo_packed_kernel(mesh8, rng, assert_close):
                     kernel_shape=list(kshape))
     got = (y[..., 0] + 1j * y[..., 1]).reshape(ref.shape)
     assert_close(got.real, ref.real, label="halo packed kernel")
+
+
+def test_halo_route_hlo_has_no_all_to_all(mesh8):
+    """Structural proof of the halo route's communication claim: the
+    compiled HLO contains NO all-to-all — only collective-permutes of the
+    (k-1)-slab halo — while the spectrum route's digit exchange shows the
+    all_to_all.  (The FakeDevice-analog lane: assert the command stream,
+    not just the values.)"""
+    x = jnp.zeros((2, 1024, 2), jnp.float32)
+    k = jnp.zeros((17, 2), jnp.float32)
+    halo = create_distributed_plan(
+        type="fftconv", shape=[1024], batch=2,
+        fftConv={"boundary": "linear-same", "kernelShape": [17]},
+        mesh=mesh8, seq_axis="sp")
+    txt = jax.jit(halo._jit).lower(x, k).compile().as_text()
+    assert txt.count("all-to-all(") == 0
+    assert txt.count("collective-permute(") >= 1
+    spectrum = create_distributed_plan(type="c2c", shape=[1024], batch=2,
+                                       mesh=mesh8, seq_axis="sp")
+    txt2 = jax.jit(spectrum._jit).lower(x).compile().as_text()
+    assert txt2.count("all-to-all(") >= 1
