@@ -693,6 +693,12 @@ def build_distributed_fftconv_halo_nd(shape, kshape, batch: int, mesh: Mesh,
     plus free right zero-pad to make each local FFT length smooth.  The
     boundary crop happens on the unsharded output.
 
+    HLO note (asserted by tests/test_distributed_plans.py): the compiled
+    program contains NO all-to-all; the partitioner emits the halo as a
+    (k0-1)-slab collective-permute plus a few boundary-element permutes
+    for the output-crop shard shift — total communication O(k0) per
+    device either way.
+
     fn(x, kernel): x (batch, *shape, 2), kernel (*kshape, 2) ->
     (batch, *out_shape, 2).
     """
