@@ -184,3 +184,27 @@ def test_aot_every_transform_family(rng, assert_close, kind, tmp_path):
         y = np.asarray(ep(x))
         ref = R.dct_nd(x.astype(np.float64), [n], kind, "forward")
         assert_close(y, ref, label=f"aot {kind}")
+
+
+def test_aot_distributed_halo_plan(rng, assert_close):
+    """The halo-exchange conv route (shard_map + ppermute) exports and
+    serves like the spectrum routes."""
+    from webgpufft_tpu.parallel import sharded
+    from webgpufft_tpu.utils import mathref as R
+
+    mesh = sharded.make_mesh({"sp": 8})
+    plan = W.create_distributed_plan(
+        type="fftconv", shape=[1024], batch=2,
+        fftConv={"boundary": "linear-same", "kernelShape": [17]},
+        mesh=mesh, seq_axis="sp")
+    assert any(r.startswith("fftconv-halo") for r in plan.route.reasons)
+    ep = W.load_exported_plan(W.export_distributed_plan(plan))
+    z = rng.standard_normal((2, 1024)) + 1j * rng.standard_normal((2, 1024))
+    k = rng.standard_normal(17) + 1j * rng.standard_normal(17)
+    xi = np.stack([z.real, z.imag], -1).astype(np.float32)
+    ki = np.stack([k.real, k.imag], -1).astype(np.float32)[None]
+    y = np.asarray(ep(xi, ki, mesh=mesh))
+    ref = R.fftconv(z, k, [1024], batch=2, boundary="linear-same",
+                    kernel_shape=[17])
+    assert_close(y[..., 0], ref.real, label="aot halo.re")
+    assert_close(y[..., 1], ref.imag, label="aot halo.im")
