@@ -215,3 +215,33 @@ def test_fuzz_distributed_real_and_trig(seed, _dmeshes, assert_close):
         ref = R.dct_nd(x, [n], kind, direction, "unitary")
         assert_close(y, ref, atol_scale=5e-5,
                      label=f"dfuzz {kind} seed={seed} n={n} {direction}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_distributed_fftconv_nd(seed, _dmeshes, assert_close):
+    """Random ND distributed convolutions across the halo and spectrum
+    routes (kernel size decides), all boundaries."""
+    rng = np.random.default_rng(8000 + seed)
+    mesh = _dmeshes["dp2sp4"]
+    shape = [int(rng.choice([96, 128, 200])), int(rng.choice([6, 8, 12]))]
+    kshape = [int(rng.integers(2, 12)), int(rng.integers(1, 4))]
+    boundary = str(rng.choice(["linear-full", "linear-same", "circular"]))
+    if boundary == "circular" and shape[0] % 4:
+        boundary = "linear-full"
+    batch = 4
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    kk = rng.standard_normal(kshape) + 1j * rng.standard_normal(kshape)
+    plan = create_distributed_plan(
+        type="fftconv", shape=shape, batch=batch,
+        fftConv={"boundary": boundary, "kernelShape": kshape},
+        mesh=mesh, batch_axis="dp", seq_axis="sp")
+    y = np.asarray(plan(interleave(z), kernel=interleave(kk)))
+    ref = R.fftconv(z, kk, shape, batch=batch, boundary=boundary,
+                    kernel_shape=kshape)
+    got = (y[..., 0] + 1j * y[..., 1]).reshape(ref.shape)
+    assert_close(got.real, ref.real, atol_scale=5e-5,
+                 label=f"dfuzz ndconv seed={seed} {shape}*{kshape} "
+                 f"{boundary} route={plan.route.reasons[-1]}")
+    assert_close(got.imag, ref.imag, atol_scale=5e-5,
+                 label=f"dfuzz ndconv seed={seed}.im")
