@@ -459,7 +459,7 @@ def _dct_axis_fft_consts(n: int, eff_kind: str, prefix: str, tuning):
     eff_kind is "dct2"-like (forward trig) or "dct3"-like (inverse trig);
     dst variants add sign/reverse wrappers at apply time.
     """
-    from ..core.axis import MixedAxisPlan, build_axis_plan
+    from ..core.axis import build_axis_plan
     perm, inv = _dct_reorder_perms(n)
     w = np.exp(-1j * np.pi * np.arange(n) / (2 * n))
     consts: Dict[str, np.ndarray] = {f"{prefix}/perm": perm, f"{prefix}/inv": inv}

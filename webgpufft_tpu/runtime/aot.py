@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, Optional
 
-import numpy as np
 
 from ..spec import PlanError, spec_to_dict
 
