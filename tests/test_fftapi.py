@@ -5,6 +5,8 @@ pin the façade to the exact upstream call conventions (norm modes, n/s
 crop-pad, axis handling, packing, convolve modes).
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -367,7 +369,11 @@ def test_istft_boundary_false_and_validation(rng):
     fs_, ts_, Zs = ss.stft(x, nperseg=256, noverlap=128, boundary=None)
     _close(Z, Zs, label="stft boundary=None")
     t2, y = F.istft(Z, nperseg=256, noverlap=128, boundary=False)
-    ts2, ys = ss.istft(Zs, nperseg=256, noverlap=128, boundary=False)
+    with warnings.catch_warnings():
+        # scipy's own istft warns NOLA for the tapered-edge boundary=False
+        # case; the oracle output is still what we compare against
+        warnings.simplefilter("ignore", UserWarning)
+        ts2, ys = ss.istft(Zs, nperseg=256, noverlap=128, boundary=False)
     y = np.asarray(y)
     m = min(y.shape[-1], ys.shape[-1])
     # interior matches scipy exactly; the tapered (partial-overlap) edge
@@ -435,7 +441,9 @@ def test_stft_istft_non_dividing_hop(rng):
     assert np.allclose(t, ts_)
     _close(Z, Zs, label="stft non-dividing hop")
     _, y = F.istft(Z, nperseg=256, noverlap=56)
-    _, ys = ss.istft(Zs, nperseg=256, noverlap=56)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        _, ys = ss.istft(Zs, nperseg=256, noverlap=56)
     y = np.asarray(y)
     m = min(len(y), len(ys))
     assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3
@@ -467,10 +475,12 @@ def test_istft_short_signal_non_dividing_hop(rng):
     x = rng.standard_normal(456).astype(np.float32)
     f, t, Z = F.stft(x, nperseg=256, noverlap=56, boundary=None)
     _, y = F.istft(Z, nperseg=256, noverlap=56, boundary=False)
-    _, ys = ss.istft(*[np.asarray(a) for a in
-                       [ss.stft(x, nperseg=256, noverlap=56,
-                                boundary=None)[2]]],
-                     nperseg=256, noverlap=56, boundary=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        _, ys = ss.istft(*[np.asarray(a) for a in
+                           [ss.stft(x, nperseg=256, noverlap=56,
+                                    boundary=None)[2]]],
+                         nperseg=256, noverlap=56, boundary=False)
     y = np.asarray(y)
     m = min(len(y), len(ys))
     assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3
