@@ -484,3 +484,17 @@ def test_istft_short_signal_non_dividing_hop(rng):
     y = np.asarray(y)
     m = min(len(y), len(ys))
     assert np.max(np.abs(y[:m] - ys[:m])) < 2e-3
+
+
+def test_stft_welch_non_default_axis(rng):
+    """axis != -1 follows scipy's convention (freq replaces the axis,
+    time appended last) for both stft and welch."""
+    x = rng.standard_normal((1024, 3)).astype(np.float32)
+    f, t, Z = F.stft(x, nperseg=256, axis=0)
+    fs_, ts_, Zs = ss.stft(x, nperseg=256, axis=0)
+    assert np.allclose(f, fs_) and np.allclose(t, ts_)
+    _close(Z, Zs, label="stft axis=0")
+    f, P = F.welch(x, nperseg=256, axis=0)
+    fs_, Ps = ss.welch(x, nperseg=256, axis=0)
+    assert np.allclose(f, fs_)
+    _close(P, Ps, label="welch axis=0")
