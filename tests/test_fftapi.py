@@ -205,6 +205,19 @@ def test_fftconvolve_valid_swap_batched(rng):
                       axes=(1,))
 
 
+def test_fftconvolve_in1_singleton_broadcast(rng):
+    """scipy broadcasts a size-1 non-convolved axis on EITHER input;
+    convolution commutes, so an in1 singleton runs via the multi-kernel
+    path just like an in2 singleton (ADVICE r2 fix)."""
+    a = rng.standard_normal((1, 20))
+    b = rng.standard_normal((5, 4))
+    for mode in ("full", "same", "valid"):
+        _close(F.fftconvolve(a, b, mode, axes=(1,)),
+               ss.fftconvolve(a, b, mode, axes=1), label=f"in1-1 {mode}")
+        _close(F.fftconvolve(b, a, mode, axes=(1,)),
+               ss.fftconvolve(b, a, mode, axes=1), label=f"in2-1 {mode}")
+
+
 def test_fftconvolve_complex_and_swap(rng):
     zc = rng.standard_normal(16) + 1j * rng.standard_normal(16)
     kc = rng.standard_normal(4) + 1j * rng.standard_normal(4)
@@ -329,11 +342,16 @@ def test_welch_batched_and_periodogram(rng):
     fs_, Ps = ss.welch(xb, nperseg=256)
     _close(P, Ps, label="welch batched")
     x = rng.standard_normal(4096).astype(np.float32)
-    for cfg in (dict(), dict(window="hann"), dict(nfft=8192)):
+    # nfft=1024 < len(x): scipy crops the signal to nfft (ADVICE r2 fix)
+    for cfg in (dict(), dict(window="hann"), dict(nfft=8192),
+                dict(nfft=1024), dict(nfft=1024, window="hann")):
         f, P = F.periodogram(x, fs=1000.0, **cfg)
         fs_, Ps = ss.periodogram(x, fs=1000.0, **cfg)
         assert np.allclose(f, fs_)
         _close(P, Ps, label=f"periodogram {cfg}")
+    fb, Pb = F.periodogram(xb, nfft=1024, axis=-1)
+    fbs, Pbs = ss.periodogram(xb, nfft=1024, axis=-1)
+    _close(Pb, Pbs, label="periodogram batched nfft crop")
     with pytest.raises(PlanError, match="scaling"):
         F.welch(x, nperseg=256, scaling="bogus")
     with pytest.raises(PlanError, match="shorter"):

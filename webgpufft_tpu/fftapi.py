@@ -534,11 +534,13 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
             f"fftconvolve inputs must have equal rank, got {nd} and {k.ndim - 1}")
     axes = _axes_list(nd, axes, True)
     for a in range(nd):
-        if a not in axes and x.shape[a] != k.shape[a] and k.shape[a] != 1:
+        if (a not in axes and x.shape[a] != k.shape[a]
+                and k.shape[a] != 1 and x.shape[a] != 1):
             raise PlanError(
                 f"non-convolved axis {a} sizes differ: {x.shape[a]} vs "
-                f"{k.shape[a]} (only a size-1 second input broadcasts; use "
-                "the plan API's multi-kernel channel policy otherwise)")
+                f"{k.shape[a]} (a size-1 axis on either input broadcasts, "
+                "scipy-style; use the plan API's multi-kernel channel "
+                "policy otherwise)")
     boundary = {"full": "linear-full", "same": "linear-same",
                 "valid": "linear-valid"}[mode]
     # arrange: batch = non-axes dims of x; kernel batch dims must be 1-like
@@ -577,6 +579,13 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
         y = plan.exec(x.reshape(1, *shape, 2),
                       kernel=k.reshape(kc, *kshape, 2))
         y = y.reshape(*klead, *y.shape[2:])   # kernel-major -> lead dims
+        if mode == "same":
+            # scipy's 'same' center-crops to in1's FULL shape, non-
+            # convolved axes included — in1 is singleton there in this
+            # branch, so keep the centered kernel lane only
+            idx = tuple(slice((d - 1) // 2, (d - 1) // 2 + 1)
+                        for d in klead)
+            y = y[idx + (Ellipsis,)]
     else:
         batch = int(np.prod(lead)) if lead else 1
         plan = create_plan(type="fftconv", shape=list(shape), batch=batch,
@@ -747,9 +756,9 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
         norm_blocks = np.broadcast_to(full, (out_blocks, H)).copy()
         edge = list(range(min(q - 1, out_blocks))) + list(
             range(max(out_blocks - (q - 1), 0), out_blocks))
-        for m in edge:
-            lo, hi = max(0, m - nb + 1), min(q - 1, m)
-            norm_blocks[m] = w2segs[lo:hi + 1].sum(0)
+        for blk in edge:
+            lo, hi = max(0, blk - nb + 1), min(q - 1, blk)
+            norm_blocks[blk] = w2segs[lo:hi + 1].sum(0)
         norm = norm_blocks.reshape(-1)
     else:
         # non-dividing hop: scatter-add fallback (correct everywhere;
@@ -935,9 +944,15 @@ def periodogram(x, fs: float = 1.0, window="boxcar",
                 nfft: Optional[int] = None, scaling: str = "density",
                 axis: int = -1):
     """Single-segment PSD estimate (scipy.signal.periodogram semantics
-    with detrend='constant'): Welch with one full-length segment."""
+    with detrend='constant'): Welch with one full-length segment.
+    ``nfft`` shorter than the signal crops the signal to ``nfft`` first
+    (scipy's behavior), longer zero-pads the spectrum."""
     x = _real_f32(x)
     n = x.shape[axis]
+    if nfft is not None and int(nfft) < n:
+        n = int(nfft)
+        x = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+        nfft = None
     if window == "boxcar":
         window = np.ones(n, np.float32)
     return welch(x, fs=fs, window=window, nperseg=n, noverlap=0,

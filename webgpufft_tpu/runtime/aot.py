@@ -205,6 +205,15 @@ class ExportedPlan:
                     f"serving mesh axes {dict(mesh.shape)} do not match the "
                     f"exported mesh {want}")
             x = self._place(x, mesh)
+            if kernel is not None:
+                # replicate the kernel explicitly — implicit replication
+                # works on single-host meshes but is fragile on multi-host
+                # serving meshes
+                import jax
+                import jax.numpy as jnp
+                from jax.sharding import NamedSharding, PartitionSpec
+                kernel = jax.device_put(jnp.asarray(kernel),
+                                        NamedSharding(mesh, PartitionSpec()))
         if kernel is not None:
             return self._exported.call(x, kernel)
         return self._exported.call(x)
