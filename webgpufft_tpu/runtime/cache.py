@@ -146,7 +146,10 @@ def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
                           if v is not None else None)
     fc = d.get("fft_conv")
     if fc is not None:
-        fc = dict(fc)
+        # drop fields a newer schema removed (e.g. the r2-era inert
+        # pointwise/extract chunk knobs) so old snapshots still load
+        fc = {k: v for k, v in fc.items()
+              if k in S.FftConvSpec.__dataclass_fields__}
         if fc.get("kernel_shape") is not None:
             fc["kernel_shape"] = tuple(fc["kernel_shape"])
         for k in ("channel_input", "channel_output"):

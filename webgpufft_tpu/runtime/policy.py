@@ -57,6 +57,8 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     budget = t.vmem_limit_bytes or fused.DEFAULT_VMEM_BUDGET
     if n_last * 12 * 8 > budget:
         reasons.append("line-exceeds-vmem-budget")
+    if t.max_fused_elements is not None and n_last > t.max_fused_elements:
+        reasons.append("line-exceeds-max-fused-elements")
     if not reasons:
         tile = t.batch_tile or fused.pick_batch_tile(lines, n_last, budget)
         if tile is None or lines % tile != 0 or tile < 1:

@@ -135,8 +135,6 @@ class FftConvSpec:
     channel_input: Optional[ChannelLane] = None
     channel_output: Optional[ChannelLane] = None
     output_kernel_stride_elements: Optional[int] = None
-    pointwise_chunk_elements: Optional[int] = None   # accepted for parity; XLA fuses
-    extract_copy_chunk_elements: Optional[int] = None
     # overlap-save streaming route for long signals with small kernels
     # (auto: selected when shape is 1-D-huge and the kernel is small)
     overlap_save: str = "auto"                       # auto|on|off
@@ -347,6 +345,19 @@ WEBGPU_ONLY_TUNING_KEYS = frozenset({
     "outOfCoreBurstWindows",
 })
 
+# fftConv.tuning keys that chunk WebGPU dispatches in the reference
+# (fftconv.js:283-305); XLA fuses the pointwise multiply and extract copy
+# into the surrounding FFT passes, so they are accepted-and-recorded no-ops
+# (route reason "ignored-webgpu-knob:fftConv.tuning.<key>").
+FFTCONV_WEBGPU_TUNING_KEYS = frozenset({
+    "pointwiseChunkElements", "extractCopyChunkElements",
+})
+
+# fftConv.tuning keys this backend consumes (overlap-save streaming route).
+_FFTCONV_TUNING_KEYS = frozenset({
+    "overlapSave", "overlap_save", "overlapBlock", "overlap_block",
+})
+
 
 def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     if t is None:
@@ -463,6 +474,7 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
         in_domain = out_domain = shape
 
     fft_conv = None
+    fc_ignored_knobs: list = []
     if plan_type == "fftconv":
         fc = d.get("fftConv", d.get("fft_conv")) or {}
         mode = fc.get("mode", "convolution")
@@ -490,14 +502,17 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
         _check(not (cp and d.get("layout", {}).get("whdcn")),
                "use fftConv.channelPolicy or layout.whdcn, not both")
         tun = fc.get("tuning") or {}
+        for k in tun:
+            _check(k in _FFTCONV_TUNING_KEYS or k in FFTCONV_WEBGPU_TUNING_KEYS,
+                   f"unknown fftConv.tuning key {k!r}")
+        fc_ignored_knobs.extend(f"fftConv.tuning.{k}" for k in tun
+                                if k in FFTCONV_WEBGPU_TUNING_KEYS)
         fft_conv = FftConvSpec(
             mode=mode, boundary=boundary, kernel_shape=kshape, kernel_count=kcount,
             output_layout=out_layout, channel_input=ch_in, channel_output=ch_out,
             output_kernel_stride_elements=(
                 int(fc["outputKernelStrideElements"])
                 if "outputKernelStrideElements" in fc else None),
-            pointwise_chunk_elements=tun.get("pointwiseChunkElements"),
-            extract_copy_chunk_elements=tun.get("extractCopyChunkElements"),
             overlap_save=tun.get("overlapSave", tun.get("overlap_save", "auto")),
             overlap_block=(int(tun.get("overlapBlock",
                                        tun.get("overlap_block")))
@@ -560,6 +575,10 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
         _check(plan_type != "conv2d", "conv2d does not support zeroPad")
 
     tuning = resolve_auto_tuning(_norm_tuning(d.get("tuning")), precision)
+    if fc_ignored_knobs:
+        tuning = dataclasses.replace(
+            tuning, ignored_webgpu_knobs=tuple(sorted(
+                set(tuning.ignored_webgpu_knobs) | set(fc_ignored_knobs))))
 
     return PlanSpec(
         plan_type=plan_type, shape=shape, direction=direction, batch=batch,
