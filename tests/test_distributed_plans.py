@@ -523,3 +523,97 @@ def test_halo_route_hlo_has_no_all_to_all(mesh8):
                                        mesh=mesh8, seq_axis="sp")
     txt2 = jax.jit(spectrum._jit).lower(x).compile().as_text()
     assert txt2.count("all-to-all(") >= 1
+
+
+# ---------------------------------------------------------------------------
+# Distributed ND real transforms + ND trig (VERDICT r2 #1/#5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [
+    [128, 12],       # half-complex trick on the axis-0 four-step (h splits)
+    [30, 10],        # even n0, no four-step split -> half-trick Bluestein
+    [13, 6],         # odd n0 -> complex-widening Bluestein
+    [24, 8, 6],      # rank 3, half-trick Bluestein
+    [64, 4, 6],      # rank 3, half-complex four-step
+])
+def test_r2c_c2r_nd_seq(mesh8, rng, assert_close, shape):
+    """Rank>=2 distributed r2c/c2r vs numpy, axis 0 packed (the reference's
+    real_complex.js packing), every route of the axis-0 policy."""
+    batch = 2
+    x = rng.standard_normal((batch, *shape))
+    r2c = create_distributed_plan(type="r2c", shape=shape, batch=batch,
+                                  mesh=mesh8, seq_axis="sp")
+    axes = tuple(range(1, len(shape) + 1))
+    ref = np.fft.fftn(x, axes=axes)[:, : shape[0] // 2 + 1]
+    got = uninterleave(np.asarray(r2c(jnp.asarray(x.astype(np.float32)))))
+    assert_close(got.real, ref.real, label=f"nd r2c {shape}.re")
+    assert_close(got.imag, ref.imag, label=f"nd r2c {shape}.im")
+    c2r = create_distributed_plan(type="c2r", shape=shape, batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    back = np.asarray(c2r(jnp.asarray(interleave(ref).astype(np.float32))))
+    assert_close(back, x, label=f"nd c2r {shape} roundtrip")
+
+
+def test_r2c_nd_seq_dp_sp(mesh24, rng, assert_close):
+    """dp x sp: batch sharded over dp while axis 0 distributes over sp."""
+    shape, batch = [32, 6, 4], 4
+    x = rng.standard_normal((batch, *shape))
+    plan = create_distributed_plan(type="r2c", shape=shape, batch=batch,
+                                   normalize="unitary", mesh=mesh24,
+                                   batch_axis="dp", seq_axis="sp")
+    ref = (np.fft.fftn(x, axes=(1, 2, 3))[:, :17]
+           / np.sqrt(np.prod(shape)))
+    got = uninterleave(np.asarray(plan(jnp.asarray(x.astype(np.float32)))))
+    assert_close(got.real, ref.real, label="nd r2c dpsp.re")
+    assert_close(got.imag, ref.imag, label="nd r2c dpsp.im")
+
+
+@pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
+def test_trig_nd_seq(mesh24, rng, assert_close, kind):
+    """Rank-2 distributed DCT/DST: distributed axis-0 trig wrappers +
+    local per-axis routing for the rest, forward and inverse."""
+    shape, batch = [16, 12], 4
+    x = rng.standard_normal((batch, *shape))
+    for direction, normalize in (("forward", "none"),
+                                 ("inverse", "backward")):
+        plan = create_distributed_plan(type=kind, shape=shape, batch=batch,
+                                       direction=direction,
+                                       normalize=normalize, mesh=mesh24,
+                                       batch_axis="dp", seq_axis="sp")
+        y = np.asarray(plan(jnp.asarray(x.astype(np.float32))))
+        ref = R.dct_nd(x, shape, kind, direction, normalize)
+        assert_close(y, ref, label=f"nd {kind} {direction}")
+
+
+def test_trig_nd_seq_odd_axis0_and_fft_rest(mesh24, rng, assert_close):
+    """Odd axis 0 (Bluestein embedding) and an FFT-routed riding axis
+    (dctFftMinN forced down) both compose in the ND trig plan."""
+    x = rng.standard_normal((2, 15, 8))
+    plan = create_distributed_plan(type="dct2", shape=[15, 8], batch=2,
+                                   mesh=mesh24, batch_axis="dp",
+                                   seq_axis="sp")
+    assert_close(np.asarray(plan(jnp.asarray(x.astype(np.float32)))),
+                 R.dct_nd(x, [15, 8], "dct2", "forward", "none"),
+                 label="nd dct2 odd axis0")
+    x2 = rng.standard_normal((2, 16, 16))
+    plan2 = create_distributed_plan(type="dct3", shape=[16, 16], batch=2,
+                                    tuning={"dctFftMinN": 16}, mesh=mesh24,
+                                    batch_axis="dp", seq_axis="sp")
+    assert_close(np.asarray(plan2(jnp.asarray(x2.astype(np.float32)))),
+                 R.dct_nd(x2, [16, 16], "dct3", "forward", "none"),
+                 label="nd dct3 fft-routed rest axis")
+
+
+def test_c2c_nd_seq_bluestein_axis0(mesh8, rng, assert_close):
+    """ND c2c with an unsplittable axis 0 takes the axis-0 Bluestein
+    embedding (used to raise 'cannot split')."""
+    shape, batch = [13, 8], 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    plan = create_distributed_plan(type="c2c", shape=shape, batch=batch,
+                                   mesh=mesh8, seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z))))
+    ref = R.fft_nd(z, shape, "forward")
+    assert_close(y.real, ref.real, label="nd bluestein axis0.re")
+    assert_close(y.imag, ref.imag, label="nd bluestein axis0.im")

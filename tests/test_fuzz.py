@@ -217,6 +217,51 @@ def test_fuzz_distributed_real_and_trig(seed, _dmeshes, assert_close):
                      label=f"dfuzz {kind} seed={seed} n={n} {direction}")
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_distributed_real_and_trig_nd(seed, _dmeshes, assert_close):
+    """Random rank-2/3 shapes (splittable, even-unsplittable, odd axis 0)
+    through the distributed ND r2c/c2r and dct/dst plans vs the oracles."""
+    rng = np.random.default_rng(7500 + seed)
+    key = str(rng.choice(["sp8", "dp2sp4"]))
+    mesh = _dmeshes[key]
+    dp = "dp" if "dp" in mesh.shape else None
+    n0 = int(rng.choice([13, 15, 24, 30, 32, 64, 128]))
+    rest = [int(v) for v in
+            rng.choice([4, 5, 6, 8, 12], size=int(rng.choice([1, 2])))]
+    shape = [n0] + rest
+    batch = 2 * (mesh.shape[dp] if dp else 1)
+    x = rng.standard_normal((batch, *shape))
+    which = str(rng.choice(["r2c", "trig"]))
+    axes = tuple(range(1, len(shape) + 1))
+    if which == "r2c":
+        r2c = create_distributed_plan(type="r2c", shape=shape, batch=batch,
+                                      mesh=mesh, batch_axis=dp,
+                                      seq_axis="sp")
+        pk = np.asarray(r2c(x.astype(np.float32)))
+        ref = np.fft.fftn(x, axes=axes)[:, : n0 // 2 + 1]
+        assert_close(pk[..., 0], ref.real,
+                     label=f"dfuzz ndr2c seed={seed} {shape}.re")
+        assert_close(pk[..., 1], ref.imag,
+                     label=f"dfuzz ndr2c seed={seed} {shape}.im")
+        c2r = create_distributed_plan(type="c2r", shape=shape, batch=batch,
+                                      direction="inverse",
+                                      normalize="backward", mesh=mesh,
+                                      batch_axis=dp, seq_axis="sp")
+        assert_close(np.asarray(c2r(pk)), x,
+                     label=f"dfuzz ndc2r seed={seed} {shape}")
+    else:
+        kind = str(rng.choice(["dct2", "dct3", "dst2", "dst3"]))
+        direction = str(rng.choice(["forward", "inverse"]))
+        plan = create_distributed_plan(type=kind, shape=shape, batch=batch,
+                                       direction=direction,
+                                       normalize="unitary", mesh=mesh,
+                                       batch_axis=dp, seq_axis="sp")
+        y = np.asarray(plan(x.astype(np.float32)))
+        ref = R.dct_nd(x, shape, kind, direction, "unitary")
+        assert_close(y, ref, atol_scale=5e-5,
+                     label=f"dfuzz nd{kind} seed={seed} {shape} {direction}")
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_distributed_fftconv_nd(seed, _dmeshes, assert_close):
     """Random ND distributed convolutions across the halo and spectrum

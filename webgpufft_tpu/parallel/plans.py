@@ -14,13 +14,17 @@ takes, returning a plan-like object:
 
 Modes:
 - ``seq_axis`` given: the transform itself is distributed over that mesh
-  axis (sequence parallel).  Supported: c2c any rank (axis 0 spans chips,
-  remaining axes run locally) and ANY rank-1 length (four-step digit plan
-  when a mesh-divisible smooth split exists, Bluestein chirp-Z embedding
-  otherwise); r2c/c2r rank 1 (even n via the half-complex trick, odd n
-  via complex widening); dct2/dct3/dst2/dst3 rank 1; fftconv any rank
-  with every boundary mode (linear = smooth-padded circular + crop) and
-  multi-kernel ``kernelCount`` (data spectrum computed once).
+  axis (sequence parallel).  Supported: c2c any rank and ANY axis-0
+  length (four-step digit plan when a mesh-divisible smooth split
+  exists, Bluestein chirp-Z embedding otherwise; remaining axes run
+  locally on the still-sharded grid); r2c/c2r any rank and ANY length
+  (axis 0 packed — reference real_complex.js conventions — via the
+  half-complex trick on the distributed half-length plan when it wins,
+  complex widening otherwise); dct2/dct3/dst2/dst3 any rank (distributed
+  axis-0 trig wrappers + the local matmul/FFT per-axis routing for the
+  rest); fftconv any rank with every boundary mode (linear =
+  smooth-padded circular + crop) and multi-kernel ``kernelCount`` (data
+  spectrum computed once).
 - ``seq_axis=None``: pure batch sharding — the local plan runs on every
   device's batch shard, collective-free (works for every plan type).
 
@@ -156,8 +160,20 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
 
     # ND: axis 0 spans chips; remaining axes transform locally per shard
     # (embarrassingly parallel over the k1 sharding — no extra collectives).
-    fft0 = sharded.build_distributed_fft_axis0(
-        shape, mesh, seq_axis, spec.direction, "none", batch_axis)
+    # Splittable n0 keeps the (k2, k1) digit-grid form so the riding-axis
+    # transforms run on the still-sharded grid; unsplittable n0 (odd/prime
+    # on a power-of-two mesh) takes the axis-0 Bluestein embedding, whose
+    # output is inherently flat.
+    if sharded.choose_distributed_split(
+            shape[0], mesh.shape[seq_axis]) is not None:
+        fft0 = sharded.build_distributed_fft_axis0(
+            shape, mesh, seq_axis, spec.direction, "none", batch_axis)
+        rest_base = 3                             # (b, k2, k1, *rest, 2)
+    else:
+        fft0 = _wrap_builder_errors(
+            sharded.build_distributed_bluestein_axis0, shape, mesh,
+            seq_axis, spec.direction, "none", batch_axis)
+        rest_base = 2                             # (b, n0, *rest, 2)
     from ..core.axis import build_axis_plan, slabbed_axis_apply
     consts: Dict[str, Any] = {}
     plans = []
@@ -170,15 +186,24 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
 
     def fn(x):
         b = x.shape[0]
-        y = fft0(x.reshape(b, *shape, 2))        # (b, k2, k1, *rest, 2)
+        y = fft0(x.reshape(b, *shape, 2))
         for d, ap in enumerate(plans):
             if ap.n > 1:
-                y = slabbed_axis_apply(y, ap, 3 + d, consts)
+                y = slabbed_axis_apply(y, ap, rest_base + d, consts)
         if scale != 1.0:
             y = y * jnp.asarray(scale, y.dtype)
         return y.reshape(b, *shape, 2)
 
     return fn, fft0.split
+
+
+def _wrap_builder_errors(builder, *args, **kwargs):
+    """Surface sharded-builder ValueErrors (unsplittable axis-0 lengths,
+    operand-size bounds) as PlanErrors."""
+    try:
+        return builder(*args, **kwargs)
+    except ValueError as e:
+        raise PlanError(str(e)) from None
 
 
 def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
@@ -387,25 +412,33 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
     if t == "c2c":
         fn, split = _build_seq_c2c(spec, mesh, batch_axis, seq_axis)
     elif t == "r2c":
-        if spec.rank != 1:
-            raise PlanError("distributed r2c supports rank 1 (pair with "
-                            "batch sharding for ND batches)")
-        inner = sharded.build_distributed_r2c_1d(
-            spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        if spec.rank == 1:
+            inner = sharded.build_distributed_r2c_1d(
+                spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        else:
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_r2c_nd, spec.shape, mesh,
+                seq_axis, spec.normalize, batch_axis, tuning=spec.tuning)
         fn, split = inner, inner.split
     elif t == "c2r":
-        if spec.rank != 1:
-            raise PlanError("distributed c2r supports rank 1")
-        inner = sharded.build_distributed_c2r_1d(
-            spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        if spec.rank == 1:
+            inner = sharded.build_distributed_c2r_1d(
+                spec.shape[0], mesh, seq_axis, spec.normalize, batch_axis)
+        else:
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_c2r_nd, spec.shape, mesh,
+                seq_axis, spec.normalize, batch_axis, tuning=spec.tuning)
         fn, split = inner, inner.split
     elif t in ("dct2", "dct3", "dst2", "dst3"):
-        if spec.rank != 1:
-            raise PlanError(f"distributed {t} supports rank 1 (pair with "
-                            "batch sharding for ND batches)")
-        inner = sharded.build_distributed_trig_1d(
-            spec.shape[0], t, mesh, seq_axis, spec.direction,
-            spec.normalize, batch_axis)
+        if spec.rank == 1:
+            inner = sharded.build_distributed_trig_1d(
+                spec.shape[0], t, mesh, seq_axis, spec.direction,
+                spec.normalize, batch_axis)
+        else:
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_trig_nd, spec.shape, t, mesh,
+                seq_axis, spec.direction, spec.normalize, batch_axis,
+                tuning=spec.tuning)
         fn, split = inner, inner.split
     else:  # fftconv (guarded by _reject_unsupported)
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)

@@ -415,6 +415,333 @@ def build_distributed_c2r_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def _local_rest_axis_plans(rest, direction: str, tuning):
+    """Axis plans + jnp consts for the locally-transformed riding axes of
+    an ND distributed plan (logical axes 1..rank-1)."""
+    from ..core.axis import build_axis_plan
+    from ..spec import TuningSpec
+    tuning = tuning if tuning is not None else TuningSpec()
+    plans, consts = [], {}
+    for d, m in enumerate(rest):
+        ap = build_axis_plan(m, d + 1, direction, tuning, f"dr{d}")
+        consts.update(ap.consts())
+        plans.append(ap)
+    return plans, {k: jnp.asarray(v) for k, v in consts.items()}
+
+
+def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
+                             normalize: str = "none",
+                             batch_axis_name: Optional[str] = None,
+                             tuning=None):
+    """Distributed ND real->packed-complex FFT, axis 0 spanning chips.
+
+    The multi-chip composition of plans/transforms.build_r2c (rank >= 2):
+    axis 0 — the packed axis, reference packing conventions
+    real_complex.js:73-201 — runs the even-n0 half-complex trick on the
+    distributed axis-0 digit plan (the length-n0/2 complex four-step with
+    one all_to_all, riding axes carried through); the remaining axes
+    transform locally on the packed domain, embarrassingly parallel over
+    the k1 sharding.  Odd / half-unsplittable n0 widens to the full
+    complex axis-0 plan (2x traffic), mirroring the 1-D builder.
+
+    x: (batch, *shape) f32 real -> (batch, n0//2+1, *shape[1:], 2).
+    """
+    n0, rest = shape[0], tuple(shape[1:])
+    assert rest, "rank >= 2 (use build_distributed_r2c_1d for rank 1)"
+    p0 = n0 // 2 + 1
+    ndev = mesh.shape[axis_name]
+    from ..plans.transforms import _half_trick_consts
+    from ..utils.mathref import normalize_scale
+    scale = normalize_scale(normalize, "forward", math.prod(shape))
+    rest_plans, consts = _local_rest_axis_plans(rest, "forward", tuning)
+    from ..core.axis import slabbed_axis_apply
+
+    def local_rest(y):
+        # y: (b, p, *rest, 2) — logical rest axis d sits at dim 2+d
+        for d, ap in enumerate(rest_plans):
+            if ap.n > 1:
+                y = slabbed_axis_apply(y, ap, 2 + d, consts)
+        return y
+
+    # route priority (any n0 distributes): half-trick four-step when n0/2
+    # splits (half traffic, one all_to_all) > widen four-step when n0
+    # splits (one all_to_all, full width) > half-trick Bluestein (even n0;
+    # half width, two all_to_alls) > widen Bluestein (odd n0)
+    even = n0 % 2 == 0 and n0 >= 4
+    use_half = even and (
+        choose_distributed_split(n0 // 2, ndev) is not None
+        or choose_distributed_split(n0, ndev) is None)
+    if not use_half:
+        # complex widening on the full-length axis-0 plan
+        fft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
+                                               "forward", "none",
+                                               batch_axis_name)
+
+        def fn(x):
+            b = x.shape[0]
+            xi = jnp.stack([x.reshape(b, *shape),
+                            jnp.zeros((b, *shape), x.dtype)], axis=-1)
+            z = fft0(xi).reshape(b, n0, *rest, 2)
+            y = local_rest(z[:, :p0, ...])   # pack non-negative axis-0 bins
+            return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+        fn.split = fft0.split
+        return fn
+
+    h = n0 // 2
+    fft0 = build_distributed_fft_any_axis0((h, *rest), mesh, axis_name,
+                                           "forward", "none",
+                                           batch_axis_name)
+    cc = _half_trick_consts(n0, inverse=False)
+    flip = jnp.asarray(cc["rc/flip"])
+    cshape = (1, p0) + (1,) * len(rest) + (2,)
+    ca = jnp.asarray(cc["rc/ca"]).reshape(cshape)
+    cb = jnp.asarray(cc["rc/cb"]).reshape(cshape)
+
+    def fn(x):
+        b = x.shape[0]
+        # adjacent axis-0 real pairs ARE the interleaved complex line
+        v = jnp.moveaxis(x.reshape(b, h, 2, *rest), 2, -1)
+        z = fft0(v).reshape(b, h, *rest, 2)
+        zf = jnp.take(z, flip, axis=1)
+        zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)     # conj(Z[-k])
+        zpad = jnp.concatenate([z, z[:, :1, ...]], axis=1)    # Z[h] = Z[0]
+        y = (zpad + zf) * 0.5 + _cmul_pair(zpad - zf, ca, cb)
+        y = local_rest(y)
+        return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fft0.split
+    return fn
+
+
+def build_distributed_c2r_nd(shape, mesh: Mesh, axis_name: str = "sp",
+                             normalize: str = "none",
+                             batch_axis_name: Optional[str] = None,
+                             tuning=None):
+    """Distributed ND packed-complex->real inverse FFT — the mirror of
+    build_distributed_r2c_nd (multi-chip composition of
+    plans/transforms.build_c2r, rank >= 2; packing conventions
+    real_complex.js:73-201, self-conjugate bin zeroing included).
+
+    x: (batch, n0//2+1, *shape[1:], 2) -> (batch, *shape) f32 real.
+    """
+    n0, rest = shape[0], tuple(shape[1:])
+    assert rest, "rank >= 2 (use build_distributed_c2r_1d for rank 1)"
+    p0 = n0 // 2 + 1
+    ndev = mesh.shape[axis_name]
+    from ..plans.transforms import _half_trick_consts
+    from ..utils.mathref import normalize_scale
+    scale = normalize_scale(normalize, "inverse", math.prod(shape))
+    rest_plans, consts = _local_rest_axis_plans(rest, "inverse", tuning)
+    from ..core.axis import slabbed_axis_apply
+
+    def local_rest(y):
+        for d, ap in enumerate(rest_plans):
+            if ap.n > 1:
+                y = slabbed_axis_apply(y, ap, 2 + d, consts)
+        return y
+
+    even = n0 % 2 == 0 and n0 >= 4
+    use_half = even and (
+        choose_distributed_split(n0 // 2, ndev) is not None
+        or choose_distributed_split(n0, ndev) is None)
+    if not use_half:
+        ifft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
+                                                "inverse", "none",
+                                                batch_axis_name)
+        k_max_mirror = n0 // 2 - 1 if n0 % 2 == 0 else n0 // 2
+
+        def fn(xp):
+            b = xp.shape[0]
+            xp = xp.reshape(b, p0, *rest, 2)
+            # ND Hermitian mirror X[(N-k) mod N] = conj(X[k]): flip axis 0
+            # over the mirrored bin range, flip+wrap every riding axis
+            if k_max_mirror >= 1:
+                mirror = jnp.flip(xp[:, 1:k_max_mirror + 1, ...], axis=1)
+                mirror = mirror * jnp.asarray([1.0, -1.0], dtype=xp.dtype)
+                for d in range(2, mirror.ndim - 1):
+                    mirror = jnp.roll(jnp.flip(mirror, axis=d), 1, axis=d)
+                full = jnp.concatenate([xp, mirror], axis=1)
+            else:
+                full = xp
+            z = ifft0(full).reshape(b, n0, *rest, 2)
+            z = local_rest(z)
+            out = z[..., 0]
+            return out if scale == 1.0 else out * jnp.asarray(scale, out.dtype)
+
+        fn.split = ifft0.split
+        return fn
+
+    h = n0 // 2
+    ifft0 = build_distributed_fft_any_axis0((h, *rest), mesh, axis_name,
+                                            "inverse", "none",
+                                            batch_axis_name)
+    cc = _half_trick_consts(n0, inverse=True)
+    flip = jnp.asarray(cc["cr/flip"])
+    cshape = (1, h) + (1,) * len(rest) + (2,)
+    ca = jnp.asarray(cc["cr/ca"]).reshape(cshape)
+    cb = jnp.asarray(cc["cr/cb"]).reshape(cshape)
+
+    def fn(xp):
+        b = xp.shape[0]
+        y = xp.reshape(b, p0, *rest, 2)
+        # inverse-transform the riding axes first (on the packed domain);
+        # afterwards each axis-0 line is a real line's spectrum
+        y = local_rest(y)
+        bin_iota = jnp.arange(p0).reshape((1, p0) + (1,) * len(rest) + (1,))
+        comp = jnp.arange(2).reshape((1, 1) + (1,) * len(rest) + (2,))
+        selfconj = ((bin_iota == 0) | (bin_iota == h)) & (comp == 1)
+        y = jnp.where(selfconj, 0.0, y)
+        xk = y[:, :h, ...]
+        xf = jnp.take(y, flip, axis=1)
+        xf = xf * jnp.asarray([1.0, -1.0], dtype=y.dtype)  # conj(X[h-k])
+        z = (xk + xf) + _cmul_pair(xk - xf, ca, cb)
+        z = ifft0(z).reshape(b, h, *rest, 2)
+        out = jnp.moveaxis(z, -1, 2).reshape(b, n0, *rest)
+        return out if scale == 1.0 else out * jnp.asarray(scale, out.dtype)
+
+    fn.split = ifft0.split
+    return fn
+
+
+def build_distributed_trig_nd(shape, kind: str, mesh: Mesh,
+                              axis_name: str = "sp",
+                              direction: str = "forward",
+                              normalize: str = "none",
+                              batch_axis_name: Optional[str] = None,
+                              tuning=None):
+    """Distributed ND DCT/DST for the FFT-routable kinds (dct2/dct3/dst2/
+    dst3), axis 0 spanning chips: the even/odd reorder, half-sample phase
+    twist, and sign/flip wrappers run as pointwise/gather stages around
+    the distributed axis-0 digit plan (riding axes carried through); the
+    remaining axes apply the LOCAL per-axis trig machinery — the same
+    matmul-vs-FFT routing as plans/transforms.build_dct (mid-axis forms,
+    no moveaxis passes).
+
+    x: (batch, *shape) f32 real -> (batch, *shape) real; one all_to_all.
+    """
+    from ..plans.transforms import (_DCT_FFT_KINDS, _apply_dct_fft_axis,
+                                    _dct_axis_fft_consts, _dct_reorder_perms)
+    from ..spec import TuningSpec
+    from ..utils.mathref import normalize_scale, trig_matrix
+    n0, rest = shape[0], tuple(shape[1:])
+    assert rest, "rank >= 2 (use build_distributed_trig_1d for rank 1)"
+    tuning = tuning if tuning is not None else TuningSpec()
+    alias = {"dct2": "dct3", "dct3": "dct2", "dst2": "dst3", "dst3": "dst2"}
+    if kind not in alias:
+        raise ValueError(
+            f"distributed trig supports dct2/dct3/dst2/dst3, got {kind!r}")
+    eff = kind if direction == "forward" else alias[kind]
+    scale = normalize_scale(normalize, direction, math.prod(shape))
+    dst = eff.startswith("dst")
+    sgn = jnp.asarray(
+        np.where(np.arange(n0) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        .reshape((1, n0) + (1,) * len(rest)))
+    perm, inv = _dct_reorder_perms(n0)
+    w = np.exp(-1j * np.pi * np.arange(n0) / (2 * n0))
+    cshape = (1, n0) + (1,) * len(rest) + (2,)
+
+    # riding axes: the local build_dct per-axis machinery
+    from ..core.cplx import cmul_const
+    axis_mode, axis_objs, consts = [], [], {}
+    for d, m in enumerate(rest):
+        if eff in _DCT_FFT_KINDS and m >= tuning.dct_fft_min_n:
+            ap, cc = _dct_axis_fft_consts(m, eff, f"ddct{d}", tuning)
+            consts.update(cc)
+            axis_objs.append(ap)
+            axis_mode.append("fft")
+        else:
+            mat = trig_matrix(kind, m, "forward" if direction == "forward"
+                              else "inverse")
+            consts[f"dtrig{d}"] = mat.T.astype(np.float32)
+            axis_objs.append(None)
+            axis_mode.append("matmul")
+    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+    from ..core.axis import mxu_precision
+    prec = mxu_precision(tuning)
+
+    def local_rest(y):
+        # y: (b, n0, *rest) REAL; logical rest axis d sits at dim 2+d
+        for d, m in enumerate(rest):
+            ax = 2 + d
+            if axis_mode[d] == "fft":
+                if ax < y.ndim - 1 and getattr(axis_objs[d], "supports_mid",
+                                               False):
+                    lead = y.shape[:ax]
+                    v = y.reshape(*lead, m, -1)
+                    v = _apply_dct_fft_axis(v, consts, axis_objs[d],
+                                            f"ddct{d}", eff, m, mid=True)
+                    y = v.reshape(y.shape)
+                    continue
+                y = jnp.moveaxis(y, ax, -1)
+                y = _apply_dct_fft_axis(y, consts, axis_objs[d], f"ddct{d}",
+                                        eff, m)
+                y = jnp.moveaxis(y, -1, ax)
+            elif ax == y.ndim - 1:
+                y = jnp.matmul(y, consts[f"dtrig{d}"], precision=prec)
+            else:
+                lead = y.shape[:ax]
+                v = y.reshape(*lead, m, -1)
+                v = jnp.einsum("...aL,ak->...kL", v, consts[f"dtrig{d}"],
+                               precision=prec)
+                y = v.reshape(y.shape)
+        return y
+
+    if eff in ("dct2", "dst2"):
+        fft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
+                                               "forward", "none",
+                                               batch_axis_name)
+        wa_, wb_ = const_pair(w)
+        wa = jnp.asarray(wa_).reshape(cshape)
+        wb = jnp.asarray(wb_).reshape(cshape)
+        permj = jnp.asarray(perm)
+
+        def fn(x):
+            b = x.shape[0]
+            y = x.reshape(b, *shape)
+            if dst:                      # dst2 = flip(dct2(altsign(x)))
+                y = y * sgn
+            v = jnp.take(y, permj, axis=1)
+            vi = jnp.stack([v, jnp.zeros_like(v)], axis=-1)
+            V = fft0(vi).reshape(b, *shape, 2)
+            y = _cmul_pair(V, wa, wb)[..., 0]
+            if dst:
+                y = jnp.flip(y, axis=1)
+            y = local_rest(y)
+            return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+    else:
+        fft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
+                                               "inverse", "none",
+                                               batch_axis_name)
+        ua_, ub_ = const_pair(0.5 * np.conj(w))
+        ua = jnp.asarray(ua_).reshape(cshape)
+        ub = jnp.asarray(ub_).reshape(cshape)
+        xm_idx = jnp.asarray(
+            np.concatenate([[0], np.arange(n0 - 1, 0, -1)]).astype(np.int32))
+        xm0 = jnp.asarray(
+            np.concatenate([[0.0], np.ones(n0 - 1)]).astype(np.float32)
+            .reshape((1, n0) + (1,) * len(rest)))
+        invj = jnp.asarray(inv)
+
+        def fn(x):
+            b = x.shape[0]
+            y = x.reshape(b, *shape)
+            if dst:                      # dst3 = altsign(dct3(flip(x)))
+                y = jnp.flip(y, axis=1)
+            xm = jnp.take(y, xm_idx, axis=1) * xm0
+            u = jnp.stack([y, -xm], axis=-1)     # X[k] - i*X[n-k]
+            u = _cmul_pair(u, ua, ub)
+            v = fft0(u).reshape(b, *shape, 2)[..., 0]  # Re(IFFT_unnorm)
+            y = jnp.take(v, invj, axis=1)
+            if dst:
+                y = y * sgn
+            y = local_rest(y)
+            return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fft0.split
+    return fn
+
+
 def smooth_distributed_len_at_least(m0: int, ndev: int) -> int:
     """Smallest smooth length >= m0 admitting a two-factor digit split with
     both digits divisible by ndev (the distributed four-step requirement)."""
@@ -477,6 +804,78 @@ def build_distributed_bluestein_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     fn.split = fwd.split
     fn.bluestein_m = m
     return fn
+
+
+def build_distributed_bluestein_axis0(shape, mesh: Mesh,
+                                      axis_name: str = "sp",
+                                      direction: str = "forward",
+                                      normalize: str = "none",
+                                      batch_axis_name: Optional[str] = None):
+    """Distributed axis-0 FFT of ARBITRARY length n0 with riding trailing
+    axes — the chirp-Z embedding of build_distributed_bluestein_1d carried
+    through an ND array (chirp/kernel constants broadcast over the riding
+    dims; the M-FFT pair runs as axis-0 four-steps with swapped splits, so
+    spectra flow grid-to-grid with no resharding).
+
+    x: (batch, n0, *shape[1:], 2) -> (batch, n0, *shape[1:], 2), standard
+    axis-0 bin order; riding axes are NOT transformed.
+    """
+    from ..utils.mathref import normalize_scale
+    n0, rest = shape[0], tuple(shape[1:])
+    ndev = mesh.shape[axis_name]
+    m = smooth_distributed_len_at_least(max(2 * n0 - 1, ndev * ndev), ndev)
+    fwd = build_distributed_fft_axis0((m, *rest), mesh, axis_name,
+                                      "forward", "none", batch_axis_name)
+    n1, n2 = fwd.split
+    inv = build_distributed_fft_axis0((m, *rest), mesh, axis_name,
+                                      "inverse", "none", batch_axis_name,
+                                      split=(n2, n1))
+    line = (1, n0) + (1,) * len(rest) + (2,)
+    ca_, cb_ = const_pair(dft.bluestein_chirp(n0, direction))
+    ca, cb = jnp.asarray(ca_).reshape(line), jnp.asarray(cb_).reshape(line)
+    h = dft.bluestein_kernel_fft(n0, m, direction)     # (m,), 1/m folded
+    grid = (1, n2, n1) + (1,) * len(rest) + (2,)
+    ha_, hb_ = const_pair(h.reshape(n2, n1))
+    ha, hb = jnp.asarray(ha_).reshape(grid), jnp.asarray(hb_).reshape(grid)
+    scale = normalize_scale(normalize, direction, n0)
+
+    def fn(x):
+        b = x.shape[0]
+        a = _cmul_pair(x.reshape(b, n0, *rest, 2), ca, cb)
+        a = jnp.pad(a, ((0, 0), (0, m - n0)) + ((0, 0),) * (len(rest) + 1))
+        s = fwd(a)                            # (b, k2, k1, *rest, 2)
+        s = _cmul_pair(s, ha, hb)
+        y = inv(s).reshape(b, m, *rest, 2)[:, :n0, ...]
+        y = _cmul_pair(y, ca, cb)
+        return y if scale == 1.0 else y * jnp.asarray(scale, y.dtype)
+
+    fn.split = fwd.split
+    fn.bluestein_m = m
+    return fn
+
+
+def build_distributed_fft_any_axis0(shape, mesh: Mesh,
+                                    axis_name: str = "sp",
+                                    direction: str = "forward",
+                                    normalize: str = "none",
+                                    batch_axis_name: Optional[str] = None):
+    """Distributed axis-0 FFT for ANY n0 with riding axes: four-step digit
+    plan when n0 admits a divisible smooth split, Bluestein embedding
+    otherwise.  fn(x: (batch, n0, *rest, 2)) -> flat (batch, n0, *rest, 2)."""
+    n0, rest = shape[0], tuple(shape[1:])
+    if choose_distributed_split(n0, mesh.shape[axis_name]) is not None:
+        inner = build_distributed_fft_axis0(shape, mesh, axis_name,
+                                            direction, normalize,
+                                            batch_axis_name)
+
+        def fn(x):
+            return inner(x).reshape(x.shape[0], n0, *rest, 2)
+
+        fn.split = inner.split
+        return fn
+    return build_distributed_bluestein_axis0(shape, mesh, axis_name,
+                                             direction, normalize,
+                                             batch_axis_name)
 
 
 def build_distributed_fft_any_1d(n: int, mesh: Mesh, axis_name: str = "sp",

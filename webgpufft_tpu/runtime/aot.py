@@ -126,9 +126,9 @@ def export_distributed_plan(dplan, *, path: Optional[str] = None) -> bytes:
     spec = dplan.spec
     t = spec.plan_type
     if t == "c2r":
-        shape = (spec.batch, spec.shape[0] // 2 + 1, 2)
+        shape = (spec.batch, spec.shape[0] // 2 + 1, *spec.shape[1:], 2)
     elif t == "r2c" or t.startswith(("dct", "dst")):
-        shape = (spec.batch, spec.shape[0])
+        shape = (spec.batch, *spec.shape)
     else:
         shape = (spec.batch,) + tuple(spec.shape) + (2,)
     x = jax.ShapeDtypeStruct(shape, jnp.float32)
