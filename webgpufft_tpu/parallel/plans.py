@@ -217,7 +217,10 @@ def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
 
 def _wrap_kernel_layout(inner, fc, kshape):
     """Validate the runtime kernel's leading kcount dim and apply the
-    output layout (inner builders return kernel-major (kc, b, ..., 2))."""
+    output layout (inner builders return kernel-major (kc, b, ..., 2)).
+    A channelPolicy output side takes precedence over outputLayout (the
+    local plan's rule, plans/fftconv.py output path) — the scatter
+    addresses lanes itself."""
     kc = fc.kernel_count
     krank = len(kshape)
 
@@ -228,11 +231,74 @@ def _wrap_kernel_layout(inner, fc, kshape):
                 f"fftconv with kernelCount={kc} expects kernel shaped "
                 f"(kcount, *kernelShape, 2), got {tuple(kernel.shape)}")
         y = inner(x, kernel)
-        if kc > 1 and fc.output_layout == "batch-major":
+        if (kc > 1 and fc.output_layout == "batch-major"
+                and fc.channel_output is None):
             y = jnp.moveaxis(y, 0, 1)
         return y
 
     fn.split = inner.split
+    return fn
+
+
+def _wrap_channel_lanes(inner, spec: PlanSpec, out_shape):
+    """Channel-lane frames around the distributed conv pipeline — the
+    multi-chip composition of the reference's channelPolicy preset surface
+    (src/runtime/fftconv_channel_lane_presets.js:139-206, lowered exactly
+    like the local plan, plans/fftconv.py input gather / output scatter).
+
+    The input gather extracts (batch, *shape, 2) from the flat lane frames
+    and the output scatter writes each kernel's result into its lane; both
+    are static index maps on the batch-sharded side of the pipeline, so
+    they add no collectives to the route they wrap (halo or spectrum).
+    ``inner`` must be the kernel-major form.
+    """
+    import math as _math
+
+    from ..plans import stages
+    fc = spec.fft_conv
+    ch_in, ch_out = fc.channel_input, fc.channel_output
+    shape, batch, kcount = spec.shape, spec.batch, fc.kernel_count
+    out_shape = tuple(out_shape)
+    if ch_in is not None:
+        in_st, in_off, in_bs = stages.resolve_side_layout(
+            shape, None, 0, None, ch_in)
+    if ch_out is not None:
+        cs = (ch_out.channel_stride_elements
+              if ch_out.channel_stride_elements is not None
+              else _math.prod(out_shape))
+        bs = (ch_out.batch_stride_elements
+              if ch_out.batch_stride_elements is not None
+              else ch_out.channels * cs)
+        st = stages.default_strides(out_shape)
+        offs = tuple(
+            ch_out.offset_elements
+            + (ch_out.channel_index + k * ch_out.kernel_step_channels) * cs
+            for k in range(kcount))
+        need = max((bs * batch,)
+                   + tuple(o + bs * (batch - 1)
+                           + stages.layout_span(out_shape, st)
+                           for o in offs))
+
+    def fn(x, kernel):
+        if ch_in is not None:
+            x = stages.gather_flat(
+                x, shape=shape, strides=in_st, offset=in_off,
+                batch_stride=in_bs, batch=batch, interleaved=True)
+        y = inner(x, kernel)
+        if ch_out is None:
+            return y
+        y = y.reshape((kcount, batch) + out_shape + (2,))
+        res = None
+        for k in range(kcount):
+            res = stages.scatter_flat(
+                y[k], shape=out_shape, strides=st, offset=offs[k],
+                batch_stride=bs, batch=batch, interleaved=True,
+                out=res, min_len=need)
+        return res
+
+    fn.split = inner.split
+    if hasattr(inner, "halo"):
+        fn.halo = inner.halo
     return fn
 
 
@@ -253,11 +319,23 @@ def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
 
 
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
+    """Distributed fftconv: route construction + the channel-lane frame
+    wrapper (reference channelPolicy presets compose with sp since r3)."""
     fc = spec.fft_conv
+    fn, split = _build_seq_fftconv_route(spec, mesh, batch_axis, seq_axis)
     if fc.channel_input is not None or fc.channel_output is not None:
-        raise PlanError(
-            "distributed fftconv does not support channelPolicy lane "
-            "routing; use the batch-sharded local plan for channel lanes")
+        from ..utils.mathref import fftconv_out_shape
+        kshape = (tuple(fc.kernel_shape) if fc.kernel_shape is not None
+                  else spec.shape)
+        _, out_shape, _ = fftconv_out_shape(spec.shape, list(kshape),
+                                            fc.boundary)
+        fn = _wrap_channel_lanes(fn, spec, out_shape)
+    return fn, split
+
+
+def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
+                             seq_axis):
+    fc = spec.fft_conv
     if _halo_conv_eligible(spec, mesh, seq_axis):
         if spec.rank == 1:
             inner = sharded.build_distributed_fftconv_halo_1d(
