@@ -261,7 +261,12 @@ def test_oaconvolve_alias(rng):
 
 
 @pytest.mark.parametrize("cfg", [(256, None, None), (128, 96, None),
-                                 (256, 128, 512), (200, 100, None)])
+                                 (256, 128, 512), (200, 100, None),
+                                 # non-dividing hops: gcd-block framing
+                                 # (VERDICT r2 #4) and the coprime gather
+                                 # fallback
+                                 (256, 96, None), (48, 30, None),
+                                 (48, 30, 64), (12, 7, None)])
 def test_stft_istft_vs_scipy(rng, cfg):
     nperseg, nov, nfft = cfg
     x = rng.standard_normal(2000).astype(np.float32)

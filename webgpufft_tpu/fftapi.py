@@ -635,8 +635,9 @@ def _get_window(window, W: int) -> np.ndarray:
 
 
 def _stft_hop(what: str, nperseg, noverlap) -> Tuple[int, int]:
-    """(nperseg, hop) with basic validation.  Hops dividing nperseg get
-    the gather-free reshape framing; others fall back to a gather."""
+    """(nperseg, hop) with basic validation.  Any hop sharing a factor
+    with nperseg gets the gather-free gcd-block framing; only coprime-ish
+    hops fall back to a gather (see _frame_segments)."""
     W = int(nperseg)
     H = W - (int(noverlap) if noverlap is not None else W // 2)
     if H <= 0:
@@ -645,21 +646,45 @@ def _stft_hop(what: str, nperseg, noverlap) -> Tuple[int, int]:
     return W, H
 
 
+# gcd-block framing bails to the gather when the window spans this many
+# blocks (W // gcd(W, H) slice passes each re-reading ~the signal)
+_FRAME_MAX_BLOCKS = 64
+
+
+def _frame_geometry(W: int, H: int):
+    """(g, wg, hg, use_blocks): gcd-block framing geometry.  Every hop
+    start is a multiple of g = gcd(W, H), so frames decompose into wg
+    block-columns, column j a stride-hg slice of the block grid."""
+    g = math.gcd(W, H)
+    wg, hg = W // g, H // g
+    use_blocks = W % H == 0 or (g > 1 and wg <= _FRAME_MAX_BLOCKS)
+    return g, wg, hg, use_blocks
+
+
 def _frame_segments(xp, W: int, H: int, nb: int):
     """(..., L) -> overlapping frames (..., nb, W).
 
-    When H | W: hop-block reshapes (the seam trick: q = W // H shifted
-    reshapes + a concat; no gathers — the TPU-fast path).  Otherwise a
-    static gather (correct everywhere; pick a dividing hop for hot
-    loops)."""
+    Framing runs on g = gcd(W, H) sample blocks: every hop start is
+    block-aligned, so frame column-block j is a stride-hg slice of the
+    block grid — wg = W // g shifted slices + a concat, no gathers (the
+    TPU-fast path; H | W is the hg == 1 special case, the original seam
+    trick).  Only coprime-ish framings (wg > 64 blocks) fall back to a
+    static gather (overlapping-window gathers are 4-7.6x slower on TPU;
+    see CLAUDE.md)."""
     lead = xp.shape[:-1]
-    if W % H == 0:
-        q = W // H
+    g, wg, hg, use_blocks = _frame_geometry(W, H)
+    if use_blocks:
+        if hg > 1:
+            # the stride-hg reshape slices run to (j + nb*hg) blocks; the
+            # last hg-1 block groups read past the signal for large j —
+            # pad once, the [..., 0, :] selection never keeps the padding
+            xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, (hg - 1) * g)])
         segs = []
-        for j in range(q):
-            s = jax.lax.slice_in_dim(xp, j * H, j * H + nb * H,
+        for j in range(wg):
+            s = jax.lax.slice_in_dim(xp, j * g, (j + nb * hg) * g,
                                      axis=xp.ndim - 1)
-            segs.append(s.reshape(*lead, nb, H))
+            s = s.reshape(*lead, nb, hg, g)[..., 0, :]
+            segs.append(s)
         return jnp.concatenate(segs, axis=-1)
     idx = (np.arange(nb)[:, None] * H + np.arange(W)[None, :]).reshape(-1)
     out = jnp.take(xp, jnp.asarray(idx.astype(np.int32)), axis=xp.ndim - 1)
@@ -674,10 +699,10 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     scaling — Zxx scaled by 1/win.sum()).
 
     Returns (f, t, Zxx) with Zxx interleaved (..., nfft//2+1, nb, 2).
-    Hops dividing nperseg (the default noverlap = nperseg//2 for even
-    nperseg, and all power-of-two overlaps) frame via pure reshapes —
-    the TPU-fast path; other hops fall back to a gather (correct, but
-    pick a dividing hop for hot loops).
+    Any hop sharing a factor with nperseg (the defaults, all power-of-two
+    overlaps, and e.g. nperseg=256/noverlap=96) frames via gcd-block
+    slices + a concat — the TPU-fast path; only coprime-ish hops fall
+    back to a gather (correct, but slower on TPU).
     """
     if boundary not in ("zeros", None):
         raise PlanError("stft supports boundary='zeros' or None")
@@ -737,43 +762,61 @@ def istft(Zxx, fs: float = 1.0, window="hann", nperseg: Optional[int] = None,
     lead = frames.shape[:-2]
     total_out = (nb - 1) * H + W
     w2 = win.astype(np.float64) ** 2
-    if W % H == 0:
-        # overlap-add via the inverse seam trick: q shifted hop-block
-        # layouts (no scatter — the TPU-fast path)
-        q = W // H
-        out_blocks = nb + q - 1
-        acc = jnp.zeros((*lead, out_blocks, H), frames.dtype)
-        for j in range(q):
-            seg = frames[..., j * H:(j + 1) * H]          # (..., nb, H)
-            pad = [(0, 0)] * len(lead) + [(j, q - 1 - j), (0, 0)]
+    # steady-state overlap profile built from the window alone (the
+    # H-periodic sum every interior sample sees with unbounded frames) —
+    # independent of nb, so short signals with a valid hop are not
+    # false-positived and every hop phase is checked (NOLA gate below)
+    full = np.array([w2[p::H].sum() for p in range(H)])
+    g, wg, hg, use_blocks = _frame_geometry(W, H)
+    if use_blocks:
+        # overlap-add on g = gcd(W, H) blocks — the inverse of the
+        # _frame_segments slicing: frame m's column-block j lands at
+        # output block m*hg + j, so each column scatters as a zero-pad
+        # interleave + shift (no scatter-add; H | W is the hg == 1
+        # special case, the original inverse seam trick)
+        out_blocks = (nb - 1) * hg + wg
+        acc = jnp.zeros((*lead, out_blocks, g), frames.dtype)
+        for j in range(wg):
+            seg = frames[..., j * g:(j + 1) * g]          # (..., nb, g)
+            if hg > 1:
+                seg = jnp.pad(seg[..., :, None, :],
+                              [(0, 0)] * (len(lead) + 1)
+                              + [(0, hg - 1), (0, 0)])    # (..., nb, hg, g)
+            seg = seg.reshape(*lead, nb * hg, g)
+            content = (nb - 1) * hg + 1   # trailing interleave blocks are 0
+            if hg > 1:
+                seg = jax.lax.slice_in_dim(seg, 0, content, axis=len(lead))
+            pad = [(0, 0)] * len(lead) + [
+                (j, out_blocks - j - content), (0, 0)]
             acc = acc + jnp.pad(seg, pad)
-        y = acc.reshape(*lead, out_blocks * H)
-        # COLA win^2 normalization: every interior hop-block sees all q
-        # window segments, only the first/last q-1 blocks differ —
-        # O(q^2 H) host work regardless of signal length
-        w2segs = w2.reshape(q, H)
-        full = w2segs.sum(0)
-        norm_blocks = np.broadcast_to(full, (out_blocks, H)).copy()
-        edge = list(range(min(q - 1, out_blocks))) + list(
-            range(max(out_blocks - (q - 1), 0), out_blocks))
-        for blk in edge:
-            lo, hi = max(0, blk - nb + 1), min(q - 1, blk)
-            norm_blocks[blk] = w2segs[lo:hi + 1].sum(0)
+        y = acc.reshape(*lead, out_blocks * g)
+        # COLA win^2 normalization: interior output blocks see the
+        # hg-periodic steady-state block profile; only the first wg-1
+        # and last wg-1 blocks differ — O(wg^2 g) host work regardless
+        # of signal length
+        w2b = w2.reshape(wg, g)
+        ss = np.zeros((hg, g))
+        for j in range(wg):
+            ss[j % hg] += w2b[j]
+        norm_blocks = np.tile(ss, (-(-out_blocks // hg), 1))[:out_blocks]
+        edge = sorted(set(range(min(wg - 1, out_blocks)))
+                      | set(range(min(nb * hg, out_blocks), out_blocks)))
+        for p in edge:
+            tot = np.zeros(g)
+            for j in range(p % hg, min(wg, p + 1), hg):
+                if 0 <= (p - j) // hg < nb:
+                    tot += w2b[j]
+            norm_blocks[p] = tot
         norm = norm_blocks.reshape(-1)
     else:
-        # non-dividing hop: scatter-add fallback (correct everywhere;
-        # pick a dividing hop for hot loops)
+        # coprime-ish framing: scatter-add fallback (correct everywhere;
+        # pick a hop sharing a factor with nperseg for hot loops)
         idx = (np.arange(nb)[:, None] * H
                + np.arange(W)[None, :]).reshape(-1).astype(np.int32)
         y = jnp.zeros((*lead, total_out), frames.dtype).at[
             ..., jnp.asarray(idx)].add(frames.reshape(*lead, nb * W))
         norm = np.zeros(total_out)
         np.add.at(norm, idx, np.tile(w2, nb))
-        # steady-state overlap profile built from the window alone (the
-        # H-periodic sum every interior sample sees with unbounded
-        # frames) — independent of nb, so short signals with a valid
-        # hop are not false-positived and every hop phase is checked
-        full = np.array([w2[p::H].sum() for p in range(H)])
     lpad = W // 2 if boundary else 0
     n_out = total_out - 2 * lpad
     # NOLA gate on the STEADY-STATE overlap profile (`full` — what every
