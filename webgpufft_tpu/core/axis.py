@@ -339,6 +339,60 @@ class FourStepAxisPlan(AxisPlan):
         y = jnp.swapaxes(y, -3, -2)                    # (k2, k1): flat k = k1 + n1*k2
         return y.reshape(*lead, self.n, 2)
 
+    supports_mid = True
+
+    def apply_mid(self, x, consts):
+        """Transform along axis -3 of (..., n, L, 2): the four-step digit
+        pipeline with the riding lane dim L carried through both stages
+        (each stage FFT runs in its own W4 mid-axis form via
+        apply_along_axis) — giant non-last axes stop paying moveaxis
+        transpose passes.  Slabbing streams the same digit slabs as
+        ``apply`` with L folded into the lead-element budget."""
+        p = self.prefix
+        n1, n2 = self.n1, self.n2
+        lead = x.shape[:-3]
+        L = x.shape[-2]
+        lead_elems = (math.prod(lead) if lead else 1) * L
+        y = x.reshape(*lead, n1, n2, L, 2)
+        s1, s2 = self._slabs(lead_elems)
+        twa = consts[f"{p}/twa"][:, :, None, :]        # (n1, n2, 1, 2) rides L
+        twb = consts[f"{p}/twb"][:, :, None, :]
+
+        def stage1(slab, ta, tb):
+            out = apply_along_axis(slab, self.stage1, slab.ndim - 4, consts)
+            return cmul_const(out, ta, tb)
+
+        if s1 == 1:
+            y = stage1(y, twa, twb)
+        else:
+            step = n2 // s1
+            ax = y.ndim - 3                            # the a2 digit axis
+
+            def one1(i):
+                sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
+                ta = jax.lax.dynamic_slice_in_dim(twa, i * step, step, axis=1)
+                tb = jax.lax.dynamic_slice_in_dim(twb, i * step, step, axis=1)
+                return stage1(sl, ta, tb)
+
+            y = jnp.moveaxis(jax.lax.map(one1, jnp.arange(s1)), 0, ax)
+            y = y.reshape(*lead, n1, n2, L, 2)
+
+        if s2 == 1:
+            y = apply_along_axis(y, self.stage2, y.ndim - 3, consts)
+        else:
+            step = n1 // s2
+            ax = y.ndim - 4                            # the k1 digit axis
+
+            def one2(i):
+                sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
+                return apply_along_axis(sl, self.stage2, sl.ndim - 3, consts)
+
+            y = jnp.moveaxis(jax.lax.map(one2, jnp.arange(s2)), 0, ax)
+            y = y.reshape(*lead, n1, n2, L, 2)
+
+        y = jnp.swapaxes(y, -4, -3)                    # (k2, k1) digit order
+        return y.reshape(*lead, self.n, L, 2)
+
 
 class BluesteinAxisPlan(AxisPlan):
     """Arbitrary-length FFT via chirp-Z embedding into a smooth length M.
@@ -381,8 +435,8 @@ class BluesteinAxisPlan(AxisPlan):
 
     @property
     def supports_mid(self) -> bool:
-        return (isinstance(self.fwd, MixedAxisPlan)
-                and isinstance(self.inv, MixedAxisPlan))
+        return (getattr(self.fwd, "supports_mid", False)
+                and getattr(self.inv, "supports_mid", False))
 
     def apply(self, x, consts):
         n, m = self.n, self.m
@@ -459,8 +513,8 @@ class RaderAxisPlan(AxisPlan):
 
     @property
     def supports_mid(self) -> bool:
-        return (isinstance(self.fwd, MixedAxisPlan)
-                and isinstance(self.inv, MixedAxisPlan))
+        return (getattr(self.fwd, "supports_mid", False)
+                and getattr(self.inv, "supports_mid", False))
 
     def apply(self, x, consts):
         p_ = self.prefix
