@@ -93,7 +93,7 @@ def main():
 
     gb = best["gbps"]
     gflops = profile.fft_flops(n, batch) / best["dt"] / 1e9
-    print(json.dumps({
+    rec = {
         "metric": "c2c1024_pct_hbm_roofline",
         "value": round(100 * gb / spec_roof, 2),
         "unit": "percent",
@@ -105,7 +105,25 @@ def main():
         "eff_gbps": round(gb, 1),
         "route": best["route"],
         "backend": backend,
-    }))
+    }
+    print(json.dumps(rec))
+    if on_tpu and ceiling >= 300.0:
+        # healthy-tunnel session: persist the tagged roofline datapoint
+        # (the >= 70% BASELINE target is only falsifiable from one of
+        # these; typical wedged sessions top out at 60-140 GB/s)
+        import os
+        import time
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benches", "healthy_roofline.jsonl")
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps({
+                    "healthy_session": True, "bench": "headline",
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **rec}) + "\n")
+            print(f"# healthy tunnel ({ceiling:.0f} GB/s): roofline "
+                  f"datapoint recorded to {path}", file=sys.stderr)
+        except OSError as e:
+            print(f"# healthy-roofline record failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -26,9 +26,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+RECORDS = []
+
+# a session whose copy probe reaches this is "healthy" — roofline numbers
+# captured then are limited by the program, not the tunnel (sessions have
+# been observed at 290-420 GB/s; typical wedged sessions sit at 60-140)
+HEALTHY_CEILING_GBPS = 300.0
+
+
 def emit(rec):
+    RECORDS.append(rec)
     print(json.dumps(rec))
     sys.stdout.flush()
+
+
+def record_healthy_session():
+    """Opportunistic roofline capture (VERDICT r2 #3a): when the session's
+    copy ceiling shows a healthy tunnel, persist every row tagged — the
+    >= 70% BASELINE target is only falsifiable from one of these."""
+    import time
+    ceilings = [r.get("copy_ceiling_gbps", 0.0) for r in RECORDS]
+    best = max(ceilings, default=0.0)
+    healthy = best >= HEALTHY_CEILING_GBPS
+    print(f"# session copy ceiling {best:.0f} GB/s -> "
+          f"{'HEALTHY: recording tagged roofline rows' if healthy else 'below healthy bar'}",
+          file=sys.stderr)
+    if not healthy:
+        return
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "healthy_roofline.jsonl")
+    ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(path, "a") as f:
+        for r in RECORDS:
+            f.write(json.dumps({"healthy_session": True, "ts": ts, **r})
+                    + "\n")
 
 
 def main():
@@ -177,6 +208,9 @@ def main():
                         tuning={"impl": "xla"})
     record(f"c2c_2pow20_bf16_b{b}", plan, x.astype(jnp.bfloat16),
            2 * b * n * 4, route=plan.route.mode, u=max(2, unroll // 2))
+
+    if on_tpu:
+        record_healthy_session()
 
 
 if __name__ == "__main__":

@@ -82,7 +82,7 @@ def test_axis_kinds_matrix(kinds, shape, tuning):
 
 def test_fused_attempt_recorded_under_auto():
     plan = build(type="c2c", shape=[64], batch=16)
-    assert "impl-auto-prefers-xla" in reasons(plan)
+    assert any(r.startswith("impl-auto-prefers-xla") for r in reasons(plan))
     assert "pallas-fused" not in plan.route.mode
 
 

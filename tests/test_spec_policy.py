@@ -249,3 +249,42 @@ def test_max_fused_elements_caps_fused_line():
          "tuning": {"impl": "pallas-auto", "maxFusedElements": 32}}))
     assert ok and not capped
     assert "line-exceeds-max-fused-elements" in reasons
+
+
+def test_pallas_gate_consulted_by_auto(monkeypatch):
+    """impl='auto' consults the recorded Pallas-vs-XLA gate verdict
+    (VERDICT r2 #3b): the shipped verdict keeps XLA with the measured
+    speedup cited; a recorded pallas win on the matching backend flips
+    auto to the fused path with no code change."""
+    import jax
+
+    from webgpufft_tpu.runtime import policy
+
+    gate = policy.load_pallas_gate()
+    assert gate.get("winner") == "xla"           # shipped r2 verdict
+    spec = normalize_spec({"type": "c2c", "shape": [64], "batch": 64})
+    ok, reasons = policy.fused_eligibility(spec)
+    assert not ok and any("gate:xla" in r for r in reasons), reasons
+    # simulate a stack where the re-probe recorded a pallas win
+    monkeypatch.setitem(policy._PALLAS_GATE_CACHE, "v",
+                        {"winner": "pallas", "speedup": 1.5,
+                         "backend": jax.default_backend()})
+    ok, reasons = policy.fused_eligibility(spec)
+    assert ok and any("pallas-gate-win" in r for r in reasons), reasons
+    # a verdict from a DIFFERENT backend must not flip this process
+    monkeypatch.setitem(policy._PALLAS_GATE_CACHE, "v",
+                        {"winner": "pallas", "speedup": 1.5,
+                         "backend": "tpu-v99"})
+    ok, reasons = policy.fused_eligibility(spec)
+    assert not ok and any("gate-backend" in r for r in reasons), reasons
+
+
+def test_pallas_gate_probe_runs(monkeypatch, tmp_path):
+    """The one-command gate probe measures, decides, and writes the
+    verdict file impl='auto' reads (smoke on CPU: tiny config, no write
+    to the shipped file)."""
+    from webgpufft_tpu.runtime import pallas_gate
+
+    v = pallas_gate.run_gate(configs=((64, 64),), trials=1, write=False)
+    assert v["winner"] in ("xla", "pallas")
+    assert v["measured"], v

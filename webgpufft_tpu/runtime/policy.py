@@ -33,6 +33,43 @@ FUSED_MAX_SUB = 128        # sub-DFT matrices must tile the MXU
 FUSED_MIN_BATCH = 8        # grid needs enough lines to tile the sublane dim
 
 
+_PALLAS_GATE_CACHE: dict = {}
+
+
+def load_pallas_gate() -> dict:
+    """The recorded Pallas-vs-XLA decision-gate verdict (written by
+    ``python -m webgpufft_tpu.runtime.pallas_gate`` — the one-command
+    re-probe run at the top of each round).  ``impl:"auto"`` consults it:
+    the day a stack bump makes the fused kernel win on TPU, the recorded
+    winner flips and auto routes to Pallas with no code change."""
+    if "v" not in _PALLAS_GATE_CACHE:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "pallas_gate.json")
+        try:
+            with open(path) as f:
+                _PALLAS_GATE_CACHE["v"] = json.load(f)
+        except Exception:
+            _PALLAS_GATE_CACHE["v"] = {}
+    return _PALLAS_GATE_CACHE["v"]
+
+
+def _auto_prefers_pallas() -> Tuple[bool, str]:
+    """(flip, reason) for impl='auto' from the recorded gate verdict."""
+    gate = load_pallas_gate()
+    winner = gate.get("winner")
+    if winner is None:
+        return False, "impl-auto-prefers-xla"
+    if winner != "pallas":
+        return False, (f"impl-auto-prefers-xla(gate:{winner}"
+                       f"@{gate.get('speedup', 0):.2f}x)")
+    import jax
+    if jax.default_backend() != gate.get("backend"):
+        return False, (f"impl-auto-prefers-xla(gate-backend:"
+                       f"{gate.get('backend')})")
+    return True, f"pallas-gate-win@{gate.get('speedup', 0):.2f}x"
+
+
 def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     """Can the fused Pallas path serve this plan's core transform?"""
     import math as _math
@@ -41,8 +78,12 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
     t = spec.tuning
     if t.impl == "xla":
         return False, ["impl-forced-xla"]
+    win_note = None
     if t.impl == "auto":
-        return False, ["impl-auto-prefers-xla"]
+        flip, reason = _auto_prefers_pallas()
+        if not flip:
+            return False, [reason]
+        win_note = reason        # gate says pallas wins: check eligibility
     if spec.plan_type != "c2c":
         reasons.append("fused-requires-c2c")
     if spec.precision != "f32":
@@ -63,6 +104,8 @@ def fused_eligibility(spec: PlanSpec) -> Tuple[bool, List[str]]:
         tile = t.batch_tile or fused.pick_batch_tile(lines, n_last, budget)
         if tile is None or lines % tile != 0 or tile < 1:
             reasons.append("fused-no-batch-tile")
+    if not reasons and win_note:
+        return True, [win_note]
     return not reasons, reasons
 
 
