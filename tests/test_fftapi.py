@@ -521,3 +521,78 @@ def test_stft_welch_non_default_axis(rng):
     fs_, Ps = ss.welch(x, nperseg=256, axis=0)
     assert np.allclose(f, fs_)
     _close(P, Ps, label="welch axis=0")
+
+
+def test_convolve_correlate_vs_scipy(rng):
+    """scipy.signal.convolve / correlate semantics (all-axes ND, every
+    mode, real + complex, int rounding, lag grids)."""
+    a = rng.standard_normal((20,))
+    b = rng.standard_normal((7,))
+    a2 = rng.standard_normal((9, 8))
+    b2 = rng.standard_normal((3, 5))
+    zc = rng.standard_normal(16) + 1j * rng.standard_normal(16)
+    kc = rng.standard_normal(5) + 1j * rng.standard_normal(5)
+    for mode in ("full", "same", "valid"):
+        _close(F.convolve(a, b, mode), ss.convolve(a, b, mode),
+               label=f"convolve 1d {mode}")
+        _close(F.convolve(a2, b2, mode), ss.convolve(a2, b2, mode),
+               label=f"convolve 2d {mode}")
+        _close(F.correlate(a, b, mode), ss.correlate(a, b, mode),
+               label=f"correlate 1d {mode}")
+        _close(F.correlate(a2, b2, mode), ss.correlate(a2, b2, mode),
+               label=f"correlate 2d {mode}")
+        _close(F.correlate(zc, kc, mode), ss.correlate(zc, kc, mode),
+               label=f"correlate complex {mode}")
+        assert np.array_equal(F.correlation_lags(20, 7, mode),
+                              ss.correlation_lags(20, 7, mode)), mode
+        assert np.array_equal(F.correlation_lags(7, 20, mode),
+                              ss.correlation_lags(7, 20, mode)), mode
+    # valid-swap (in2 larger) matches scipy's correlate exactly
+    _close(F.correlate(b, a, "valid"), ss.correlate(b, a, "valid"),
+           label="correlate valid swap")
+    # integer inputs round like scipy's fft method
+    ai = rng.integers(-9, 9, 12)
+    bi = rng.integers(-9, 9, 4)
+    assert np.array_equal(np.asarray(F.convolve(ai, bi)),
+                          ss.convolve(ai, bi, method="fft"))
+    with pytest.raises(PlanError, match="method"):
+        F.convolve(a, b, method="warp")
+
+
+def test_deconvolve_vs_scipy(rng):
+    sig = rng.standard_normal(24)
+    div = np.array([1.0, 0.5, -0.25])
+    q, r = F.deconvolve(sig, div)
+    qs, rs = ss.deconvolve(sig, div)
+    assert np.allclose(q, qs) and np.allclose(r, rs)
+    recon = np.convolve(div, q) + r
+    assert np.allclose(recon[:24], sig)
+    q2, r2 = F.deconvolve(np.ones(2), np.ones(5))
+    assert np.allclose(r2, np.ones(2))
+
+
+def test_detrend_vs_scipy(rng):
+    x = (np.linspace(0, 5, 200) + 0.3 * rng.standard_normal(200)
+         ).astype(np.float32)
+    for typ in ("constant", "linear"):
+        _close(F.detrend(x, type=typ), ss.detrend(x, type=typ),
+               label=f"detrend {typ}", tol=1e-4)
+    xb = rng.standard_normal((3, 100)).astype(np.float32) \
+        + np.arange(100, dtype=np.float32) * 0.1
+    _close(F.detrend(xb, axis=-1), ss.detrend(xb, axis=-1),
+           label="detrend batched", tol=1e-4)
+    _close(F.detrend(xb.T, axis=0), ss.detrend(xb.T, axis=0),
+           label="detrend axis0", tol=1e-4)
+    # breakpoints
+    _close(F.detrend(x, bp=[50, 120]), ss.detrend(x, bp=[50, 120]),
+           label="detrend bp", tol=1e-4)
+    with pytest.raises(PlanError, match="type"):
+        F.detrend(x, type="quadratic")
+
+
+def test_get_window_vs_scipy():
+    for w in ("hann", "hamming", ("tukey", 0.25), ("kaiser", 8.6), 8.6):
+        for fftbins in (True, False):
+            got = F.get_window(w, 64, fftbins=fftbins)
+            ref = ss.get_window(w, 64, fftbins=fftbins)
+            assert np.allclose(got, ref, atol=1e-6), (w, fftbins)

@@ -47,9 +47,11 @@ __all__ = [
     "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
-    "fftconvolve", "oaconvolve",
+    "fftconvolve", "oaconvolve", "convolve", "correlate",
+    "correlation_lags", "deconvolve",
     "stft", "istft", "spectrogram", "welch", "periodogram",
     "csd", "coherence", "resample", "hilbert", "czt", "zoom_fft",
+    "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
 ]
@@ -608,6 +610,146 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
     block route when the shapes warrant it (see docs/API.md), so this is
     an alias kept for scipy API familiarity."""
     return fftconvolve(in1, in2, mode, axes, interleaved=interleaved)
+
+
+def convolve(in1, in2, mode: str = "full", method: str = "auto", *,
+             interleaved: Optional[bool] = None):
+    """ND convolution (scipy.signal.convolve semantics over all axes).
+
+    ``method`` accepts scipy's vocabulary; 'direct' and 'auto' both run
+    the FFT route — on TPU the MXU-contraction FFT pipeline IS the fast
+    path at every size, so there is no separate direct kernel to pick
+    (values match scipy's to float32 precision either way).  Integer
+    inputs round to the nearest integer like scipy's fft method."""
+    if method not in ("auto", "fft", "direct"):
+        raise PlanError(f"method must be auto|fft|direct, got {method!r}")
+    int_in = (np.issubdtype(np.asarray(in1).dtype, np.integer)
+              and np.issubdtype(np.asarray(in2).dtype, np.integer))
+    y = fftconvolve(in1, in2, mode, interleaved=interleaved)
+    return jnp.round(y) if int_in else y
+
+
+def _reverse_conj(x, interleaved):
+    """Time-reverse over every data axis and conjugate (the correlate ->
+    convolve kernel map)."""
+    k = asinterleaved(x, interleaved)
+    for a in range(k.ndim - 1):
+        k = jnp.flip(k, axis=a)
+    return k * jnp.asarray([1.0, -1.0], dtype=k.dtype)
+
+
+def correlate(in1, in2, mode: str = "full", method: str = "auto", *,
+              interleaved: Optional[bool] = None):
+    """ND cross-correlation (scipy.signal.correlate semantics):
+    convolution of ``in1`` with the reversed conjugate of ``in2``, over
+    all axes.  See :func:`convolve` for the ``method`` note."""
+    if method not in ("auto", "fft", "direct"):
+        raise PlanError(f"method must be auto|fft|direct, got {method!r}")
+    complex_in = (np.iscomplexobj(in1) or np.iscomplexobj(in2)
+                  or (interleaved is True))
+    int_in = (np.issubdtype(np.asarray(in1).dtype, np.integer)
+              and np.issubdtype(np.asarray(in2).dtype, np.integer))
+    k = _reverse_conj(in2, interleaved if complex_in else False)
+    y = fftconvolve(asinterleaved(in1, interleaved if complex_in else False),
+                    k, mode, interleaved=True)
+    if not complex_in:
+        y = y[..., 0]
+    return jnp.round(y) if int_in else y
+
+
+def correlation_lags(in1_len: int, in2_len: int,
+                     mode: str = "full") -> np.ndarray:
+    """Lag indices for :func:`correlate` (scipy.signal.correlation_lags)."""
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lo = mid - in1_len // 2
+        return lags[lo:lo + in1_len]
+    if mode == "valid":
+        lag_bound = in1_len - in2_len
+        return (np.arange(lag_bound + 1) if lag_bound >= 0
+                else np.arange(lag_bound, 1))
+    raise PlanError(f"mode must be full|same|valid, got {mode!r}")
+
+
+def deconvolve(signal, divisor):
+    """Polynomial long division: (quotient, remainder) with
+    signal = convolve(divisor, quotient) + remainder
+    (scipy.signal.deconvolve semantics).
+
+    Runs on the HOST in float64: deconvolution is an inherently
+    sequential recursion (scipy implements it as an IIR lfilter), not a
+    TPU workload — inputs are typically short filter responses."""
+    num = np.atleast_1d(np.asarray(signal, np.float64))
+    den = np.atleast_1d(np.asarray(divisor, np.float64))
+    if num.ndim != 1 or den.ndim != 1:
+        raise PlanError("deconvolve takes 1-D signal and divisor")
+    if den.size == 0 or den[0] == 0:
+        raise PlanError("divisor must have a non-zero leading coefficient")
+    N, D = num.size, den.size
+    if D > N:
+        return np.zeros(1), num.copy()
+    quot = np.zeros(N - D + 1)
+    rem = num.copy()
+    for i in range(N - D + 1):
+        q = rem[i] / den[0]
+        quot[i] = q
+        rem[i:i + D] -= q * den
+    return quot, rem
+
+
+def detrend(data, axis: int = -1, type: str = "linear", bp=0):
+    """Remove a constant or per-segment linear trend along ``axis``
+    (scipy.signal.detrend semantics, breakpoints included)."""
+    if type not in ("linear", "constant", "l", "c"):
+        raise PlanError(f"type must be 'linear' or 'constant', got {type!r}")
+    x = _real_f32(data)
+    ax = _axes_list(x.ndim, (axis,), False)[0]
+    n = x.shape[ax]
+    if type in ("constant", "c"):
+        return x - jnp.mean(x, axis=ax, keepdims=True)
+    bps = np.sort(np.unique(np.concatenate(
+        [[0], np.atleast_1d(np.asarray(bp, np.int64)).ravel(), [n]])))
+    if np.any(bps > n) or np.any(bps < 0):
+        raise PlanError("breakpoints must lie within the axis length")
+    x = jnp.moveaxis(x, ax, -1)
+    parts = []
+    for lo, hi in zip(bps[:-1], bps[1:]):
+        m = int(hi - lo)
+        if m == 0:
+            continue
+        seg = jax.lax.slice_in_dim(x, int(lo), int(hi), axis=x.ndim - 1)
+        t = jnp.arange(m, dtype=jnp.float32)
+        tc = t - (m - 1) / 2.0
+        denom = float(np.sum((np.arange(m) - (m - 1) / 2.0) ** 2)) or 1.0
+        b = jnp.sum(seg * tc, axis=-1, keepdims=True) / denom
+        a = jnp.mean(seg, axis=-1, keepdims=True)
+        parts.append(seg - (a + b * tc))
+    y = jnp.concatenate(parts, axis=-1)
+    return jnp.moveaxis(y, -1, ax)
+
+
+def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
+    """Window samples (scipy.signal.get_window semantics: string, (name,
+    param) tuple, or a float Kaiser beta; ``fftbins=True`` gives the
+    periodic form used by the spectral estimators)."""
+    if isinstance(window, (int, float)) and not isinstance(window, bool):
+        window = ("kaiser", float(window))
+    try:
+        from scipy.signal import get_window as _gw
+        return np.asarray(_gw(window, int(Nx), fftbins=fftbins), np.float32)
+    except ImportError:
+        if fftbins:
+            return _get_window(window, int(Nx))
+        table = {"hann": np.hanning, "hamming": np.hamming,
+                 "blackman": np.blackman}
+        if not isinstance(window, str) or window not in table:
+            raise PlanError(
+                f"window {window!r} needs scipy; available without it: "
+                f"{sorted(table)}")
+        return np.asarray(table[window](int(Nx)), np.float32)
 
 
 # ---------------------------------------------------------------- stft
