@@ -98,6 +98,7 @@ def run_gate(configs=((1024, 4096), (4096, 4096)), trials=3,
         path = os.path.join(os.path.dirname(__file__), "pallas_gate.json")
         with open(path, "w") as f:
             json.dump(verdict, f, indent=2)
+            f.write("\n")
         _PALLAS_GATE_CACHE.clear()
         results = os.path.join(os.getcwd(), "benches", "results_r3.jsonl")
         if os.path.isdir(os.path.dirname(results)):
