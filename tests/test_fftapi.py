@@ -559,6 +559,68 @@ def test_convolve_correlate_vs_scipy(rng):
         F.convolve(a, b, method="warp")
 
 
+@pytest.mark.parametrize("boundary", ["fill", "wrap", "symm"])
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_convolve2d_vs_scipy(rng, mode, boundary):
+    """scipy.signal.convolve2d semantics: every mode x boundary, even and
+    odd kernel dims (the same-crop centering differs), nonzero fill."""
+    a = rng.standard_normal((9, 11))
+    for kshape in ((3, 5), (2, 4)):
+        k = rng.standard_normal(kshape)
+        _close(F.convolve2d(a, k, mode, boundary),
+               ss.convolve2d(a, k, mode, boundary),
+               label=f"conv2d {mode}/{boundary}/{kshape}")
+        _close(F.correlate2d(a, k, mode, boundary),
+               ss.correlate2d(a, k, mode, boundary),
+               label=f"corr2d {mode}/{boundary}/{kshape}")
+    if boundary == "fill":
+        k = rng.standard_normal((3, 3))
+        _close(F.convolve2d(a, k, mode, fillvalue=1.5),
+               ss.convolve2d(a, k, mode, fillvalue=1.5),
+               label=f"conv2d fillvalue {mode}")
+
+
+def test_convolve2d_edges(rng):
+    a = rng.standard_normal((8, 9))
+    k = rng.standard_normal((3, 4))
+    # complex inputs
+    zc = rng.standard_normal((8, 9)) + 1j * rng.standard_normal((8, 9))
+    kc = rng.standard_normal((3, 4)) + 1j * rng.standard_normal((3, 4))
+    _close(F.convolve2d(zc, kc, "same", "wrap"),
+           ss.convolve2d(zc, kc, "same", "wrap"), label="conv2d complex")
+    _close(F.correlate2d(zc, kc, "same", "symm"),
+           ss.correlate2d(zc, kc, "same", "symm"), label="corr2d complex")
+    # valid with in2 larger: conv commutes; corr matches scipy's swap rule
+    _close(F.convolve2d(k, a, "valid"), ss.convolve2d(k, a, "valid"),
+           label="conv2d valid swap")
+    _close(F.correlate2d(k, a, "valid"), ss.correlate2d(k, a, "valid"),
+           label="corr2d valid swap")
+    # 'same' output keeps in1's shape even when in2 is larger
+    _close(F.convolve2d(k, a, "same"), ss.convolve2d(k, a, "same"),
+           label="conv2d same in2-larger")
+    with pytest.raises(PlanError, match="2-D"):
+        F.convolve2d(rng.standard_normal(8), rng.standard_normal(3))
+    with pytest.raises(PlanError, match="boundary"):
+        F.convolve2d(a, k, boundary="mirror")
+    with pytest.raises(PlanError, match="valid mode"):
+        F.convolve2d(a, rng.standard_normal((3, 12)), "valid")
+
+
+@pytest.mark.parametrize("N", [None, 12, (8, 16)])
+def test_hilbert2_vs_scipy(rng, N):
+    x = rng.standard_normal((10, 14))
+    _close(F.hilbert2(x, N), ss.hilbert2(x, N), label=f"hilbert2 N={N}")
+
+
+def test_hilbert2_batched_axes(rng):
+    x = rng.standard_normal((3, 10, 14))
+    _close(F.hilbert2(x), ss.hilbert2(x), label="hilbert2 batch")
+    _close(F.hilbert2(x, axes=(0, 2)), ss.hilbert2(x, axes=(0, 2)),
+           label="hilbert2 axes")
+    with pytest.raises(PlanError, match="distinct"):
+        F.hilbert2(x, axes=(1, -2))
+
+
 def test_deconvolve_vs_scipy(rng):
     sig = rng.standard_normal(24)
     div = np.array([1.0, 0.5, -0.25])

@@ -48,9 +48,11 @@ __all__ = [
     "hfft", "ihfft",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve", "convolve", "correlate",
+    "convolve2d", "correlate2d",
     "correlation_lags", "deconvolve",
     "stft", "istft", "spectrogram", "welch", "periodogram",
-    "csd", "coherence", "resample", "hilbert", "czt", "zoom_fft",
+    "csd", "coherence", "resample", "hilbert", "hilbert2",
+    "czt", "zoom_fft",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
@@ -607,8 +609,11 @@ def oaconvolve(in1, in2, mode: str = "full", axes=None, *,
     """Block-streamed convolution for long-signal/short-kernel workloads
     (scipy.signal.oaconvolve's role).  Same semantics as
     :func:`fftconvolve`; the plan layer auto-selects the overlap-save
-    block route when the shapes warrant it (see docs/API.md), so this is
-    an alias kept for scipy API familiarity."""
+    block route whenever it measures faster — 1-D convolved axis,
+    kernel <= 4097 taps, n >= 2^14 with n*batch >= 2^16 (the on-chip
+    r4_os_gate sweep: 1.03-4.85x wins across that whole region) — so
+    this is an alias kept for scipy API familiarity.  ND convolved axes
+    run the standard spectrum pipeline."""
     return fftconvolve(in1, in2, mode, axes, interleaved=interleaved)
 
 
@@ -672,6 +677,79 @@ def correlation_lags(in1_len: int, in2_len: int,
         return (np.arange(lag_bound + 1) if lag_bound >= 0
                 else np.arange(lag_bound, 1))
     raise PlanError(f"mode must be full|same|valid, got {mode!r}")
+
+
+def _conv2d_impl(x, k, mode: str, boundary: str, fillvalue, same_off):
+    """Shared convolve2d/correlate2d machinery on interleaved 2-D inputs.
+
+    scipy's boundary handling reduces to: extend ``x`` by (K-1) on each
+    side with the boundary rule, take the valid convolution (= the
+    boundary-aware full result), then crop per ``mode``.  ``same_off``
+    gives the same-mode crop offset as a function of the kernel dim
+    (convolution uses (K-1)//2, correlation K//2 — pinned empirically
+    against scipy, which centers the two differently for even kernels).
+    """
+    if mode not in ("full", "same", "valid"):
+        raise PlanError(f"mode must be full|same|valid, got {mode!r}")
+    if boundary not in ("fill", "wrap", "symm"):
+        raise PlanError(f"boundary must be fill|wrap|symm, got {boundary!r}")
+    if x.ndim != 3 or k.ndim != 3:
+        raise PlanError("convolve2d/correlate2d inputs must be 2-D")
+    K0, K1 = k.shape[0], k.shape[1]
+    if mode == "valid":
+        # the kernel never overhangs, so the boundary rule is irrelevant
+        # (verified against scipy); fftconvolve's valid route also covers
+        # the commuted in2-larger case
+        return fftconvolve(x, k, "valid", interleaved=True)
+    if boundary == "fill" and fillvalue == 0 and mode == "full":
+        return fftconvolve(x, k, "full", interleaved=True)
+    fv = complex(fillvalue)
+    fvec = jnp.asarray([fv.real, fv.imag], jnp.float32)
+    if boundary == "fill" and fv == 0:
+        full = fftconvolve(x, k, "full", interleaved=True)
+    else:
+        pads = ((K0 - 1, K0 - 1), (K1 - 1, K1 - 1), (0, 0))
+        if boundary == "fill":
+            # per-lane constant: pad (x - fv) with zeros, then add fv back
+            xp = jnp.pad(x - fvec, pads) + fvec
+        else:
+            xp = jnp.pad(x, pads,
+                         mode={"wrap": "wrap", "symm": "symmetric"}[boundary])
+        full = fftconvolve(xp, k, "valid", interleaved=True)
+    if mode == "full":
+        return full
+    i0, j0 = same_off(K0), same_off(K1)
+    return full[i0:i0 + x.shape[0], j0:j0 + x.shape[1]]
+
+
+def convolve2d(in1, in2, mode: str = "full", boundary: str = "fill",
+               fillvalue=0, *, interleaved: Optional[bool] = None):
+    """2-D convolution with scipy.signal.convolve2d's boundary modes:
+    'fill' (pad with ``fillvalue``), 'wrap' (circular), 'symm'
+    (edge-symmetric reflection).  The boundary extension is two free pads
+    feeding the framework's fftconv plan — one jitted XLA pipeline."""
+    complex_in = (np.iscomplexobj(in1) or np.iscomplexobj(in2)
+                  or (interleaved is True) or isinstance(fillvalue, complex))
+    x = asinterleaved(in1, interleaved if complex_in else False)
+    k = asinterleaved(in2, interleaved if complex_in else False)
+    y = _conv2d_impl(x, k, mode, boundary, fillvalue,
+                     same_off=lambda K: (K - 1) // 2)
+    return y if complex_in else y[..., 0]
+
+
+def correlate2d(in1, in2, mode: str = "full", boundary: str = "fill",
+                fillvalue=0, *, interleaved: Optional[bool] = None):
+    """2-D cross-correlation (scipy.signal.correlate2d semantics):
+    convolution of ``in1`` with the reversed conjugate of ``in2``, with
+    the same boundary modes as :func:`convolve2d`.  Note scipy centers
+    correlation's 'same' crop at K//2 (vs convolution's (K-1)//2)."""
+    complex_in = (np.iscomplexobj(in1) or np.iscomplexobj(in2)
+                  or (interleaved is True) or isinstance(fillvalue, complex))
+    x = asinterleaved(in1, interleaved if complex_in else False)
+    k = _reverse_conj(in2, interleaved if complex_in else False)
+    y = _conv2d_impl(x, k, mode, boundary, fillvalue,
+                     same_off=lambda K: K // 2)
+    return y if complex_in else y[..., 0]
 
 
 def deconvolve(signal, divisor):
@@ -1258,6 +1336,13 @@ def hilbert(x, axis: int = -1):
     x, undo = _move_to_trailing(x, axes, comp=False)
     n = x.shape[-1]
     X = fft(x, axis=-1, interleaved=False)      # (..., n, 2)
+    h = _hilbert_step(n)
+    y = ifft(X * h[:, None], axis=-1)
+    return _restore_axes(y, undo, comp=True)
+
+
+def _hilbert_step(n: int) -> np.ndarray:
+    """The frequency-domain analytic-signal weights (1, 2...2, [1])."""
     h = np.zeros(n, np.float32)
     h[0] = 1.0
     if n % 2 == 0:
@@ -1265,8 +1350,42 @@ def hilbert(x, axis: int = -1):
         h[1:n // 2] = 2.0
     else:
         h[1:(n + 1) // 2] = 2.0
-    y = ifft(X * h[:, None], axis=-1)
-    return _restore_axes(y, undo, comp=True)
+    return h
+
+
+def hilbert2(x, N=None, axes=(-2, -1)):
+    """2-D analytic signal (scipy.signal.hilbert2 semantics): the
+    "single-orthant" transform — the 2-D FFT weighted per axis by
+    (1, 2, ..., 2, 0, ..., 0), doubling bins 1:(n+1)//2 and zeroing the
+    rest (unlike the 1-D :func:`hilbert`, an even-n Nyquist bin is
+    ZEROED).  ``N`` (int or 2-tuple) crops-or-pads the FFT shape along
+    ``axes``; extra dimensions ride as batch.  Returns interleaved
+    (..., 2)."""
+    x = _real_f32(x)
+    if x.ndim < 2:
+        raise PlanError("hilbert2 needs an at-least-2-D real array")
+    if len(axes) != 2 or (axes[0] % x.ndim) == (axes[1] % x.ndim):
+        raise PlanError("axes must be two distinct axes")
+    ax = tuple(a % x.ndim for a in axes)
+    if N is None:
+        s = (x.shape[ax[0]], x.shape[ax[1]])
+    elif isinstance(N, int):
+        s = (N, N)
+    else:
+        s = tuple(int(n) for n in N)
+        if len(s) != 2:
+            raise PlanError("N must be an int or a 2-tuple")
+    if any(n < 1 for n in s):
+        raise PlanError("N must be positive")
+    X = fft2(x, s=s, axes=ax, interleaved=False)
+    for a, n in zip(ax, s):
+        h = np.zeros(n, np.float32)
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+        shape = [1] * X.ndim
+        shape[a] = n
+        X = X * h.reshape(shape)
+    return ifft2(X, axes=ax)
 
 
 # ---------------------------------------------------------------- utilities
