@@ -227,8 +227,8 @@ def test_overlap_save_auto_selection():
                                 "tuning": {"overlapSave": "off"}},
                        cache=W.PlanCache())
     assert off.route.mode != "overlap-save"
-    # correlation / small n / chunk-forcing batch stay on the standard
-    # route (serialized block groups measured 2.5x slower on chip)
+    # correlation / small n / heavy chunk-forcing batch stay on the
+    # standard route (many serialized block groups measured 2.5x slower)
     corr = W.create_plan(type="fftconv", shape=[1 << 18], batch=1,
                         fftConv={"boundary": "linear-same", "mode": "correlation",
                                  "kernelShape": [129]},
@@ -239,6 +239,20 @@ def test_overlap_save_auto_selection():
                                    "kernelShape": [129]},
                           cache=W.PlanCache())
     assert chunky.route.mode != "overlap-save"
+    # moderate-n gate (r4_os_gate sweep): n=2^15 b=1 and n=2^14 b=4 won
+    # on-chip; n=2^14 b=1 lost (0.89x); 3 mild lax.map groups won 2.74x
+    for shape, batch, want in (([1 << 15], 1, True), ([1 << 14], 4, True),
+                               ([1 << 14], 1, False), ([1 << 18], 16, True)):
+        p = W.create_plan(type="fftconv", shape=shape, batch=batch,
+                          fftConv={"boundary": "linear-same",
+                                   "kernelShape": [129]},
+                          cache=W.PlanCache())
+        assert (p.route.mode == "overlap-save") == want, (shape, batch)
+    mild = W.create_plan(type="fftconv", shape=[1 << 18], batch=16,
+                         fftConv={"boundary": "linear-same",
+                                  "kernelShape": [129]},
+                         cache=W.PlanCache())
+    assert any(r.startswith("os-block-chunk") for r in mild.route.reasons)
     unchunked = W.create_plan(type="fftconv", shape=[1 << 20], batch=1,
                              fftConv={"boundary": "linear-same",
                                       "kernelShape": [129]},

@@ -34,12 +34,17 @@ from .base import Plan, RouteInfo
 # fftShape FFT would be a giant four-step chain but the kernel is short —
 # batched small-block FFTs keep every einsum in the 2-contraction sweet
 # spot and bound memory to ~B/H (~1.14x) of the signal.  Measured on-chip
-# (benches/r3e_overlap_save.py): 1.16x at n=2^20 b=1, par at n=2^18 b=4,
-# but 2.5x SLOWER when the operand bound forces serialized block groups —
-# so auto requires the whole block tensor to fit the validated einsum
-# operand size.
-OS_MIN_N = 1 << 18
+# (benches/r3e_overlap_save.py, r4_os_gate.py 18-config sweep): wins
+# 1.03-4.85x for n >= 2^15 at every batch and for n = 2^14 at batch >= 4
+# (the scipy-shaped oaconvolve sweet spot); the only measured loss is
+# n=2^14 batch=1 (0.89x).  A mildly-chunked block tensor (3 serialized
+# lax.map groups) still won 2.74x, but heavy serialization loses 2.5x
+# (r2 data) — so auto allows at most OS_MAX_GROUPS block groups.
+OS_MIN_N = 1 << 14             # absolute floor
+OS_SOLO_N = 1 << 15            # below this, need n*batch >= OS_MIN_WORK
+OS_MIN_WORK = 1 << 16          # (n=2^14 b=1 measured 0.89x — the one loss)
 OS_MAX_TAP = 1 << 12
+OS_MAX_GROUPS = 4
 
 
 def _os_block(fc, k: int) -> int:
@@ -57,6 +62,28 @@ def _os_blocks(fc, n: int, k: int) -> int:
     _, out_shape, out_off = fftconv_out_shape([n], [k], fc.boundary)
     wrap = (k - 1) if fc.boundary == "circular" else 0
     return -(-(out_off[0] + wrap + out_shape[0]) // H)
+
+
+def _os_group_size(fc, n: int, k: int, batch: int):
+    """(group, nb): the lax.map group size the builder will pick so each
+    (batch * group * B) block-group einsum stays within the validated
+    operand size, and the block count."""
+    from .transforms import CHUNK_ELEMS
+    B = _os_block(fc, k)
+    nb = _os_blocks(fc, n, k)
+    if batch * nb * B <= CHUNK_ELEMS:
+        return nb, nb
+    cap = max(1, CHUNK_ELEMS // max(1, batch * B))
+    group = 1
+    for d in range(1, min(nb, cap) + 1):
+        if nb % d == 0:
+            group = d
+    return group, nb
+
+
+def _os_group_count(fc, n: int, k: int, batch: int) -> int:
+    group, nb = _os_group_size(fc, n, k, batch)
+    return nb // group
 
 
 def _overlap_save_route(spec: PlanSpec, kshape) -> bool:
@@ -80,13 +107,14 @@ def _overlap_save_route(spec: PlanSpec, kshape) -> bool:
                 "overlapSave needs 2 <= kernel length < shape")
         return True
     n, k = spec.shape[0], kshape[0]
-    if not (structural_ok and n >= OS_MIN_N and 2 <= k
-            and k - 1 <= OS_MAX_TAP and 8 * k <= n):
+    if not (structural_ok and n >= OS_MIN_N
+            and (n >= OS_SOLO_N or n * spec.batch >= OS_MIN_WORK)
+            and 2 <= k and k - 1 <= OS_MAX_TAP and 8 * k <= n):
         return False
-    # serialized block groups lose to the standard route (measured);
-    # auto only takes overlap-save when the block tensor runs unchunked
-    from .transforms import CHUNK_ELEMS
-    return spec.batch * _os_blocks(fc, n, k) * _os_block(fc, k) <= CHUNK_ELEMS
+    # heavily serialized block groups lose to the standard route
+    # (measured 2.5x, benches/r3e); a few groups still win (2.74x at 3
+    # groups, r4_os_gate) — auto takes overlap-save up to OS_MAX_GROUPS
+    return _os_group_count(fc, n, k, spec.batch) <= OS_MAX_GROUPS
 
 
 def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
@@ -141,14 +169,8 @@ def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
 
     # bound einsum operands: process block groups through lax.map so each
     # group's (batch * group * B) stays within the validated size
-    from .transforms import CHUNK_ELEMS
-    group = nb
-    if batch * nb * B > CHUNK_ELEMS:
-        cap = max(1, CHUNK_ELEMS // max(1, batch * B))
-        group = 1
-        for d_ in range(1, min(nb, cap) + 1):
-            if nb % d_ == 0:
-                group = d_
+    group, _ = _os_group_size(fc, n, k, batch)
+    if group != nb:
         route.reasons = route.reasons + (f"os-block-chunk({group})",)
 
     def fn(consts_, x, kernel, out=None):
