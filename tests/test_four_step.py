@@ -287,23 +287,29 @@ def test_four_step_apply_mid_matches_apply(rng, assert_close):
 
 def test_four_step_mid_structural_and_nested():
     """Structurally: the four-step (and Bluestein/Rader plans whose inner
-    M-FFTs are four-step) report supports_mid, so apply_along_axis never
-    takes the moveaxis fallback for them."""
+    M-FFTs are four-step) report supports_mid (the capability exists and
+    composes with slab streaming) but prefer the moveaxis fallback —
+    alternating on-chip trials measured the lane-carrying digit form
+    0.89-0.97x (benches/r4_fourstep_mid2.py).  Mixed plans keep mid."""
     ap = A.FourStepAxisPlan(4096, "forward", "fss")
-    assert ap.supports_mid
+    assert ap.supports_mid and not ap.prefer_mid
+    assert A.MixedAxisPlan(4096, "forward", "mxp").prefer_mid
     from webgpufft_tpu.spec import TuningSpec
     import dataclasses
     tun = dataclasses.replace(TuningSpec(), four_step_min_n=2048)
     bl = A.BluesteinAxisPlan(2801, "forward", "blm", tuning=tun)
     assert isinstance(bl.fwd, A.FourStepAxisPlan)
-    assert bl.supports_mid
+    assert bl.supports_mid and not bl.prefer_mid
     rd = A.RaderAxisPlan(2053, "forward", "rdm", tuning=tun)
     assert isinstance(rd.fwd, A.FourStepAxisPlan) or rd.supports_mid
+    # smooth-inner Bluestein still prefers the (2.4x-measured) mid form
+    bsm = A.BluesteinAxisPlan(2801, "forward", "bls")
+    assert bsm.supports_mid and bsm.prefer_mid
 
 
 def test_four_step_nd_non_last_axis_mid_route(rng, assert_close):
-    """End-to-end ND c2c with a four-step axis 0 now runs through the
-    mid-axis form (no moveaxis) and still matches the oracle, including a
+    """End-to-end ND c2c with a four-step axis 0 matches the oracle under
+    the measured routing policy (moveaxis for four-step axes), including a
     Bluestein axis whose inner M-FFT is four-step."""
     shape = (4096, 4)
     z = rand_c(rng, (1, *shape))

@@ -146,6 +146,7 @@ class MixedAxisPlan(AxisPlan):
         return out
 
     supports_mid = True
+    prefer_mid = True            # measured 2.4x over the rows form (r3b)
 
     def apply_mid(self, x, consts):
         """Transform along axis -3 of (..., n, L, 2): the same W4-form
@@ -340,6 +341,12 @@ class FourStepAxisPlan(AxisPlan):
         return y.reshape(*lead, self.n, 2)
 
     supports_mid = True
+    # Alternating on-chip trials (benches/r4_fourstep_mid2.py) measured
+    # this form 0.89-0.97x vs the moveaxis fallback — XLA fuses the
+    # transposes into the stage einsums for free, while the lane-carrying
+    # digit contractions tile slightly worse.  apply_mid stays available
+    # (it composes with digit-slab streaming) but routing prefers moveaxis.
+    prefer_mid = False
 
     def apply_mid(self, x, consts):
         """Transform along axis -3 of (..., n, L, 2): the four-step digit
@@ -438,6 +445,14 @@ class BluesteinAxisPlan(AxisPlan):
         return (getattr(self.fwd, "supports_mid", False)
                 and getattr(self.inv, "supports_mid", False))
 
+    @property
+    def prefer_mid(self) -> bool:
+        # the mid form forces the inner M-FFTs' apply_mid, so only prefer
+        # it when the inner plans themselves prefer mid (four-step inners
+        # measured slower in the lane-carrying form, r4_fourstep_mid2)
+        return (getattr(self.fwd, "prefer_mid", False)
+                and getattr(self.inv, "prefer_mid", False))
+
     def apply(self, x, consts):
         n, m = self.n, self.m
         p = self.prefix
@@ -515,6 +530,14 @@ class RaderAxisPlan(AxisPlan):
     def supports_mid(self) -> bool:
         return (getattr(self.fwd, "supports_mid", False)
                 and getattr(self.inv, "supports_mid", False))
+
+    @property
+    def prefer_mid(self) -> bool:
+        # the mid form forces the inner M-FFTs' apply_mid, so only prefer
+        # it when the inner plans themselves prefer mid (four-step inners
+        # measured slower in the lane-carrying form, r4_fourstep_mid2)
+        return (getattr(self.fwd, "prefer_mid", False)
+                and getattr(self.inv, "prefer_mid", False))
 
     def apply(self, x, consts):
         p_ = self.prefix
@@ -717,13 +740,17 @@ def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):
 
     Non-last mixed/Rader/Bluestein axes use the W4 mid-axis form (trailing
     complex dims merged into a riding lane dim; free reshapes, no moveaxis
-    transpose passes).  Four-step plans — and Rader/Bluestein whose inner
-    convolution FFTs are themselves four-step — fall back to moveaxis.
+    transpose passes; measured 2.4x on mixed plans, r3b).  Four-step plans
+    — and Rader/Bluestein whose inner convolution FFTs are themselves
+    four-step — take the moveaxis fallback instead: XLA fuses those
+    transposes for free and the lane-carrying digit form measured
+    0.89-0.97x (alternating trials, benches/r4_fourstep_mid2.py).
     """
     last = x.ndim - 2
     if array_axis == last:
         return axis_plan.apply(x, consts)
-    if getattr(axis_plan, "supports_mid", False):
+    if (getattr(axis_plan, "supports_mid", False)
+            and getattr(axis_plan, "prefer_mid", True)):
         lead = x.shape[:array_axis]
         n = x.shape[array_axis]
         v = x.reshape(*lead, n, -1, 2)       # L = trailing complex elems
