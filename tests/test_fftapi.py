@@ -606,6 +606,80 @@ def test_convolve2d_edges(rng):
         F.convolve2d(a, rng.standard_normal((3, 12)), "valid")
 
 
+def test_upfirdn_vs_scipy(rng):
+    """scipy.signal.upfirdn semantics: up/down factors, axes, complex,
+    extension modes."""
+    x = rng.standard_normal((3, 50))
+    h = rng.standard_normal(13)
+    for up, down in ((1, 1), (3, 1), (1, 4), (3, 2), (7, 5)):
+        _close(F.upfirdn(h, x, up, down), ss.upfirdn(h, x, up, down),
+               label=f"upfirdn {up}/{down}", tol=1e-4)
+    _close(F.upfirdn(h, x, 2, 3, axis=0), ss.upfirdn(h, x, 2, 3, axis=0),
+           label="upfirdn axis0", tol=1e-4)
+    zc = rng.standard_normal(40) + 1j * rng.standard_normal(40)
+    _close(F.upfirdn(h, zc, 2, 3), ss.upfirdn(h, zc, 2, 3),
+           label="upfirdn complex", tol=1e-4)
+    hc = h + 1j * rng.standard_normal(13)
+    _close(F.upfirdn(hc, x[0], 2, 1), ss.upfirdn(hc, x[0], 2, 1),
+           label="upfirdn complex h", tol=1e-4)
+    for mode in ("symmetric", "reflect", "edge", "wrap"):
+        _close(F.upfirdn(h, x, 2, 3, mode=mode),
+               ss.upfirdn(h, x, 2, 3, mode=mode),
+               label=f"upfirdn {mode}", tol=1e-4)
+    _close(F.upfirdn(h, x, 2, 3, mode="constant", cval=1.5),
+           ss.upfirdn(h, x, 2, 3, mode="constant", cval=1.5),
+           label="upfirdn cval", tol=1e-4)
+    with pytest.raises(PlanError, match="mode"):
+        F.upfirdn(h, x, mode="smooth")
+    with pytest.raises(PlanError, match="1-D"):
+        F.upfirdn(rng.standard_normal((3, 3)), x)
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 3), (3, 2), (5, 7),
+                                     (160, 441)])
+def test_resample_poly_vs_scipy(rng, up, down):
+    x = rng.standard_normal((200, 3))
+    _close(F.resample_poly(x, up, down), ss.resample_poly(x, up, down),
+           label=f"resample_poly {up}/{down}", tol=2e-4)
+
+
+def test_resample_poly_modes_vs_scipy(rng):
+    x = rng.standard_normal((4, 150)) + 2.0       # nonzero background
+    for padtype in ("constant", "mean", "maximum", "minimum", "median",
+                    "symmetric", "reflect", "edge", "wrap"):
+        _close(F.resample_poly(x, 2, 3, axis=1, padtype=padtype),
+               ss.resample_poly(x, 2, 3, axis=1, padtype=padtype),
+               label=f"resample_poly {padtype}", tol=2e-4)
+    _close(F.resample_poly(x, 3, 1, axis=1, padtype="constant", cval=1.0),
+           ss.resample_poly(x, 3, 1, axis=1, padtype="constant", cval=1.0),
+           label="resample_poly cval", tol=2e-4)
+    w = ss.firwin(31, 0.4)
+    _close(F.resample_poly(x, 2, 3, axis=1, window=w),
+           ss.resample_poly(x, 2, 3, axis=1, window=w),
+           label="resample_poly window-array", tol=2e-4)
+    zc = rng.standard_normal(120) + 1j * rng.standard_normal(120)
+    _close(F.resample_poly(zc, 2, 3), ss.resample_poly(zc, 2, 3),
+           label="resample_poly complex", tol=2e-4)
+    with pytest.raises(PlanError, match="cval"):
+        F.resample_poly(x, 2, 3, padtype="mean", cval=1.0)
+
+
+def test_decimate_vs_scipy(rng):
+    x = rng.standard_normal((3, 240))
+    for q in (2, 4, 13):
+        _close(F.decimate(x, q, ftype="fir"),
+               ss.decimate(x, q, ftype="fir"),
+               label=f"decimate q={q}", tol=2e-4)
+    _close(F.decimate(x, 4, n=20, ftype="fir", zero_phase=False),
+           ss.decimate(x, 4, n=20, ftype="fir", zero_phase=False),
+           label="decimate non-zero-phase", tol=2e-4)
+    _close(F.decimate(x, 3, ftype="fir", axis=0),
+           ss.decimate(x, 3, ftype="fir", axis=0),
+           label="decimate axis0", tol=2e-4)
+    with pytest.raises(PlanError, match="iir"):
+        F.decimate(x, 4)
+
+
 @pytest.mark.parametrize("N", [None, 12, (8, 16)])
 def test_hilbert2_vs_scipy(rng, N):
     x = rng.standard_normal((10, 14))

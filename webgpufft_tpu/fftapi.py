@@ -51,7 +51,8 @@ __all__ = [
     "convolve2d", "correlate2d",
     "correlation_lags", "deconvolve",
     "stft", "istft", "spectrogram", "welch", "periodogram",
-    "csd", "coherence", "resample", "hilbert", "hilbert2",
+    "csd", "coherence", "resample", "resample_poly", "upfirdn",
+    "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
@@ -1325,6 +1326,189 @@ def resample(x, num: int, axis: int = -1):
         Y = jnp.pad(X, pads)
     y = irfft(Y, n=num, axis=-1) * np.float32(num / n)
     return _restore_axes(y, undo, comp=False)
+
+
+def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
+    """Output length of upfirdn (scipy's _output_len)."""
+    return ((n_in - 1) * up + len_h + down - 1) // down
+
+
+_UPFIRDN_PAD = {"symmetric": "symmetric", "reflect": "reflect",
+                "edge": "edge", "wrap": "wrap"}
+
+
+def upfirdn(h, x, up: int = 1, down: int = 1, axis: int = -1,
+            mode: str = "constant", cval=0, *,
+            interleaved: Optional[bool] = None):
+    """Upsample, FIR filter, downsample (scipy.signal.upfirdn semantics).
+
+    TPU formulation: the zero-stuff is a free stack+reshape, the FIR is
+    the framework's FFT convolution (mathematically identical to the
+    polyphase form), and the downsample a strided slice — one jitted XLA
+    pipeline.  Signal extension modes: 'constant' (cval), 'symmetric',
+    'reflect', 'edge', 'wrap' (scipy's remaining modes are host-side
+    spline fits and raise)."""
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise PlanError("up and down must be >= 1")
+    if mode != "constant" and mode not in _UPFIRDN_PAD:
+        raise PlanError(
+            f"upfirdn mode {mode!r} unsupported; available: constant, "
+            f"{', '.join(sorted(_UPFIRDN_PAD))}")
+    complex_in = (np.iscomplexobj(x) or np.iscomplexobj(h)
+                  or isinstance(cval, complex) or (interleaved is True))
+    hv = asinterleaved(h, False)       # complex dtype interleaves itself
+    if hv.ndim != 2:
+        raise PlanError("upfirdn filter h must be 1-D")
+    xv = asinterleaved(x, interleaved if complex_in else False)
+    nd = xv.ndim - 1
+    axes = _axes_list(nd, (axis,), False)
+    xv, undo = _move_to_trailing(xv, axes, comp=True)
+    n_in = xv.shape[-2]
+    len_h = hv.shape[0]
+    # signal extension: K original samples cover the filter's reach
+    K = 0
+    if not (mode == "constant" and cval == 0):
+        K = -(-(len_h - 1) // up)
+        pads = [(0, 0)] * (xv.ndim - 2) + [(K, K), (0, 0)]
+        if mode == "constant":
+            fv = complex(cval)
+            fvec = jnp.asarray([fv.real, fv.imag], jnp.float32)
+            xv = jnp.pad(xv - fvec, pads) + fvec
+        else:
+            if K >= n_in and mode in ("symmetric", "reflect"):
+                raise PlanError(
+                    f"{mode} extension needs signal length > filter reach")
+            xv = jnp.pad(xv, pads, mode=_UPFIRDN_PAD[mode])
+    # zero-stuff by up: (..., n, 2) -> (..., n, up, 2) -> (..., n*up, 2)
+    if up > 1:
+        ns = xv.shape[-2]
+        z = jnp.zeros(xv.shape[:-1] + (up - 1, 2), xv.dtype)
+        xv = jnp.concatenate([xv[..., None, :], z], axis=-2)
+        xv = xv.reshape(*xv.shape[:-3], ns * up, 2)
+    kshape = (1,) * (nd - 1) + (len_h,)
+    y = fftconvolve(xv, hv.reshape(*kshape, 2), "full", axes=nd - 1,
+                    interleaved=True)
+    L = (n_in - 1) * up + len_h
+    y = jax.lax.slice_in_dim(y, K * up, K * up + L, axis=nd - 1)
+    y = y[..., ::down, :]
+    y = _restore_axes(y, undo, comp=True)
+    return y if complex_in else y[..., 0]
+
+
+def resample_poly(x, up: int, down: int, axis: int = 0,
+                  window=("kaiser", 5.0), padtype: str = "constant",
+                  cval=None, *, interleaved: Optional[bool] = None):
+    """Polyphase resampling (scipy.signal.resample_poly semantics): the
+    signal is upsampled by ``up``, low-pass filtered by a zero-phase FIR
+    (designed via firwin unless ``window`` is a precomputed array), and
+    downsampled by ``down``.  padtype 'constant' (cval) plus the
+    background-subtraction types mean/median/maximum/minimum and the
+    pad-mode types symmetric/reflect/edge/wrap."""
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise PlanError("up and down must be >= 1")
+    if cval is not None and padtype != "constant":
+        raise PlanError("cval has no effect unless padtype is 'constant'")
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    complex_in = np.iscomplexobj(x) or (interleaved is True)
+    xv = asinterleaved(x, interleaved if complex_in else False)
+    if up == down == 1:
+        return xv if complex_in else xv[..., 0]
+    nd = xv.ndim - 1
+    ax = axis % nd
+    n_in = xv.shape[ax]
+    n_out = n_in * up // down + bool((n_in * up) % down)
+    if isinstance(window, list) or hasattr(window, "ndim"):
+        h = np.asarray(window, np.float64)
+        if h.ndim != 1:
+            raise PlanError("window array must be 1-D")
+        h = h.copy()
+        half_len = (h.size - 1) // 2
+    else:
+        # linear-phase low-pass FIR (scipy's design: cutoff 1/max_rate,
+        # half length 10*max_rate)
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        try:
+            from scipy.signal import firwin
+        except ImportError:
+            raise PlanError(
+                "resample_poly window design needs scipy; pass a "
+                "precomputed 1-D window array instead") from None
+        h = firwin(2 * half_len + 1, 1.0 / max_rate, window=window)
+    h = h * up
+    n_pre_pad = down - half_len % down
+    n_post_pad = 0
+    n_pre_remove = (half_len + n_pre_pad) // down
+    while _upfirdn_len(h.size + n_pre_pad + n_post_pad, n_in,
+                       up, down) < n_out + n_pre_remove:
+        n_post_pad += 1
+    h = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
+    h = h.astype(np.float32)
+    bg = None
+    kw = {"mode": "constant", "cval": 0}
+    stats = {"mean": jnp.mean, "median": jnp.median,
+             "minimum": jnp.min, "maximum": jnp.max}
+    if padtype in stats:
+        bg = stats[padtype](xv, axis=ax, keepdims=True)
+        xv = xv - bg
+    elif padtype == "constant":
+        kw["cval"] = cval if cval is not None else 0
+    elif padtype in _UPFIRDN_PAD:
+        kw = {"mode": padtype}
+    else:
+        raise PlanError(
+            f"padtype {padtype!r} unsupported; available: constant, "
+            f"mean, median, maximum, minimum, "
+            f"{', '.join(sorted(_UPFIRDN_PAD))}")
+    y = upfirdn(h, xv, up, down, axis=ax, interleaved=True, **kw)
+    y = jax.lax.slice_in_dim(y, n_pre_remove, n_pre_remove + n_out,
+                             axis=ax)
+    if bg is not None:
+        y = y + bg
+    return y if complex_in else y[..., 0]
+
+
+def decimate(x, q: int, n: Optional[int] = None, ftype: str = "iir",
+             axis: int = -1, zero_phase: bool = True, *,
+             interleaved: Optional[bool] = None):
+    """Downsample after an anti-aliasing filter
+    (scipy.signal.decimate's FIR path: ftype='fir', hamming-window
+    firwin design, zero-phase via resample_poly).
+
+    ftype='iir' (scipy's default) is an order-8 Chebyshev RECURSION —
+    an inherently sequential op that does not map to the TPU; call with
+    ftype='fir' (values then match scipy's FIR path to f32)."""
+    q = int(q)
+    if q < 1:
+        raise PlanError("q must be >= 1")
+    if ftype == "iir":
+        raise PlanError(
+            "decimate ftype='iir' is a sequential IIR recursion (not a "
+            "TPU workload); use ftype='fir' for the firwin/upfirdn path")
+    if ftype != "fir":
+        raise PlanError(f"ftype must be 'fir' (got {ftype!r})")
+    if n is None:
+        n = 2 * (10 * q)
+    try:
+        from scipy.signal import firwin
+    except ImportError:
+        raise PlanError("decimate filter design needs scipy") from None
+    b = firwin(n + 1, 1.0 / q, window="hamming")
+    complex_in = np.iscomplexobj(x) or (interleaved is True)
+    xv = asinterleaved(x, interleaved if complex_in else False)
+    nd = xv.ndim - 1
+    ax = axis % nd
+    if zero_phase:
+        y = resample_poly(xv, 1, q, axis=ax, window=b, interleaved=True)
+    else:
+        n_out = xv.shape[ax] // q + bool(xv.shape[ax] % q)
+        y = upfirdn(b, xv, 1, q, axis=ax, interleaved=True)
+        y = jax.lax.slice_in_dim(y, 0, n_out, axis=ax)
+    return y if complex_in else y[..., 0]
 
 
 def hilbert(x, axis: int = -1):

@@ -116,6 +116,25 @@ def run(tol: float = 1e-5) -> bool:
     _, back = fftapi.istft(Zs, nperseg=128)
     check("facade stft/istft (1024)", np.asarray(back)[:1024], xs)
 
+    # facade 2-D boundary convolution + polyphase resampling (vs the
+    # oracle formulations they reduce to)
+    a2 = rng.standard_normal((12, 10)).astype(np.float64)
+    k2 = rng.standard_normal((3, 4)).astype(np.float64)
+    pad = np.pad(a2, ((2, 2), (3, 3)), mode="wrap")
+    ref = np.zeros((14, 13))
+    for i in range(14):
+        for j in range(13):
+            ref[i, j] = np.sum(pad[i:i + 3, j:j + 4] * k2[::-1, ::-1])
+    check("facade convolve2d wrap", np.asarray(
+        fftapi.convolve2d(a2, k2, "full", "wrap")), ref)
+    try:
+        from scipy.signal import resample_poly as sp_rp
+        xr = rng.standard_normal(240)
+        check("facade resample_poly 2/3", np.asarray(
+            fftapi.resample_poly(xr, 2, 3)), sp_rp(xr, 2, 3))
+    except ImportError:
+        pass
+
     # AOT export/load roundtrip on this backend
     p = W.create_plan({"type": "c2c", "shape": [64], "batch": 2,
                        "normalize": "unitary"}, cache=cache)
