@@ -732,3 +732,58 @@ def test_get_window_vs_scipy():
             got = F.get_window(w, 64, fftbins=fftbins)
             ref = ss.get_window(w, 64, fftbins=fftbins)
             assert np.allclose(got, ref, atol=1e-6), (w, fftbins)
+
+
+# ---------------------------------------------------------------- FFTLog
+
+class TestFht:
+    """scipy.fft.fht/ifht/fhtoffset are the oracles."""
+
+    @pytest.mark.parametrize("mu", [0.0, 0.5, 2.0, -0.5])
+    @pytest.mark.parametrize("n", [64, 127])
+    def test_fht_matches_scipy(self, rng, mu, n):
+        dln = 0.08
+        a = rng.standard_normal((3, n))
+        want = sf.fht(a, dln, mu)
+        _close(F.fht(a, dln, mu), want, label=f"fht mu={mu} n={n}")
+
+    def test_fht_offset_bias(self, rng):
+        n, dln, mu = 96, 0.05, 1.0
+        offset = sf.fhtoffset(dln, mu, initial=0.3, bias=0.25)
+        assert abs(F.fhtoffset(dln, mu, initial=0.3, bias=0.25)
+                   - offset) < 1e-12
+        a = rng.standard_normal(n)
+        want = sf.fht(a, dln, mu, offset=offset, bias=0.25)
+        _close(F.fht(a, dln, mu, offset=offset, bias=0.25), want,
+               label="fht bias", tol=1e-4)
+
+    @pytest.mark.parametrize("bias", [0.0, -0.4])
+    def test_ifht_roundtrip_and_scipy(self, rng, bias):
+        n, dln, mu = 64, 0.1, 0.5
+        A = rng.standard_normal((2, n))
+        want = sf.ifht(A, dln, mu, bias=bias)
+        got = F.ifht(A, dln, mu, bias=bias)
+        _close(got, want, label="ifht", tol=1e-4)
+        # fht(ifht(A)) == A
+        back = F.fht(np.asarray(got, dtype=np.float64), dln, mu, bias=bias)
+        _close(back, A, label="fht∘ifht", tol=1e-4)
+
+    def test_fht_analytic_gaussian(self, rng):
+        """The Hamilton (2000) self-similar test case: the FFTLog of
+        r^{mu+1} exp(-r^2/2) reproduces k^{mu+1} exp(-k^2/2)."""
+        mu = 0.0
+        r = np.logspace(-7, 1, 128)
+        dln = np.log(r[1] / r[0])
+        offset = F.fhtoffset(dln, mu, initial=-6 * np.log(10))
+        k = np.exp(offset) / r[::-1]
+        a_r = r ** (mu + 1) * np.exp(-r ** 2 / 2)
+        got = np.asarray(F.fht(a_r, dln, mu=mu, offset=offset))
+        want = k ** (mu + 1) * np.exp(-k ** 2 / 2)
+        mask = want > 1e-3 * want.max()
+        assert np.max(np.abs(got[mask] - want[mask]) / want[mask]) < 1e-3
+
+    def test_singular_transform_warns(self):
+        with pytest.warns(UserWarning, match="singular transform"):
+            F.fht(np.ones(8), 0.1, mu=0.0, bias=-1.0)
+        with pytest.warns(UserWarning, match="singular inverse"):
+            F.ifht(np.ones(8), 0.1, mu=1.0, bias=2.0)

@@ -54,6 +54,7 @@ __all__ = [
     "csd", "coherence", "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft",
+    "fht", "ifht", "fhtoffset",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
     "ascomplex", "asinterleaved",
@@ -1570,6 +1571,111 @@ def hilbert2(x, N=None, axes=(-2, -1)):
         shape[a] = n
         X = X * h.reshape(shape)
     return ifft2(X, axes=ax)
+
+
+# ---------------------------------------------------------------- FFTLog
+
+_LN2 = float(np.log(2.0))
+
+
+def _fht_special():
+    try:
+        from scipy.special import loggamma, poch
+    except ImportError as e:  # pragma: no cover
+        raise PlanError("fht/ifht/fhtoffset need scipy (install the "
+                        "'signal' extra) for the log-gamma tables") from e
+    return loggamma, poch
+
+
+def _fht_coeff(n: int, dln: float, mu: float, offset: float, bias: float,
+               inverse: bool) -> np.ndarray:
+    """FFTLog kernel coefficients u_m = (k_c r_c)^{-2iy_m} U_mu(q + 2iy_m)
+    with U_mu(x) = 2^x Gamma((mu+1+x)/2) / Gamma((mu+1-x)/2) and
+    y_m = pi m / (n dln)  (Hamilton 2000 eq. 16-19; semantics pinned to
+    scipy.fft's fhtcoeff incl. the pole and singular-transform fixups)."""
+    loggamma, poch = _fht_special()
+    lnkr, q = float(offset), float(bias)
+    xp_ = (mu + 1 + q) / 2
+    xm = (mu + 1 - q) / 2
+    y = np.linspace(0.0, np.pi * (n // 2) / (n * dln), n // 2 + 1)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        lg = loggamma(xp_ + 1j * y) - np.conj(loggamma(xm + 1j * y))
+        u = np.exp(lg + q * _LN2 + 2j * (_LN2 - lnkr) * y)
+    if n % 2 == 0:
+        u.imag[-1] = 0.0
+    if not np.isfinite(u[0]):
+        # u_0 = 2^q Gamma(xp)/Gamma(xm); poch() covers the gamma poles
+        u[0] = 2.0 ** q * poch(xm, xp_ - xm)
+    if np.isinf(u[0]) and not inverse:
+        import warnings
+        warnings.warn("singular transform; consider changing the bias",
+                      stacklevel=3)
+        u = u.copy()
+        u[0] = 0.0
+    elif u[0] == 0 and inverse:
+        import warnings
+        warnings.warn("singular inverse transform; consider changing the "
+                      "bias", stacklevel=3)
+        u = u.copy()
+        u[0] = np.inf
+    return u
+
+
+def _fht_core(a, dln: float, mu: float, offset: float, bias: float,
+              inverse: bool):
+    from .core.cplx import to_t4, cmul_t4
+    a = _real_f32(a)
+    n = a.shape[-1]
+    dln = float(dln)
+    j = np.arange(n, dtype=np.float64)
+    j_c = (n - 1) / 2
+    if bias != 0:
+        # power-law bias of the input sequence (a_q(r) = a(r) (r/r_c)^{-q};
+        # the inverse biases by (k/k_c)^{+q} (k_c r_c)^{+q})
+        pre = (np.exp(bias * ((j - j_c) * dln + offset)) if inverse
+               else np.exp(-bias * (j - j_c) * dln))
+        a = a * jnp.asarray(pre.astype(np.float32))
+    u = _fht_coeff(n, dln, mu, offset, bias, inverse)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mult = (1.0 / np.conj(u)) if inverse else u
+    X = rfft(a, axis=-1)                         # (..., n//2+1, 2)
+    Y = cmul_t4(X, jnp.asarray(to_t4(mult)))
+    y = jnp.flip(irfft(Y, n, axis=-1), axis=-1)  # real (..., n)
+    if bias != 0:
+        post = (np.exp(bias * (j - j_c) * dln) if inverse
+                else np.exp(-bias * ((j - j_c) * dln + offset)))
+        y = y * jnp.asarray(post.astype(np.float32))
+    return y
+
+
+def fht(a, dln: float, mu: float, offset: float = 0.0, bias: float = 0.0):
+    """Fast Hankel transform of a logarithmically spaced periodic sequence
+    over the last axis (FFTLog algorithm; scipy.fft.fht semantics, pinned
+    in tests/test_fftapi.py).  Runs as bias-table multiply -> framework
+    rfft -> kernel-coefficient complex multiply -> irfft -> flip, all on
+    device."""
+    return _fht_core(a, dln, mu, offset, bias, inverse=False)
+
+
+def ifht(A, dln: float, mu: float, offset: float = 0.0, bias: float = 0.0):
+    """Inverse fast Hankel transform (scipy.fft.ifht semantics): the
+    inverse of :func:`fht`, dividing the spectrum by conj(u)."""
+    return _fht_core(A, dln, mu, offset, bias, inverse=True)
+
+
+def fhtoffset(dln: float, mu: float, initial: float = 0.0,
+              bias: float = 0.0) -> float:
+    """Optimal low-ringing offset for :func:`fht`
+    (scipy.fft.fhtoffset semantics; Hamilton 2000 eq. 20)."""
+    loggamma, _ = _fht_special()
+    lnkr, q = float(initial), float(bias)
+    xp_ = (mu + 1 + q) / 2
+    xm = (mu + 1 - q) / 2
+    y = np.pi / (2 * float(dln))
+    arg = ((_LN2 - lnkr) / float(dln)
+           + (loggamma(xp_ + 1j * y).imag + loggamma(xm + 1j * y).imag)
+           / np.pi)
+    return lnkr + (arg - np.round(arg)) * float(dln)
 
 
 # ---------------------------------------------------------------- utilities
