@@ -1,0 +1,275 @@
+"""scipy.signal filtering facade (webgpufft_tpu.filtering).
+
+Oracle is scipy.signal itself: design tables must match to f64 rounding,
+device filtering to f32 precision.
+"""
+
+import numpy as np
+import pytest
+
+import scipy.signal as ss
+
+from webgpufft_tpu import filtering as FL
+from webgpufft_tpu import PlanError
+from webgpufft_tpu.fftapi import ascomplex
+
+
+def _close(a, b, tol=3e-5, label=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if np.iscomplexobj(b) and not np.iscomplexobj(a):
+        a = ascomplex(a)
+    assert a.shape == b.shape, (label, a.shape, b.shape)
+    err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12)
+    assert err < tol, (label, err)
+
+
+# ------------------------------------------------------------- FIR design
+
+class TestFirwin:
+    @pytest.mark.parametrize("numtaps,cutoff,kw", [
+        (31, 0.3, {}),
+        (30, 0.3, {}),
+        (31, [0.2, 0.5], {"pass_zero": False}),
+        (31, [0.1, 0.3, 0.6], {"pass_zero": True}),
+        (31, 0.4, {"window": "blackman"}),
+        (31, 0.4, {"scale": False}),
+        (64, 1000.0, {"fs": 8000.0}),
+        (29, 0.35, {"width": 0.08}),
+        (31, 0.3, {"pass_zero": "highpass"}),
+        (32, [0.2, 0.6], {"pass_zero": "bandpass"}),
+    ])
+    def test_matches_scipy(self, numtaps, cutoff, kw):
+        got = FL.firwin(numtaps, cutoff, **kw)
+        want = ss.firwin(numtaps, cutoff, **kw)
+        assert np.allclose(got, want, atol=1e-12), (numtaps, cutoff, kw)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.firwin(30, 0.3, pass_zero=False)  # even numtaps pass nyq
+        with pytest.raises(PlanError):
+            FL.firwin(31, 1.5)
+        with pytest.raises(PlanError):
+            FL.firwin(31, [0.5, 0.2])
+
+    def test_kaiser_helpers(self):
+        assert np.isclose(FL.kaiser_beta(65.0), ss.kaiser_beta(65.0))
+        assert np.isclose(FL.kaiser_beta(30.0), ss.kaiser_beta(30.0))
+        assert np.isclose(FL.kaiser_atten(81, 0.04), ss.kaiser_atten(81, 0.04))
+
+
+class TestFirwin2:
+    @pytest.mark.parametrize("numtaps,freq,gain,kw", [
+        (41, [0.0, 0.5, 1.0], [1.0, 1.0, 0.0], {}),
+        (40, [0.0, 0.5, 1.0], [1.0, 1.0, 0.0], {}),
+        (41, [0.0, 0.3, 0.3, 1.0], [1.0, 1.0, 0.0, 0.0], {}),
+        (41, [0.0, 0.5, 1.0], [0.0, 1.0, 0.0], {"antisymmetric": True}),
+        (40, [0.0, 0.5, 1.0], [0.0, 1.0, 1.0], {"antisymmetric": True}),
+        (33, [0.0, 1000.0, 4000.0], [1.0, 0.5, 0.0], {"fs": 8000.0}),
+    ])
+    def test_matches_scipy(self, numtaps, freq, gain, kw):
+        got = FL.firwin2(numtaps, freq, gain, **kw)
+        want = ss.firwin2(numtaps, freq, gain, **kw)
+        assert np.allclose(got, want, atol=1e-10), (numtaps, kw)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.firwin2(40, [0.0, 0.5, 1.0], [1.0, 1.0, 1.0])  # type II nyq
+        with pytest.raises(PlanError):
+            FL.firwin2(41, [0.0, 0.3, 0.3, 0.3, 1.0], [1, 1, 0.5, 0, 0])
+
+
+# ------------------------------------------------------- frequency response
+
+class TestFreqz:
+    def test_fir_int_worN(self):
+        b = ss.firwin(31, 0.4)
+        for kw in [{}, {"whole": True}, {"worN": 256},
+                   {"worN": 128, "include_nyquist": True},
+                   {"fs": 100.0, "worN": 64}]:
+            w0, h0 = ss.freqz(b, 1, **kw)
+            w1, h1 = FL.freqz(b, 1, **kw)
+            assert np.allclose(w0, w1, atol=1e-9), kw
+            _close(h1, h0, label=f"freqz {kw}")
+
+    def test_iir_and_array_worN(self):
+        b, a = ss.butter(4, 0.3)
+        w0, h0 = ss.freqz(b, a, worN=512)
+        w1, h1 = FL.freqz(b, a, worN=512)
+        assert np.allclose(w0, w1)
+        _close(h1, h0, label="freqz iir", tol=2e-4)
+        grid = np.linspace(0.1, 3.0, 17)
+        w0, h0 = ss.freqz(b, a, worN=grid)
+        w1, h1 = FL.freqz(b, a, worN=grid)
+        assert np.allclose(w0, w1)
+        _close(h1, h0, label="freqz grid", tol=2e-4)
+
+    def test_sosfreqz(self):
+        sos = ss.butter(6, 0.25, output="sos")
+        w0, h0 = ss.sosfreqz(sos, worN=256)
+        w1, h1 = FL.sosfreqz(sos, worN=256)
+        assert np.allclose(w0, w1)
+        _close(h1, h0, label="sosfreqz", tol=2e-4)
+
+
+# ------------------------------------------------------------- application
+
+class TestLfilter:
+    def test_fir_path(self, rng):
+        b = ss.firwin(17, 0.3)
+        x = rng.standard_normal((3, 128))
+        _close(FL.lfilter(b, 1.0, x), ss.lfilter(b, [1.0], x),
+               label="fir lfilter")
+
+    def test_fir_axis0(self, rng):
+        b = ss.firwin(9, 0.4)
+        x = rng.standard_normal((64, 3))
+        _close(FL.lfilter(b, 1.0, x, axis=0), ss.lfilter(b, [1.0], x, axis=0),
+               label="fir axis0")
+
+    def test_fir_zi(self, rng):
+        b = ss.firwin(9, 0.4)
+        x = rng.standard_normal((2, 50))
+        zi = rng.standard_normal((2, 8))
+        y0, zf0 = ss.lfilter(b, [1.0], x, zi=zi)
+        y1, zf1 = FL.lfilter(b, 1.0, x, zi=zi)
+        _close(y1, y0, label="fir zi y")
+        _close(zf1, zf0, label="fir zi zf")
+
+    def test_iir(self, rng):
+        b, a = ss.butter(4, 0.2)
+        x = rng.standard_normal((2, 200))
+        _close(FL.lfilter(b, a, x), ss.lfilter(b, a, x), label="iir",
+               tol=2e-4)
+
+    def test_iir_zi_and_continuity(self, rng):
+        b, a = ss.butter(3, 0.3)
+        x = rng.standard_normal(120)
+        zi = ss.lfilter_zi(b, a) * x[0]
+        y0, zf0 = ss.lfilter(b, a, x, zi=zi)
+        y1, zf1 = FL.lfilter(b, a, x, zi=zi)
+        _close(y1, y0, label="iir zi y", tol=2e-4)
+        _close(zf1, zf0, label="iir zi zf", tol=2e-4)
+        # streaming: two halves with carried state == one shot
+        ya, za = FL.lfilter(b, a, x[:60], zi=zi)
+        yb, _ = FL.lfilter(b, a, x[60:], zi=za)
+        _close(np.concatenate([np.asarray(ya), np.asarray(yb)]), y0,
+               label="stream", tol=2e-4)
+
+    def test_complex_data(self, rng):
+        b, a = ss.butter(2, 0.4)
+        x = rng.standard_normal(80) + 1j * rng.standard_normal(80)
+        _close(FL.lfilter(b, a, x), ss.lfilter(b, a, x), label="complex",
+               tol=2e-4)
+
+    def test_scalar_filter(self, rng):
+        x = rng.standard_normal(10)
+        _close(FL.lfilter([2.0], [4.0], x), ss.lfilter([2.0], [4.0], x),
+               label="scalar")
+
+    def test_lfilter_zi(self):
+        for b, a in [ss.butter(5, 0.25), ss.cheby1(4, 1, 0.3),
+                     (np.array([1.0, 0.5]), np.array([1.0]))]:
+            got = FL.lfilter_zi(b, a)
+            want = ss.lfilter_zi(b, a)
+            assert np.allclose(got, want, atol=1e-10)
+
+
+class TestFiltfilt:
+    @pytest.mark.parametrize("padtype", ["odd", "even", "constant", None])
+    def test_matches_scipy(self, rng, padtype):
+        b, a = ss.butter(3, 0.25)
+        x = rng.standard_normal((2, 300))
+        got = FL.filtfilt(b, a, x, padtype=padtype)
+        want = ss.filtfilt(b, a, x, padtype=padtype)
+        _close(got, want, label=f"filtfilt {padtype}", tol=5e-4)
+
+    def test_fir_and_padlen(self, rng):
+        b = ss.firwin(11, 0.3)
+        x = rng.standard_normal(200)
+        _close(FL.filtfilt(b, [1.0], x, padlen=40),
+               ss.filtfilt(b, [1.0], x, padlen=40), label="filtfilt fir",
+               tol=5e-4)
+
+    def test_padlen_validation(self, rng):
+        b, a = ss.butter(3, 0.25)
+        with pytest.raises(PlanError):
+            FL.filtfilt(b, a, np.zeros(10))
+
+
+class TestSos:
+    def test_sosfilt(self, rng):
+        sos = ss.butter(6, 0.2, output="sos")
+        x = rng.standard_normal((2, 150))
+        _close(FL.sosfilt(sos, x), ss.sosfilt(sos, x), label="sosfilt",
+               tol=2e-4)
+
+    def test_sosfilt_zi(self):
+        sos = ss.butter(5, 0.3, output="sos")
+        assert np.allclose(FL.sosfilt_zi(sos), ss.sosfilt_zi(sos),
+                           atol=1e-10)
+
+    def test_sosfilt_with_zi(self, rng):
+        sos = ss.butter(4, 0.25, output="sos")
+        x = rng.standard_normal(100)
+        zi = ss.sosfilt_zi(sos) * x[0]
+        y0, zf0 = ss.sosfilt(sos, x, zi=zi)
+        y1, zf1 = FL.sosfilt(sos, x, zi=zi)
+        _close(y1, y0, label="sos zi y", tol=2e-4)
+        _close(zf1, zf0, label="sos zi zf", tol=2e-4)
+
+    def test_sosfiltfilt(self, rng):
+        sos = ss.butter(4, 0.2, output="sos")
+        x = rng.standard_normal((2, 250))
+        _close(FL.sosfiltfilt(sos, x), ss.sosfiltfilt(sos, x),
+               label="sosfiltfilt", tol=5e-4)
+
+
+# --------------------------------------------------------- Savitzky-Golay
+
+class TestSavgol:
+    @pytest.mark.parametrize("deriv,delta", [(0, 1.0), (1, 1.0), (2, 0.5)])
+    def test_coeffs(self, deriv, delta):
+        got = FL.savgol_coeffs(11, 3, deriv=deriv, delta=delta)
+        want = ss.savgol_coeffs(11, 3, deriv=deriv, delta=delta)
+        assert np.allclose(got, want, atol=1e-10)
+        got = FL.savgol_coeffs(10, 3, deriv=deriv, delta=delta)
+        want = ss.savgol_coeffs(10, 3, deriv=deriv, delta=delta)
+        assert np.allclose(got, want, atol=1e-10)
+
+    @pytest.mark.parametrize("mode", ["interp", "mirror", "constant",
+                                      "nearest", "wrap"])
+    def test_filter_modes(self, rng, mode):
+        x = rng.standard_normal((2, 100))
+        got = FL.savgol_filter(x, 11, 3, mode=mode)
+        want = ss.savgol_filter(x, 11, 3, mode=mode)
+        _close(got, want, label=f"savgol {mode}", tol=1e-4)
+
+    @pytest.mark.parametrize("deriv", [1, 2])
+    def test_filter_deriv(self, rng, deriv):
+        x = np.cumsum(rng.standard_normal(80))
+        got = FL.savgol_filter(x, 15, 4, deriv=deriv, delta=0.25)
+        want = ss.savgol_filter(x, 15, 4, deriv=deriv, delta=0.25)
+        _close(got, want, label=f"savgol deriv{deriv}", tol=1e-3)
+
+    def test_filter_axis0(self, rng):
+        x = rng.standard_normal((60, 3))
+        _close(FL.savgol_filter(x, 9, 2, axis=0),
+               ss.savgol_filter(x, 9, 2, axis=0), label="savgol axis0",
+               tol=1e-4)
+
+
+# ------------------------------------------------------------------ Wiener
+
+class TestWiener:
+    def test_1d(self, rng):
+        x = rng.standard_normal(100)
+        _close(FL.wiener(x, 5), ss.wiener(x, 5), label="wiener 1d",
+               tol=1e-4)
+
+    def test_2d_default_and_noise(self, rng):
+        im = rng.standard_normal((24, 32))
+        _close(FL.wiener(im), ss.wiener(im), label="wiener 2d", tol=1e-4)
+        _close(FL.wiener(im, (3, 5), noise=0.5),
+               ss.wiener(im, (3, 5), noise=0.5), label="wiener noise",
+               tol=1e-4)

@@ -1,0 +1,631 @@
+"""scipy.signal-style digital filtering on the framework's compute path.
+
+Design utilities (firwin/firwin2/savgol_coeffs/lfilter_zi/...) are host
+numpy table precompute — the framework-wide idiom (compare the twiddle /
+chirp tables of core/axis.py).  Application functions run on device:
+
+- FIR filtering routes through the plan layer's FFT convolution
+  (fftapi.fftconvolve -> create_plan(type="fftconv"), which auto-selects
+  the overlap-save streaming route for long signals), so ``lfilter`` with
+  ``a = [1]`` is a full MXU workload.
+- IIR filtering is an inherently sequential recurrence; it runs as a
+  ``lax.scan`` over the transposed direct-form-II state update —
+  compiler-friendly sequential control flow, vectorized across every
+  batch element on the VPU (the reference has no IIR surface at all;
+  this exists so scipy.signal users find the standard call set).
+
+Everything is pinned against scipy.signal in tests/test_filtering.py.
+Real coefficients only; complex DATA is supported by riding the
+interleaved component dim as batch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .fftapi import asinterleaved, fftconvolve, get_window
+from .spec import PlanError
+
+__all__ = [
+    "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
+    "freqz", "sosfreqz",
+    "lfilter", "lfilter_zi", "filtfilt",
+    "sosfilt", "sosfilt_zi", "sosfiltfilt",
+    "savgol_coeffs", "savgol_filter",
+    "wiener",
+]
+
+
+# ------------------------------------------------------------- FIR design
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser-window beta for ``a`` dB of attenuation
+    (scipy.signal.kaiser_beta)."""
+    a = float(a)
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a > 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation of a Kaiser-window FIR of ``numtaps`` taps and
+    normalized transition ``width`` (scipy.signal.kaiser_atten)."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
+def firwin(numtaps: int, cutoff, *, width: Optional[float] = None,
+           window="hamming", pass_zero=True, scale: bool = True,
+           fs: Optional[float] = None) -> np.ndarray:
+    """Window-method FIR design (scipy.signal.firwin semantics): sums of
+    sinc band responses, windowed and optionally gain-normalized at the
+    first passband center.  Returns a host numpy float64 tap array ready
+    for :func:`lfilter` / fftapi.upfirdn."""
+    numtaps = int(numtaps)
+    if numtaps < 1:
+        raise PlanError("numtaps must be >= 1")
+    nyq = 0.5 * (2.0 if fs is None else float(fs))
+    cutoff = np.atleast_1d(np.asarray(cutoff, dtype=np.float64)) / nyq
+    if cutoff.ndim > 1:
+        raise PlanError("cutoff must be a scalar or a 1-D sequence")
+    if cutoff.size == 0:
+        raise PlanError("at least one cutoff frequency is required")
+    if np.any(cutoff <= 0) or np.any(cutoff >= 1):
+        raise PlanError("cutoff must be strictly between 0 and fs/2")
+    if np.any(np.diff(cutoff) <= 0):
+        raise PlanError("cutoff frequencies must be strictly increasing")
+    if isinstance(pass_zero, str):
+        if pass_zero in ("bandstop", "lowpass"):
+            if pass_zero == "lowpass" and cutoff.size != 1:
+                raise PlanError("lowpass takes exactly one cutoff")
+            pass_zero = True
+        elif pass_zero in ("bandpass", "highpass"):
+            if pass_zero == "highpass" and cutoff.size != 1:
+                raise PlanError("highpass takes exactly one cutoff")
+            pass_zero = False
+        else:
+            raise PlanError(f"pass_zero must be bool|'bandpass'|'lowpass'|"
+                            f"'highpass'|'bandstop', got {pass_zero!r}")
+    pass_nyquist = bool(cutoff.size & 1) ^ bool(pass_zero)
+    if pass_nyquist and numtaps % 2 == 0:
+        raise PlanError("an even-numtaps filter cannot pass the Nyquist "
+                        "frequency (type II zero there); use odd numtaps")
+    if width is not None:
+        window = ("kaiser", kaiser_beta(kaiser_atten(numtaps, width / nyq)))
+    bands = np.concatenate([
+        [0.0] if pass_zero else [],
+        cutoff,
+        [1.0] if pass_nyquist else []]).reshape(-1, 2)
+    m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2
+    h = np.zeros(numtaps, dtype=np.float64)
+    for left, right in bands:
+        h += right * np.sinc(right * m)
+        h -= left * np.sinc(left * m)
+    h *= np.asarray(get_window(window, numtaps, fftbins=False),
+                    dtype=np.float64)
+    if scale:
+        left, right = bands[0]
+        scale_freq = (0.0 if left == 0 else
+                      1.0 if right == 1 else (left + right) / 2)
+        h /= np.sum(h * np.cos(np.pi * m * scale_freq))
+    return h
+
+
+def firwin2(numtaps: int, freq, gain, *, nfreqs: Optional[int] = None,
+            window="hamming", antisymmetric: bool = False,
+            fs: Optional[float] = None) -> np.ndarray:
+    """Frequency-sampling FIR design (scipy.signal.firwin2 semantics):
+    interpolate the desired response onto a dense grid, inverse-transform
+    with the linear-phase shift folded in, window, truncate."""
+    numtaps = int(numtaps)
+    nyq = 0.5 * (2.0 if fs is None else float(fs))
+    freq = np.asarray(freq, dtype=np.float64) / nyq
+    gain = np.asarray(gain, dtype=np.float64)
+    if freq.ndim != 1 or freq.shape != gain.shape:
+        raise PlanError("freq and gain must be matching 1-D sequences")
+    if freq[0] != 0 or freq[-1] != 1:
+        raise PlanError("freq must start at 0 and end at fs/2")
+    if np.any(np.diff(freq) < 0):
+        raise PlanError("freq must be nondecreasing")
+    _, counts = np.unique(freq, return_counts=True)
+    if np.any(counts > 2):
+        raise PlanError("freq may not contain a value more than twice")
+    if freq[1] == 0 or freq[-2] == 1:
+        raise PlanError("freq may repeat only at interior band edges")
+    if antisymmetric:
+        if numtaps % 2 == 0:
+            ftype = 4
+            if gain[0] != 0.0:
+                raise PlanError("type IV filter must have zero gain at DC")
+        else:
+            ftype = 3
+            if gain[0] != 0.0 or gain[-1] != 0.0:
+                raise PlanError("type III filter must have zero gain at "
+                                "DC and Nyquist")
+    else:
+        if numtaps % 2 == 0:
+            ftype = 2
+            if gain[-1] != 0.0:
+                raise PlanError("type II filter must have zero gain at "
+                                "Nyquist")
+        else:
+            ftype = 1
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(math.ceil(math.log2(numtaps)))
+    if numtaps > nfreqs:
+        raise PlanError("nfreqs must be >= numtaps")
+    # nudge repeated band-edge values apart so interp sees a step
+    eps = np.finfo(np.float64).eps
+    freq = freq.copy()
+    for k in np.nonzero(np.diff(freq) == 0)[0]:
+        freq[k] = freq[k] - eps * (nfreqs - 1)
+        freq[k + 1] = freq[k + 1] + eps * (nfreqs - 1)
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, freq, gain)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * np.pi * x)
+    if ftype > 2:
+        shift *= 1j
+    out_full = np.fft.irfft(fx * shift)
+    win = np.asarray(get_window(window, numtaps, fftbins=False),
+                     dtype=np.float64) if window is not None else 1.0
+    out = out_full[:numtaps] * win
+    if ftype == 3:
+        out[numtaps // 2] = 0.0
+    return out
+
+
+# ------------------------------------------------------- frequency response
+
+def freqz(b, a=1, worN=512, whole: bool = False, *,
+          include_nyquist: bool = False, fs: Optional[float] = None):
+    """Digital filter frequency response (scipy.signal.freqz semantics).
+
+    Integer ``worN`` grids run as one zero-padded framework FFT of the
+    numerator (and denominator) — the same fast path scipy takes; an
+    explicit frequency array falls back to host polynomial evaluation.
+    Returns ``(w, h)`` with ``h`` an interleaved (..., 2) device array
+    (use fftapi.ascomplex for a numpy complex view)."""
+    from .core.cplx import cmul_t4, to_t4
+    from .fftapi import fft as _fft
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if b.ndim != 1 or a.ndim != 1:
+        raise PlanError("freqz b and a must be 1-D")
+    fs_ = 2 * np.pi if fs is None else float(fs)
+    if np.ndim(worN) == 0:
+        N = int(worN)
+        if N < 1:
+            raise PlanError("worN must be positive")
+        lastpoint = 2 * np.pi if whole else np.pi
+        endpoint = include_nyquist and not whole
+        w = np.linspace(0.0, lastpoint, N, endpoint=endpoint)
+        # the uniform grid is the first N bins of an nfft-point DFT
+        nfft = (2 * (N - 1)) if endpoint else (N if whole else 2 * N)
+        if N > 1 and nfft >= len(b) and nfft >= len(a):
+            hb = _fft(np.pad(b, (0, nfft - len(b))))[:N]
+            if len(a) == 1:
+                h = hb / np.float32(a[0])
+            else:
+                ha = np.fft.fft(a, nfft)[:N]   # short host table
+                h = cmul_t4(hb, jnp.asarray(to_t4(1.0 / ha)))
+            return w * (fs_ / (2 * np.pi)), h
+    else:
+        w = np.asarray(worN, dtype=np.float64)
+        if fs is not None:
+            w = w * (2 * np.pi / fs_)
+    # host fallback: direct polynomial evaluation at arbitrary/tiny grids
+    zm1 = np.exp(-1j * w)
+    h_np = (np.polynomial.polynomial.polyval(zm1, b)
+            / np.polynomial.polynomial.polyval(zm1, a))
+    h = jnp.asarray(np.stack([h_np.real, h_np.imag], -1).astype(np.float32))
+    return w * (fs_ / (2 * np.pi)), h
+
+
+def sosfreqz(sos, worN=512, whole: bool = False, *,
+             fs: Optional[float] = None):
+    """Frequency response of a second-order-section cascade
+    (scipy.signal.sosfreqz): the product of per-section responses,
+    accumulated on device as t4 complex multiplies."""
+    from .core.cplx import cmul_t4, to_t4
+    from .fftapi import ascomplex
+    sos = _validate_sos(sos)
+    w, h = freqz(sos[0, :3], sos[0, 3:], worN=worN, whole=whole, fs=fs)
+    for sec in sos[1:]:
+        _, hk = freqz(sec[:3], sec[3:], worN=worN, whole=whole, fs=fs)
+        h = cmul_t4(h, jnp.asarray(to_t4(ascomplex(hk))))
+    return w, h
+
+
+# ------------------------------------------------------------- application
+
+def _coeff_1d(c, name: str) -> np.ndarray:
+    c = np.atleast_1d(np.asarray(c, dtype=np.float64))
+    if c.ndim != 1:
+        raise PlanError(f"{name} must be 1-D")
+    if np.iscomplexobj(c):
+        raise PlanError(f"complex {name} coefficients are not supported "
+                        "(complex DATA is; see module docstring)")
+    return c
+
+
+def _as_filter_data(x, axis: int):
+    """Real or complex data -> (real f32 (..., n), restore, complex_in)
+    with the filtered axis last; a complex input's component dim rides
+    as an ordinary batch dim (the filters have real coefficients)."""
+    complex_in = np.iscomplexobj(x)
+    if complex_in:
+        xv = asinterleaved(x)                      # (..., 2)
+        nd = xv.ndim - 1
+        ax = axis + nd if axis < 0 else axis
+        if not 0 <= ax < nd:
+            raise PlanError(f"axis {axis} out of range for rank {nd}")
+        xv = jnp.swapaxes(jnp.moveaxis(xv, ax, -2), -1, -2)  # (..., 2, n)
+
+        def restore(y):
+            return jnp.moveaxis(jnp.swapaxes(y, -1, -2), -2, ax)
+    else:
+        xv = jnp.asarray(x).astype(jnp.float32)
+        nd = xv.ndim
+        ax = axis + nd if axis < 0 else axis
+        if not 0 <= ax < nd:
+            raise PlanError(f"axis {axis} out of range for rank {nd}")
+        xv = jnp.moveaxis(xv, ax, -1)
+
+        def restore(y):
+            return jnp.moveaxis(y, -1, ax)
+    return xv, restore, complex_in
+
+
+def _iir_scan(b: np.ndarray, a: np.ndarray, x, zi):
+    """Transposed direct-form-II recurrence as a lax.scan over time.
+
+    x: (..., n) f32; zi: (..., K) f32.  Returns (y, zf)."""
+    K = len(b) - 1
+    bj = jnp.asarray(b.astype(np.float32))
+    aj = jnp.asarray(a.astype(np.float32))
+    xt = jnp.moveaxis(x, -1, 0)  # (n, ...)
+
+    def step(z, xn):
+        yn = bj[0] * xn + z[..., 0]
+        zshift = jnp.concatenate(
+            [z[..., 1:], jnp.zeros_like(z[..., :1])], axis=-1)
+        znew = zshift + xn[..., None] * bj[1:] - yn[..., None] * aj[1:]
+        return znew, yn
+
+    zf, yt = jax.lax.scan(step, zi, xt)
+    return jnp.moveaxis(yt, 0, -1), zf
+
+
+def lfilter(b, a, x, axis: int = -1, zi=None):
+    """Filter data along one axis (scipy.signal.lfilter semantics).
+
+    FIR filters (``len(a) == 1``) run through the plan layer's FFT
+    convolution (overlap-save streamed when long); IIR filters run the
+    transposed direct-form-II ``lax.scan``.  Returns ``y``, or
+    ``(y, zf)`` when ``zi`` is given."""
+    b = _coeff_1d(b, "b")
+    a = _coeff_1d(a, "a")
+    if a[0] == 0:
+        raise PlanError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    K = max(len(a), len(b)) - 1
+    bp = np.pad(b, (0, K + 1 - len(b)))
+    ap = np.pad(a, (0, K + 1 - len(a)))
+    xv, restore, _ = _as_filter_data(x, axis)
+    n = xv.shape[-1]
+    if zi is not None:
+        zi_v = jnp.broadcast_to(jnp.asarray(zi).astype(jnp.float32),
+                                xv.shape[:-1] + (K,))
+    if K == 0:
+        y = bp[0] * xv
+        out = restore(y)
+        return (out, jnp.zeros(xv.shape[:-1] + (0,))) if zi is not None \
+            else out
+    if len(a) == 1 and (zi is None or n >= K):
+        # FIR fast path: one MXU convolution; with zi, the first K samples
+        # get the initial-state contribution and the final state is a
+        # K-tap correlation against the signal tail (state memory is K, so
+        # zi itself never leaks into zf once n >= K)
+        kb = bp.reshape((1,) * (xv.ndim - 1) + (K + 1,))
+        y = fftconvolve(xv, kb, axes=-1)[..., :n]
+        if zi is None:
+            return restore(y)
+        y = y.at[..., :K].add(zi_v)
+        tailmat = np.zeros((K, K), dtype=np.float64)
+        for k in range(K):
+            for m_ in range(K - k):
+                tailmat[k, m_] = bp[k + 1 + m_]
+        xtail = jnp.flip(xv[..., n - K:], axis=-1)
+        zf = jnp.einsum("...m,km->...k",
+                        xtail, jnp.asarray(tailmat.astype(np.float32)))
+        return restore(y), zf
+    z0 = zi_v if zi is not None else jnp.zeros(xv.shape[:-1] + (K,),
+                                               dtype=jnp.float32)
+    y, zf = _iir_scan(bp, ap, xv, z0)
+    return (restore(y), zf) if zi is not None else restore(y)
+
+
+def lfilter_zi(b, a) -> np.ndarray:
+    """Steady-state initial conditions for a step input
+    (scipy.signal.lfilter_zi): solve (I - companion(a).T) zi = B."""
+    b = _coeff_1d(b, "b")
+    a = _coeff_1d(a, "a")
+    while len(a) > 1 and a[0] == 0:
+        a = a[1:]
+    if a[0] == 0:
+        raise PlanError("a must have at least one nonzero coefficient")
+    n = max(len(a), len(b))
+    if n == 1:
+        return np.zeros(0)
+    a0 = a[0]
+    a = np.pad(a / a0, (0, n - len(a)))
+    b = np.pad(b / a0, (0, n - len(b)))
+    companion = np.zeros((n - 1, n - 1))
+    companion[0, :] = -a[1:]
+    companion[np.arange(1, n - 1), np.arange(n - 2)] = 1.0
+    IminusA = np.eye(n - 1) - companion.T
+    B = b[1:] - a[1:] * b[0]
+    return np.linalg.solve(IminusA, B)
+
+
+def _odd_ext(xv, padlen: int):
+    left = 2 * xv[..., :1] - jnp.flip(xv[..., 1:padlen + 1], -1)
+    right = 2 * xv[..., -1:] - jnp.flip(xv[..., -padlen - 1:-1], -1)
+    return jnp.concatenate([left, xv, right], axis=-1)
+
+
+def _even_ext(xv, padlen: int):
+    left = jnp.flip(xv[..., 1:padlen + 1], -1)
+    right = jnp.flip(xv[..., -padlen - 1:-1], -1)
+    return jnp.concatenate([left, xv, right], axis=-1)
+
+
+def _const_ext(xv, padlen: int):
+    left = jnp.broadcast_to(xv[..., :1], xv.shape[:-1] + (padlen,))
+    right = jnp.broadcast_to(xv[..., -1:], xv.shape[:-1] + (padlen,))
+    return jnp.concatenate([left, xv, right], axis=-1)
+
+
+_EXTENSIONS = {"odd": _odd_ext, "even": _even_ext, "constant": _const_ext}
+
+
+def filtfilt(b, a, x, axis: int = -1, padtype: Optional[str] = "odd",
+             padlen: Optional[int] = None, method: str = "pad"):
+    """Zero-phase forward-backward filtering
+    (scipy.signal.filtfilt, method='pad' semantics): extend, filter with
+    steady-state initial conditions, reverse, repeat, crop."""
+    if method != "pad":
+        raise PlanError("only method='pad' is supported (Gustafsson's "
+                        "method is a host-side least-squares edge solve; "
+                        "use padtype/padlen to control the edges)")
+    b = _coeff_1d(b, "b")
+    a = _coeff_1d(a, "a")
+    ntaps = max(len(a), len(b))
+    if padtype is not None and padtype not in _EXTENSIONS:
+        raise PlanError("padtype must be 'odd', 'even', 'constant' or None")
+    edge = (3 * ntaps if padlen is None else int(padlen)) \
+        if padtype is not None else 0
+    xv, restore, _ = _as_filter_data(x, axis)
+    n = xv.shape[-1]
+    if edge >= n:
+        raise PlanError(f"padlen ({edge}) must be less than the signal "
+                        f"length ({n})")
+    ext = _EXTENSIONS[padtype](xv, edge) if edge > 0 else xv
+    zi = lfilter_zi(b, a).astype(np.float32)
+    zi_shape = (1,) * (ext.ndim - 1) + (zi.shape[0],)
+    zi_j = jnp.asarray(zi.reshape(zi_shape))
+    y, _ = lfilter(b, a, ext, axis=-1, zi=zi_j * ext[..., :1])
+    y = jnp.flip(y, -1)
+    y, _ = lfilter(b, a, y, axis=-1, zi=zi_j * y[..., :1])
+    y = jnp.flip(y, -1)
+    if edge > 0:
+        y = y[..., edge:-edge]
+    return restore(y)
+
+
+# ------------------------------------------------------------- SOS cascade
+
+def _validate_sos(sos) -> np.ndarray:
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise PlanError("sos must have shape (n_sections, 6)")
+    if np.any(sos[:, 3] == 0):
+        raise PlanError("every section's a0 must be nonzero")
+    return sos / sos[:, 3:4]
+
+
+def sosfilt(sos, x, axis: int = -1, zi=None):
+    """Cascaded second-order-section filtering (scipy.signal.sosfilt):
+    each section runs the K=2 transposed direct-form-II scan in turn."""
+    sos = _validate_sos(sos)
+    xv, restore, _ = _as_filter_data(x, axis)
+    want_zf = zi is not None
+    if want_zf:
+        zi_a = jnp.broadcast_to(jnp.asarray(zi).astype(jnp.float32),
+                                (sos.shape[0],) + xv.shape[:-1] + (2,))
+    zf_all = []
+    for s_i, sec in enumerate(sos):
+        z0 = zi_a[s_i] if want_zf else jnp.zeros(xv.shape[:-1] + (2,),
+                                                 dtype=jnp.float32)
+        xv, zf = _iir_scan(sec[:3], sec[3:], xv, z0)
+        zf_all.append(zf)
+    out = restore(xv)
+    if want_zf:
+        return out, jnp.stack(zf_all, axis=0)
+    return out
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """Steady-state initial conditions per section
+    (scipy.signal.sosfilt_zi): each section's lfilter_zi scaled by the
+    DC gain of everything before it."""
+    sos = _validate_sos(sos)
+    zi = np.empty((sos.shape[0], 2))
+    scale = 1.0
+    for i, sec in enumerate(sos):
+        b, a = sec[:3], sec[3:]
+        zi[i] = scale * lfilter_zi(b, a)
+        scale *= b.sum() / a.sum()
+    return zi
+
+
+def sosfiltfilt(sos, x, axis: int = -1, padtype: Optional[str] = "odd",
+                padlen: Optional[int] = None):
+    """Zero-phase SOS filtering (scipy.signal.sosfiltfilt semantics)."""
+    sos = _validate_sos(sos)
+    ntaps = 2 * sos.shape[0] + 1
+    if padtype is not None and padtype not in _EXTENSIONS:
+        raise PlanError("padtype must be 'odd', 'even', 'constant' or None")
+    edge = (ntaps * 3 if padlen is None else int(padlen)) \
+        if padtype is not None else 0
+    xv, restore, _ = _as_filter_data(x, axis)
+    n = xv.shape[-1]
+    if edge >= n:
+        raise PlanError(f"padlen ({edge}) must be less than the signal "
+                        f"length ({n})")
+    ext = _EXTENSIONS[padtype](xv, edge) if edge > 0 else xv
+    zi = sosfilt_zi(sos).astype(np.float32)          # (ns, 2)
+    zi_j = jnp.asarray(zi).reshape(
+        (sos.shape[0],) + (1,) * (ext.ndim - 1) + (2,))
+    y, _ = sosfilt(sos, ext, axis=-1, zi=zi_j * ext[..., :1])
+    y = jnp.flip(y, -1)
+    y, _ = sosfilt(sos, y, axis=-1, zi=zi_j * y[..., :1])
+    y = jnp.flip(y, -1)
+    if edge > 0:
+        y = y[..., edge:-edge]
+    return restore(y)
+
+
+# --------------------------------------------------------- Savitzky-Golay
+
+def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, pos: Optional[float] = None,
+                  use: str = "conv") -> np.ndarray:
+    """Savitzky-Golay FIR coefficients (scipy.signal.savgol_coeffs):
+    the least-squares local-polynomial smoother as one host lstsq."""
+    window_length = int(window_length)
+    polyorder = int(polyorder)
+    if polyorder >= window_length:
+        raise PlanError("polyorder must be less than window_length")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen - 0.5 if rem == 0 else halflen
+    if not (0 <= pos < window_length):
+        raise PlanError("pos must be nonnegative and less than "
+                        "window_length")
+    if use not in ("conv", "dot"):
+        raise PlanError("use must be 'conv' or 'dot'")
+    if deriv > polyorder:
+        return np.zeros(window_length)
+    t = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        t = t[::-1]
+    order = np.arange(polyorder + 1).reshape(-1, 1)
+    A = t ** order
+    y = np.zeros(polyorder + 1)
+    y[deriv] = float(math.factorial(deriv)) / (float(delta) ** deriv)
+    coeffs, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+    return coeffs
+
+
+def _savgol_edge_matrix(window_length: int, polyorder: int, deriv: int,
+                        npts: int) -> np.ndarray:
+    """Projection matrix E (npts, window_length): fit a degree-polyorder
+    polynomial to a window and evaluate its deriv-th derivative at the
+    first ``npts`` positions — the 'interp' edge rule as one matmul."""
+    t = np.arange(window_length, dtype=np.float64)
+    V = np.vander(t, polyorder + 1, increasing=True)   # (W, p+1)
+    P = np.linalg.pinv(V)                               # (p+1, W)
+    # derivative operator on increasing-power coefficients
+    coeffs_idx = np.arange(polyorder + 1)
+    D = np.zeros((polyorder + 1, polyorder + 1))
+    for j in range(deriv, polyorder + 1):
+        D[j - deriv, j] = math.perm(j, deriv)
+    te = np.arange(npts, dtype=np.float64)
+    Ve = np.vander(te, polyorder + 1, increasing=True)
+    return Ve @ D @ P
+
+
+def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, axis: int = -1, mode: str = "interp",
+                  cval: float = 0.0):
+    """Savitzky-Golay smoothing (scipy.signal.savgol_filter semantics).
+
+    The interior runs as one FIR convolution through the plan layer; the
+    'interp' edge rule is a precomputed polynomial-projection matmul over
+    the edge windows (no host loop, no per-batch polyfit)."""
+    window_length = int(window_length)
+    if mode not in ("mirror", "constant", "nearest", "wrap", "interp"):
+        raise PlanError("mode must be 'mirror', 'constant', 'nearest', "
+                        "'wrap' or 'interp'")
+    coeffs = savgol_coeffs(window_length, polyorder, deriv=deriv,
+                           delta=delta)
+    xv, restore, _ = _as_filter_data(x, axis)
+    n = xv.shape[-1]
+    halflen = window_length // 2
+    kb = coeffs.reshape((1,) * (xv.ndim - 1) + (window_length,))
+    if mode == "interp":
+        if window_length > n:
+            raise PlanError("If mode is 'interp', window_length must be "
+                            "less than or equal to the size of x")
+        y = fftconvolve(xv, kb, mode="same", axes=-1)
+        E = _savgol_edge_matrix(window_length, polyorder, deriv,
+                                halflen) / (float(delta) ** deriv)
+        Ej = jnp.asarray(E.astype(np.float32))
+        left = jnp.einsum("...w,pw->...p", xv[..., :window_length], Ej)
+        # right edge: fit the LAST window, evaluate at its last halflen
+        # in-window positions
+        Er = _savgol_edge_matrix(window_length, polyorder, deriv,
+                                 window_length) / (float(delta) ** deriv)
+        Er = Er[window_length - halflen:]
+        Erj = jnp.asarray(Er.astype(np.float32))
+        right = jnp.einsum("...w,pw->...p", xv[..., n - window_length:], Erj)
+        y = jnp.concatenate([left, y[..., halflen:n - halflen], right], -1)
+        return restore(y)
+    pad = {"mirror": "reflect", "nearest": "edge", "wrap": "wrap",
+           "constant": "constant"}[mode]
+    cfg = [(0, 0)] * (xv.ndim - 1) + [(halflen, halflen)]
+    kwargs = {"constant_values": cval} if mode == "constant" else {}
+    ext = jnp.pad(xv, cfg, mode=pad, **kwargs)
+    y = fftconvolve(ext, kb, mode="valid", axes=-1)
+    return restore(y)
+
+
+# ------------------------------------------------------------------ Wiener
+
+def wiener(im, mysize=None, noise: Optional[float] = None):
+    """Adaptive Wiener filter (scipy.signal.wiener semantics): local
+    mean/variance via box convolutions through the plan layer, then the
+    pointwise shrinkage."""
+    xv = jnp.asarray(im)
+    if np.iscomplexobj(im):
+        raise PlanError("wiener expects a real array (scipy's complex "
+                        "path is deprecated)")
+    xv = xv.astype(jnp.float32)
+    nd = xv.ndim
+    if mysize is None:
+        mysize = [3] * nd
+    elif np.ndim(mysize) == 0:
+        mysize = [int(mysize)] * nd
+    else:
+        mysize = [int(m) for m in mysize]
+        if len(mysize) != nd:
+            raise PlanError("mysize must match the input rank")
+    size = float(np.prod(mysize))
+    box = jnp.ones(tuple(mysize), dtype=jnp.float32)
+    l_mean = fftconvolve(xv, box, mode="same") / size
+    l_var = fftconvolve(xv * xv, box, mode="same") / size - l_mean * l_mean
+    if noise is None:
+        noise_v = jnp.mean(l_var)
+    else:
+        noise_v = jnp.asarray(float(noise), dtype=jnp.float32)
+    res = (xv - l_mean) * (1.0 - noise_v / jnp.where(l_var == 0, 1.0,
+                                                     l_var)) + l_mean
+    return jnp.where(l_var < noise_v, l_mean, res)
