@@ -77,7 +77,7 @@ __all__ = [
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
     "create_distributed_plan",
-    "fft", "fftapi", "ndimage", "filtering",
+    "fft", "fftapi", "ndimage", "filtering", "iirdesign",
 ]
 
 
@@ -230,4 +230,5 @@ def create_fftconv_batch_major_channel_lane_preset(opts: Dict[str, Any]) -> Dict
 from . import fftapi  # noqa: E402
 from . import ndimage  # noqa: E402
 from . import filtering  # noqa: E402
+from . import iirdesign  # noqa: E402
 fft = fftapi

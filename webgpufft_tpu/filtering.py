@@ -30,6 +30,18 @@ import jax.numpy as jnp
 
 from .fftapi import asinterleaved, fftconvolve, get_window
 from .spec import PlanError
+# IIR design lives in its own module (pure host coefficient math); it is
+# re-exported here so the scipy.signal call set is one namespace:
+# ``from webgpufft_tpu.filtering import butter, sosfiltfilt``.
+from .iirdesign import (  # noqa: F401
+    butter, cheby1, cheby2, ellip, bessel, iirfilter,
+    buttap, cheb1ap, cheb2ap, ellipap, besselap,
+    buttord, cheb1ord, cheb2ord, ellipord,
+    bilinear, bilinear_zpk,
+    lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk,
+    zpk2tf, tf2zpk, zpk2sos, sos2zpk, sos2tf,
+)
+from . import iirdesign as _iirdesign
 
 __all__ = [
     "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
@@ -38,7 +50,7 @@ __all__ = [
     "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "savgol_coeffs", "savgol_filter",
     "wiener",
-]
+] + list(_iirdesign.__all__)
 
 
 # ------------------------------------------------------------- FIR design
