@@ -672,3 +672,151 @@ def test_fftconv_seq_channel_lanes_halo_linear(mesh8, rng, assert_close):
     got = uninterleave(y).reshape(b, n)
     assert_close(got.real, ref.real, label="halo lane.re")
     assert_close(got.imag, ref.imag, label="halo lane.im")
+
+
+# ---------------------------------------------------------------------------
+# Pencil decomposition: axes 0 AND 1 each span a mesh axis (2-D device
+# decomposition over a heFFTe/P3DFFT-style pencil layout; the reference is
+# single-device — SURVEY.md §2.9 — so this is new TPU scaling surface)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh_pencil():
+    return sharded.make_mesh({"sp0": 2, "sp1": 4})
+
+
+@pytest.fixture(scope="module")
+def mesh_pencil_dp():
+    return sharded.make_mesh({"dp": 2, "sp0": 2, "sp1": 2})
+
+
+@pytest.mark.parametrize("shape,direction,norm", [
+    ([8, 16], "forward", "none"),
+    ([12, 32], "inverse", "backward"),
+    ([8, 16, 6], "forward", "unitary"),     # rank 3: riding axis local
+    ([16, 16, 3, 5], "forward", "none"),    # rank 4: two riding axes
+])
+def test_c2c_pencil(mesh_pencil, rng, assert_close, shape, direction, norm):
+    b = 3
+    z = (rng.standard_normal((b, *shape))
+         + 1j * rng.standard_normal((b, *shape)))
+    plan = create_distributed_plan(type="c2c", shape=shape, batch=b,
+                                   direction=direction, normalize=norm,
+                                   mesh=mesh_pencil,
+                                   seq_axis=("sp0", "sp1"))
+    assert plan.route.mode == "distributed-pencil"
+    assert any(r.startswith("pencil-split:") for r in plan.route.reasons)
+    y = uninterleave(np.asarray(plan(interleave(z)))).reshape(b, *shape)
+    ref = R.fft_nd(z, shape, direction)
+    if norm == "unitary":
+        ref = ref / np.sqrt(np.prod(shape))
+    elif norm == "backward" and direction == "inverse":
+        ref = ref / np.prod(shape)
+    assert_close(y.real, ref.real, label="pencil c2c.re")
+    assert_close(y.imag, ref.imag, label="pencil c2c.im")
+
+
+def test_c2c_pencil_dp(mesh_pencil_dp, rng, assert_close):
+    """dp x pencil: batch sharded over a third mesh axis."""
+    shape, b = [8, 12, 10], 4
+    z = (rng.standard_normal((b, *shape))
+         + 1j * rng.standard_normal((b, *shape)))
+    plan = create_distributed_plan(type="c2c", shape=shape, batch=b,
+                                   mesh=mesh_pencil_dp, batch_axis="dp",
+                                   seq_axis=("sp0", "sp1"))
+    y = uninterleave(np.asarray(plan(interleave(z)))).reshape(b, *shape)
+    ref = R.fft_nd(z, shape, "forward")
+    assert_close(y.real, ref.real, label="pencil dp.re")
+    assert_close(y.imag, ref.imag, label="pencil dp.im")
+
+
+def test_c2c_pencil_roundtrip(mesh_pencil, rng, assert_close):
+    shape, b = [12, 16, 5], 2
+    z = (rng.standard_normal((b, *shape))
+         + 1j * rng.standard_normal((b, *shape)))
+    fwd = create_distributed_plan(type="c2c", shape=shape, batch=b,
+                                  mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    inv = create_distributed_plan(type="c2c", shape=shape, batch=b,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    back = uninterleave(np.asarray(inv(fwd(interleave(z))))).reshape(b, *shape)
+    assert_close(back.real, z.real, label="pencil rt.re")
+    assert_close(back.imag, z.imag, label="pencil rt.im")
+
+
+@pytest.mark.parametrize("shape", [
+    [8, 16, 6],      # even n0
+    [12, 32],        # rank 2 (packed axis + second pencil axis only)
+    [12, 16, 5],     # riding odd local axis
+])
+def test_r2c_c2r_pencil(mesh_pencil, rng, assert_close, shape):
+    b = 2
+    x = rng.standard_normal((b, *shape)).astype(np.float32)
+    r2c = create_distributed_plan(type="r2c", shape=shape, batch=b,
+                                  mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    assert r2c.route.mode == "distributed-pencil"
+    y = np.asarray(r2c(x))
+    p0 = shape[0] // 2 + 1
+    ref = R.fft_nd(x.astype(np.float64), shape, "forward")[:, :p0]
+    got = uninterleave(y).reshape(b, p0, *shape[1:])
+    assert_close(got.real, ref.real, label="pencil r2c.re")
+    assert_close(got.imag, ref.imag, label="pencil r2c.im")
+    c2r = create_distributed_plan(type="c2r", shape=shape, batch=b,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    back = np.asarray(c2r(y)).reshape(b, *shape)
+    assert_close(back, x, label="pencil c2r roundtrip")
+
+
+def test_pencil_validation_errors(mesh_pencil, mesh_pencil_dp):
+    # rank 1 c2c
+    with pytest.raises(PlanError, match="rank >= 2"):
+        create_distributed_plan(type="c2c", shape=[1024], batch=2,
+                                mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    # unsupported type
+    with pytest.raises(PlanError, match="pencil seq_axis supports"):
+        create_distributed_plan(type="dct2", shape=[8, 16], batch=2,
+                                mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    # duplicate axes
+    with pytest.raises(PlanError, match="distinct"):
+        create_distributed_plan(type="c2c", shape=[8, 16], batch=2,
+                                mesh=mesh_pencil, seq_axis=("sp0", "sp0"))
+    # batch axis reused as pencil axis
+    with pytest.raises(PlanError, match="distinct"):
+        create_distributed_plan(type="c2c", shape=[8, 8], batch=2,
+                                mesh=mesh_pencil_dp, batch_axis="sp0",
+                                seq_axis=("sp0", "sp1"))
+    # unsplittable axis surfaces the single-seq_axis suggestion
+    with pytest.raises(PlanError, match="Bluestein"):
+        create_distributed_plan(type="c2c", shape=[10, 16], batch=2,
+                                mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    # 3+ axes rejected
+    with pytest.raises(PlanError, match="pair"):
+        create_distributed_plan(type="c2c", shape=[8, 8, 8], batch=1,
+                                mesh=mesh_pencil_dp,
+                                seq_axis=("dp", "sp0", "sp1"))
+    # singleton tuple degrades to the single-axis route
+    plan = create_distributed_plan(type="c2c", shape=[16, 6], batch=2,
+                                   mesh=mesh_pencil, seq_axis=("sp0",))
+    assert plan.route.mode == "distributed-sp"
+
+
+def test_pencil_hlo_collectives_ride_own_axis(mesh_pencil):
+    """Structural claim of the pencil layout: every collective's replica
+    groups stay WITHIN one mesh axis (digit exchanges ride their own ICI
+    ring); no collective ever spans all P0*P1 devices."""
+    import re
+    plan = create_distributed_plan(type="c2c", shape=[8, 16], batch=2,
+                                   mesh=mesh_pencil, seq_axis=("sp0", "sp1"))
+    x = jnp.zeros((2, 8, 16, 2), jnp.float32)
+    txt = plan._jit.lower(x).compile().as_text()
+    a2a_defs = [l for l in txt.splitlines()
+                if re.search(r"= \S+ all-to-all\(", l)
+                or re.search(r"\) all-to-all\(", l)]
+    assert len(a2a_defs) >= 2      # one digit exchange per decomposed axis
+    ndev_total = 8
+    for l in txt.splitlines():
+        m = re.search(r"replica_groups=\[(\d+),(\d+)\]", l)
+        if m:
+            group_size = int(m.group(2))
+            assert group_size < ndev_total, l

@@ -290,3 +290,61 @@ def test_fuzz_distributed_fftconv_nd(seed, _dmeshes, assert_close):
                  f"{boundary} route={plan.route.reasons[-1]}")
     assert_close(got.imag, ref.imag, atol_scale=5e-5,
                  label=f"dfuzz ndconv seed={seed}.im")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_distributed_pencil(seed, assert_close):
+    """Random pencil-decomposed (2-D mesh) c2c / r2c / c2r configurations
+    vs the oracle: random splittable axis lengths, ranks, riding-axis
+    lengths (any), directions, norms, and dp mixing."""
+    rng = np.random.default_rng(7000 + seed)
+    meshes = {
+        "2x4": sharded.make_mesh({"sp0": 2, "sp1": 4}),
+        "4x2": sharded.make_mesh({"sp0": 4, "sp1": 2}),
+        "dp2x2x2": sharded.make_mesh({"dp": 2, "sp0": 2, "sp1": 2}),
+    }
+    key = str(rng.choice(list(meshes)))
+    mesh = meshes[key]
+    dp = "dp" if "dp" in mesh.shape else None
+    p0, p1 = mesh.shape["sp0"], mesh.shape["sp1"]
+
+    def pick_len(p):
+        # lengths with two smooth factors each divisible by p
+        opts = [p * p, 4 * p * p, 3 * p * p, 6 * p * p, 2 * p * p]
+        return int(rng.choice(opts))
+
+    n0, n1 = pick_len(p0), pick_len(p1)
+    rank = int(rng.choice([2, 3]))
+    rest = [int(rng.choice([3, 5, 6, 7]))] if rank == 3 else []
+    shape = [n0, n1, *rest]
+    batch = (mesh.shape[dp] if dp else 1) * int(rng.choice([1, 2]))
+    kind = str(rng.choice(["c2c", "r2c_c2r"]))
+    if kind == "c2c":
+        direction = str(rng.choice(["forward", "inverse"]))
+        normalize = str(rng.choice(["none", "backward", "unitary"]))
+        z = (rng.standard_normal((batch, *shape))
+             + 1j * rng.standard_normal((batch, *shape)))
+        plan = create_distributed_plan(
+            type="c2c", shape=shape, batch=batch, direction=direction,
+            normalize=normalize, mesh=mesh, batch_axis=dp,
+            seq_axis=("sp0", "sp1"))
+        y = uninterleave(np.asarray(plan(interleave(z)))).reshape(batch, *shape)
+        ref = R.fft_nd(z, shape, direction, normalize)
+        assert_close(y, ref, label=f"pfuzz c2c seed={seed} {shape} {key} "
+                     f"{direction}/{normalize}")
+    else:
+        x = rng.standard_normal((batch, *shape)).astype(np.float32)
+        r2c = create_distributed_plan(type="r2c", shape=shape, batch=batch,
+                                      mesh=mesh, batch_axis=dp,
+                                      seq_axis=("sp0", "sp1"))
+        y = np.asarray(r2c(x))
+        pk = shape[0] // 2 + 1
+        ref = R.fft_nd(x.astype(np.float64), shape, "forward")[:, :pk]
+        got = uninterleave(y).reshape(batch, pk, *shape[1:])
+        assert_close(got, ref, label=f"pfuzz r2c seed={seed} {shape} {key}")
+        c2r = create_distributed_plan(type="c2r", shape=shape, batch=batch,
+                                      direction="inverse",
+                                      normalize="backward", mesh=mesh,
+                                      batch_axis=dp, seq_axis=("sp0", "sp1"))
+        back = np.asarray(c2r(y)).reshape(batch, *shape)
+        assert_close(back, x, label=f"pfuzz c2r seed={seed} {shape} {key}")

@@ -105,13 +105,31 @@ class DistributedPlan:
         # grid estimate (informational, like plans.base.Plan)
         ndev = 1
         if self.seq_axis is not None:
-            ndev = self.mesh.shape[self.seq_axis]
+            names = (self.seq_axis if isinstance(self.seq_axis, (tuple, list))
+                     else (self.seq_axis,))
+            for nm in names:
+                ndev *= self.mesh.shape[nm]
         return 2 * self.spec.batch * self.spec.n_total * 8 // ndev
 
 
-def _reject_unsupported(spec: PlanSpec, seq_axis: Optional[str]):
+def _reject_unsupported(spec: PlanSpec, seq_axis):
     if seq_axis is None:
         return  # batch sharding wraps the local plan: full option surface
+    if isinstance(seq_axis, (tuple, list)):
+        if len(seq_axis) != 2:
+            raise PlanError(
+                "seq_axis accepts one mesh axis name or a pair (pencil "
+                f"decomposition over axes 0 and 1); got {len(seq_axis)}")
+        if spec.plan_type == "c2c":
+            if spec.rank < 2:
+                raise PlanError("pencil seq_axis needs rank >= 2 for c2c")
+        elif spec.plan_type in ("r2c", "c2r"):
+            if spec.rank < 2:
+                raise PlanError("pencil seq_axis needs rank >= 2 for r2c/c2r")
+        else:
+            raise PlanError(
+                f"pencil seq_axis supports c2c/r2c/c2r only (got "
+                f"{spec.plan_type!r}); use a single seq_axis or batch_axis")
     if spec.precision != "f32":
         raise PlanError("seq-axis plans support precision='f32' only")
     if spec.io_view.input is not None or spec.io_view.output is not None:
@@ -132,18 +150,54 @@ def _reject_unsupported(spec: PlanSpec, seq_axis: Optional[str]):
 
 
 def _validate_axes(mesh: Mesh, batch_axis: Optional[str],
-                   seq_axis: Optional[str], batch: int):
-    for name, label in ((batch_axis, "batch_axis"), (seq_axis, "seq_axis")):
+                   seq_axis, batch: int):
+    seq_names = (tuple(seq_axis) if isinstance(seq_axis, (tuple, list))
+                 else (seq_axis,) if seq_axis is not None else ())
+    if len(set(seq_names)) != len(seq_names):
+        raise PlanError("pencil seq_axis needs two distinct mesh axes")
+    for name, label in ((batch_axis, "batch_axis"),
+                        *((s, "seq_axis") for s in seq_names)):
         if name is not None and name not in mesh.shape:
             raise PlanError(f"{label} {name!r} is not a mesh axis "
                             f"(mesh has {tuple(mesh.shape)})")
-    if batch_axis is not None and seq_axis == batch_axis:
+    if batch_axis is not None and batch_axis in seq_names:
         raise PlanError("batch_axis and seq_axis must be distinct mesh axes")
     if batch_axis is not None and batch % mesh.shape[batch_axis]:
         raise PlanError(
             f"batch ({batch}) must divide evenly over mesh axis "
             f"{batch_axis!r} (size {mesh.shape[batch_axis]})",
             batch=batch, devices=mesh.shape[batch_axis])
+
+
+def _build_pencil_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, axes):
+    """c2c rank >= 2 with axes 0 and 1 each spanning a mesh axis (2-D
+    pencil decomposition); remaining axes transform locally, parallel over
+    both shardings."""
+    from ..core.engine import plan_scale
+    shape = spec.shape
+    inner = _wrap_builder_errors(
+        sharded.build_distributed_pencil_axes01, shape, mesh, axes,
+        spec.direction, batch_axis)
+    rest = shape[2:]
+    rest_plans, consts = sharded._local_rest_axis_plans(
+        rest, spec.direction, spec.tuning)
+    scale = plan_scale(spec.normalize, spec.direction, spec.n_total)
+    from ..core.axis import slabbed_axis_apply
+
+    def fn(x):
+        b = x.shape[0]
+        y = x.reshape(b, *shape, 2)
+        # riding axes first: unsharded contractions stay fully local on
+        # the incoming pencil layout (no collectives)
+        for d, ap in enumerate(rest_plans):
+            if ap.n > 1:
+                y = slabbed_axis_apply(y, ap, 3 + d, consts)
+        y = inner(y)
+        if scale != 1.0:
+            y = y * jnp.asarray(scale, y.dtype)
+        return y.reshape(b, *shape, 2)
+
+    return fn, inner.split
 
 
 def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
@@ -457,11 +511,15 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
     spec = normalize_spec(merged)
     if batch_axis is None and seq_axis is None:
         raise PlanError("give batch_axis and/or seq_axis (a mesh axis name)")
+    if isinstance(seq_axis, (tuple, list)) and len(seq_axis) == 1:
+        seq_axis = seq_axis[0]
+    pencil = isinstance(seq_axis, (tuple, list))
     _validate_axes(mesh, batch_axis, seq_axis, spec.batch)
     _reject_unsupported(spec, seq_axis)
 
     route = RouteInfo(
-        mode="distributed-sp" if seq_axis else "distributed-dp",
+        mode=("distributed-pencil" if pencil
+              else "distributed-sp" if seq_axis else "distributed-dp"),
         impl="xla+ici",
         reasons=((f"mesh:{dict(mesh.shape)}",)
                  + ((f"batch-axis:{batch_axis}",) if batch_axis else ())
@@ -487,6 +545,26 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
             batch_axis=batch_axis, seq_axis=None, jit=False)
 
     t = spec.plan_type
+    if pencil:
+        axes = tuple(seq_axis)
+        if t == "c2c":
+            fn, split = _build_pencil_c2c(spec, mesh, batch_axis, axes)
+        elif t == "r2c":
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_r2c_nd, spec.shape, mesh,
+                axes[0], spec.normalize, batch_axis, tuning=spec.tuning,
+                pencil_axes=axes)
+            fn, split = inner, inner.split
+        else:  # c2r (guarded by _reject_unsupported)
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_c2r_nd, spec.shape, mesh,
+                axes[0], spec.normalize, batch_axis, tuning=spec.tuning,
+                pencil_axes=axes)
+            fn, split = inner, inner.split
+        route.reasons = route.reasons + (f"pencil-split:{split}",)
+        return DistributedPlan(
+            spec, mesh, route, fn, needs_kernel=False,
+            batch_axis=batch_axis, seq_axis=axes)
     if t == "c2c":
         fn, split = _build_seq_c2c(spec, mesh, batch_axis, seq_axis)
     elif t == "r2c":

@@ -207,7 +207,8 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
                                 direction: str = "forward",
                                 normalize: str = "none",
                                 batch_axis_name: Optional[str] = None,
-                                split: Optional[Tuple[int, int]] = None):
+                                split: Optional[Tuple[int, int]] = None,
+                                rest_specs: Optional[Tuple] = None):
     """Distributed FFT along logical AXIS 0 of an ND array, trailing axes
     riding locally — the sequence-parallel building block for ND transforms
     whose leading axis spans chips.
@@ -218,10 +219,24 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
     axis-0 index k = k1 + n1*k2 (reshape merges (k2, k1) back to n0).
     Remaining axes are NOT transformed — compose with local plans for the
     other axes (they are embarrassingly parallel across the n0 shard).
+
+    ``rest_specs``: optional per-riding-axis PartitionSpec entries (mesh
+    axis names or None, one per shape[1:] dim) when riding axes are
+    themselves sharded — the pencil-decomposition composition, where the
+    already-exchanged axis-1 digit grid rides through the axis-0 stage
+    still sharded over its own mesh axis.
     """
     n0 = shape[0]
     rest = tuple(shape[1:])
     ndev = mesh.shape[axis_name]
+    if rest_specs is None:
+        rest_specs = (None,) * len(rest)
+    if len(rest_specs) != len(rest):
+        raise ValueError("rest_specs must have one entry per riding axis")
+    # per-device riding-axis footprint: sharded riding dims divide out
+    rest_dev = 1
+    for m, s in zip(rest, rest_specs):
+        rest_dev *= m // (mesh.shape[s] if s is not None else 1)
     if split is None:
         split = choose_distributed_split(n0, ndev)
     if split is None:
@@ -245,7 +260,7 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
     twb = jnp.asarray(twb.reshape(bshape))
     n2_loc = n2 // ndev
 
-    per_item = (n0 // ndev) * math.prod(rest)
+    per_item = (n0 // ndev) * rest_dev
     _check_per_device_operands(per_item, f"distributed axis0 fft n0={n0}")
 
     def local_body(x_loc):
@@ -262,18 +277,115 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
         # x_loc: (b, n1, n2_loc, *rest, 2); batch slabs bound the operands
         return _maybe_batch_slab(local_body, x_loc, per_item)
 
-    rest_none = (None,) * len(rest)
-
     def fn(x):
         x = x.reshape(x.shape[0], n1, n2, *rest, 2)
         y = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=P(batch_axis_name, None, axis_name, *rest_none, None),
-            out_specs=P(batch_axis_name, axis_name, None, *rest_none, None),
+            in_specs=P(batch_axis_name, None, axis_name, *rest_specs, None),
+            out_specs=P(batch_axis_name, axis_name, None, *rest_specs, None),
         )(x)
         return jnp.swapaxes(y, 1, 2)                       # (b, k2, k1, *rest, 2)
 
     fn.split = (n1, n2)
+    return fn
+
+
+def build_distributed_pencil_axes01(shape, mesh: Mesh,
+                                    axes: Tuple[str, str] = ("sp0", "sp1"),
+                                    direction: str = "forward",
+                                    batch_axis_name: Optional[str] = None,
+                                    splits=None):
+    """Pencil-decomposed distributed FFT: logical axes 0 AND 1 each span
+    their own mesh axis (a 2-D device decomposition — the heFFTe/P3DFFT
+    production layout for 3-D volumes; the reference is single-device,
+    SURVEY.md §2.9, so this is new TPU scaling work).
+
+    Versus the single-``seq_axis`` route — which shards only axis 0 and
+    requires every device to hold the FULL remaining volume slab — the
+    pencil keeps per-device memory at n0/P0 x n1/P1 x rest and scales to
+    P0*P1 chips.  Communication: exactly one all_to_all per decomposed
+    axis (the digit exchange of each four-step stage), each riding only
+    its own mesh axis's ICI ring — no global collective ever sees the
+    whole volume.
+
+    x: (batch, n0, n1, *rest, 2) -> same shape, axes 0 and 1 transformed
+    (normalize is the caller's job — fold into plan-level scale).  Riding
+    axes (shape[2:]) are NOT transformed; compose with local plans (they
+    stay embarrassingly parallel over both shardings).
+
+    Structure: the axis-1 stage is the four-step digit exchange of
+    build_distributed_fft_axis0 with the (sharded) n0 dim riding in
+    front; its output digit grid then rides — still sharded over
+    ``axes[1]`` — through the axis-0 stage (rest_specs), so no resharding
+    happens between the stages.  Both output digit grids merge at the
+    end, exactly like the single-axis route.
+    """
+    a0, a1 = axes
+    if a0 == a1:
+        raise ValueError("pencil axes must be two distinct mesh axes")
+    n0, n1 = shape[0], shape[1]
+    rest = tuple(shape[2:])
+    p0, p1 = mesh.shape[a0], mesh.shape[a1]
+    s0 = splits[0] if splits else choose_distributed_split(n0, p0)
+    s1 = splits[1] if splits else choose_distributed_split(n1, p1)
+    if s0 is None or s1 is None:
+        bad = f"n0={n0} over {p0}" if s0 is None else f"n1={n1} over {p1}"
+        raise ValueError(
+            f"pencil decomposition needs both sharded axes to split into "
+            f"two smooth mesh-divisible factors; cannot split {bad} "
+            f"(single seq_axis handles any length via Bluestein)")
+    q1, q2 = s1
+
+    # --- axis-1 stage tables (digit exchange over a1, n0 riding in front)
+    w1q = jnp.asarray(to_w4(dft.dft_matrix(q1, direction)))
+    w2q = jnp.asarray(to_w4(dft.dft_matrix(q2, direction)))
+    sign = -1.0 if direction == "forward" else 1.0
+    twq = np.exp(sign * 2j * np.pi *
+                 (np.outer(np.arange(q1), np.arange(q2)) % n1) / n1)
+    twqa, twqb = const_pair(twq)                           # (q1, q2, 2)
+    bshape = (1, q1, q2) + (1,) * len(rest) + (2,)
+    twqa = jnp.asarray(twqa.reshape(bshape))
+    twqb = jnp.asarray(twqb.reshape(bshape))
+    q2_loc = q2 // p1
+
+    per_item = (n0 // p0) * (n1 // p1) * math.prod(rest)
+    _check_per_device_operands(per_item, f"pencil fft {n0}x{n1}")
+
+    def ax1_body(x_loc):
+        # x_loc: (b, n0_loc, q1, q2_loc, *rest, 2)
+        idx = jax.lax.axis_index(a1)
+        y = _einsum("bxaj...i,aick->bxcj...k", x_loc, w1q)
+        ta = jax.lax.dynamic_slice_in_dim(twqa, idx * q2_loc, q2_loc, axis=2)
+        tb = jax.lax.dynamic_slice_in_dim(twqb, idx * q2_loc, q2_loc, axis=2)
+        y = _cmul_pair(y, ta, tb)
+        y = jax.lax.all_to_all(y, a1, split_axis=2, concat_axis=3,
+                               tiled=True)       # (b, n0_loc, k1_loc, q2, ...)
+        return _einsum("bxca...i,aimk->bxcm...k", y, w2q)
+
+    def ax1_fn(x_loc):
+        return _maybe_batch_slab(ax1_body, x_loc, per_item)
+
+    # --- axis-0 stage: the plain axis-0 builder with the axis-1 digit
+    # grid (k1q sharded over a1) riding through via rest_specs
+    rest_none = (None,) * len(rest)
+    fft0 = build_distributed_fft_axis0(
+        (n0, q1, q2, *rest), mesh, a0, direction, "none", batch_axis_name,
+        split=s0, rest_specs=(a1, None, *rest_none))
+
+    def fn(x):
+        b = x.shape[0]
+        x = x.reshape(b, n0, q1, q2, *rest, 2)
+        y = jax.shard_map(
+            ax1_fn, mesh=mesh,
+            in_specs=P(batch_axis_name, a0, None, a1, *rest_none, None),
+            out_specs=P(batch_axis_name, a0, a1, None, *rest_none, None),
+        )(x)                                     # (b, n0, k1q, k2q, *rest, 2)
+        y = fft0(y)                              # (b, k2m, k1m, k1q, k2q, ...)
+        y = y.reshape(b, n0, *y.shape[3:])       # merge the axis-0 grid
+        y = jnp.swapaxes(y, 2, 3)                # (b, n0, k2q, k1q, *rest, 2)
+        return y.reshape(b, n0, n1, *rest, 2)
+
+    fn.split = (s0, s1)
     return fn
 
 
@@ -432,7 +544,7 @@ def _local_rest_axis_plans(rest, direction: str, tuning):
 def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
                              normalize: str = "none",
                              batch_axis_name: Optional[str] = None,
-                             tuning=None):
+                             tuning=None, pencil_axes=None):
     """Distributed ND real->packed-complex FFT, axis 0 spanning chips.
 
     The multi-chip composition of plans/transforms.build_r2c (rank >= 2):
@@ -444,38 +556,58 @@ def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
     the k1 sharding.  Odd / half-unsplittable n0 widens to the full
     complex axis-0 plan (2x traffic), mirroring the 1-D builder.
 
+    ``pencil_axes``: a (a0, a1) mesh-axis pair routes the complex core
+    through the pencil decomposition (axes 0 AND 1 sharded); axis 1 then
+    transforms inside the core instead of in local_rest.  Pencil requires
+    divisible smooth splits on both axes (no Bluestein fallback).
+
     x: (batch, *shape) f32 real -> (batch, n0//2+1, *shape[1:], 2).
     """
     n0, rest = shape[0], tuple(shape[1:])
     assert rest, "rank >= 2 (use build_distributed_r2c_1d for rank 1)"
     p0 = n0 // 2 + 1
-    ndev = mesh.shape[axis_name]
+    ndev = mesh.shape[pencil_axes[0] if pencil_axes else axis_name]
     from ..plans.transforms import _half_trick_consts
     from ..utils.mathref import normalize_scale
     scale = normalize_scale(normalize, "forward", math.prod(shape))
-    rest_plans, consts = _local_rest_axis_plans(rest, "forward", tuning)
+    skip = 1 if pencil_axes else 0           # pencil core covers axis 1 too
+    rest_plans, consts = _local_rest_axis_plans(rest[skip:], "forward",
+                                               tuning)
     from ..core.axis import slabbed_axis_apply
 
     def local_rest(y):
-        # y: (b, p, *rest, 2) — logical rest axis d sits at dim 2+d
+        # y: (b, p, *rest, 2) — locally-transformed rest axis d sits at
+        # dim 2+skip+d
         for d, ap in enumerate(rest_plans):
             if ap.n > 1:
-                y = slabbed_axis_apply(y, ap, 2 + d, consts)
+                y = slabbed_axis_apply(y, ap, 2 + skip + d, consts)
         return y
+
+    def core_builder(core_shape, direction):
+        if pencil_axes is not None:
+            return build_distributed_pencil_axes01(
+                core_shape, mesh, tuple(pencil_axes), direction,
+                batch_axis_name)
+        return build_distributed_fft_any_axis0(
+            core_shape, mesh, axis_name, direction, "none", batch_axis_name)
 
     # route priority (any n0 distributes): half-trick four-step when n0/2
     # splits (half traffic, one all_to_all) > widen four-step when n0
     # splits (one all_to_all, full width) > half-trick Bluestein (even n0;
-    # half width, two all_to_alls) > widen Bluestein (odd n0)
+    # half width, two all_to_alls) > widen Bluestein (odd n0).  Pencil has
+    # no Bluestein fallback: unsplittable axes raise (caller surfaces as
+    # PlanError suggesting single seq_axis).  Pencil always WIDENS: the
+    # half-complex unpack conjugates (R-linear, not C-linear), so it does
+    # not commute with the axis-1 FFT the pencil core already applied —
+    # a half-trick pencil would need the unpack spliced between the two
+    # core stages.
     even = n0 % 2 == 0 and n0 >= 4
-    use_half = even and (
+    use_half = pencil_axes is None and even and (
         choose_distributed_split(n0 // 2, ndev) is not None
         or choose_distributed_split(n0, ndev) is None)
     if not use_half:
         # complex widening on the full-length axis-0 plan
-        fft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
-                                               "forward", "none",
-                                               batch_axis_name)
+        fft0 = core_builder(shape, "forward")
 
         def fn(x):
             b = x.shape[0]
@@ -489,9 +621,7 @@ def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
         return fn
 
     h = n0 // 2
-    fft0 = build_distributed_fft_any_axis0((h, *rest), mesh, axis_name,
-                                           "forward", "none",
-                                           batch_axis_name)
+    fft0 = core_builder((h, *rest), "forward")
     cc = _half_trick_consts(n0, inverse=False)
     flip = jnp.asarray(cc["rc/flip"])
     cshape = (1, p0) + (1,) * len(rest) + (2,)
@@ -517,38 +647,51 @@ def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
 def build_distributed_c2r_nd(shape, mesh: Mesh, axis_name: str = "sp",
                              normalize: str = "none",
                              batch_axis_name: Optional[str] = None,
-                             tuning=None):
+                             tuning=None, pencil_axes=None):
     """Distributed ND packed-complex->real inverse FFT — the mirror of
     build_distributed_r2c_nd (multi-chip composition of
     plans/transforms.build_c2r, rank >= 2; packing conventions
     real_complex.js:73-201, self-conjugate bin zeroing included).
+    ``pencil_axes`` routes the complex core through the axes-0/1 pencil
+    decomposition, as in build_distributed_r2c_nd.
 
     x: (batch, n0//2+1, *shape[1:], 2) -> (batch, *shape) f32 real.
     """
     n0, rest = shape[0], tuple(shape[1:])
     assert rest, "rank >= 2 (use build_distributed_c2r_1d for rank 1)"
     p0 = n0 // 2 + 1
-    ndev = mesh.shape[axis_name]
+    ndev = mesh.shape[pencil_axes[0] if pencil_axes else axis_name]
     from ..plans.transforms import _half_trick_consts
     from ..utils.mathref import normalize_scale
     scale = normalize_scale(normalize, "inverse", math.prod(shape))
-    rest_plans, consts = _local_rest_axis_plans(rest, "inverse", tuning)
+    skip = 1 if pencil_axes else 0
+    rest_plans, consts = _local_rest_axis_plans(rest[skip:], "inverse",
+                                               tuning)
     from ..core.axis import slabbed_axis_apply
 
     def local_rest(y):
         for d, ap in enumerate(rest_plans):
             if ap.n > 1:
-                y = slabbed_axis_apply(y, ap, 2 + d, consts)
+                y = slabbed_axis_apply(y, ap, 2 + skip + d, consts)
         return y
 
+    def core_builder(core_shape, direction):
+        if pencil_axes is not None:
+            return build_distributed_pencil_axes01(
+                core_shape, mesh, tuple(pencil_axes), direction,
+                batch_axis_name)
+        return build_distributed_fft_any_axis0(
+            core_shape, mesh, axis_name, direction, "none", batch_axis_name)
+
+    # pencil widens for the same reason as build_distributed_r2c_nd: the
+    # half-trick pack conjugates, which does not commute with the axis-1
+    # inverse FFT inside the pencil core
     even = n0 % 2 == 0 and n0 >= 4
-    use_half = even and (
+    use_half = pencil_axes is None and even and (
         choose_distributed_split(n0 // 2, ndev) is not None
         or choose_distributed_split(n0, ndev) is None)
     if not use_half:
-        ifft0 = build_distributed_fft_any_axis0(shape, mesh, axis_name,
-                                                "inverse", "none",
-                                                batch_axis_name)
+        ifft0 = core_builder(shape, "inverse")
         k_max_mirror = n0 // 2 - 1 if n0 % 2 == 0 else n0 // 2
 
         def fn(xp):
@@ -573,9 +716,7 @@ def build_distributed_c2r_nd(shape, mesh: Mesh, axis_name: str = "sp",
         return fn
 
     h = n0 // 2
-    ifft0 = build_distributed_fft_any_axis0((h, *rest), mesh, axis_name,
-                                            "inverse", "none",
-                                            batch_axis_name)
+    ifft0 = core_builder((h, *rest), "inverse")
     cc = _half_trick_consts(n0, inverse=True)
     flip = jnp.asarray(cc["cr/flip"])
     cshape = (1, h) + (1,) * len(rest) + (2,)
