@@ -124,6 +124,29 @@ def test_aot_distributed_c2c(rng, assert_close, tmp_path):
         ep(xi, mesh=sharded.make_mesh({"sp": 8}))
 
 
+def test_aot_distributed_pencil(rng, assert_close, tmp_path):
+    """Pencil-decomposed plans (seq_axis pair) export and reload like any
+    other seq-parallel plan; the artifact records the axis pair."""
+    from webgpufft_tpu.parallel import sharded
+    from webgpufft_tpu.utils import mathref as R
+
+    mesh = sharded.make_mesh({"sp0": 2, "sp1": 4})
+    shape, b = [8, 16, 3], 2
+    plan = W.create_distributed_plan(type="c2c", shape=shape, batch=b,
+                                     mesh=mesh, seq_axis=("sp0", "sp1"))
+    ep = W.load_exported_plan(W.export_distributed_plan(plan))
+    assert ep.route_mode == "distributed-pencil"
+    assert list(ep.distributed["seq_axis"]) == ["sp0", "sp1"]
+    z = (rng.standard_normal((b, *shape))
+         + 1j * rng.standard_normal((b, *shape)))
+    xi = np.stack([z.real, z.imag], -1).astype(np.float32)
+    y = np.asarray(ep(xi, mesh=sharded.make_mesh({"sp0": 2, "sp1": 4})))
+    ref = R.fft_nd(z, shape, "forward")
+    got = (y[..., 0] + 1j * y[..., 1]).reshape(b, *shape)
+    assert_close(got.real, ref.real, label="aot pencil.re")
+    assert_close(got.imag, ref.imag, label="aot pencil.im")
+
+
 def test_aot_distributed_fftconv_kernel(rng, assert_close):
     from webgpufft_tpu.parallel import sharded
     from webgpufft_tpu.utils import mathref as R
