@@ -787,3 +787,55 @@ class TestFht:
             F.fht(np.ones(8), 0.1, mu=0.0, bias=-1.0)
         with pytest.warns(UserWarning, match="singular inverse"):
             F.ifht(np.ones(8), 0.1, mu=1.0, bias=2.0)
+
+
+class TestLombscargle:
+    def _data(self, n=200, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.sort(rng.uniform(0, 10, n))
+        y = np.sin(2 * np.pi * 1.7 * t) + 0.4 * rng.standard_normal(n)
+        freqs = np.linspace(0.5, 40, 300)
+        return t, y, freqs
+
+    @pytest.mark.parametrize("norm", [False, True, "power", "normalize"])
+    def test_normalize_modes(self, norm):
+        t, y, freqs = self._data()
+        got = np.asarray(F.lombscargle(t, y, freqs, normalize=norm))
+        want = ss.lombscargle(t, y, freqs, normalize=norm)
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 5e-4, (norm, err)
+
+    def test_amplitude_mode_interleaved(self):
+        t, y, freqs = self._data()
+        got = np.asarray(F.lombscargle(t, y, freqs, normalize="amplitude"))
+        assert got.shape == (freqs.size, 2)
+        want = ss.lombscargle(t, y, freqs, normalize="amplitude")
+        err = np.max(np.abs(F.ascomplex(got) - want)) / np.max(np.abs(want))
+        assert err < 5e-4, err
+
+    def test_weights_floating_mean_precenter(self):
+        t, y, freqs = self._data(seed=3)
+        rng = np.random.default_rng(7)
+        w = rng.uniform(0.5, 2.0, t.size)
+        got = np.asarray(F.lombscargle(t, y + 2.5, freqs, weights=w,
+                                       floating_mean=True, normalize=True))
+        want = ss.lombscargle(t, y + 2.5, freqs, weights=w,
+                              floating_mean=True, normalize=True)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-4
+        got = np.asarray(F.lombscargle(t, y, freqs, precenter=True))
+        with warnings.catch_warnings():
+            # scipy 1.17 deprecates its own precenter; ours stays
+            warnings.simplefilter("ignore", DeprecationWarning)
+            want = ss.lombscargle(t, y, freqs, precenter=True)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-4
+
+    def test_validation(self):
+        t, y, freqs = self._data(n=16)
+        with pytest.raises(PlanError):
+            F.lombscargle(t, y[:-1], freqs)
+        with pytest.raises(PlanError):
+            F.lombscargle(t, y, [])
+        with pytest.raises(PlanError):
+            F.lombscargle(t, y, freqs, weights=-np.ones(16))
+        with pytest.raises(PlanError):
+            F.lombscargle(t, y, freqs, normalize="psd")

@@ -273,3 +273,122 @@ class TestWiener:
         _close(FL.wiener(im, (3, 5), noise=0.5),
                ss.wiener(im, (3, 5), noise=0.5), label="wiener noise",
                tol=1e-4)
+
+
+class TestGroupDelay:
+    def test_int_worN(self):
+        b, a = ss.butter(4, 0.2)
+        w_g, gd_g = FL.group_delay((b, a), 512)
+        w_e, gd_e = ss.group_delay((b, a), w=512)
+        assert np.allclose(w_g, w_e)
+        assert np.allclose(gd_g, gd_e, atol=1e-10)
+
+    def test_array_w_and_fs(self):
+        b, a = ss.cheby1(5, 1, 0.3)
+        w_g, gd_g = FL.group_delay((b, a), w=[0.1, 0.5, 1.0], fs=8.0)
+        w_e, gd_e = ss.group_delay((b, a), w=[0.1, 0.5, 1.0], fs=8.0)
+        assert np.allclose(w_g, w_e) and np.allclose(gd_g, gd_e, atol=1e-10)
+
+    def test_whole_and_fir(self):
+        b = ss.firwin(31, 0.4)
+        w_g, gd_g = FL.group_delay((b, 1.0), 128, whole=True)
+        w_e, gd_e = ss.group_delay((b, 1.0), w=128, whole=True)
+        assert np.allclose(w_g, w_e) and np.allclose(gd_g, gd_e, atol=1e-8)
+
+    def test_singular_warns(self):
+        # pole on the unit circle at w=0 -> singular group delay there
+        import warnings
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            _, gd = FL.group_delay(([1.0], [1.0, -1.0]), w=[0.0])
+        assert gd[0] == 0 and any("singular" in str(r.message) for r in rec)
+
+
+class TestFreqzZpk:
+    def test_matches_scipy(self):
+        z, p, k = ss.butter(4, 0.3, output="zpk")
+        w_g, h_g = FL.freqz_zpk(z, p, k, 128)
+        w_e, h_e = ss.freqz_zpk(z, p, k, worN=128)
+        assert np.allclose(w_g, w_e)
+        _close(h_g, h_e, label="freqz_zpk")
+
+    def test_worN_array_whole_fs(self):
+        z, p, k = ss.ellip(3, 1, 30, 0.2, output="zpk")
+        w_g, h_g = FL.freqz_zpk(z, p, k, worN=[0.2, 0.4, 1.1],
+                                whole=True, fs=4.0)
+        w_e, h_e = ss.freqz_zpk(z, p, k, worN=[0.2, 0.4, 1.1],
+                                whole=True, fs=4.0)
+        assert np.allclose(w_g, w_e)
+        _close(h_g, h_e, label="freqz_zpk worN")
+
+
+class TestFirls:
+    @pytest.mark.parametrize("numtaps,bands,desired,kw", [
+        (31, [0, 0.2, 0.3, 1.0], [1, 1, 0, 0], {}),
+        (25, [0, 0.1, 0.15, 0.4, 0.45, 1], [1, 1, 0, 0, 0.5, 0.5],
+         {"weight": [1, 10, 3]}),
+        (11, [0, 1, 2, 4], [1, 1, 0, 0], {"fs": 8}),
+        (7, [0, 0.3, 0.5, 1.0], [1, 0.5, 0.2, 0.0], {}),
+    ])
+    def test_matches_scipy(self, numtaps, bands, desired, kw):
+        got = FL.firls(numtaps, bands, desired, **kw)
+        want = ss.firls(numtaps, bands, desired, **kw)
+        assert np.allclose(got, want, atol=1e-9), (numtaps, bands)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.firls(30, [0, 0.2, 0.3, 1], [1, 1, 0, 0])   # even numtaps
+        with pytest.raises(PlanError):
+            FL.firls(31, [0, 0.2, 0.3], [1, 1, 0])          # odd edges
+        with pytest.raises(PlanError):
+            FL.firls(31, [0, 0.4, 0.3, 1], [1, 1, 0, 0])    # overlap
+        with pytest.raises(PlanError):
+            FL.firls(31, [0, 0.2, 0.3, 1.5], [1, 1, 0, 0])  # > nyquist
+        with pytest.raises(PlanError):
+            FL.firls(31, [0, 0.2, 0.3, 1], [1, 1, 0, 0], weight=[1])
+
+
+class TestMinimumPhase:
+    def test_homomorphic(self):
+        h = ss.remez(151, [0, 0.2, 0.3, 1.0], [1, 0], fs=2.0)
+        got = FL.minimum_phase(h, method="homomorphic")
+        want = ss.minimum_phase(h, method="homomorphic")
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_homomorphic_full_length(self):
+        h = ss.firwin(99, 0.4)
+        got = FL.minimum_phase(h, method="homomorphic", half=False)
+        want = ss.minimum_phase(h, method="homomorphic", half=False)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_hilbert(self):
+        h = ss.remez(151, [0, 0.2, 0.3, 1.0], [1, 0], fs=2.0)
+        got = FL.minimum_phase(h, method="hilbert", n_fft=2 ** 12)
+        want = ss.minimum_phase(h, method="hilbert", n_fft=2 ** 12)
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_even_length(self):
+        h = ss.firwin(100, 0.3)
+        got = FL.minimum_phase(h)
+        want = ss.minimum_phase(h)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_validation(self):
+        h = ss.firwin(31, 0.4)
+        with pytest.raises(PlanError):
+            FL.minimum_phase(h, method="cepstral")
+        with pytest.raises(PlanError):
+            FL.minimum_phase(h, n_fft=16)
+        with pytest.raises(PlanError):
+            FL.minimum_phase(h, method="hilbert", half=False)
+        with pytest.raises(PlanError):
+            FL.minimum_phase(np.zeros((2, 4)))
+        with pytest.raises(PlanError):
+            FL.minimum_phase(h.astype(complex))
+        import warnings
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            FL.minimum_phase(np.array([1.0, 2.0, 4.0, 8.0]))
+        assert any("symmetric" in str(r.message) for r in rec)

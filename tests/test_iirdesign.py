@@ -209,3 +209,33 @@ class TestEndToEnd:
         want = ss.sosfiltfilt(ss.butter(6, 0.2, output="sos"), x)
         err = np.max(np.abs(got - want)) / np.max(np.abs(want))
         assert err < 5e-4, err
+
+
+class TestNotchPeakComb:
+    @pytest.mark.parametrize("w0,Q,fs", [
+        (60, 30, 1000), (0.3, 15, 2.0), (1200, 8, 8000)])
+    def test_iirnotch_iirpeak(self, w0, Q, fs):
+        for fn, sfn in [(D.iirnotch, ss.iirnotch), (D.iirpeak, ss.iirpeak)]:
+            bg, ag = fn(w0, Q, fs=fs)
+            be, ae = sfn(w0, Q, fs=fs)
+            assert np.allclose(bg, be, atol=1e-12)
+            assert np.allclose(ag, ae, atol=1e-12)
+
+    @pytest.mark.parametrize("ftype", ["notch", "peak"])
+    @pytest.mark.parametrize("pass_zero", [False, True])
+    def test_iircomb(self, ftype, pass_zero):
+        bg, ag = D.iircomb(50, 25, ftype=ftype, fs=1000,
+                           pass_zero=pass_zero)
+        be, ae = ss.iircomb(50, 25, ftype=ftype, fs=1000,
+                            pass_zero=pass_zero)
+        assert np.allclose(bg, be, atol=1e-12)
+        assert np.allclose(ag, ae, atol=1e-12)
+
+    def test_validation(self):
+        from webgpufft_tpu import PlanError
+        with pytest.raises(PlanError):
+            D.iirnotch(600, 30, fs=1000)        # past nyquist
+        with pytest.raises(PlanError):
+            D.iircomb(33, 25, fs=1000)          # fs not divisible by w0
+        with pytest.raises(PlanError):
+            D.iircomb(50, 25, ftype="stop", fs=1000)

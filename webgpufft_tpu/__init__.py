@@ -77,7 +77,7 @@ __all__ = [
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",
     "create_distributed_plan",
-    "fft", "fftapi", "ndimage", "filtering", "iirdesign",
+    "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
 ]
 
 
@@ -231,4 +231,5 @@ from . import fftapi  # noqa: E402
 from . import ndimage  # noqa: E402
 from . import filtering  # noqa: E402
 from . import iirdesign  # noqa: E402
+from . import waveforms  # noqa: E402
 fft = fftapi

@@ -51,7 +51,8 @@ __all__ = [
     "convolve2d", "correlate2d",
     "correlation_lags", "deconvolve",
     "stft", "istft", "spectrogram", "welch", "periodogram",
-    "csd", "coherence", "resample", "resample_poly", "upfirdn",
+    "csd", "coherence", "lombscargle",
+    "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft",
     "fht", "ifht", "fhtoffset",
@@ -1716,3 +1717,114 @@ def next_fast_len(n: int) -> int:
     """Smallest radix-supported (smooth) length >= n
     (scipy.fft.next_fast_len analog over the framework's radix set)."""
     return factors.next_smooth_at_least(max(int(n), 1))
+
+
+# ---------------------------------------------------------------------------
+# Lomb-Scargle periodogram (unevenly-sampled spectral estimation)
+# ---------------------------------------------------------------------------
+
+def lombscargle(x, y, freqs, *, precenter: bool = False,
+                normalize=False, weights=None,
+                floating_mean: bool = False):
+    """Lomb-Scargle periodogram of UNEVENLY sampled data
+    (scipy.signal.lombscargle semantics, including the generalized
+    weighted / floating-mean form and the three ``normalize`` modes).
+
+    TPU formulation: the (nsamples, nfreqs) trig grids are host f64
+    tables (large phases w*t destroy f32 trig), and every reduction over
+    samples is a device einsum riding the MXU — the tau rotation reuses
+    the same grids through the angle-addition identity instead of a
+    second trig evaluation.  ``normalize='amplitude'`` returns the
+    best-fit complex amplitudes as an interleaved (nfreqs, 2) array
+    (``ascomplex`` for a complex view); other modes return (nfreqs,)
+    real power.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y_in = y
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if weights is None:
+        w_np = np.ones(x.shape, dtype=np.float64)
+    else:
+        w_np = np.asarray(weights, dtype=np.float64)
+    if not (x.ndim == 1 and x.size > 0
+            and x.shape == np.shape(y_in) == w_np.shape):
+        raise PlanError("x, y, weights must be 1-D arrays of equal "
+                        "non-zero length")
+    if freqs.ndim != 1 or freqs.size == 0:
+        raise PlanError("freqs must be a non-empty 1-D array")
+    if not (np.all(w_np >= 0) and w_np.sum() > 0):
+        raise PlanError("weights must be non-negative and sum > 0")
+    if isinstance(normalize, bool):
+        normalize = "normalize" if normalize else "power"
+    if normalize not in ("power", "normalize", "amplitude"):
+        raise PlanError("normalize must be False/'power', "
+                        "True/'normalize', or 'amplitude'")
+    w_np = w_np / w_np.sum()
+
+    y = jnp.asarray(np.asarray(y_in), jnp.float32)
+    if precenter:
+        y = y - jnp.mean(y)
+    wj = jnp.asarray(w_np.astype(np.float32))
+    if floating_mean:
+        # the floating-mean model is shift-invariant in y, so centering
+        # by the weighted mean changes nothing mathematically — but it
+        # makes Y ~ 0, removing the f32 cancellation in YC - Y*C
+        y = y - jnp.sum(wj * y)
+    wy = wj * y
+
+    # host f64 trig tables of the phase grid (N, F)
+    phase = x[:, None] * freqs[None, :]
+    C = jnp.asarray(np.cos(phase).astype(np.float32))
+    S = jnp.asarray(np.sin(phase).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+
+    def wdot(v, M):
+        return jnp.einsum("n,nf->f", v, M, precision=hi)
+
+    Y = jnp.sum(wy)
+    CC = wdot(wj, C * C)
+    CS = wdot(wj, C * S)
+    SS = 1.0 - CC
+    if floating_mean:
+        Cm = wdot(wj, C)
+        Sm = wdot(wj, S)
+        CC = CC - Cm * Cm
+        SS = SS - Sm * Sm
+        CS = CS - Cm * Sm
+    tau = 0.5 * jnp.arctan2(2.0 * CS, CC - SS)
+    ct, st = jnp.cos(tau), jnp.sin(tau)
+    # angle addition: cos(p - tau), sin(p - tau) from the same tables
+    Ct = C * ct + S * st
+    St = S * ct - C * st
+    if floating_mean:
+        Cm = wdot(wj, Ct)
+        Sm = wdot(wj, St)
+        # YC - Y*Cm == Sum wy (Ct - Cm) exactly; the centered form avoids
+        # the subtraction of two separately-rounded reductions
+        YC = wdot(wy, Ct - Cm)
+        YS = wdot(wy, St - Sm)
+        # centered second moments Sum w (Ct - Cm)^2: algebraically equal
+        # to CC - Cm^2 but free of its f32 cancellation where the
+        # variance is small (low-frequency bins)
+        CC = wdot(wj, (Ct - Cm) ** 2)
+        SS = wdot(wj, (St - Sm) ** 2)
+    else:
+        YC = wdot(wy, Ct)
+        YS = wdot(wy, St)
+        CC = wdot(wj, Ct * Ct)
+        SS = 1.0 - CC
+    eps = jnp.asarray(np.finfo(np.float32).epsneg, jnp.float32)
+    CC = jnp.maximum(CC, eps)
+    SS = jnp.maximum(SS, eps)
+    a = YC / CC
+    b = YS / SS
+    if normalize == "amplitude":
+        # (a + ib) e^(i tau)
+        return jnp.stack([a * ct - b * st, a * st + b * ct], -1)
+    pgram = 2.0 * (a * YC + b * YS)
+    if normalize == "power":
+        return pgram * (x.shape[0] / 4.0)
+    YY = jnp.sum(wy * y)
+    if floating_mean:
+        YY = YY - Y * Y
+    return pgram * (0.5 / YY)

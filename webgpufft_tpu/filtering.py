@@ -45,7 +45,8 @@ from . import iirdesign as _iirdesign
 
 __all__ = [
     "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
-    "freqz", "sosfreqz",
+    "freqz", "sosfreqz", "freqz_zpk", "group_delay",
+    "firls", "minimum_phase",
     "lfilter", "lfilter_zi", "filtfilt",
     "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "savgol_coeffs", "savgol_filter",
@@ -641,3 +642,192 @@ def wiener(im, mysize=None, noise: Optional[float] = None):
     res = (xv - l_mean) * (1.0 - noise_v / jnp.where(l_var == 0, 1.0,
                                                      l_var)) + l_mean
     return jnp.where(l_var < noise_v, l_mean, res)
+
+
+# ------------------------------------------------- response analysis (host)
+
+def group_delay(system, w=512, whole: bool = False,
+                fs: float = 2 * np.pi):
+    """Group delay of a digital filter (scipy.signal.group_delay
+    semantics): -d(angle(H))/dw via the Fejer differentiation identity on
+    c = b * conj(reversed(a)), evaluated on the freqz grid.  Host
+    analysis math (coefficient-table idiom); returns numpy ``(w, gd)``."""
+    import warnings
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    fs = float(fs)
+    if np.ndim(w) == 0:
+        n = int(w)
+        w = np.linspace(0, 2 * np.pi if whole else np.pi, n, endpoint=False)
+    else:
+        w = 2 * np.pi * np.atleast_1d(np.asarray(w, dtype=np.float64)) / fs
+    c = np.convolve(b, a[::-1])
+    cr = c * np.arange(c.size)
+    z = np.exp(-1j * w)
+    num = np.polynomial.polynomial.polyval(z, cr)
+    den = np.polynomial.polynomial.polyval(z, c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gd = np.real(num / den) - a.size + 1
+    singular = ~np.isfinite(gd)
+    if np.any(singular):
+        gd[singular] = 0
+        warnings.warn("The group delay is singular at frequencies "
+                      f"[{', '.join(f'{ws:.3f}' for ws in w[singular])}], "
+                      "setting to 0", stacklevel=2)
+    elif np.any(np.abs(den) < 10 * np.finfo(np.float64).eps):
+        warnings.warn("The filter's denominator is extremely small at some "
+                      "frequencies, around which a singularity may be "
+                      "present", stacklevel=2)
+    return w * (fs / (2 * np.pi)), gd
+
+
+def freqz_zpk(z, p, k, worN=512, whole: bool = False,
+              fs: Optional[float] = None):
+    """Frequency response from zeros/poles/gain
+    (scipy.signal.freqz_zpk semantics): h = k prod(zm - z)/prod(zm - p).
+    Returns ``(w, h)`` with ``h`` interleaved (..., 2), like freqz."""
+    z = np.atleast_1d(np.asarray(z))
+    p = np.atleast_1d(np.asarray(p))
+    fs_ = 2 * np.pi if fs is None else float(fs)
+    if np.ndim(worN) == 0:
+        n = int(worN)
+        lastpoint = 2 * np.pi if whole else np.pi
+        w = np.linspace(0, lastpoint, n, endpoint=False)
+    else:
+        w = 2 * np.pi * np.atleast_1d(np.asarray(worN, np.float64)) / fs_
+    zm = np.exp(1j * w)
+    h = k * np.prod(zm[:, None] - z[None, :], axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = h / np.prod(zm[:, None] - p[None, :], axis=1)
+    hj = jnp.asarray(np.stack([h.real, h.imag], -1).astype(np.float32))
+    return w * (fs_ / (2 * np.pi)), hj
+
+
+# ------------------------------------------------- least-squares FIR design
+
+def firls(numtaps: int, bands, desired, *, weight=None,
+          fs: Optional[float] = None):
+    """Least-squares linear-phase (type I) FIR design
+    (scipy.signal.firls semantics).  Host table math: the normal
+    equations Q a = beta have Q = Toeplitz(q) + Hankel(q) from the band
+    integrals of cos(pi n f), solved directly (least-squares fallback
+    when a band spec makes Q singular)."""
+    fs = 2.0 if fs is None else float(fs)
+    nyq = 0.5 * fs
+    numtaps = int(numtaps)
+    if numtaps % 2 == 0 or numtaps < 1:
+        raise PlanError("numtaps must be odd and >= 1")
+    m_half = (numtaps - 1) // 2
+    bands = np.asarray(bands, dtype=np.float64).flatten() / nyq
+    if len(bands) % 2:
+        raise PlanError("bands must contain frequency pairs")
+    if (bands < 0).any() or (bands > 1).any():
+        raise PlanError("bands must be between 0 and fs/2")
+    bands = bands.reshape(-1, 2)
+    desired = np.asarray(desired, dtype=np.float64).flatten()
+    if bands.size != desired.size:
+        raise PlanError("desired must have one entry per band edge")
+    desired = desired.reshape(-1, 2)
+    if (np.diff(bands) <= 0).any() or (np.diff(bands[:, 0]) < 0).any():
+        raise PlanError("bands must be monotonically nondecreasing with "
+                        "width > 0")
+    if (bands[:-1, 1] > bands[1:, 0]).any():
+        raise PlanError("bands must not overlap")
+    if weight is None:
+        weight = np.ones(len(desired))
+    weight = np.asarray(weight, dtype=np.float64).flatten()
+    if len(weight) != len(desired):
+        raise PlanError("weight needs one entry per band pair")
+
+    # q(n) = sum_bands W int_f1^f2 cos(pi n f) df = W [f sinc(n f)]_f1^f2
+    n = np.arange(numtaps)[:, None, None]
+    q = np.diff(np.sinc(bands * n) * bands, axis=2)[:, :, 0] @ weight
+    idx = np.arange(m_half + 1)
+    Q = q[np.abs(idx[:, None] - idx[None, :])] + q[idx[:, None] + idx[None, :]]
+
+    # beta(n) = sum_bands W int (m f + c) cos(pi n f) df with the linear
+    # desired ramp (m, c) per band; n = 0 takes the L'Hopital limit
+    n = n[:m_half + 1]
+    slope = np.diff(desired, axis=1) / np.diff(bands, axis=1)
+    const = desired[:, [0]] - bands[:, [0]] * slope
+    beta = bands * (slope * bands + const) * np.sinc(bands * n)
+    beta[0] -= slope * bands * bands / 2.0
+    beta[1:] += slope * np.cos(n[1:] * np.pi * bands) / (np.pi * n[1:]) ** 2
+    beta = np.diff(beta, axis=2)[:, :, 0] @ weight
+
+    try:
+        a = np.linalg.solve(Q, beta)
+        if not np.all(np.isfinite(a)):
+            raise np.linalg.LinAlgError
+    except np.linalg.LinAlgError:
+        a = np.linalg.lstsq(Q, beta, rcond=None)[0]
+    return np.concatenate([a[:0:-1], [2 * a[0]], a[1:]])
+
+
+# ------------------------------------------------- minimum-phase conversion
+
+def minimum_phase(h, method: str = "homomorphic",
+                  n_fft: Optional[int] = None, *, half: bool = True):
+    """Minimum-phase version of a linear-phase FIR filter
+    (scipy.signal.minimum_phase semantics; homomorphic cepstral method of
+    Oppenheim & Schafer, or the discrete-Hilbert-transform method).
+
+    Host f64 coefficient math, like the module's other design functions:
+    the cepstral chain takes a log of near-zero stopband bins, so an f32
+    spectrum's ~1e-6 absolute error becomes ~1% filter error (measured;
+    the f64 host path is at 2e-11 of scipy).  Design-time, tiny sizes —
+    not a data path."""
+    import warnings
+    if np.iscomplexobj(h):
+        raise PlanError("complex filters are not supported")
+    h = np.atleast_1d(np.asarray(h, dtype=np.float64))
+    if h.ndim != 1 or h.size <= 2:
+        raise PlanError("h must be 1-D and at least 3 samples long")
+    n_half = h.size // 2
+    if not np.any(np.abs(h[-n_half:][::-1] - h[:n_half])
+                  <= 1e-8 + 1e-6 * np.abs(h[:n_half])):
+        warnings.warn("h does not appear to be symmetric, conversion may "
+                      "fail", RuntimeWarning, stacklevel=2)
+    if method not in ("homomorphic", "hilbert"):
+        raise PlanError("method must be 'homomorphic' or 'hilbert'")
+    if method == "hilbert" and not half:
+        raise PlanError("half=False is only supported with "
+                        "method='homomorphic'")
+    if n_fft is None:
+        n_fft = 2 ** int(math.ceil(math.log2(2 * (h.size - 1) / 0.01)))
+    n_fft = int(n_fft)
+    if n_fft < h.size:
+        raise PlanError(f"n_fft must be at least len(h)=={h.size}")
+    n_out = (n_half + h.size % 2) if half else h.size
+    fft, ifft = np.fft.fft, np.fft.ifft
+
+    if method == "hilbert":
+        # H(w) shifted to zero phase, normalized into [0, 1], sqrt ->
+        # magnitude; then the modified discrete Hilbert transform
+        w = np.arange(n_fft) * (2 * np.pi / n_fft * n_half)
+        Hr = np.real(fft(h, n_fft) * np.exp(1j * w))
+        dp = Hr.max() - 1.0
+        ds = 0.0 - Hr.min()
+        S = 4.0 / (math.sqrt(1 + dp + ds) + math.sqrt(1 - dp + ds)) ** 2
+        mag = np.sqrt((Hr + ds) * S) + 1e-10
+        # _dhtm: recon = Re ifft(mag * exp(fft(sig * ifft(log mag))))
+        sig = np.zeros(n_fft)
+        mid = n_fft // 2
+        sig[1:mid] = 1.0
+        sig[mid + 1:] = -1.0
+        h_min = np.real(ifft(mag * np.exp(fft(sig * ifft(np.log(mag))))))
+        return h_min[:n_out]
+
+    # homomorphic: log magnitude -> cepstrum -> causal lifter -> exp
+    mag = np.abs(fft(h, n_fft))
+    mag = mag + 1e-7 * mag[mag > 0].min()
+    logm = np.log(mag) * (0.5 if half else 1.0)
+    cep = np.real(ifft(logm))
+    win = np.zeros(n_fft)
+    win[0] = 1.0
+    win[1:n_fft // 2] = 2.0
+    if n_fft % 2:
+        win[n_fft // 2] = 1.0
+    h_min = np.real(ifft(np.exp(fft(cep * win))))
+    return h_min[:n_out]

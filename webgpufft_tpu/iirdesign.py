@@ -31,6 +31,7 @@ __all__ = [
     "bilinear", "bilinear_zpk",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
     "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf",
+    "iirnotch", "iirpeak", "iircomb",
 ]
 
 
@@ -882,3 +883,68 @@ def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False,
     d10, d11 = ellipk(arg1_sq), ellipkm1(arg1_sq)
     ord_ = int(math.ceil(d00 * d11 / (d01 * d10)))
     return ord_, _finish_wn(passb, analog, fs)
+
+
+# ----------------------------------------------------- notch / peak / comb
+
+def _notch_peak(w0: float, Q: float, fs: float, peak: bool):
+    """Second-order notch/peak biquad at -3 dB bandwidth w0/Q
+    (Orfanidis ch. 11 parametric equalizer with GB = 1/sqrt(2); the
+    scipy.signal.iirnotch/iirpeak designs)."""
+    fs = float(fs)
+    w0 = 2.0 * float(w0) / fs               # normalized (1 = Nyquist)
+    if not 0 < w0 < 1:
+        raise PlanError(f"w0 must lie in (0, fs/2), got {w0 * fs / 2}")
+    bw = (w0 / float(Q)) * math.pi
+    w0 *= math.pi
+    # GB = 1/sqrt(2) makes sqrt((1-GB^2)/GB^2) == 1, so beta = tan(bw/2)
+    beta = math.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    if peak:
+        b = (1.0 - gain) * np.array([1.0, 0.0, -1.0])
+    else:
+        b = gain * np.array([1.0, -2.0 * math.cos(w0), 1.0])
+    a = np.array([1.0, -2.0 * gain * math.cos(w0), 2.0 * gain - 1.0])
+    return b, a
+
+
+def iirnotch(w0: float, Q: float, fs: float = 2.0):
+    """Second-order IIR notch filter (scipy.signal.iirnotch semantics)."""
+    return _notch_peak(w0, Q, fs, peak=False)
+
+
+def iirpeak(w0: float, Q: float, fs: float = 2.0):
+    """Second-order IIR peaking filter (scipy.signal.iirpeak semantics)."""
+    return _notch_peak(w0, Q, fs, peak=True)
+
+
+def iircomb(w0: float, Q: float, ftype: str = "notch", fs: float = 2.0, *,
+            pass_zero: bool = False):
+    """Notching or peaking comb filter (scipy.signal.iircomb semantics):
+    order-N single-repeated-pole comb, N = fs/w0 teeth (Orfanidis ch. 11
+    comb design at GB = 1/sqrt(2))."""
+    w0, Q, fs = float(w0), float(Q), float(fs)
+    ftype = ftype.lower()
+    if not 0 < w0 < fs / 2:
+        raise PlanError(f"w0 must be between 0 and {fs / 2} (Nyquist), "
+                        f"got {w0}")
+    if ftype not in ("notch", "peak"):
+        raise PlanError("ftype must be 'notch' or 'peak'")
+    N = round(fs / w0)
+    if abs(w0 - fs / N) / fs > 1e-14:
+        raise PlanError("fs must be divisible by w0")
+    wr = 2.0 * math.pi * w0 / fs
+    # -3 dB bandwidth wr/Q; at GB=1/sqrt(2) the beta radical is 1
+    beta = math.tan(N * (wr / Q) / 4.0)
+    g0, g = (1.0, 0.0) if ftype == "notch" else (0.0, 1.0)
+    ax = (1.0 - beta) / (1.0 + beta)
+    bx = (g0 + g * beta) / (1.0 + beta)
+    cx = (g0 - g * beta) / (1.0 + beta)
+    # comb teeth on multiples of w0 need b - c z^-N over 1 - a z^-N for a
+    # notch (and + for the pass_zero variants)
+    sgn = -1.0 if ((ftype == "peak") == bool(pass_zero)) else 1.0
+    b = np.zeros(N + 1)
+    a = np.zeros(N + 1)
+    b[0], b[-1] = bx, sgn * cx
+    a[0], a[-1] = 1.0, sgn * ax
+    return b, a
