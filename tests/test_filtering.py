@@ -392,3 +392,156 @@ class TestMinimumPhase:
             warnings.simplefilter("always")
             FL.minimum_phase(np.array([1.0, 2.0, 4.0, 8.0]))
         assert any("symmetric" in str(r.message) for r in rec)
+
+
+class TestRemez:
+    """Parks-McClellan designs pinned tap-for-tap against scipy.signal.remez
+    (both implement the McClellan-Parks-Rabiner exchange; the optimum is
+    unique, so taps agree to f64 rounding)."""
+
+    @pytest.mark.parametrize("numtaps,bands,desired,kw", [
+        (51, [0, 0.2, 0.3, 1.0], [1, 0], {"fs": 2.0}),
+        (64, [0, 0.2, 0.3, 1.0], [1, 0], {"fs": 2.0}),
+        (73, [0, 0.1, 0.15, 0.4, 0.45, 0.5], [0, 1, 0],
+         {"weight": [10, 1, 10]}),
+        (21, [0.05, 0.45], [1], {"type": "hilbert"}),
+        (32, [0.05, 0.45], [1], {"type": "hilbert"}),
+        (25, [0.05, 0.45], [1], {"type": "differentiator"}),
+        (24, [0.05, 0.45], [1], {"type": "differentiator"}),
+        (35, [0, 1000, 1500, 4000], [1, 0], {"fs": 8000.0}),
+        (55, [0, 0.15, 0.2, 0.45, 0.5, 0.5], [0, 1, 0],
+         {"grid_density": 32}),
+    ])
+    def test_matches_scipy(self, numtaps, bands, desired, kw):
+        got = FL.remez(numtaps, bands, desired, **kw)
+        want = ss.remez(numtaps, bands, desired, **kw)
+        _close(got, want, tol=1e-9, label=f"remez{numtaps}")
+
+    def test_equiripple_property(self):
+        """The design is equiripple: passband and stopband deviation sit
+        at one level (up to the ~0.5% between-grid overshoot scipy's own
+        designs show on a dense freqz probe) and hit the expected ripple."""
+        h = FL.remez(51, [0, 0.2, 0.3, 1.0], [1, 0], fs=2.0)
+        w, H = ss.freqz(h, worN=8192)
+        f = w / np.pi
+        A = np.abs(H)
+        pass_dev = np.max(np.abs(A[f <= 0.2] - 1))
+        stop_dev = np.max(A[f >= 0.3])
+        assert abs(pass_dev - stop_dev) < 1e-2 * max(pass_dev, stop_dev)
+        assert stop_dev < 0.01
+
+    def test_at_least_as_good_as_scipy(self):
+        """A many-tap three-band design where the two dense-grid optima
+        differ in the last digits: require OUR band deviations to be no
+        worse than scipy's (this config's scipy result is in fact the
+        looser of the two)."""
+        spec = (101, [0, 0.1, 0.15, 0.35, 0.4, 0.5], [0, 1, 0])
+        got = FL.remez(*spec)
+        want = ss.remez(*spec)
+        w, Hg = ss.freqz(np.asarray(got), worN=8192)
+        _, He = ss.freqz(want, worN=8192)
+        f = w / (2 * np.pi)
+        for lo, hi, d in [(0, 0.1, 0), (0.15, 0.35, 1), (0.4, 0.5, 0)]:
+            m = (f >= lo) & (f <= hi)
+            dev_g = np.max(np.abs(np.abs(Hg[m]) - d))
+            dev_e = np.max(np.abs(np.abs(He[m]) - d))
+            assert dev_g <= dev_e * 1.01, (lo, hi, dev_g, dev_e)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.remez(2, [0, 0.4, 0.5, 1.0], [1, 0], fs=2.0)
+        with pytest.raises(PlanError):
+            FL.remez(11, [0, 0.5, 0.4, 1.0], [1, 0], fs=2.0)   # nonmonotone
+        with pytest.raises(PlanError):
+            FL.remez(11, [0, 0.4, 0.5], [1, 0], fs=2.0)        # odd edges
+        with pytest.raises(PlanError):
+            FL.remez(11, [0, 0.4, 0.5, 1.0], [1], fs=2.0)      # n desired
+        with pytest.raises(PlanError):
+            FL.remez(11, [0, 0.4], [1], type="spline")
+        with pytest.raises(PlanError):
+            FL.remez(21, [0.05, 0.5], [1], type="hilbert",
+                     weight=[1, 2])                            # n weight
+        with pytest.raises(PlanError):
+            # antisymmetric with nonzero response at f=0
+            FL.remez(21, [0, 0.45], [1], type="hilbert")
+
+
+class TestKaiserord:
+    @pytest.mark.parametrize("ripple,width", [
+        (60, 0.1), (30, 0.05), (80, 0.2), (21, 0.3), (8.1, 0.01)])
+    def test_matches_scipy(self, ripple, width):
+        n_g, b_g = FL.kaiserord(ripple, width)
+        n_e, b_e = ss.kaiserord(ripple, width)
+        assert n_g == n_e
+        assert abs(b_g - b_e) < 1e-12
+
+    def test_design_chain(self):
+        """kaiserord -> firwin(kaiser) meets the spec it was sized for."""
+        n, beta = FL.kaiserord(60, 0.1)
+        taps = FL.firwin(n + (n % 2 == 0), 0.5, window=("kaiser", beta))
+        w, H = ss.freqz(np.asarray(taps), worN=4096)
+        f = w / np.pi
+        assert np.max(np.abs(np.abs(H[f < 0.42]) - 1)) < 10 ** (-60 / 20)
+        assert np.max(np.abs(H[f > 0.58])) < 10 ** (-60 / 20)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.kaiserord(5, 0.1)
+
+
+class TestOrderFilters:
+    """Order-statistic filters return exact input elements, so the pin
+    against scipy is equality (f32 inputs)."""
+
+    @pytest.mark.parametrize("ks", [3, 5, 9, [7]])
+    def test_medfilt_1d(self, rng, ks):
+        x = rng.standard_normal(101).astype(np.float32)
+        assert np.array_equal(np.asarray(FL.medfilt(x, ks)),
+                              ss.medfilt(x, ks))
+
+    @pytest.mark.parametrize("ks", [3, [3, 7], [5, 3]])
+    def test_medfilt_2d(self, rng, ks):
+        im = rng.standard_normal((37, 29)).astype(np.float32)
+        assert np.array_equal(np.asarray(FL.medfilt(im, ks)),
+                              ss.medfilt(im, ks))
+
+    def test_medfilt2d_and_3d(self, rng):
+        im = rng.standard_normal((24, 31)).astype(np.float32)
+        assert np.array_equal(np.asarray(FL.medfilt2d(im, 5)),
+                              ss.medfilt2d(im, 5))
+        vol = rng.standard_normal((9, 11, 13)).astype(np.float32)
+        assert np.array_equal(np.asarray(FL.medfilt(vol)), ss.medfilt(vol))
+
+    @pytest.mark.parametrize("rank", [0, 2, 4])
+    def test_order_filter_cross_domain(self, rng, rank):
+        im = rng.standard_normal((20, 17)).astype(np.float32)
+        dom = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        assert np.array_equal(np.asarray(FL.order_filter(im, dom, rank)),
+                              ss.order_filter(im, dom, rank))
+
+    def test_order_filter_1d_min_max(self, rng):
+        x = rng.standard_normal(64).astype(np.float32)
+        dom = np.ones(5)
+        for rank in (0, 4):
+            assert np.array_equal(np.asarray(FL.order_filter(x, dom, rank)),
+                                  ss.order_filter(x, dom, rank))
+
+    def test_jit_composes(self, rng):
+        import jax
+        x = rng.standard_normal(128).astype(np.float32)
+        got = jax.jit(lambda v: FL.medfilt(v, 5))(x)
+        assert np.array_equal(np.asarray(got), ss.medfilt(x, 5))
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            FL.medfilt(np.zeros(10), 4)                  # even kernel
+        with pytest.raises(PlanError):
+            FL.medfilt(np.zeros(10), [3, 3])             # rank mismatch
+        with pytest.raises(PlanError):
+            FL.medfilt2d(np.zeros((3, 3, 3)))            # not 2-D
+        with pytest.raises(PlanError):
+            FL.order_filter(np.zeros(10), np.ones(3), 3)  # rank >= nnz
+        with pytest.raises(PlanError):
+            FL.order_filter(np.zeros(10), np.zeros(3), 0)  # empty domain
+        with pytest.raises(PlanError):
+            FL.order_filter(np.zeros(10), np.ones((3, 3)), 0)

@@ -239,3 +239,59 @@ class TestNotchPeakComb:
             D.iircomb(33, 25, fs=1000)          # fs not divisible by w0
         with pytest.raises(PlanError):
             D.iircomb(50, 25, ftype="stop", fs=1000)
+
+
+class TestIirdesign:
+    """iirdesign pinned to scipy.signal.iirdesign.  Low-pass/high-pass and
+    bandpass agree coefficient-for-coefficient; bandstop Wn comes from a
+    numeric optimizer in scipy, so the response is pinned instead."""
+
+    @pytest.mark.parametrize("wp,ws,gp,gs,ftype", [
+        (0.2, 0.3, 1, 40, "ellip"),
+        (0.2, 0.3, 1, 40, "butter"),
+        (0.2, 0.3, 1, 40, "cheby1"),
+        (0.2, 0.3, 1, 40, "cheby2"),
+        (0.3, 0.2, 1, 40, "cheby1"),          # highpass
+        (0.3, 0.2, 0.5, 30, "ellip"),
+        ([0.2, 0.5], [0.1, 0.6], 1, 40, "ellip"),   # bandpass
+        ([0.2, 0.5], [0.1, 0.6], 3, 60, "cheby1"),
+    ])
+    def test_matches_scipy_ba(self, wp, ws, gp, gs, ftype):
+        bg, ag = D.iirdesign(wp, ws, gp, gs, ftype=ftype)
+        be, ae = ss.iirdesign(wp, ws, gp, gs, ftype=ftype)
+        assert np.allclose(bg, be, atol=1e-10, rtol=1e-8)
+        assert np.allclose(ag, ae, atol=1e-10, rtol=1e-8)
+
+    @pytest.mark.parametrize("ftype", ["butter", "cheby2", "ellip"])
+    def test_bandstop_response(self, ftype):
+        sos_g = D.iirdesign([0.1, 0.6], [0.2, 0.5], 1, 40,
+                            ftype=ftype, output="sos")
+        sos_e = ss.iirdesign([0.1, 0.6], [0.2, 0.5], 1, 40,
+                             ftype=ftype, output="sos")
+        w, Hg = ss.sosfreqz(sos_g, worN=2048)
+        _, He = ss.sosfreqz(sos_e, worN=2048)
+        assert np.max(np.abs(np.abs(Hg) - np.abs(He))) < 2e-4
+
+    def test_fs_and_sos(self):
+        got = D.iirdesign(2000, 3000, 1, 40, ftype="ellip",
+                          output="sos", fs=16000)
+        want = ss.iirdesign(2000, 3000, 1, 40, ftype="ellip",
+                            output="sos", fs=16000)
+        assert np.allclose(got, want, atol=1e-12)
+
+    def test_analog(self):
+        bg, ag = D.iirdesign(100, 200, 1, 40, analog=True, ftype="butter")
+        be, ae = ss.iirdesign(100, 200, 1, 40, analog=True, ftype="butter")
+        assert np.allclose(bg, be, rtol=1e-10)
+        assert np.allclose(ag, ae, rtol=1e-10)
+
+    def test_validation(self):
+        from webgpufft_tpu import PlanError
+        with pytest.raises(PlanError):
+            D.iirdesign(0.2, 0.3, 1, 40, ftype="bessel")   # no ord rule
+        with pytest.raises(PlanError):
+            D.iirdesign(0.2, 0.3, 1, 40, ftype="nope")
+        with pytest.raises(PlanError):
+            D.iirdesign([0.2, 0.5], [0.3, 0.6], 1, 40)     # crossed edges
+        with pytest.raises(PlanError):
+            D.iirdesign([0.1, 0.2, 0.3], [0.2, 0.3, 0.4], 1, 40)

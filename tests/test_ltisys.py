@@ -1,0 +1,282 @@
+"""LTI system toolbox (webgpufft_tpu.ltisys) vs scipy.signal.
+
+Conversion/discretization tables must match scipy to f64 rounding; the
+lsim/dlsim simulations run their state recurrence on device in f32, so
+those are pinned at the same tolerance class as filtering's IIR scan.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import scipy.signal as ss
+
+from webgpufft_tpu import ltisys as L
+from webgpufft_tpu import PlanError
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def _close(a, b, tol=1e-10, label=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert a.shape == b.shape, (label, a.shape, b.shape)
+    if a.size == 0:
+        return
+    err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
+    assert err < tol, (label, err)
+
+
+class TestConversions:
+    def test_tf2ss_ss2tf_roundtrip(self):
+        b, a = ss.butter(4, 0.2, analog=True)
+        for got, want in zip(L.tf2ss(b, a), ss.tf2ss(b, a)):
+            _close(got, want, label="tf2ss")
+        A, B, C, D = ss.tf2ss(b, a)
+        for got, want in zip(L.ss2tf(A, B, C, D), ss.ss2tf(A, B, C, D)):
+            _close(got, want, label="ss2tf")
+
+    def test_zpk_ss(self):
+        z, p, k = ss.butter(3, 0.3, analog=True, output="zpk")
+        for got, want in zip(L.zpk2ss(z, p, k), ss.zpk2ss(z, p, k)):
+            _close(got, want, label="zpk2ss")
+        A, B, C, D = ss.zpk2ss(z, p, k)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            gz, gp, gk = L.ss2zpk(A, B, C, D)
+            wz, wp, wk = ss.ss2zpk(A, B, C, D)
+        _close(np.sort_complex(np.atleast_1d(gz)),
+               np.sort_complex(np.atleast_1d(wz)), label="ss2zpk z")
+        _close(np.sort_complex(gp), np.sort_complex(wp), tol=1e-8,
+               label="ss2zpk p")
+        _close(gk, wk, tol=1e-8, label="ss2zpk k")
+
+    def test_tf2ss_with_feedthrough(self):
+        # num and den the same length -> nonzero D
+        b = [1.0, 2.0, 1.0]
+        a = [1.0, 0.5, 0.25]
+        for got, want in zip(L.tf2ss(b, a), ss.tf2ss(b, a)):
+            _close(got, want, label="tf2ss D")
+
+    def test_normalize(self):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = L.normalize([0, 0, 2, 4], [2, 1, 3])
+            want = ss.normalize([0, 0, 2, 4], [2, 1, 3])
+        for g, w in zip(got, want):
+            _close(g, w, label="normalize")
+
+    def test_normalize_warns(self):
+        with pytest.warns(UserWarning):
+            L.normalize([0.0, 1.0], [1.0, 2.0])
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            L.normalize([1.0], [0.0, 0.0])
+        with pytest.raises(PlanError):
+            L.tf2ss([1.0, 1.0, 1.0], [1.0, 2.0])   # improper
+        with pytest.raises(PlanError):
+            L.ss2tf(np.eye(2), np.ones((2, 1)), np.ones((1, 2)),
+                    np.zeros((1, 1)), input=3)
+
+
+class TestCont2Discrete:
+    @pytest.mark.parametrize("method,alpha", [
+        ("zoh", None), ("foh", None), ("bilinear", None),
+        ("euler", None), ("backward_diff", None), ("gbt", 0.3),
+        ("impulse", None)])
+    def test_tf_all_methods(self, method, alpha):
+        sysc = ss.butter(3, 5, analog=True)
+        got = L.cont2discrete(sysc, 0.01, method=method, alpha=alpha)
+        want = ss.cont2discrete(sysc, 0.01, method=method, alpha=alpha)
+        assert got[-1] == want[-1]
+        for g, w in zip(got[:-1], want[:-1]):
+            _close(g, w, tol=1e-8, label=method)
+
+    def test_ss_and_zpk_forms(self):
+        sysc = ss.butter(3, 5, analog=True)
+        Ass = ss.tf2ss(*sysc)
+        got = L.cont2discrete(Ass, 0.05)
+        want = ss.cont2discrete(Ass, 0.05)
+        for g, w in zip(got[:-1], want[:-1]):
+            _close(g, w, label="c2d ss")
+        zpkc = ss.butter(2, 3, analog=True, output="zpk")
+        got = L.cont2discrete(zpkc, 0.05, method="bilinear")
+        want = ss.cont2discrete(zpkc, 0.05, method="bilinear")
+        _close(np.sort_complex(np.atleast_1d(got[0])),
+               np.sort_complex(np.atleast_1d(want[0])), label="c2d zpk z")
+        _close(np.sort_complex(got[1]), np.sort_complex(want[1]),
+               label="c2d zpk p")
+        _close(got[2], want[2], label="c2d zpk k")
+
+    def test_validation(self):
+        sysc = ss.butter(2, 5, analog=True)
+        with pytest.raises(PlanError):
+            L.cont2discrete(sysc, 0.01, method="gbt")      # alpha missing
+        with pytest.raises(PlanError):
+            L.cont2discrete(sysc, 0.01, method="rk4")
+        with pytest.raises(PlanError):
+            L.cont2discrete(([1.0, 1.0], [1.0, 1.0]), 0.01,
+                            method="impulse")              # not strictly proper
+
+
+class TestLsim:
+    @pytest.mark.parametrize("interp", [True, False])
+    def test_forced_response(self, rng, interp):
+        sysc = ss.butter(3, 4, analog=True)
+        T = np.linspace(0, 5, 400)
+        U = np.sin(2 * np.pi * 1.3 * T) + 0.3 * rng.standard_normal(T.size)
+        tg, yg, xg = L.lsim(sysc, U, T, interp=interp)
+        te, ye, xe = ss.lsim(sysc, U, T, interp=interp)
+        _close(tg, te)
+        _close(yg, ye, tol=2e-4, label="lsim y")
+        _close(xg, xe, tol=2e-4, label="lsim x")
+
+    def test_free_response_with_x0(self, rng):
+        A, B, C, D = ss.tf2ss(*ss.butter(3, 4, analog=True))
+        T = np.linspace(0, 5, 300)
+        x0 = rng.standard_normal(3)
+        _, yg, _ = L.lsim((A, B, C, D), None, T, X0=x0)
+        _, ye, _ = ss.lsim((A, B, C, D), 0, T, X0=x0)
+        _close(yg, ye, tol=2e-4, label="lsim free")
+
+    def test_zpk_form(self, rng):
+        zpkc = ss.cheby1(2, 1, 2, analog=True, output="zpk")
+        T = np.linspace(0, 5, 200)
+        U = np.cos(3 * T)
+        _, yg, _ = L.lsim(zpkc, U, T)
+        _, ye, _ = ss.lsim(zpkc, U, T)
+        _close(yg, ye, tol=2e-4, label="lsim zpk")
+
+    def test_validation(self):
+        sysc = ss.butter(2, 4, analog=True)
+        with pytest.raises(PlanError):
+            L.lsim(sysc, np.ones(3), np.array([0.0, 0.1, 0.3]))  # non-unif
+        with pytest.raises(PlanError):
+            L.lsim(sysc, np.ones(5), np.linspace(0, 1, 4))  # length mismatch
+
+
+class TestDlsim:
+    def test_tf_and_ss(self, rng):
+        sysd = ss.butter(3, 0.2)
+        u = rng.standard_normal(300)
+        got = L.dlsim((sysd[0], sysd[1], 0.1), u)
+        want = ss.dlsim((sysd[0], sysd[1], 0.1), u)
+        _close(got[0], want[0])
+        _close(np.asarray(got[1]).ravel(), np.asarray(want[1]).ravel(),
+               tol=2e-4, label="dlsim tf")
+        A, B, C, D = ss.tf2ss(*sysd)
+        got = L.dlsim((A, B, C, D, 0.1), u, x0=np.ones(3))
+        want = ss.dlsim((A, B, C, D, 0.1), u, x0=np.ones(3))
+        _close(got[1], want[1], tol=2e-4, label="dlsim ss y")
+        _close(got[2], want[2], tol=2e-4, label="dlsim ss x")
+
+
+class TestResponses:
+    def test_step_impulse(self):
+        sysc = ss.butter(3, 4, analog=True)
+        for fg, fe in [(L.step, ss.step), (L.impulse, ss.impulse)]:
+            tg, yg = fg(sysc)
+            te, ye = fe(sysc)
+            _close(tg, te)
+            _close(yg, ye, tol=5e-4, label=fg.__name__)
+            T = np.linspace(0, 3, 150)
+            tg, yg = fg(sysc, T=T)
+            te, ye = fe(sysc, T=T)
+            _close(yg, ye, tol=5e-4, label=f"{fg.__name__} T")
+
+    def test_dstep_dimpulse(self):
+        sysd = ss.butter(3, 0.2)
+        for fg, fe in [(L.dstep, ss.dstep), (L.dimpulse, ss.dimpulse)]:
+            got = fg((sysd[0], sysd[1], 0.1), n=60)
+            want = fe((sysd[0], sysd[1], 0.1), n=60)
+            _close(got[0], want[0])
+            assert len(got[1]) == len(want[1])
+            _close(got[1][0], want[1][0], tol=2e-4, label=fg.__name__)
+
+
+class TestFrequencyResponse:
+    def test_freqs(self):
+        sysc = ss.butter(3, 4, analog=True)
+        gw, gh = L.freqs(*sysc, worN=200)
+        ew, eh = ss.freqs(*sysc, worN=200)
+        _close(gw, ew)
+        _close(gh, eh, tol=1e-8, label="freqs")
+        grid = np.logspace(-1, 2, 40)
+        gw, gh = L.freqs(*sysc, worN=grid)
+        ew, eh = ss.freqs(*sysc, worN=grid)
+        _close(gh, eh, tol=1e-8, label="freqs grid")
+
+    def test_freqs_zpk_and_findfreqs(self):
+        z, p, k = ss.cheby1(2, 1, 2, analog=True, output="zpk")
+        gw, gh = L.freqs_zpk(z, p, k, worN=150)
+        ew, eh = ss.freqs_zpk(z, p, k, worN=150)
+        _close(gw, ew)
+        _close(gh, eh, tol=1e-8, label="freqs_zpk")
+        b, a = ss.butter(3, 4, analog=True)
+        _close(L.findfreqs(b, a, 30), ss.findfreqs(b, a, 30),
+               label="findfreqs")
+
+    def test_freqresp_bode(self):
+        sysc = ss.butter(3, 4, analog=True)
+        gw, gh = L.freqresp(sysc, n=500)
+        ew, eh = ss.freqresp(sysc, n=500)
+        _close(gw, ew)
+        _close(gh, eh, tol=1e-8, label="freqresp")
+        gw, gm, gp = L.bode(sysc)
+        ew, em, ep = ss.bode(sysc)
+        _close(gm, em, tol=1e-7, label="bode mag")
+        _close(gp, ep, tol=1e-7, label="bode phase")
+
+    def test_discrete(self):
+        sysd = ss.butter(3, 0.2)
+        dsys = (sysd[0], sysd[1], 0.1)
+        gw, gh = L.dfreqresp(dsys)
+        ew, eh = ss.dfreqresp(dsys)
+        _close(gw, ew)
+        _close(gh, eh, tol=1e-8, label="dfreqresp")
+        wgrid = np.linspace(0.1, 2.5, 33)
+        gw, gh = L.dfreqresp(dsys, w=wgrid)
+        ew, eh = ss.dfreqresp(dsys, w=wgrid)
+        _close(gh, eh, tol=1e-8, label="dfreqresp grid")
+        gw, gm, gp = L.dbode(dsys)
+        ew, em, ep = ss.dbode(dsys)
+        _close(gw, ew)
+        _close(gm, em, tol=1e-7, label="dbode mag")
+        wg = np.array([0.2, 1.0, 2.0])
+        gw, gm, gp = L.dbode(dsys, w=wg)
+        ew, em, ep = ss.dbode(dsys, w=wg)
+        _close(gw, ew)
+        _close(gm, em, tol=1e-7, label="dbode grid")
+        # zpk+dt and ss+dt input forms
+        zd = ss.butter(2, 0.4, output="zpk")
+        gw, gh = L.dfreqresp((zd[0], zd[1], zd[2], 0.05), n=64)
+        ew, eh = ss.dfreqresp((zd[0], zd[1], zd[2], 0.05), n=64)
+        _close(gh, eh, tol=1e-8, label="dfreqresp zpk")
+        A, B, C, D = ss.tf2ss(*sysd)
+        gw, gh = L.dfreqresp((A, B, C, D, 0.1), n=32)
+        ew, eh = ss.dfreqresp((A, B, C, D, 0.1), n=32)
+        _close(gh, eh, tol=1e-7, label="dfreqresp ss")
+
+
+class TestNamespace:
+    def test_reexported_in_filtering(self):
+        from webgpufft_tpu import filtering as FL
+        assert FL.lsim is L.lsim
+        assert "cont2discrete" in FL.__all__
+
+    def test_design_chain(self, rng):
+        """iirdesign -> cont2discrete -> dlsim: the standard control
+        workflow end-to-end through the package surface."""
+        from webgpufft_tpu import iirdesign as D
+        b, a = D.butter(2, 5, analog=True)
+        num, den, dt = L.cont2discrete((b, a), 0.01, method="bilinear")
+        u = np.ones(200)
+        t, y = L.dlsim((np.atleast_1d(np.squeeze(num)), den, dt), u)
+        te, ye = ss.dlsim(ss.cont2discrete(ss.butter(2, 5, analog=True),
+                                           0.01, method="bilinear"), u)[:2]
+        _close(y, np.squeeze(ye), tol=2e-4, label="chain")

@@ -78,6 +78,7 @@ __all__ = [
     "upload_complex", "download_complex",
     "create_distributed_plan",
     "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
+    "peaks", "ltisys",
 ]
 
 
@@ -232,4 +233,6 @@ from . import ndimage  # noqa: E402
 from . import filtering  # noqa: E402
 from . import iirdesign  # noqa: E402
 from . import waveforms  # noqa: E402
+from . import peaks  # noqa: E402
+from . import ltisys  # noqa: E402
 fft = fftapi

@@ -42,16 +42,33 @@ from .iirdesign import (  # noqa: F401
     zpk2tf, tf2zpk, zpk2sos, sos2zpk, sos2tf,
 )
 from . import iirdesign as _iirdesign
+# Peak finding is host analysis math in its own module; re-exported so
+# scipy.signal users keep the single-namespace habit
+# (``from webgpufft_tpu.filtering import find_peaks``).
+from .peaks import (  # noqa: F401
+    find_peaks, peak_prominences, peak_widths,
+    argrelmin, argrelmax, argrelextrema,
+)
+from . import peaks as _peaks
+# LTI system toolbox (conversions / discretization / simulation) — same
+# single-namespace re-export.
+from .ltisys import (  # noqa: F401
+    normalize, tf2ss, ss2tf, zpk2ss, ss2zpk,
+    cont2discrete, lsim, dlsim, step, impulse, dstep, dimpulse,
+    findfreqs, freqs, freqs_zpk, freqresp, bode, dfreqresp, dbode,
+)
+from . import ltisys as _ltisys
 
 __all__ = [
     "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
     "freqz", "sosfreqz", "freqz_zpk", "group_delay",
-    "firls", "minimum_phase",
+    "firls", "minimum_phase", "remez", "kaiserord",
     "lfilter", "lfilter_zi", "filtfilt",
     "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "savgol_coeffs", "savgol_filter",
-    "wiener",
-] + list(_iirdesign.__all__)
+    "wiener", "order_filter", "medfilt", "medfilt2d",
+] + list(_iirdesign.__all__) + list(_peaks.__all__) \
+    + list(_ltisys.__all__)
 
 
 # ------------------------------------------------------------- FIR design
@@ -644,6 +661,69 @@ def wiener(im, mysize=None, noise: Optional[float] = None):
     return jnp.where(l_var < noise_v, l_mean, res)
 
 
+# --------------------------------------------------- order-statistic filters
+
+def order_filter(a, domain, rank: int):
+    """N-d order-statistic filter (scipy.signal.order_filter semantics):
+    at every point, sort the neighbors selected by the nonzero entries of
+    ``domain`` (zero-padded at the boundary) and keep the ``rank``-th.
+
+    TPU formulation: one shifted zero-padded SLICE per footprint point
+    (nnz slices — cheap static slices of one padded array, never a
+    gather; CLAUDE.md records overlapping-window gathers as 4-7.6x
+    poison), stacked and sorted along the footprint axis on the VPU."""
+    xv = jnp.asarray(a)
+    if np.iscomplexobj(a):
+        raise PlanError("order_filter expects a real array")
+    xv = xv.astype(jnp.float32)
+    domain = np.asarray(domain)
+    if domain.ndim != xv.ndim:
+        raise PlanError("domain must have the same rank as the input")
+    if any(s % 2 == 0 for s in domain.shape):
+        raise PlanError("each dimension of domain should be odd")
+    offsets = np.argwhere(domain != 0)
+    nnz = offsets.shape[0]
+    if nnz == 0:
+        raise PlanError("domain must have at least one nonzero entry")
+    rank = int(rank)
+    if not 0 <= rank < nnz:
+        raise PlanError(f"rank must be in [0, {nnz})")
+    half = [s // 2 for s in domain.shape]
+    ext = jnp.pad(xv, [(h, h) for h in half])
+    shp = xv.shape
+    slices = [ext[tuple(slice(int(o), int(o) + s)
+                        for o, s in zip(off, shp))] for off in offsets]
+    stack = jnp.stack(slices, axis=0)
+    return jnp.sort(stack, axis=0)[rank]
+
+
+def medfilt(volume, kernel_size=None):
+    """N-d median filter (scipy.signal.medfilt semantics): zero-padded
+    boundary, odd kernel per axis (default 3).  Runs as
+    :func:`order_filter` with a full box footprint at the middle rank."""
+    xv = np.ndim(volume)
+    if kernel_size is None:
+        kernel_size = [3] * xv
+    elif np.ndim(kernel_size) == 0:
+        kernel_size = [int(kernel_size)] * xv
+    else:
+        kernel_size = [int(k) for k in kernel_size]
+        if len(kernel_size) != xv:
+            raise PlanError("kernel_size must match the input rank")
+    if any(k % 2 == 0 for k in kernel_size):
+        raise PlanError("each element of kernel_size should be odd")
+    domain = np.ones(tuple(kernel_size), dtype=np.int8)
+    return order_filter(volume, domain, int(np.prod(kernel_size)) // 2)
+
+
+def medfilt2d(input, kernel_size=3):
+    """2-D median filter (scipy.signal.medfilt2d semantics — identical
+    result to :func:`medfilt` on a rank-2 array)."""
+    if np.ndim(input) != 2:
+        raise PlanError("medfilt2d expects a 2-D array")
+    return medfilt(input, kernel_size)
+
+
 # ------------------------------------------------- response analysis (host)
 
 def group_delay(system, w=512, whole: bool = False,
@@ -831,3 +911,258 @@ def minimum_phase(h, method: str = "homomorphic",
         win[n_fft // 2] = 1.0
     h_min = np.real(ifft(np.exp(fft(cep * win))))
     return h_min[:n_out]
+
+
+# ------------------------------------------------- Parks-McClellan (remez)
+
+def kaiserord(ripple: float, width: float):
+    """Kaiser-window FIR order/beta for a given ripple (dB) and
+    transition width (scipy.signal.kaiserord semantics)."""
+    A = abs(float(ripple))
+    if A < 8:
+        raise PlanError("requested maximum ripple attenuation is too "
+                        "small for the Kaiser formula")
+    beta = kaiser_beta(A)
+    numtaps = (A - 7.95) / 2.285 / (np.pi * float(width)) + 1
+    return int(math.ceil(numtaps)), beta
+
+
+def _pm_grid(numtaps: int, bands, desired, weight, grid_density: int,
+             neg: int, differentiator: bool):
+    """Dense Parks-McClellan evaluation grid with desired/weight values,
+    matching the classic PM construction: spacing 0.5/(grid_density *
+    nfcns) within each band, last in-band point snapped to the band
+    edge (reference algorithm: McClellan, Parks & Rabiner 1973)."""
+    nodd = numtaps % 2
+    nfcns = numtaps // 2
+    if nodd == 1 and neg == 0:
+        nfcns += 1
+    delf = 0.5 / (grid_density * nfcns)
+    grid, des, wt, segs = [], [], [], []
+    for (f1, f2), fx, w in zip(bands, desired, weight):
+        f = f1
+        if neg and len(grid) == 0 and f < delf:
+            f = delf
+        pts = [f]
+        while pts[-1] + delf <= f2:
+            pts.append(pts[-1] + delf)
+        pts[-1] = f2
+        for f in pts:
+            if differentiator and fx >= 1e-4:
+                des.append(fx * f)
+                wt.append(w / f)
+            else:
+                des.append(fx)
+                wt.append(w)
+        segs.append((len(grid), len(grid) + len(pts) - 1))
+        grid.extend(pts)
+    grid = np.asarray(grid, np.float64)
+    des = np.asarray(des, np.float64)
+    wt = np.asarray(wt, np.float64)
+    # the basis transform divides by cos(pi f) / sin(2 pi f) which vanish
+    # at f = 0.5 when neg == nodd -- drop grid points in that zero zone
+    if neg == nodd:
+        keep = grid <= 0.5 - delf
+        if not np.all(keep):
+            grid, des, wt = grid[keep], des[keep], wt[keep]
+            last = grid.size - 1
+            segs = [(s, min(e, last)) for s, e in segs if s <= last]
+    if nfcns + 1 > grid.size:
+        raise PlanError("design grid has fewer points than extremal "
+                        "frequencies; raise grid_density or shrink numtaps")
+    # transform the desired/weight so the approximation runs over a pure
+    # cosine series P(f) = sum b_k cos(2 pi k f)
+    if neg == 0:
+        if nodd == 0:
+            q = np.cos(np.pi * grid)
+            des, wt = des / q, wt * q
+    else:
+        q = np.sin(2 * np.pi * grid) if nodd else np.sin(np.pi * grid)
+        des, wt = des / q, wt * q
+    return grid, des, wt, nfcns, segs
+
+
+def _pm_bary_weights(x: np.ndarray):
+    """Second-kind barycentric weights over nodes x as (sign, log
+    magnitude) pairs — clustered extremal nodes (x = cos collapses the
+    band near f = 0 / 0.5) give weight spreads far beyond the float64
+    exponent range, so magnitudes stay in the log domain and every
+    consumer renormalizes per expression (only RATIOS matter)."""
+    diff = x[:, None] - x[None, :]
+    np.fill_diagonal(diff, 1.0)
+    logs = -np.sum(np.log(np.abs(diff)), axis=1)
+    signs = np.prod(np.sign(diff), axis=1)
+    return signs, logs
+
+
+def _pm_ratio(sgn, logw, num_f, den_f):
+    """sum(w * num_f) / sum(w * den_f) with w = sgn * exp(logw),
+    renormalized by max(logw) so the exp never over/underflows."""
+    w = sgn * np.exp(logw - logw.max())
+    return (w * num_f).sum() / (w * den_f).sum()
+
+
+def _pm_eval(fgrid, xk, wk, yk):
+    """Barycentric evaluation of the interpolant through (xk, yk) at
+    x = cos(2 pi fgrid); wk is the (sign, log-magnitude) pair from
+    _pm_bary_weights.  Per-point log-sum-exp keeps the clustered-node
+    weight spread exact; node coincidences return yk exactly."""
+    sgn, logw = wk
+    x = np.cos(2 * np.pi * np.asarray(fgrid, np.float64))
+    d = x[:, None] - xk[None, :]
+    hit = d == 0.0
+    d = np.where(hit, 1.0, d)
+    t = logw[None, :] - np.log(np.abs(d))
+    t -= t.max(axis=1, keepdims=True)
+    term = sgn[None, :] * np.sign(d) * np.exp(t)
+    num = (term * yk[None, :]).sum(axis=1)
+    den = term.sum(axis=1)
+    out = num / den
+    any_hit = hit.any(axis=1)
+    if np.any(any_hit):
+        out[any_hit] = yk[np.argmax(hit[any_hit], axis=1)]
+    return out
+
+
+def _pm_exchange(grid, des, wt, nfcns, maxiter, segs):
+    """Remez multiple-exchange on the dense grid.  Returns the final
+    extremal nodes (xk, yk, wk) and the achieved deviation.
+
+    Candidates each round are the per-band local maxima of |E|, every
+    band edge, AND the previous extremals — the previous set carries the
+    alternation skeleton at |E| = delta exactly, which guarantees the
+    alternating selection below never collapses under r points (the de
+    la Vallee Poussin bound then forces |delta| to grow monotonically)."""
+    import warnings
+    ngrid = grid.size
+    r = nfcns + 1
+    iext = np.round(np.linspace(0, ngrid - 1, r)).astype(np.int64)
+    sigma = np.where(np.arange(r) % 2 == 0, 1.0, -1.0)
+    last = None
+    delta = 0.0
+    for _ in range(maxiter):
+        xk = np.cos(2 * np.pi * grid[iext])
+        ak = _pm_bary_weights(xk)
+        delta = _pm_ratio(*ak, des[iext], sigma / wt[iext])
+        yk = des[iext] - sigma * delta / wt[iext]
+        A = _pm_eval(grid, xk, ak, yk)
+        E = wt * (A - des)
+        mag = np.abs(E)
+        parts = [iext]
+        for s, e in segs:
+            m = mag[s:e + 1]
+            if m.size >= 3:
+                parts.append(np.flatnonzero(
+                    (m[1:-1] >= m[:-2]) & (m[1:-1] >= m[2:])) + 1 + s)
+            parts.append(np.asarray([s, e], np.int64))
+        cand = np.unique(np.concatenate(parts))
+        # keep genuine ripples at/above the current level; previous
+        # extremals always stay (|E| there is ±delta up to rounding,
+        # and dropping one breaks the alternation-count guarantee)
+        cand = cand[(mag[cand] >= abs(delta) * (1 - 1e-9))
+                    | np.isin(cand, iext)]
+        # collapse runs of equal sign to their peak -> alternating list
+        sgn = np.sign(E[cand])
+        sel = []
+        i = 0
+        while i < cand.size:
+            j = i
+            while j + 1 < cand.size and sgn[j + 1] == sgn[i]:
+                j += 1
+            blk = cand[i:j + 1]
+            sel.append(blk[np.argmax(mag[blk])])
+            i = j + 1
+        sel = np.asarray(sel, np.int64)
+        # trim to exactly r extremals, dropping the weakest end ripples
+        while sel.size > r:
+            if (sel.size - r) % 2 == 1:
+                sel = sel[1:] if mag[sel[0]] < mag[sel[-1]] else sel[:-1]
+            else:
+                pair = np.argmin(np.maximum(mag[sel[:-1]], mag[sel[1:]]))
+                sel = np.delete(sel, [pair, pair + 1])
+        if sel.size < r:
+            break
+        if last is not None and np.array_equal(sel, last):
+            iext = sel
+            break
+        last = sel
+        iext = sel
+        if mag[iext].max() <= abs(delta) * (1 + 1e-12):
+            break
+    else:
+        warnings.warn("remez exchange did not fully converge in "
+                      f"{maxiter} iterations; result may be suboptimal",
+                      RuntimeWarning, stacklevel=3)
+    xk = np.cos(2 * np.pi * grid[iext])
+    ak = _pm_bary_weights(xk)
+    delta = _pm_ratio(*ak, des[iext], sigma[:iext.size] / wt[iext])
+    yk = des[iext] - sigma[:iext.size] * delta / wt[iext]
+    return xk, ak, yk, delta
+
+
+def remez(numtaps: int, bands, desired, *, weight=None,
+          type: str = "bandpass", maxiter: int = 25,
+          grid_density: int = 16, fs: Optional[float] = None):
+    """Optimal equiripple FIR design via the Parks-McClellan exchange
+    (scipy.signal.remez semantics; algorithm re-implemented from
+    McClellan, Parks & Rabiner 1973 — cosine-basis Remez exchange with
+    barycentric interpolation).  Host f64 design math; returns numpy
+    taps ready for lfilter/fftconvolve."""
+    fs = 1.0 if fs is None else float(fs)
+    numtaps = int(numtaps)
+    if numtaps < 3:
+        raise PlanError("numtaps must be at least 3")
+    if type not in ("bandpass", "differentiator", "hilbert"):
+        raise PlanError("type must be 'bandpass', 'differentiator' or "
+                        "'hilbert'")
+    bands = np.asarray(bands, np.float64).ravel() / fs
+    if bands.size % 2 or bands.size < 2:
+        raise PlanError("bands must contain (lower, upper) pairs")
+    if np.any(np.diff(bands) < 0) or bands[0] < 0 or bands[-1] > 0.5:
+        raise PlanError("bands must be monotonic within [0, fs/2]")
+    bands = bands.reshape(-1, 2)
+    desired = np.asarray(desired, np.float64).ravel()
+    if desired.size != bands.shape[0]:
+        raise PlanError("desired must have one gain per band")
+    if weight is None:
+        weight = np.ones(desired.size)
+    weight = np.asarray(weight, np.float64).ravel()
+    if weight.size != desired.size:
+        raise PlanError("weight must have one entry per band")
+
+    neg = 0 if type == "bandpass" else 1
+    nodd = numtaps % 2
+    # amplitude-at-edge feasibility (a differentiator's desired is a
+    # slope, so its amplitude fx*f vanishes at f=0 by construction)
+    if type == "hilbert":
+        if nodd and bands[-1, 1] >= 0.5 and desired[-1] != 0:
+            raise PlanError("odd-length antisymmetric filters must have "
+                            "zero response at the Nyquist frequency")
+        if bands[0, 0] <= 0 and desired[0] != 0:
+            raise PlanError("antisymmetric filters must have zero "
+                            "response at zero frequency")
+    if (not neg) and nodd == 0 and bands[-1, 1] >= 0.5 \
+            and desired[-1] != 0:
+        raise PlanError("even-length symmetric filters must have zero "
+                        "response at the Nyquist frequency")
+
+    grid, des, wt, nfcns, segs = _pm_grid(
+        numtaps, bands, desired, weight, grid_density, neg,
+        type == "differentiator")
+    xk, ak, yk, _ = _pm_exchange(grid, des, wt, nfcns, maxiter, segs)
+
+    # sample the TRUE amplitude response on the numtaps-point DFT grid
+    # (a trig polynomial of degree < numtaps is exactly recovered)
+    N = numtaps
+    fj = np.arange(N) / N
+    fold = np.minimum(fj, 1.0 - fj)
+    P = _pm_eval(fold, xk, ak, yk)
+    if neg == 0:
+        qa = np.cos(np.pi * fj) if nodd == 0 else np.ones(N)
+    else:
+        qa = np.sin(2 * np.pi * fj) if nodd else np.sin(np.pi * fj)
+    A = P * qa
+    phase = np.exp(-1j * np.pi * fj * (numtaps - 1))
+    H = A * phase * (1.0 if neg == 0 else 1j)
+    h = np.fft.ifft(H).real[:numtaps]
+    return h

@@ -31,7 +31,7 @@ __all__ = [
     "bilinear", "bilinear_zpk",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
     "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf",
-    "iirnotch", "iirpeak", "iircomb",
+    "iirnotch", "iirpeak", "iircomb", "iirdesign",
 ]
 
 
@@ -948,3 +948,40 @@ def iircomb(w0: float, Q: float, ftype: str = "notch", fs: float = 2.0, *,
     b[0], b[-1] = bx, sgn * cx
     a[0], a[-1] = 1.0, sgn * ax
     return b, a
+
+
+def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
+              ftype: str = "ellip", output: str = "ba",
+              fs: Optional[float] = None):
+    """Complete IIR design from band edges and gain specs
+    (scipy.signal.iirdesign semantics): pick the minimum order with the
+    family's *ord selector, then design at that order via iirfilter."""
+    try:
+        ftype_n = _FTYPE_ALIASES[ftype.lower()]
+    except KeyError:
+        raise PlanError(f"{ftype!r} is not a valid IIR filter type") \
+            from None
+    ordfunc = {"butter": buttord, "cheby1": cheb1ord,
+               "cheby2": cheb2ord, "ellip": ellipord}.get(ftype_n)
+    if ordfunc is None:
+        raise PlanError(f"{ftype!r} does not have an order-selection rule; "
+                        "use iirfilter with an explicit order")
+    wp_a = np.atleast_1d(np.asarray(wp, dtype=np.float64))
+    ws_a = np.atleast_1d(np.asarray(ws, dtype=np.float64))
+    if wp_a.shape != ws_a.shape or wp_a.ndim != 1 or wp_a.size not in (1, 2):
+        raise PlanError("wp and ws must match with one or two elements")
+    band_type = 2 * (wp_a.size - 1) + 1
+    if wp_a[0] >= ws_a[0]:
+        band_type += 1
+    if wp_a.size == 2:
+        # wp inside ws (wp[0] >= ws[0]) is a BANDPASS; wp outside is a
+        # bandstop — scipy's band_type 3 is bandstop, 4 is bandpass
+        if band_type == 4 and not ws_a[0] < wp_a[0] < wp_a[1] < ws_a[1]:
+            raise PlanError("bandpass needs ws[0] < wp[0] < wp[1] < ws[1]")
+        if band_type == 3 and not wp_a[0] < ws_a[0] < ws_a[1] < wp_a[1]:
+            raise PlanError("bandstop needs wp[0] < ws[0] < ws[1] < wp[1]")
+    btype = {1: "lowpass", 2: "highpass",
+             3: "bandstop", 4: "bandpass"}[band_type]
+    N, Wn = ordfunc(wp, ws, gpass, gstop, analog=analog, fs=fs)
+    return iirfilter(N, Wn, rp=gpass, rs=gstop, btype=btype, analog=analog,
+                     ftype=ftype_n, output=output, fs=fs)

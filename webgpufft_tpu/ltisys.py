@@ -1,0 +1,601 @@
+"""scipy.signal LTI-system toolbox: representation conversions,
+discretization, and simulation.
+
+Layering follows the framework-wide idiom (filtering.py, iirdesign.py):
+conversion/discretization math is host f64 table precompute — matrix
+exponentials, companion forms, characteristic polynomials must match
+scipy to rounding — while the SIMULATION recurrences (lsim/dlsim and the
+step/impulse responses built on them) run on device as a ``lax.scan``
+over the state update, vectorized across state/input lanes on the VPU
+exactly like filtering.lfilter's direct-form-II scan.
+
+Tuple-based scipy.signal call surface (``(num, den)``, ``(z, p, k)``,
+``(A, B, C, D)``, discrete forms with a trailing ``dt``); everything is
+pinned against scipy.signal in tests/test_ltisys.py.  The reference
+library has no LTI surface; this exists so scipy.signal users find the
+standard call set next to the filter-design modules.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .spec import PlanError
+from .iirdesign import tf2zpk, zpk2tf
+
+__all__ = [
+    "normalize", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
+    "cont2discrete", "lsim", "dlsim", "step", "impulse",
+    "dstep", "dimpulse", "findfreqs", "freqs", "freqs_zpk",
+    "freqresp", "bode", "dfreqresp", "dbode",
+]
+
+
+# ---------------------------------------------------------- normalization
+
+def normalize(b, a):
+    """Normalize a transfer function to ``a[0] == 1`` and strip leading
+    numerator columns that round to zero (scipy.signal.normalize
+    semantics, including the badly-conditioned warning)."""
+    num = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    den = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if den.ndim != 1:
+        raise PlanError("Denominator polynomial must be rank-1 array.")
+    if num.ndim > 2:
+        raise PlanError("Numerator polynomial must be rank-1 or rank-2 "
+                        "array.")
+    if np.all(den == 0):
+        raise PlanError("Denominator must have at least one nonzero "
+                        "element.")
+    # strip leading zeros of the denominator
+    nz = np.flatnonzero(den)
+    den = den[nz[0]:]
+    num = num / den[0]
+    den = den / den[0]
+    # strip leading near-zero numerator columns (scipy tolerance
+    # atol=1e-14; keep at least one column)
+    stripped = False
+    while num.shape[1] > 1 and np.allclose(num[:, 0], 0, atol=1e-14):
+        num = num[:, 1:]
+        stripped = True
+    if stripped:
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", stacklevel=2)
+    if np.ndim(b) == 1:
+        num = num[0]
+    return num, den
+
+
+# ------------------------------------------------------------ conversions
+
+def tf2ss(num, den):
+    """Transfer function -> controller-canonical state space
+    (scipy.signal.tf2ss semantics; MIMO-in-one-den rank-2 num allowed)."""
+    num, den = normalize(num, den)
+    num = np.atleast_2d(num)
+    K = den.size
+    M = num.shape[1]
+    if M > K:
+        raise PlanError("Improper transfer function. `num` is longer "
+                        "than `den`.")
+    if M == 0 or K == 0:
+        return (np.zeros((0, 0)), np.zeros((0, 0)),
+                np.zeros((0, 0)), np.zeros((0, 0)))
+    num = np.hstack([np.zeros((num.shape[0], K - M)), num])
+    D = np.atleast_2d(num[:, 0]).reshape(-1, 1)
+    if K == 1:
+        return (np.zeros((0, 0)), np.zeros((0, 1)),
+                np.zeros((D.shape[0], 0)), D)
+    A = np.vstack([-den[1:][None, :], np.eye(K - 2, K - 1)])
+    B = np.eye(K - 1, 1)
+    C = num[:, 1:] - np.outer(num[:, 0], den[1:])
+    return A, B, C, D
+
+
+def _atleast_ss(A, B, C, D):
+    A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+    B = np.atleast_2d(np.asarray(B, dtype=np.float64))
+    C = np.atleast_2d(np.asarray(C, dtype=np.float64))
+    D = np.atleast_2d(np.asarray(D, dtype=np.float64))
+    n = A.shape[0]
+    if A.shape != (n, n):
+        raise PlanError("A must be square")
+    if B.shape[0] != n and B.size:
+        raise PlanError("A and B must have the same number of rows")
+    if C.shape[1] != n and C.size:
+        raise PlanError("A and C must have the same number of columns")
+    return A, B, C, D
+
+
+def ss2tf(A, B, C, D, input: int = 0):
+    """State space -> transfer function via the characteristic-polynomial
+    identity num_k = poly(A - B C_k) + (D_k - 1) poly(A)
+    (scipy.signal.ss2tf semantics)."""
+    A, B, C, D = _atleast_ss(A, B, C, D)
+    nin = D.shape[1]
+    if input >= nin:
+        raise PlanError("System does not have the input specified.")
+    B = B[:, input:input + 1]
+    D = D[:, input:input + 1]
+    if A.size == 0:
+        den = np.ones(1)
+        num = D.reshape(D.shape[0], 1)
+        return num, den
+    den = np.poly(A)
+    nout = D.shape[0]
+    num = np.zeros((nout, A.shape[0] + 1))
+    for k in range(nout):
+        Ck = np.atleast_2d(C[k])
+        num[k] = np.poly(A - B @ Ck) + (D[k, 0] - 1) * den
+    return num, den
+
+
+def zpk2ss(z, p, k):
+    """Zero-pole-gain -> state space (via tf; scipy.signal.zpk2ss)."""
+    return tf2ss(*zpk2tf(z, p, k))
+
+
+def ss2zpk(A, B, C, D, input: int = 0):
+    """State space -> zero-pole-gain (via tf; scipy.signal.ss2zpk).
+    Single-output systems only (zpk has no output dimension)."""
+    num, den = ss2tf(A, B, C, D, input=input)
+    num = np.atleast_2d(num)
+    if num.shape[0] != 1:
+        raise PlanError("zpk form is single-output; use ss2tf for "
+                        "multi-output systems")
+    # normalize strips the near-zero leading numerator coefficients the
+    # poly() round-trip leaves behind (scipy does the same)
+    num_n, den_n = normalize(num[0], den)
+    return tf2zpk(num_n, den_n)
+
+
+def _system_to_ss(system):
+    """Accept a continuous system tuple: (num, den), (z, p, k) or
+    (A, B, C, D)."""
+    if not isinstance(system, (tuple, list)):
+        raise PlanError("system must be a tuple (num, den), (z, p, k) "
+                        "or (A, B, C, D)")
+    if len(system) == 2:
+        return _atleast_ss(*tf2ss(*system))
+    if len(system) == 3:
+        return _atleast_ss(*zpk2ss(*system))
+    if len(system) == 4:
+        return _atleast_ss(*system)
+    raise PlanError("system tuple must have 2 (tf), 3 (zpk) or 4 (ss) "
+                    "elements")
+
+
+def _dsystem_to_ss(system):
+    """Discrete system tuple with trailing dt: (num, den, dt),
+    (z, p, k, dt) or (A, B, C, D, dt).  Returns (A, B, C, D, dt)."""
+    if not isinstance(system, (tuple, list)):
+        raise PlanError("system must be a tuple ending in dt")
+    if len(system) == 3:
+        ss = tf2ss(system[0], system[1])
+    elif len(system) == 4:
+        ss = zpk2ss(system[0], system[1], system[2])
+    elif len(system) == 5:
+        ss = system[:4]
+    else:
+        raise PlanError("discrete system tuple must have 3 (tf), 4 (zpk) "
+                        "or 5 (ss) elements, dt last")
+    dt = float(system[-1])
+    return _atleast_ss(*ss) + (dt,)
+
+
+# ---------------------------------------------------------- discretization
+
+def _c2d_ss(a, b, c, d, dt: float, method: str, alpha):
+    from scipy.linalg import expm
+    n = a.shape[0]
+    m = b.shape[1]
+    if method == "gbt":
+        if alpha is None:
+            raise PlanError("Alpha parameter must be specified for the "
+                            "generalized bilinear transform (gbt) method")
+        if not 0 <= alpha <= 1:
+            raise PlanError("Alpha must be within the interval [0, 1]")
+    alpha = {"bilinear": 0.5, "tustin": 0.5, "euler": 0.0,
+             "forward_diff": 0.0, "backward_diff": 1.0}.get(method, alpha)
+    if method in ("gbt", "bilinear", "tustin", "euler", "forward_diff",
+                  "backward_diff"):
+        ima = np.eye(n) - alpha * dt * a
+        ad = np.linalg.solve(ima, np.eye(n) + (1.0 - alpha) * dt * a)
+        bd = np.linalg.solve(ima, dt * b)
+        cd = np.linalg.solve(ima.T, c.T).T
+        dd = d + alpha * (c @ bd)
+        return ad, bd, cd, dd
+    if method == "zoh":
+        em = np.zeros((n + m, n + m))
+        em[:n, :n] = a * dt
+        em[:n, n:] = b * dt
+        ms = expm(em)
+        return ms[:n, :n], ms[:n, n:], c, d
+    if method == "foh":
+        em = np.zeros((n + 2 * m, n + 2 * m))
+        em[:n, :n] = a * dt
+        em[:n, n:n + m] = b * dt
+        em[n:n + m, n + m:] = np.eye(m)
+        ms = expm(em)
+        phi = ms[:n, :n]
+        g1 = ms[:n, n:n + m]
+        g2 = ms[:n, n + m:]
+        ad = phi
+        bd = g1 + phi @ g2 - g2
+        cd = c
+        dd = d + c @ g2
+        return ad, bd, cd, dd
+    if method == "impulse":
+        if not np.allclose(d, 0):
+            raise PlanError("Impulse method is only applicable to strictly "
+                            "proper systems")
+        ad = expm(a * dt)
+        bd = ad @ b * dt
+        cd = c
+        dd = c @ b * dt
+        return ad, bd, cd, dd
+    raise PlanError(f"Unknown transformation method '{method}'")
+
+
+def cont2discrete(system, dt: float, method: str = "zoh", alpha=None):
+    """Discretize a continuous system (scipy.signal.cont2discrete
+    semantics): tf/zpk tuples round-trip through state space; methods
+    gbt / bilinear / euler / backward_diff / zoh / foh / impulse."""
+    dt = float(dt)
+    if len(system) == 2:
+        a, b, c, d = tf2ss(*system)
+        ad, bd, cd, dd = _c2d_ss(*_atleast_ss(a, b, c, d), dt, method,
+                                 alpha)
+        num, den = ss2tf(ad, bd, cd, dd)
+        return num, den, dt
+    if len(system) == 3:
+        a, b, c, d = zpk2ss(*system)
+        ad, bd, cd, dd = _c2d_ss(*_atleast_ss(a, b, c, d), dt, method,
+                                 alpha)
+        z, p, k = ss2zpk(ad, bd, cd, dd)
+        return z, p, k, dt
+    if len(system) == 4:
+        ad, bd, cd, dd = _c2d_ss(*_atleast_ss(*system), dt, method, alpha)
+        return ad, bd, cd, dd, dt
+    raise PlanError("First argument must either be a tuple of 2 (tf), "
+                    "3 (zpk), or 4 (ss) arrays.")
+
+
+# -------------------------------------------------------------- simulation
+
+def _scan_ss(Ad, Bd0, Bd1, x0, U):
+    """Device recurrence x[i] = Ad x[i-1] + Bd0 u[i-1] + Bd1 u[i]
+    as a lax.scan (f32 on device, like filtering.lfilter's IIR scan).
+    U has shape (n_steps, m); returns xout (n_steps, n)."""
+    Adj = jnp.asarray(Ad.T, jnp.float32)
+    B0j = jnp.asarray(Bd0.T, jnp.float32)
+    B1j = jnp.asarray(Bd1.T, jnp.float32)
+    Uj = jnp.asarray(U, jnp.float32)
+    x0j = jnp.asarray(x0, jnp.float32)
+
+    def stepf(x, uu):
+        u_prev, u_cur = uu
+        x_new = x @ Adj + u_prev @ B0j + u_cur @ B1j
+        return x_new, x_new
+
+    _, xs = jax.lax.scan(stepf, x0j, (Uj[:-1], Uj[1:]))
+    return jnp.concatenate([x0j[None], xs], axis=0)
+
+
+def lsim(system, U, T, X0=None, interp: bool = True):
+    """Simulate a continuous LTI system over uniformly spaced ``T``
+    (scipy.signal.lsim semantics): exact matrix-exponential
+    discretization on the host (FOH when ``interp`` else ZOH), then the
+    state recurrence as a device scan.  Returns ``(T, yout, xout)``."""
+    A, B, C, D = _system_to_ss(system)
+    n = A.shape[0]
+    m = B.shape[1] if B.size else 0
+    T = np.atleast_1d(np.asarray(T, dtype=np.float64))
+    if T.ndim != 1:
+        raise PlanError("T must be a rank-1 array")
+    n_steps = T.size
+    if n_steps < 2:
+        raise PlanError("T must have at least 2 elements")
+    dt = T[1] - T[0]
+    if not np.allclose(np.diff(T), dt):
+        raise PlanError("Time steps are not equally spaced.")
+    x0 = np.zeros(n) if X0 is None else \
+        np.asarray(X0, dtype=np.float64).reshape(n)
+    no_input = U is None or (np.asarray(U).ndim == 0 and
+                             float(np.asarray(U)) == 0.0)
+    if no_input:
+        U_arr = np.zeros((n_steps, max(m, 1) if m else 1))
+        method = "zoh"
+    else:
+        U_arr = np.asarray(U, dtype=np.float64)
+        if U_arr.ndim == 1:
+            U_arr = U_arr[:, None]
+        if U_arr.shape[0] != n_steps:
+            raise PlanError("U must have the same number of rows as "
+                            "elements in T.")
+        if U_arr.shape[1] != m:
+            raise PlanError(f"System does not define that many inputs "
+                            f"(got {U_arr.shape[1]}, expected {m})")
+        method = "foh" if interp else "zoh"
+    from scipy.linalg import expm
+    if no_input or m == 0:
+        Ad = expm(A * dt)
+        Bd0 = np.zeros((n, 1))
+        Bd1 = np.zeros((n, 1))
+        U_run = np.zeros((n_steps, 1))
+    elif method == "foh":
+        # linear input interpolation: x[i] = Ad x[i-1] + (g1 - g2) u[i-1]
+        # + g2 u[i], with g1/g2 the first/second integrated-exponential
+        # blocks of the augmented matrix
+        em = np.zeros((n + 2 * m, n + 2 * m))
+        em[:n, :n] = A * dt
+        em[:n, n:n + m] = B * dt
+        em[n:n + m, n + m:] = np.eye(m)
+        ms = expm(em)
+        Ad = ms[:n, :n]
+        g2 = ms[:n, n + m:]
+        Bd1 = g2
+        Bd0 = ms[:n, n:n + m] - g2
+        U_run = U_arr
+    else:
+        Ad, Bd, _, _ = _c2d_ss(A, B, C, D, dt, "zoh", None)
+        Bd0, Bd1 = Bd, np.zeros_like(Bd)
+        U_run = U_arr
+    xout = np.asarray(_scan_ss(Ad, Bd0, Bd1, x0, U_run),
+                      dtype=np.float64)
+    yout = xout @ C.T
+    if m and not no_input:
+        yout = yout + U_arr @ D.T
+    return T, np.squeeze(yout), xout
+
+
+def dlsim(system, u, t=None, x0=None):
+    """Simulate a discrete LTI system (scipy.signal.dlsim semantics):
+    the state recurrence runs as a device scan.  Returns
+    ``(tout, yout, xout)`` (xout only for state-space input, matching
+    scipy)."""
+    A, B, C, D, dt = _dsystem_to_ss(system)
+    n = A.shape[0]
+    m = B.shape[1] if B.size else 0
+    u_arr = np.atleast_1d(np.asarray(u, dtype=np.float64))
+    if u_arr.ndim == 1:
+        u_arr = u_arr[:, None]
+    n_steps = u_arr.shape[0]
+    if m and u_arr.shape[1] != m:
+        raise PlanError(f"System does not define that many inputs "
+                        f"(got {u_arr.shape[1]}, expected {m})")
+    if t is None:
+        tout = np.arange(n_steps) * dt
+    else:
+        tout = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        if tout.size != n_steps:
+            raise PlanError("t must have the same length as u")
+    x0v = np.zeros(n) if x0 is None else \
+        np.asarray(x0, dtype=np.float64).reshape(n)
+    if n == 0:
+        yout = u_arr @ D.T
+    else:
+        xout = np.asarray(
+            _scan_ss(A, B, np.zeros_like(B) if m else np.zeros((n, 1)),
+                     x0v,
+                     u_arr if m else np.zeros((n_steps, 1))),
+            dtype=np.float64)
+        yout = xout @ C.T + (u_arr @ D.T if m else 0.0)
+    if len(system) == 5:
+        return tout, yout, xout
+    return tout, np.squeeze(yout)
+
+
+def _default_response_times(A, n: int):
+    """scipy's heuristic horizon: 7 time constants of the slowest
+    (least-damped) pole, 100 points by default."""
+    vals = np.linalg.eigvals(A) if A.size else np.array([-1.0])
+    r = np.min(np.abs(np.real(vals)))
+    if r == 0.0:
+        r = 1.0
+    tc = 1.0 / r
+    return np.linspace(0.0, 7 * tc, n)
+
+
+def step(system, X0=None, T=None, N: Optional[int] = None):
+    """Unit-step response of a continuous system (scipy.signal.step
+    semantics).  Returns ``(T, yout)``."""
+    A, B, C, D = _system_to_ss(system)
+    if N is None:
+        N = 100
+    if T is None:
+        T = _default_response_times(A, N)
+    else:
+        T = np.asarray(T, dtype=np.float64)
+    U = np.ones((T.size, B.shape[1] if B.size else 1))
+    tout, yout, _ = lsim((A, B, C, D), U, T, X0=X0)
+    return tout, yout
+
+
+def impulse(system, X0=None, T=None, N: Optional[int] = None):
+    """Impulse response of a continuous system (scipy.signal.impulse
+    semantics: the impulse enters as initial state ``B``; ``D`` does not
+    contribute).  Returns ``(T, yout)``."""
+    A, B, C, D = _system_to_ss(system)
+    if X0 is None:
+        X = np.squeeze(B)
+    else:
+        X = np.squeeze(B) + np.squeeze(np.asarray(X0, dtype=np.float64))
+    if N is None:
+        N = 100
+    if T is None:
+        T = _default_response_times(A, N)
+    else:
+        T = np.asarray(T, dtype=np.float64)
+    tout, yout, _ = lsim((A, B, C, D), None, T,
+                         X0=np.atleast_1d(X) if A.size else None)
+    return tout, yout
+
+
+def dstep(system, x0=None, t=None, n: Optional[int] = None):
+    """Step response of a discrete system (scipy.signal.dstep semantics:
+    one output array per input).  Returns ``(tout, (yout, ...))``."""
+    A, B, C, D, dt = _dsystem_to_ss(system)
+    if n is None:
+        n = 100
+    if t is None:
+        t = np.arange(n) * dt
+    else:
+        t = np.asarray(t, dtype=np.float64)
+    m = B.shape[1] if B.size else 1
+    youts = []
+    for i in range(m):
+        u = np.zeros((t.size, m))
+        u[:, i] = 1.0
+        out = dlsim((A, B, C, D, dt), u, t=t, x0=x0)
+        youts.append(np.atleast_1d(out[1]).reshape(t.size, -1))
+    return t, tuple(youts)
+
+
+def dimpulse(system, x0=None, t=None, n: Optional[int] = None):
+    """Impulse response of a discrete system (scipy.signal.dimpulse
+    semantics).  Returns ``(tout, (yout, ...))``."""
+    A, B, C, D, dt = _dsystem_to_ss(system)
+    if n is None:
+        n = 100
+    if t is None:
+        t = np.arange(n) * dt
+    else:
+        t = np.asarray(t, dtype=np.float64)
+    m = B.shape[1] if B.size else 1
+    youts = []
+    for i in range(m):
+        u = np.zeros((t.size, m))
+        u[0, i] = 1.0
+        out = dlsim((A, B, C, D, dt), u, t=t, x0=x0)
+        youts.append(np.atleast_1d(out[1]).reshape(t.size, -1))
+    return t, tuple(youts)
+
+
+# ------------------------------------------------------ frequency response
+
+def findfreqs(num, den, N: int, kind: str = "ba"):
+    """Log-spaced frequency grid covering a system's interesting range
+    (scipy.signal.findfreqs semantics, pole/zero-driven decades)."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.asarray(den, dtype=np.float64)))
+        tz = np.atleast_1d(np.roots(np.asarray(num, dtype=np.float64)))
+    elif kind == "zp":
+        ep = np.atleast_1d(np.asarray(den))
+        tz = np.atleast_1d(np.asarray(num))
+    else:
+        raise PlanError("input must be one of {'ba', 'zp'}")
+    if len(ep) == 0:
+        ep = np.atleast_1d(-1000.0) + 0j
+    ez = np.r_[ep[ep.imag >= 0],
+               tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)]]
+    integ = np.abs(ez) < 1e-10
+    hfreq = np.round(np.log10(np.max(3 * np.abs(ez.real + integ)
+                                     + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.round(np.log10(0.1 * np.min(np.abs((ez + integ).real)
+                                           + 2 * ez.imag)) - 0.5)
+    return np.logspace(lfreq, hfreq, N)
+
+
+def freqs(b, a, worN: int | np.ndarray = 200, plot=None):
+    """Analog filter frequency response H(jw)
+    (scipy.signal.freqs semantics)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if np.ndim(worN) == 0:
+        w = findfreqs(b, a, int(worN))
+    else:
+        w = np.atleast_1d(np.asarray(worN, dtype=np.float64))
+    s = 1j * w
+    h = np.polyval(b, s) / np.polyval(a, s)
+    if plot is not None:
+        plot(w, h)
+    return w, h
+
+
+def freqs_zpk(z, p, k, worN: int | np.ndarray = 200):
+    """Analog zpk frequency response (scipy.signal.freqs_zpk)."""
+    z = np.atleast_1d(np.asarray(z))
+    p = np.atleast_1d(np.asarray(p))
+    if np.ndim(worN) == 0:
+        w = findfreqs(z, p, int(worN), kind="zp")
+    else:
+        w = np.atleast_1d(np.asarray(worN, dtype=np.float64))
+    s = 1j * w
+    num = np.prod(s[:, None] - z[None, :], axis=-1) if z.size else 1.0
+    den = np.prod(s[:, None] - p[None, :], axis=-1) if p.size else 1.0
+    return w, k * num / den
+
+
+def _system_to_zpk(system):
+    if len(system) == 2:
+        return tf2zpk(*normalize(*system))
+    if len(system) == 3:
+        return system
+    if len(system) == 4:
+        return ss2zpk(*system)
+    raise PlanError("system tuple must have 2 (tf), 3 (zpk) or 4 (ss) "
+                    "elements")
+
+
+def freqresp(system, w=None, n: int = 10000):
+    """Continuous-system frequency response over a default log grid
+    (scipy.signal.freqresp semantics; evaluation in zpk form for
+    numerical range).  Returns ``(w, H)``."""
+    z, p, k = _system_to_zpk(system)
+    return freqs_zpk(z, p, k, worN=w if w is not None else n)
+
+
+def bode(system, w=None, n: int = 100):
+    """Bode magnitude/phase of a continuous system
+    (scipy.signal.bode semantics: dB and unwrapped degrees)."""
+    w, y = freqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.abs(y))
+    phase = np.unwrap(np.angle(y)) * 180.0 / np.pi
+    return w, mag, phase
+
+
+def dfreqresp(system, w=None, n: int = 10000, whole: bool = False):
+    """Discrete-system frequency response (scipy.signal.dfreqresp
+    semantics: w in rad/SAMPLE, z = exp(j w); dt only matters for
+    dbode's rad/time-unit scaling)."""
+    if len(system) == 5:
+        z, p, k = ss2zpk(*system[:4])
+        dt = float(system[4])
+    elif len(system) == 4:
+        z, p, k = system[:3]
+        dt = float(system[3])
+    elif len(system) == 3:
+        z, p, k = tf2zpk(*normalize(system[0], system[1]))
+        dt = float(system[2])
+    else:
+        raise PlanError("discrete system tuple must have 3 (tf), 4 (zpk) "
+                        "or 5 (ss) elements, dt last")
+    if w is None:
+        wn = np.linspace(0, 2 * np.pi if whole else np.pi, n,
+                         endpoint=False)
+    else:
+        wn = np.atleast_1d(np.asarray(w, dtype=np.float64))
+    zv = np.exp(1j * wn)
+    z = np.atleast_1d(np.asarray(z))
+    p = np.atleast_1d(np.asarray(p))
+    num = np.prod(zv[:, None] - z[None, :], axis=-1) if z.size else 1.0
+    den = np.prod(zv[:, None] - p[None, :], axis=-1) if p.size else 1.0
+    return wn, k * num / den
+
+
+def dbode(system, w=None, n: int = 100):
+    """Bode magnitude/phase of a discrete system (scipy.signal.dbode:
+    input w in rad/sample like dfreqresp; RETURNED w is rad/time-unit,
+    i.e. divided by dt)."""
+    dt = float(system[-1])
+    wn, y = dfreqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.abs(y))
+    phase = np.unwrap(np.angle(y)) * 180.0 / np.pi
+    return wn / dt, mag, phase
