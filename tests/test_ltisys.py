@@ -279,4 +279,51 @@ class TestNamespace:
         t, y = L.dlsim((np.atleast_1d(np.squeeze(num)), den, dt), u)
         te, ye = ss.dlsim(ss.cont2discrete(ss.butter(2, 5, analog=True),
                                            0.01, method="bilinear"), u)[:2]
-        _close(y, np.squeeze(ye), tol=2e-4, label="chain")
+        _close(y, ye, tol=2e-4, label="chain")
+
+
+class TestReviewRegressions:
+    """Regressions from the round-3 code review of this module."""
+
+    def test_dlsim_static_gain_ss(self):
+        # 0-state (static gain) state-space: scipy returns the constant
+        # response; the 5-tuple path must still return an (empty) xout
+        A = np.zeros((0, 0)); B = np.zeros((0, 1))
+        C = np.zeros((1, 0)); D = np.array([[2.0]])
+        tout, yout, xout = L.dlsim((A, B, C, D, 0.1), np.ones((4, 1)))
+        te, ye, xe = ss.dlsim((A, B, C, D, 0.1), np.ones((4, 1)))
+        _close(yout, ye, label="static gain y")
+        assert xout.shape == (4, 0)
+
+    def test_dstep_static_gain_tf(self):
+        got = L.dstep(((2.0,), (1.0,), 0.1), n=4)
+        want = ss.dstep(((2.0,), (1.0,), 0.1), n=4)
+        _close(got[1][0], want[1][0], label="dstep gain")
+
+    def test_dlsim_no_input_free_decay(self):
+        A = np.array([[0.9]]); B = np.zeros((1, 0))
+        C = np.eye(1); D = np.zeros((1, 0))
+        tout, yout, xout = L.dlsim((A, B, C, D, 0.1),
+                                   np.zeros((5, 0)), x0=[1.0])
+        te, ye, xe = ss.dlsim((A, B, C, D, 0.1), np.zeros((5, 0)),
+                              x0=[1.0])
+        _close(yout, ye, tol=1e-6, label="free decay")
+
+    def test_lsim_scalar_nonzero_U_raises_clearly(self):
+        sysc = ss.butter(2, 4, analog=True)
+        with pytest.raises(PlanError, match="same number of rows"):
+            L.lsim(sysc, 3.0, np.linspace(0, 1, 10))
+
+    def test_dlsim_tf_output_shape_matches_scipy(self):
+        tout, yout = L.dlsim(([1.0, 0.5], [1.0, -0.5], 0.1), np.ones(5))
+        te, ye = ss.dlsim(([1.0, 0.5], [1.0, -0.5], 0.1), np.ones(5))
+        assert yout.shape == ye.shape == (5, 1)
+        _close(yout, ye, tol=1e-6, label="tf shape")
+
+    def test_normalize_all_zero_numerator_warns(self):
+        with pytest.warns(UserWarning):
+            got = L.normalize([0.0], [1.0, 2.0])
+        with pytest.warns(Warning):
+            want = ss.normalize([0.0], [1.0, 2.0])
+        for g, w in zip(got, want):
+            _close(np.atleast_1d(g), np.atleast_1d(w), label="zero num")

@@ -59,14 +59,19 @@ def normalize(b, a):
     num = num / den[0]
     den = den / den[0]
     # strip leading near-zero numerator columns (scipy tolerance
-    # atol=1e-14; keep at least one column)
-    stripped = False
-    while num.shape[1] > 1 and np.allclose(num[:, 0], 0, atol=1e-14):
-        num = num[:, 1:]
-        stripped = True
-    if stripped:
+    # atol=1e-14); warn even when the single remaining column is ~zero
+    leading = 0
+    for col in num.T:
+        if np.allclose(col, 0, atol=1e-14):
+            leading += 1
+        else:
+            break
+    if leading > 0:
         warnings.warn("Badly conditioned filter coefficients (numerator): "
                       "the results may be meaningless", stacklevel=2)
+        if leading == num.shape[1]:
+            leading -= 1
+        num = num[:, leading:]
     if np.ndim(b) == 1:
         num = num[0]
     return num, den
@@ -313,7 +318,7 @@ def lsim(system, U, T, X0=None, interp: bool = True):
         U_arr = np.zeros((n_steps, max(m, 1) if m else 1))
         method = "zoh"
     else:
-        U_arr = np.asarray(U, dtype=np.float64)
+        U_arr = np.atleast_1d(np.asarray(U, dtype=np.float64))
         if U_arr.ndim == 1:
             U_arr = U_arr[:, None]
         if U_arr.shape[0] != n_steps:
@@ -379,17 +384,20 @@ def dlsim(system, u, t=None, x0=None):
     x0v = np.zeros(n) if x0 is None else \
         np.asarray(x0, dtype=np.float64).reshape(n)
     if n == 0:
+        xout = np.zeros((n_steps, 0))
         yout = u_arr @ D.T
     else:
+        if m:
+            B0, U_run = B, u_arr
+        else:
+            B0, U_run = np.zeros((n, 1)), np.zeros((n_steps, 1))
         xout = np.asarray(
-            _scan_ss(A, B, np.zeros_like(B) if m else np.zeros((n, 1)),
-                     x0v,
-                     u_arr if m else np.zeros((n_steps, 1))),
+            _scan_ss(A, B0, np.zeros_like(B0), x0v, U_run),
             dtype=np.float64)
         yout = xout @ C.T + (u_arr @ D.T if m else 0.0)
     if len(system) == 5:
         return tout, yout, xout
-    return tout, np.squeeze(yout)
+    return tout, yout
 
 
 def _default_response_times(A, n: int):
