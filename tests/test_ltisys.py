@@ -327,3 +327,83 @@ class TestReviewRegressions:
             want = ss.normalize([0.0], [1.0, 2.0])
         for g, w in zip(got, want):
             _close(np.atleast_1d(g), np.atleast_1d(w), label="zero num")
+
+
+class TestPartialFractions:
+    CASES = [
+        ([1.0, 2.0], [1.0, 5.0, 6.0]),                # distinct real
+        ([1.0], [1.0, 2.0, 1.0]),                     # double pole
+        ([3.0, 1.0, 2.0], [1.0, 0.0, 1.0]),           # complex poles
+        ([1.0, 2.0, 3.0, 4.0], [1.0, 1.0]),           # improper -> k
+        ([1.0, 0.5], [1.0, -1.5, 0.75, -0.125]),      # triple pole
+    ]
+    ZCASES = [
+        ([1.0, -1.0], [1.0, -0.5, 0.06]),
+        ([1.0], [1.0, -1.0, 0.25]),
+        ([2.0, 1.0, 0.5], [1.0, -0.3]),
+    ]
+
+    @staticmethod
+    def _sorted(r, p):
+        order = np.argsort(p.real * 1e6 + p.imag)
+        return r[order], p[order]
+
+    @pytest.mark.parametrize("case", range(len(CASES)))
+    def test_residue_matches_scipy(self, case):
+        b, a = self.CASES[case]
+        rg, pg, kg = L.residue(b, a)
+        re_, pe, ke = ss.residue(b, a)
+        rg, pg = self._sorted(rg, pg)
+        re_, pe = self._sorted(re_, pe)
+        _close(rg, re_, tol=1e-8, label="r")
+        _close(pg, pe, tol=1e-8, label="p")
+        _close(kg, ke, tol=1e-8, label="k")
+
+    @pytest.mark.parametrize("case", range(len(CASES)))
+    def test_invres_matches_scipy(self, case):
+        b, a = self.CASES[case]
+        r, p, k = ss.residue(b, a)
+        bg, ag = L.invres(r, p, k)
+        be, ae = ss.invres(r, p, k)
+        _close(bg, be, tol=1e-8, label="b")
+        _close(ag, ae, tol=1e-8, label="a")
+
+    def test_residuez_and_invresz(self):
+        zc = self.ZCASES + [ss.butter(3, 0.3)[:2]]
+        for b, a in zc:
+            rg, pg, kg = L.residuez(b, a)
+            re_, pe, ke = ss.residuez(b, a)
+            rg, pg = self._sorted(rg, pg)
+            re_, pe = self._sorted(re_, pe)
+            _close(rg, re_, tol=1e-8, label="rz")
+            _close(pg, pe, tol=1e-8, label="pz")
+            _close(kg, ke, tol=1e-8, label="kz")
+            r, p, k = ss.residuez(b, a)
+            bg, ag = L.invresz(r, p, k)
+            be, ae = ss.invresz(r, p, k)
+            _close(bg, be, tol=1e-8, label="bz")
+            _close(ag, ae, tol=1e-8, label="az")
+
+    def test_unique_roots(self):
+        p = np.array([1.0, 1.0005, 2.0, 2.0, 3.5])
+        for rtype in ("min", "max", "avg"):
+            gu, gm = L.unique_roots(p, tol=1e-2, rtype=rtype)
+            wu, wm = ss.unique_roots(p, tol=1e-2, rtype=rtype)
+            _close(np.sort(gu), np.sort(wu), tol=1e-12)
+            assert sorted(gm.tolist()) == sorted(np.asarray(wm).tolist())
+
+    def test_roundtrip(self):
+        b, a = ss.cheby1(4, 1, 0.3)
+        r, p, k = L.residuez(b, a)
+        b2, a2 = L.invresz(r, p, k)
+        w, h1 = ss.freqz(b, a, worN=64)
+        _, h2 = ss.freqz(np.real(b2), np.real(a2), worN=64)
+        _close(h2, h1, tol=1e-7, label="roundtrip")
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            L.residue([1.0], [0.0])
+        with pytest.raises(PlanError):
+            L.residuez([1.0], [0.0, 1.0])
+        with pytest.raises(PlanError):
+            L.unique_roots([1.0], rtype="median")

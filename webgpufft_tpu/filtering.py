@@ -56,6 +56,7 @@ from .ltisys import (  # noqa: F401
     normalize, tf2ss, ss2tf, zpk2ss, ss2zpk,
     cont2discrete, lsim, dlsim, step, impulse, dstep, dimpulse,
     findfreqs, freqs, freqs_zpk, freqresp, bode, dfreqresp, dbode,
+    unique_roots, residue, residuez, invres, invresz,
 )
 from . import ltisys as _ltisys
 

@@ -34,6 +34,7 @@ __all__ = [
     "cont2discrete", "lsim", "dlsim", "step", "impulse",
     "dstep", "dimpulse", "findfreqs", "freqs", "freqs_zpk",
     "freqresp", "bode", "dfreqresp", "dbode",
+    "unique_roots", "residue", "residuez", "invres", "invresz",
 ]
 
 
@@ -607,3 +608,209 @@ def dbode(system, w=None, n: int = 100):
     mag = 20.0 * np.log10(np.abs(y))
     phase = np.unwrap(np.angle(y)) * 180.0 / np.pi
     return wn / dt, mag, phase
+
+
+# -------------------------------------------------------- partial fractions
+
+def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
+    """Cluster near-coincident roots (scipy.signal.unique_roots
+    semantics): roots within ``tol`` merge; the representative is the
+    min/max/avg of each cluster per ``rtype``."""
+    if rtype in ("max", "maximum"):
+        reduce_ = np.max
+    elif rtype in ("min", "minimum"):
+        reduce_ = np.min
+    elif rtype in ("avg", "mean"):
+        reduce_ = np.mean
+    else:
+        raise PlanError("`rtype` must be one of {'max', 'maximum', 'min', "
+                        "'minimum', 'avg', 'mean'}")
+    p = np.atleast_1d(np.asarray(p))
+    uniq, mult = [], []
+    used = np.zeros(p.size, bool)
+    for i in range(p.size):
+        if used[i]:
+            continue
+        grp = np.abs(p - p[i]) < tol
+        grp &= ~used
+        used |= grp
+        members = p[grp]
+        uniq.append(reduce_(members.real) + (1j * reduce_(members.imag)
+                                             if np.iscomplexobj(p) else 0))
+        mult.append(int(members.size))
+    return np.asarray(uniq), np.asarray(mult, np.intp)
+
+
+def _taylor_at(poly, p, order: int):
+    """First ``order`` Taylor coefficients poly^{(j)}(p)/j! at p."""
+    c = np.atleast_1d(np.asarray(poly, dtype=complex))
+    out = np.empty(order, complex)
+    fact = 1.0
+    for j in range(order):
+        out[j] = np.polyval(c, p) / fact
+        c = np.polyder(c)
+        fact *= (j + 1)
+    return out
+
+
+def _series_div(num_t, den_t, order: int):
+    """Leading ``order`` coefficients of the Taylor quotient num/den."""
+    f = np.empty(order, complex)
+    for j in range(order):
+        acc = num_t[j]
+        for i in range(j):
+            acc -= f[i] * den_t[j - i]
+        f[j] = acc / den_t[0]
+    return f
+
+
+def _residue_core(b, a, tol, rtype):
+    """Shared residue machinery: returns (residues, poles-in-order,
+    direct-quotient) for b(s)/a(s).  Residue ordering per pole group is
+    ascending power: r/(s-p), r/(s-p)^2, ..."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if np.all(a == 0):
+        raise PlanError("Denominator `a` is zero.")
+    a = np.trim_zeros(a, "f")
+    b = np.trim_zeros(b, "f") if np.any(b) else np.zeros(1)
+    if b.size >= a.size:
+        k, b_rem = np.polydiv(b, a)
+        b_rem = np.atleast_1d(b_rem)
+    else:
+        k, b_rem = np.zeros(0), b
+    poles = np.roots(a)
+    upoles, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    residues = []
+    out_poles = []
+    for idx, (p, m) in enumerate(zip(upoles, mult)):
+        # denominator with this pole's factor removed, rebuilt from the
+        # clustered representatives so repeated roots stay exact
+        others = np.concatenate([
+            np.repeat(upoles[j], mult[j])
+            for j in range(upoles.size) if j != idx]) \
+            if upoles.size > 1 else np.zeros(0, complex)
+        q = a[0] * np.atleast_1d(np.poly(others)) if others.size \
+            else np.atleast_1d(a[0] + 0j)
+        num_t = _taylor_at(b_rem, p, m)
+        den_t = _taylor_at(q, p, m)
+        f = _series_div(num_t, den_t, m)
+        # ascending power: 1/(s-p) gets f[m-1], ..., 1/(s-p)^m gets f[0]
+        residues.extend(f[::-1])
+        out_poles.extend([p] * m)
+    return (np.asarray(residues), np.asarray(out_poles),
+            np.atleast_1d(k) if k.size else np.zeros(0))
+
+
+def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of b(s)/a(s)
+    (scipy.signal.residue semantics: ascending powers within a repeated
+    pole group, direct polynomial term ``k``)."""
+    return _residue_core(b, a, tol, rtype)
+
+
+def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion of b(z)/a(z) in powers of z^-1
+    (scipy.signal.residuez semantics): terms r/(1 - p z^-1)^j plus a
+    direct polynomial in z^-1.
+
+    Reduction to the s-domain machinery: with w = z^-1,
+    b(z)/a(z) = B(w)/A(w) where B/A are the REVERSED coefficient lists;
+    each r/(1 - p w)^j term maps to r (-p)^-j / (w - 1/p)^j."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] == 0:
+        raise PlanError("First coefficient of determinant `a` must be "
+                        "non-zero.")
+    rb, rp, rk = _residue_core(b[::-1], a[::-1], tol, rtype)
+    # rp are roots in w = 1/z; z-poles are their reciprocals
+    res, poles = [], []
+    i = 0
+    while i < rp.size:
+        # group length = run of identical poles (ascending powers)
+        j = i
+        while j + 1 < rp.size and rp[j + 1] == rp[i]:
+            j += 1
+        m = j - i + 1
+        pw = rp[i]
+        pz = 1.0 / pw
+        for t in range(m):
+            power = t + 1
+            res.append(rb[i + t] * (-pw) ** (-power))
+            poles.append(pz)
+        i = j + 1
+    return (np.asarray(res), np.asarray(poles),
+            rk[::-1] if rk.size else rk)
+
+
+def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Reassemble b(s)/a(s) from a partial-fraction expansion
+    (scipy.signal.invres semantics)."""
+    r = np.atleast_1d(np.asarray(r))
+    p = np.atleast_1d(np.asarray(p))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.zeros(0)
+    upoles, mult = unique_roots(p, tol=tol, rtype=rtype)
+    a = np.atleast_1d(np.poly(np.concatenate(
+        [np.repeat(up, m) for up, m in zip(upoles, mult)])))
+    b = np.polymul(k, a) if k.size else np.zeros(1)
+    i = 0
+    for up, m in zip(upoles, mult):
+        others = np.concatenate(
+            [np.repeat(upoles[j], mult[j])
+             for j in range(upoles.size) if j != upoles.tolist().index(up)]
+        ) if upoles.size > 1 else np.zeros(0, complex)
+        for t in range(m):
+            power = t + 1
+            # r/(s-up)^power contributes r * prod_others * (s-up)^(m-power)
+            term = np.poly(np.concatenate(
+                [others, np.repeat(up, m - power)])) if \
+                (others.size or m - power) else np.ones(1)
+            b = np.polyadd(b, r[i] * np.atleast_1d(term))
+            i += 1
+    # scipy keeps the full (possibly complex) coefficient vector —
+    # no leading-zero trim, no realification
+    return np.atleast_1d(b), a
+
+
+def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Reassemble b(z)/a(z) from a z^-1 partial-fraction expansion
+    (scipy.signal.invresz semantics)."""
+    r = np.atleast_1d(np.asarray(r))
+    p = np.atleast_1d(np.asarray(p))
+    k = np.atleast_1d(np.asarray(k)) if np.size(k) else np.zeros(0)
+    upoles, mult = unique_roots(p, tol=tol, rtype=rtype)
+    # a(z^-1) = prod (1 - p z^-1)^m  -> coefficients in z^-1
+    a = np.ones(1, complex)
+    for up, m in zip(upoles, mult):
+        for _ in range(m):
+            a = np.polymul(a, np.array([1.0, -up]))
+    b = np.polymul(k, a) if k.size else np.zeros(1)
+    # align: k is a polynomial in z^-1 of low order; polymul in these
+    # coefficient lists is already z^-1-ordered
+    i = 0
+    for gi, (up, m) in enumerate(zip(upoles, mult)):
+        others = np.ones(1, complex)
+        for j in range(upoles.size):
+            if j == gi:
+                continue
+            for _ in range(mult[j]):
+                others = np.polymul(others, np.array([1.0, -upoles[j]]))
+        for t in range(m):
+            power = t + 1
+            term = others.copy()
+            for _ in range(m - power):
+                term = np.polymul(term, np.array([1.0, -up]))
+            # r/(1 - up z^-1)^power: multiply out the remaining factors
+            contrib = r[i] * term
+            # z^-1 polynomials accumulate aligned at the CONSTANT term
+            width = max(b.size, contrib.size)
+            bb = np.zeros(width, complex)
+            bb[:b.size] = b
+            bb[:contrib.size] += contrib
+            b = bb
+            i += 1
+    # scipy keeps the full coefficient vector (trailing zeros included)
+    if not (np.iscomplexobj(np.asarray(r)) or np.iscomplexobj(
+            np.asarray(p))):
+        b, a = b.real, a.real
+    return b, a
