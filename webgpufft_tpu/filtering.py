@@ -1167,3 +1167,16 @@ def remez(numtaps: int, bands, desired, *, weight=None,
     H = A * phase * (1.0 if neg == 0 else 1j)
     h = np.fft.ifft(H).real[:numtaps]
     return h
+
+
+# B-spline toolbox (splines.py) builds on lfilter/sosfilt above; the
+# late import avoids circular module initialization while keeping the
+# scipy.signal single-namespace story.
+from .splines import (  # noqa: E402,F401
+    gauss_spline, cspline1d, qspline1d, cspline2d, qspline2d,
+    cspline1d_eval, qspline1d_eval, spline_filter, sepfir2d,
+    symiirorder1, symiirorder2,
+)
+from . import splines as _splines  # noqa: E402
+
+__all__ += list(_splines.__all__)
