@@ -1,0 +1,195 @@
+"""Signal-utility batch vs scipy: envelope, vectorstrength, czt_points,
+max_len_seq, tf2sos, abcd_normalize."""
+
+import numpy as np
+import pytest
+
+import scipy.signal as ss
+
+from webgpufft_tpu import fft as wfft
+from webgpufft_tpu import waveforms as WV
+from webgpufft_tpu import iirdesign as D
+from webgpufft_tpu import ltisys as L
+from webgpufft_tpu import PlanError
+from webgpufft_tpu.fftapi import ascomplex
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _close(a, b, tol=2e-5, label=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert a.shape == b.shape, (label, a.shape, b.shape)
+    err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
+    assert err < tol, (label, err)
+
+
+def _mod_signal(rng, n=64):
+    t = np.arange(n)
+    return (np.cos(2 * np.pi * 8 * t / n)
+            * (1 + 0.5 * np.cos(2 * np.pi * 2 * t / n)) + 0.3
+            + 0.2 * np.cos(2 * np.pi * 1 * t / n)
+            + 0.05 * rng.standard_normal(n))
+
+
+class TestEnvelope:
+    @pytest.mark.parametrize("kw", [
+        {},
+        {"squared": True},
+        {"residual": None},
+        {"residual": "all"},
+        {"bp_in": (3, 20)},
+        {"n_out": 32},
+        {"n_out": 48},
+        {"n_out": 128},
+        {"bp_in": (3, 20), "n_out": 32},
+        {"bp_in": (3, 20), "n_out": 32, "residual": "all"},
+        {"bp_in": (3, 20), "n_out": 96, "residual": "all"},
+    ])
+    def test_real_matches_scipy(self, rng, kw):
+        x = _mod_signal(rng)
+        _close(wfft.envelope(x, **kw), ss.envelope(x, **kw), label=str(kw))
+
+    def test_odd_length(self, rng):
+        x = rng.standard_normal(63)
+        _close(wfft.envelope(x), ss.envelope(x))
+        _close(wfft.envelope(x, n_out=32), ss.envelope(x, n_out=32))
+        _close(wfft.envelope(x, n_out=127), ss.envelope(x, n_out=127))
+
+    def test_batch_and_axis(self, rng):
+        x2 = rng.standard_normal((3, 64))
+        _close(wfft.envelope(x2), ss.envelope(x2))
+        x3 = rng.standard_normal((64, 3))
+        _close(wfft.envelope(x3, axis=0), ss.envelope(x3, axis=0))
+        _close(wfft.envelope(x3, axis=0, residual=None),
+               ss.envelope(x3, axis=0, residual=None))
+
+    def test_complex(self, rng):
+        z = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+        for kw in [{"bp_in": (-5, 20)}, {"bp_in": (-5, 20), "n_out": 32},
+                   {"bp_in": (-32, 10), "residual": "all"}]:
+            g = wfft.envelope(z, **kw)
+            w = ss.envelope(z, **kw)
+            _close(np.asarray(g[0])[..., 0], np.abs(w[0]), label="env")
+            _close(ascomplex(np.asarray(g[1])), w[1], label="res")
+        _close(wfft.envelope(z, (-5, 20), residual=None),
+               ss.envelope(z, (-5, 20), residual=None))
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            wfft.envelope(np.zeros(16), (5, 3))
+        with pytest.raises(PlanError):
+            wfft.envelope(np.zeros(16), (0, 100))
+        with pytest.raises(PlanError):
+            wfft.envelope(np.zeros(16), residual="bandpass")
+
+
+class TestVectorstrength:
+    def test_scalar_and_array_period(self, rng):
+        ev = rng.uniform(0, 100, 400)
+        for per in [10.0, [7.5, 10.0, 13.3]]:
+            gs, gp = wfft.vectorstrength(ev, per)
+            ws, wp = ss.vectorstrength(ev, per)
+            _close(gs, ws, tol=3e-6)
+            _close(gp, wp, tol=1e-5)
+
+    def test_perfect_locking(self):
+        ev = np.arange(20) * 4.0
+        s, p = wfft.vectorstrength(ev, 4.0)
+        assert abs(float(np.asarray(s)) - 1.0) < 1e-6
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            wfft.vectorstrength(np.zeros((2, 2)), 1.0)
+        with pytest.raises(PlanError):
+            wfft.vectorstrength(np.zeros(4), -1.0)
+
+
+class TestCztPoints:
+    def test_matches_scipy(self):
+        assert np.allclose(wfft.czt_points(9), ss.czt_points(9))
+        w = 0.98 * np.exp(1j * 0.1)
+        assert np.allclose(wfft.czt_points(7, w, 1.5),
+                           ss.czt_points(7, w, 1.5))
+
+    def test_consistent_with_czt(self, rng):
+        """czt evaluates X(z) at exactly czt_points."""
+        x = rng.standard_normal(16)
+        w = 0.99 * np.exp(-1j * 2 * np.pi / 20)
+        pts = wfft.czt_points(10, w, 1.1)
+        got = ascomplex(np.asarray(wfft.czt(x, 10, w, 1.1)))
+        want = np.array([np.sum(x * p ** -np.arange(16)) for p in pts])
+        _close(got, want, tol=1e-4)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            wfft.czt_points(0)
+
+
+class TestMaxLenSeq:
+    @pytest.mark.parametrize("nbits", [2, 3, 4, 5, 8, 10])
+    def test_default(self, nbits):
+        g, gs = WV.max_len_seq(nbits)
+        w, ws = ss.max_len_seq(nbits)
+        assert np.array_equal(g, w)
+        assert np.array_equal(gs, ws)
+
+    def test_state_length_taps(self):
+        st = np.array([0, 1, 0, 1, 1])
+        g, gs = WV.max_len_seq(5, state=st.copy(), length=40)
+        w, ws = ss.max_len_seq(5, state=st.copy(), length=40)
+        assert np.array_equal(g, w) and np.array_equal(gs, ws)
+        g, gs = WV.max_len_seq(6, taps=[5, 1], length=100)
+        w, ws = ss.max_len_seq(6, taps=[5, 1], length=100)
+        assert np.array_equal(g, w) and np.array_equal(gs, ws)
+
+    def test_mls_property(self):
+        """An MLS has a near-ideal periodic autocorrelation."""
+        seq, _ = WV.max_len_seq(8)
+        s = 2.0 * seq - 1
+        n = s.size
+        ac = np.fft.ifft(np.abs(np.fft.fft(s)) ** 2).real / n
+        assert abs(ac[0] - 1.0) < 1e-9
+        assert np.max(np.abs(ac[1:])) < 1.0 / n + 1e-9
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            WV.max_len_seq(33)
+        with pytest.raises(PlanError):
+            WV.max_len_seq(4, state=np.zeros(4))
+        with pytest.raises(PlanError):
+            WV.max_len_seq(4, state=np.ones(3))
+
+
+class TestTf2Sos:
+    def test_matches_scipy(self):
+        for ba in [ss.butter(6, 0.3), ss.cheby1(5, 1, 0.4),
+                   ss.ellip(4, 1, 40, [0.2, 0.6], btype="bandpass")]:
+            assert np.allclose(D.tf2sos(*ba), ss.tf2sos(*ba), atol=1e-10)
+        ba = ss.butter(3, 5, analog=True)
+        assert np.allclose(D.tf2sos(*ba, analog=True),
+                           ss.tf2sos(*ba, analog=True), atol=1e-10)
+
+
+class TestAbcdNormalize:
+    def test_fill_missing(self):
+        A = [[1.0, 2.0], [3.0, 4.0]]
+        B = [[1.0], [0.0]]
+        C = [[1.0, 0.0]]
+        D_ = [[0.0]]
+        for args in [(A, B, C, D_), (A, B, None, D_), (None, B, C, None),
+                     (A, None, C, D_)]:
+            got = L.abcd_normalize(*args)
+            want = ss.abcd_normalize(*args)
+            for g, w in zip(got, want):
+                assert np.array_equal(g, w)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            L.abcd_normalize(A=[[1.0, 2.0], [3.0, 4.0]])
+        with pytest.raises(PlanError):
+            L.abcd_normalize(A=np.eye(2), B=np.ones((3, 1)),
+                             C=np.ones((1, 2)), D=np.ones((1, 1)))

@@ -54,7 +54,7 @@ __all__ = [
     "csd", "coherence", "lombscargle",
     "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
-    "czt", "zoom_fft",
+    "czt", "zoom_fft", "czt_points", "vectorstrength", "envelope",
     "fht", "ifht", "fhtoffset",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
@@ -1828,3 +1828,166 @@ def lombscargle(x, y, freqs, *, precenter: bool = False,
     if floating_mean:
         YY = YY - Y * Y
     return pgram * (0.5 / YY)
+
+
+def czt_points(m: int, w=None, a=1 + 0j):
+    """The m points on the spiral z-plane contour a * w^-k that
+    :func:`czt` evaluates (scipy.signal.czt_points semantics; default w
+    walks the unit circle)."""
+    m = int(m)
+    if m < 1:
+        raise PlanError("Invalid number of CZT data points (m <= 0)")
+    k = np.arange(m)
+    a = 1.0 * a
+    if w is None:
+        return a * np.exp(2j * np.pi * k / m)
+    return a * (1.0 * w) ** -k
+
+
+def vectorstrength(events, period):
+    """Vector strength of event times against one or more periods
+    (scipy.signal.vectorstrength semantics): project each event onto the
+    unit circle at angle 2*pi*event/period; the resultant's magnitude is
+    the strength, its angle the preferred phase.  Runs as a device
+    reduction on the VPU."""
+    events = jnp.asarray(events, jnp.float32)
+    period_arr = np.atleast_1d(np.asarray(period, dtype=np.float64))
+    if events.ndim > 1 or period_arr.ndim > 1:
+        raise PlanError("events and period must be one-dimensional")
+    if np.any(period_arr <= 0):
+        raise PlanError("periods must be positive")
+    scalar = np.ndim(period) == 0
+    ang = (2 * np.pi) * events[None, :] / jnp.asarray(period_arr,
+                                                      jnp.float32)[:, None]
+    re = jnp.mean(jnp.cos(ang), axis=-1)
+    im = jnp.mean(jnp.sin(ang), axis=-1)
+    strength = jnp.sqrt(re * re + im * im)
+    phase = jnp.arctan2(im, re)
+    if scalar:
+        return strength[0], phase[0]
+    return strength, phase
+
+
+def envelope(z, bp_in=(1, None), *, n_out: Optional[int] = None,
+             squared: bool = False, residual: Optional[str] = "lowpass",
+             axis: int = -1):
+    """Bandpass envelope + residual split (scipy.signal.envelope
+    semantics): the envelope is the magnitude of the analytic signal
+    rebuilt from the FFT bins ``bp_in[0]:bp_in[1]`` (integer multiples
+    of 1/(n*T)); ``residual`` selects what the band filter removed
+    ('lowpass': below-band content — for real input |bin| < bp_in[0]
+    plus the Nyquist bin; 'all': everything out of band; None: envelope
+    only).  ``n_out`` Fourier-resamples both outputs (selected bins
+    re-placed modulo n_out — scipy's aliasing behavior, verified
+    empirically).  Runs on the plan-layer FFTs.
+
+    Returns the envelope alone for ``residual=None``, else the stacked
+    ``(2, ...)`` [envelope, residual].  Real input gives a real
+    residual; complex (or interleaved) input gives interleaved outputs.
+    """
+    if residual not in ("lowpass", "all", None):
+        raise PlanError("residual must be 'lowpass', 'all' or None")
+    # floats are treated as REAL signals (unlike the transforms, a
+    # trailing dim of 2 is NOT auto-interpreted as interleaved — scipy's
+    # envelope of a (..., 2) float array is two real channels); pass
+    # complex (or pre-interleave via asinterleaved + a complex view) for
+    # the complex-signal path
+    if np.iscomplexobj(z):
+        real_in = False
+        x = asinterleaved(z)
+    else:
+        real_in = True
+        x = jnp.asarray(z, jnp.float32)
+    if real_in:
+        x = jnp.moveaxis(x, axis, -1)
+        n = x.shape[-1]
+        Z = fft(x, axis=-1, interleaved=False)        # (..., n, 2)
+    else:
+        ax = axis if axis >= 0 else x.ndim - 1 + axis
+        x = jnp.moveaxis(x, ax, -2)
+        n = x.shape[-2]
+        Z = fft(x, axis=-1)  # logical last axis = interleaved -2
+    bp0 = -(n // 2) if bp_in[0] is None else int(bp_in[0])
+    bp1 = (n + 1) // 2 if bp_in[1] is None else int(bp_in[1])
+    if not -(n // 2) <= bp0 < bp1 <= (n + 1) // 2:
+        raise PlanError(f"bp_in={bp_in!r} invalid for n={n}: need "
+                        f"-n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2")
+    bins = (np.arange(n) + n // 2) % n - n // 2       # signed bin index
+    inband = (bins >= bp0) & (bins < bp1)
+    nout = int(n_out) if n_out is not None else n
+
+    def band_ifft(mask, crop: bool):
+        sel = Z * jnp.asarray(mask, jnp.float32)[:, None]
+        if nout != n:
+            if crop:
+                # residual path: standard Fourier-resample semantics —
+                # when shrinking, bins beyond the new Nyquist are
+                # dropped (the two +/-nout/2 bins merge into the new
+                # Nyquist slot); when growing, an even-n Nyquist bin is
+                # split in half across +/-n/2
+                weights = np.ones(n)
+                keepable = (bins >= -(nout // 2)) & (bins <= nout // 2)
+                weights[~keepable] = 0.0
+                if nout > n and n % 2 == 0:
+                    weights[bins == -(n // 2)] = 0.5
+                sel = sel * jnp.asarray(weights, jnp.float32)[:, None]
+                dest = np.where(keepable, bins % nout, 0)
+                if nout > n and n % 2 == 0:
+                    # mirror half of the old Nyquist onto +n/2
+                    mirror = sel[..., bins == -(n // 2), :]
+                    placed = jnp.zeros(sel.shape[:-2] + (nout, 2),
+                                       sel.dtype)
+                    placed = placed.at[..., dest, :].add(sel)
+                    placed = placed.at[..., n // 2, :].add(
+                        mirror[..., 0, :])
+                    sel = placed * (nout / n)
+                else:
+                    placed = jnp.zeros(sel.shape[:-2] + (nout, 2),
+                                       sel.dtype)
+                    sel = placed.at[..., dest, :].add(sel) * (nout / n)
+            else:
+                # envelope path: cyclic (mod n_out) placement — a pure
+                # frequency shift of the baseband band, magnitude-
+                # invariant, and exactly scipy's aliasing behavior
+                dest = bins % nout
+                placed = jnp.zeros(sel.shape[:-2] + (nout, 2), sel.dtype)
+                sel = placed.at[..., dest, :].add(sel) * (nout / n)
+        return ifft(sel, axis=-1)  # logical last axis
+
+    env_c = band_ifft(inband, crop=False)
+    if real_in:
+        env_c = env_c * 2.0
+    env = jnp.sqrt(env_c[..., 0] ** 2 + env_c[..., 1] ** 2)
+    if squared:
+        env = env * env
+
+    def restore_real(arr):
+        return jnp.moveaxis(arr, -1, axis)
+
+    def restore_cplx(arr):
+        dst = axis - 1 if axis < 0 else axis + (arr.ndim - x.ndim)
+        return jnp.moveaxis(arr, -2, dst if axis < 0 else axis
+                            + (1 if arr.ndim > x.ndim else 0))
+
+    if residual is None:
+        return restore_real(env) if real_in else \
+            jnp.moveaxis(env, -1, axis if axis < 0 else axis)
+    if residual == "lowpass":
+        if real_in:
+            keep = np.abs(bins) < abs(bp0)
+            if n % 2 == 0:
+                keep = keep | (bins == -(n // 2))
+        else:
+            keep = bins < bp0
+    else:
+        if real_in:
+            keep = ~(inband | ((-bins >= bp0) & (-bins < bp1)))
+        else:
+            keep = ~inband
+    res_c = band_ifft(keep, crop=True)
+    if real_in:
+        out = jnp.stack([env, res_c[..., 0]], axis=0)
+        return jnp.moveaxis(out, -1, axis if axis < 0 else axis + 1)
+    out = jnp.stack([jnp.stack([env, jnp.zeros_like(env)], -1), res_c],
+                    axis=0)
+    return jnp.moveaxis(out, -2, axis - 1 if axis < 0 else axis + 1)

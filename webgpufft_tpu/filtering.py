@@ -57,6 +57,7 @@ from .ltisys import (  # noqa: F401
     cont2discrete, lsim, dlsim, step, impulse, dstep, dimpulse,
     findfreqs, freqs, freqs_zpk, freqresp, bode, dfreqresp, dbode,
     unique_roots, residue, residuez, invres, invresz,
+    abcd_normalize,
 )
 from . import ltisys as _ltisys
 

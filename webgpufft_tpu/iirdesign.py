@@ -30,7 +30,7 @@ __all__ = [
     "buttord", "cheb1ord", "cheb2ord", "ellipord",
     "bilinear", "bilinear_zpk",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
-    "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf",
+    "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf", "tf2sos",
     "iirnotch", "iirpeak", "iircomb", "iirdesign",
 ]
 
@@ -985,3 +985,10 @@ def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
     N, Wn = ordfunc(wp, ws, gpass, gstop, analog=analog, fs=fs)
     return iirfilter(N, Wn, rp=gpass, rs=gstop, btype=btype, analog=analog,
                      ftype=ftype_n, output=output, fs=fs)
+
+
+def tf2sos(b, a, pairing: Optional[str] = None, *, analog: bool = False):
+    """Transfer function -> second-order sections
+    (scipy.signal.tf2sos semantics: factor via tf2zpk, pair via
+    zpk2sos)."""
+    return zpk2sos(*tf2zpk(b, a), pairing=pairing, analog=analog)

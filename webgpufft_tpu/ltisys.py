@@ -35,6 +35,7 @@ __all__ = [
     "dstep", "dimpulse", "findfreqs", "freqs", "freqs_zpk",
     "freqresp", "bode", "dfreqresp", "dbode",
     "unique_roots", "residue", "residuez", "invres", "invresz",
+    "abcd_normalize",
 ]
 
 
@@ -814,3 +815,40 @@ def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
             np.asarray(p))):
         b, a = b.real, a.real
     return b, a
+
+
+def abcd_normalize(A=None, B=None, C=None, D=None):
+    """Fill in missing state-space matrices from the shapes of the given
+    ones (scipy.signal.abcd_normalize semantics): the state dimension
+    comes from A/B/C, input count from B/D, output count from C/D;
+    missing matrices become zeros; inconsistent shapes raise."""
+    def shape2(M):
+        if M is None:
+            return None
+        M = np.atleast_2d(np.asarray(M, dtype=np.float64))
+        if M.ndim > 2:
+            raise PlanError("state-space matrices must be 2-D")
+        return M
+    A, B, C, D = map(shape2, (A, B, C, D))
+    p = next((v for v in (
+        A.shape[0] if A is not None else None,
+        A.shape[1] if A is not None else None,
+        B.shape[0] if B is not None else None,
+        C.shape[1] if C is not None else None) if v is not None), None)
+    q = next((v for v in (
+        B.shape[1] if B is not None else None,
+        D.shape[1] if D is not None else None) if v is not None), None)
+    r = next((v for v in (
+        C.shape[0] if C is not None else None,
+        D.shape[0] if D is not None else None) if v is not None), None)
+    if p is None or q is None or r is None:
+        raise PlanError("Not enough information on the system.")
+    A = np.zeros((p, p)) if A is None else A
+    B = np.zeros((p, q)) if B is None else B
+    C = np.zeros((r, p)) if C is None else C
+    D = np.zeros((r, q)) if D is None else D
+    if A.shape != (p, p) or B.shape != (p, q) or C.shape != (r, p) \
+            or D.shape != (r, q):
+        raise PlanError("A, B, C, D have incompatible shapes: "
+                        f"{A.shape}, {B.shape}, {C.shape}, {D.shape}")
+    return A, B, C, D

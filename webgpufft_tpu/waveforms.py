@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from .spec import PlanError
 
 __all__ = ["chirp", "sweep_poly", "gausspulse", "sawtooth", "square",
-           "unit_impulse"]
+           "unit_impulse", "max_len_seq"]
 
 
 def _xp_for(t):
@@ -183,3 +183,60 @@ def unit_impulse(shape, idx=None, dtype=float):
         idx = (idx,) * len(shape_t)
     out[tuple(np.atleast_1d(idx))] = 1
     return jnp.asarray(out.astype(np.float32) if dtype is float else out)
+
+
+# standard published maximum-length LFSR tap table (Fibonacci form),
+# indexed by register length; same polynomials scipy uses
+_MLS_TAPS = {
+    2: [1], 3: [2], 4: [3], 5: [3], 6: [5], 7: [6], 8: [7, 6, 1],
+    9: [5], 10: [7], 11: [9], 12: [11, 10, 4], 13: [12, 11, 8],
+    14: [13, 12, 2], 15: [14], 16: [15, 13, 4], 17: [14], 18: [11],
+    19: [18, 17, 14], 20: [17], 21: [19], 22: [21], 23: [18],
+    24: [23, 22, 17], 25: [22], 26: [25, 24, 20], 27: [26, 25, 22],
+    28: [25], 29: [27], 30: [29, 28, 7], 31: [28], 32: [31, 30, 10],
+}
+
+
+def max_len_seq(nbits: int, state=None, length=None, taps=None):
+    """Maximum-length sequence (MLS) generator
+    (scipy.signal.max_len_seq semantics): Fibonacci LFSR over GF(2) on a
+    circular state buffer; returns ``(seq, final_state)``.  Host bit
+    recursion — an MLS is a TABLE like the window functions, consumed by
+    device pipelines (e.g. impulse-response measurement via fftconvolve)."""
+    nbits = int(nbits)
+    if taps is None:
+        if nbits not in _MLS_TAPS:
+            raise PlanError(f"nbits must be between 2 and 32 when taps is "
+                            f"not given, got {nbits}")
+        taps = np.array(_MLS_TAPS[nbits], np.intp)
+    else:
+        taps = np.unique(np.asarray(taps, np.intp))[::-1]
+        if np.any(taps < 0) or np.any(taps > nbits) or taps.size < 1:
+            raise PlanError("taps must be non-empty with values between "
+                            "0 and nbits (inclusive)")
+        taps = np.asarray(taps, np.intp)
+    n_max = (2 ** nbits) - 1
+    if length is None:
+        length = n_max
+    else:
+        length = int(length)
+        if length < 0:
+            raise PlanError("length must be greater than or equal to 0")
+    if state is None:
+        state = np.ones(nbits, dtype=np.int8)
+    else:
+        state = (np.asarray(state, dtype=np.float64) != 0).astype(np.int8)
+    if state.ndim != 1 or state.size != nbits:
+        raise PlanError("state must be a 1-D array of size nbits")
+    if np.all(state == 0):
+        raise PlanError("state must not be all zeros")
+    seq = np.empty(length, dtype=np.int8)
+    idx = 0
+    for i in range(length):
+        fb = state[idx]
+        seq[i] = fb
+        for t in taps:
+            fb ^= state[(t + idx) % nbits]
+        state[idx] = fb
+        idx = (idx + 1) % nbits
+    return seq, np.roll(state, -idx)
