@@ -55,6 +55,7 @@ __all__ = [
     "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft", "czt_points", "vectorstrength", "envelope",
+    "ShortTimeFFT",
     "fht", "ifht", "fhtoffset",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
@@ -1991,3 +1992,8 @@ def envelope(z, bp_in=(1, None), *, n_out: Optional[int] = None,
     out = jnp.stack([jnp.stack([env, jnp.zeros_like(env)], -1), res_c],
                     axis=0)
     return jnp.moveaxis(out, -2, axis - 1 if axis < 0 else axis + 1)
+
+
+# the modern STFT class lives in shorttime.py (late import: it
+# builds on this module's framing/transform machinery)
+from .shorttime import ShortTimeFFT  # noqa: E402
