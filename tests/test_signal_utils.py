@@ -193,3 +193,122 @@ class TestAbcdNormalize:
         with pytest.raises(PlanError):
             L.abcd_normalize(A=np.eye(2), B=np.ones((3, 1)),
                              C=np.ones((1, 2)), D=np.ones((1, 1)))
+
+
+class TestColaNola:
+    @pytest.mark.parametrize("win,W,O", [
+        ("hann", 8, 4), ("hann", 8, 5), ("hann", 8, 3), ("boxcar", 10, 0),
+        ("blackman", 64, 32), ("hann", 256, 96)])
+    def test_matches_scipy(self, win, W, O):
+        assert wfft.check_COLA(win, W, O) == ss.check_COLA(win, W, O)
+        assert wfft.check_NOLA(win, W, O) == ss.check_NOLA(win, W, O)
+
+    def test_array_window_and_validation(self):
+        w = np.ones(7)
+        assert wfft.check_COLA(w, 7, 3) == ss.check_COLA(w, 7, 3)
+        with pytest.raises(PlanError):
+            wfft.check_COLA("hann", 8, 8)
+        with pytest.raises(PlanError):
+            wfft.check_NOLA("hann", 0, 0)
+
+
+class TestChooseConvMethod:
+    def test_far_from_boundary(self):
+        for a, b in [(5, 3), (100, 10), (100000, 9000), (50, 40)]:
+            assert wfft.choose_conv_method(np.ones(a), np.ones(b)) == \
+                ss.choose_conv_method(np.ones(a), np.ones(b)), (a, b)
+
+    def test_integer_exactness(self):
+        assert wfft.choose_conv_method(np.arange(10), np.arange(3)) \
+            == "direct"
+
+    def test_measure(self):
+        method, times = wfft.choose_conv_method(
+            np.ones(256), np.ones(64), measure=True)
+        assert method in ("fft", "direct")
+        assert set(times) == {"fft", "direct"}
+
+
+class TestCztZoomClasses:
+    def test_czt_class(self, rng):
+        x = rng.standard_normal(37)
+        w = 0.995 * np.exp(-1j * 0.07)
+        got = ascomplex(np.asarray(wfft.CZT(37, 11, w, 1.1)(x)))
+        want = ss.CZT(37, 11, w, 1.1)(x)
+        assert np.allclose(got, want, atol=1e-4)
+        assert np.allclose(wfft.CZT(37, 11, w, 1.1).points(),
+                           ss.CZT(37, 11, w, 1.1).points())
+
+    @pytest.mark.parametrize("endpoint", [False, True])
+    def test_zoomfft_class(self, rng, endpoint):
+        x = rng.standard_normal(37)
+        got = ascomplex(np.asarray(
+            wfft.ZoomFFT(37, [2, 9], 23, fs=20, endpoint=endpoint)(x)))
+        want = ss.ZoomFFT(37, [2, 9], 23, fs=20, endpoint=endpoint)(x)
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            wfft.CZT(0)
+        with pytest.raises(PlanError):
+            wfft.ZoomFFT(16, [1, 2, 3])
+
+
+class TestLfiltic:
+    def test_matches_scipy(self):
+        b, a = ss.butter(3, 0.3)
+        for y, x in [([1., 2., 3.], [4., 5., 6.]), ([1., 2., 3.], None),
+                     ([1.], [2.])]:
+            from webgpufft_tpu import filtering as FL
+            assert np.allclose(FL.lfiltic(b, a, y, x),
+                               ss.lfiltic(b, a, y, x), atol=1e-12)
+
+    def test_feeds_lfilter(self, rng):
+        from webgpufft_tpu import filtering as FL
+        b, a = ss.butter(2, 0.4)
+        past_y = [0.3, -0.1]
+        past_x = [1.0, 0.5]
+        zi = FL.lfiltic(b, a, past_y, past_x)
+        x = rng.standard_normal(50)
+        got, _ = FL.lfilter(b, a, x, zi=zi)
+        want, _ = ss.lfilter(b, a, x, zi=ss.lfiltic(b, a, past_y, past_x))
+        assert np.allclose(np.asarray(got), want, atol=1e-4)
+
+
+class TestTfTransformsAndBandStopObj:
+    def test_lp2_tf_forms(self):
+        from webgpufft_tpu import iirdesign as DD
+        proto = ss.butter(4, 1, analog=True)
+        for fn_g, fn_s, args in [
+            (DD.lp2lp, ss.lp2lp, (*proto, 2.0)),
+            (DD.lp2hp, ss.lp2hp, (*proto, 3.0)),
+            (DD.lp2bp, ss.lp2bp, (*proto, 3.0, 1.5)),
+            (DD.lp2bs, ss.lp2bs, (*proto, 3.0, 1.5)),
+        ]:
+            bg, ag = fn_g(*args)
+            be, ae = fn_s(*args)
+            bg, be = np.atleast_1d(bg), np.atleast_1d(be)
+            if bg.size < be.size:
+                bg = np.pad(bg, (be.size - bg.size, 0))
+            assert np.allclose(bg, be, atol=1e-8, rtol=1e-8), fn_s.__name__
+            assert np.allclose(ag, ae, atol=1e-8, rtol=1e-8), fn_s.__name__
+
+    def test_band_stop_obj(self):
+        from webgpufft_tpu import iirdesign as DD
+        passb = np.array([0.1, 0.6]) * np.pi
+        stopb = np.array([0.2, 0.5]) * np.pi
+        for t in ("butter", "cheby", "ellip"):
+            g = DD.band_stop_obj(0.18, 0, passb, stopb, 1, 40, t)
+            w = ss.band_stop_obj(0.18, 0, passb, stopb, 1, 40, t)
+            assert np.isclose(g, w), t
+
+
+class TestFreqzSos:
+    def test_alias(self):
+        from webgpufft_tpu import filtering as FL
+        sos = ss.butter(6, 0.25, output="sos")
+        w0, h0 = ss.freqz_sos(sos, worN=128)
+        w1, h1 = FL.freqz_sos(sos, worN=128)
+        assert np.allclose(w0, w1)
+        assert np.allclose(ascomplex(np.asarray(h1)) if np.asarray(h1).ndim > 1 else h1,
+                           h0, atol=1e-5)

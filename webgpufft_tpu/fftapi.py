@@ -55,7 +55,8 @@ __all__ = [
     "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft", "czt_points", "vectorstrength", "envelope",
-    "ShortTimeFFT",
+    "ShortTimeFFT", "CZT", "ZoomFFT",
+    "check_COLA", "check_NOLA", "choose_conv_method",
     "fht", "ifht", "fhtoffset",
     "detrend", "get_window",
     "fftfreq", "rfftfreq", "fftshift", "ifftshift", "next_fast_len",
@@ -1997,3 +1998,138 @@ def envelope(z, bp_in=(1, None), *, n_out: Optional[int] = None,
 # the modern STFT class lives in shorttime.py (late import: it
 # builds on this module's framing/transform machinery)
 from .shorttime import ShortTimeFFT  # noqa: E402
+
+
+def _check_window_f64(window, nperseg: int) -> np.ndarray:
+    """f64 window for the COLA/NOLA checks — the 1e-10 tolerances are
+    finer than the f32 device window tables."""
+    if isinstance(window, (str, tuple)):
+        from scipy.signal import get_window as _gw
+        return np.asarray(_gw(window, nperseg), dtype=np.float64)
+    win = np.asarray(window, dtype=np.float64)
+    if win.ndim != 1 or win.size != nperseg:
+        raise PlanError("window must be 1-D with length nperseg")
+    return win
+
+
+def check_COLA(window, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """Constant-overlap-add check (scipy.signal.check_COLA semantics):
+    the hop-shifted window copies must sum to a constant."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1:
+        raise PlanError("nperseg must be a positive integer")
+    if not 0 <= noverlap < nperseg:
+        raise PlanError("noverlap must be less than nperseg.")
+    win = _check_window_f64(window, nperseg)
+    step = nperseg - noverlap
+    binsums = np.sum([win[ii * step:(ii + 1) * step]
+                      for ii in range(nperseg // step)], axis=0)
+    if nperseg % step != 0:
+        binsums[:nperseg % step] += win[-(nperseg % step):]
+    return bool(np.max(np.abs(binsums - np.median(binsums))) < tol)
+
+
+def check_NOLA(window, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """Nonzero-overlap-add check (scipy.signal.check_NOLA semantics):
+    the hop-aliased win^2 profile must stay above tol everywhere."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1:
+        raise PlanError("nperseg must be a positive integer")
+    if not 0 <= noverlap < nperseg:
+        raise PlanError("noverlap must be less than nperseg")
+    win = _check_window_f64(window, nperseg)
+    step = nperseg - noverlap
+    w2 = win * win
+    binsums = np.sum([w2[ii * step:(ii + 1) * step]
+                      for ii in range(nperseg // step)], axis=0)
+    if nperseg % step != 0:
+        binsums[:nperseg % step] += w2[-(nperseg % step):]
+    return bool(np.min(binsums) > tol)
+
+
+def choose_conv_method(in1, in2, mode: str = "full",
+                       measure: bool = False):
+    """Pick 'fft' or 'direct' like scipy.signal.choose_conv_method.
+
+    On this framework every convolution executes through the FFT plan
+    layer regardless; this exists so ported code keeps working.  The
+    big-O crossover (direct n*m flops vs (n+m) log(n+m)) approximates
+    scipy's fitted constants; exact-integer inputs always pick 'direct'
+    like scipy (FFT rounding would break exactness).  ``measure=True``
+    times both scipy paths on the HOST oracle (the device has no direct
+    path to race)."""
+    x1 = np.asarray(in1)
+    x2 = np.asarray(in2)
+    if measure:
+        import timeit
+        from scipy.signal import convolve as _sconv
+        times = {}
+        for method in ("fft", "direct"):
+            times[method] = timeit.timeit(
+                lambda m=method: _sconv(x1, x2, mode=mode, method=m),
+                number=1)
+        chosen = "fft" if times["fft"] < times["direct"] else "direct"
+        return chosen, times
+    if x1.dtype.kind in "ui" and x2.dtype.kind in "ui" or \
+            x1.dtype.kind == "b" or x2.dtype.kind == "b":
+        return "direct"
+    n1, n2 = x1.size, x2.size
+    if n1 == 0 or n2 == 0:
+        return "direct"
+    big, small = max(n1, n2), min(n1, n2)
+    direct_cost = big * small
+    L = n1 + n2
+    fft_cost = 6.0 * L * np.log2(max(L, 2))
+    return "fft" if direct_cost > fft_cost else "direct"
+
+
+class CZT:
+    """Precomputed chirp z-transform operator
+    (scipy.signal.CZT semantics): ``CZT(n, m, w, a)(x)`` evaluates the
+    length-n transform at m spiral points; plans build once per input
+    shape through the framework cache."""
+
+    def __init__(self, n: int, m: Optional[int] = None, w=None,
+                 a=1 + 0j):
+        self.n = int(n)
+        if self.n < 1:
+            raise PlanError("Invalid number of CZT data points (n <= 0)")
+        self.m = self.n if m is None else int(m)
+        if self.m < 1:
+            raise PlanError("Invalid number of CZT output points (m <= 0)")
+        self.w = w
+        self.a = a
+
+    def __call__(self, x, *, axis: int = -1):
+        return czt(x, self.m, self.w, self.a, axis=axis)
+
+    def points(self) -> np.ndarray:
+        """The spiral evaluation points (scipy.signal.CZT.points)."""
+        return czt_points(self.m, self.w, self.a)
+
+
+class ZoomFFT(CZT):
+    """Precomputed zoom-FFT operator (scipy.signal.ZoomFFT semantics):
+    band [f1, f2] of the length-n spectrum at m points."""
+
+    def __init__(self, n: int, fn, m: Optional[int] = None, *,
+                 fs: float = 2, endpoint: bool = False):
+        n = int(n)
+        fn_arr = np.atleast_1d(np.asarray(fn, dtype=np.float64))
+        if fn_arr.size == 2:
+            f1, f2 = float(fn_arr[0]), float(fn_arr[1])
+        elif fn_arr.size == 1:
+            f1, f2 = 0.0, float(fn_arr[0])
+        else:
+            raise PlanError("fn must be a scalar or a length-2 sequence")
+        self.f1, self.f2, self.fs = f1, f2, float(fs)
+        m = n if m is None else int(m)
+        scale = ((f2 - f1) * m) / (self.fs * (m - 1)) if endpoint \
+            else (f2 - f1) / self.fs
+        a = np.exp(2j * np.pi * f1 / self.fs)
+        wp = np.exp(-2j * np.pi * scale / m)
+        super().__init__(n, m=m, w=wp, a=a)

@@ -63,9 +63,9 @@ from . import ltisys as _ltisys
 
 __all__ = [
     "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
-    "freqz", "sosfreqz", "freqz_zpk", "group_delay",
+    "freqz", "sosfreqz", "freqz_sos", "freqz_zpk", "group_delay",
     "firls", "minimum_phase", "remez", "kaiserord",
-    "lfilter", "lfilter_zi", "filtfilt",
+    "lfilter", "lfilter_zi", "lfiltic", "filtfilt",
     "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "savgol_coeffs", "savgol_filter",
     "wiener", "order_filter", "medfilt", "medfilt2d",
@@ -1181,3 +1181,39 @@ from .splines import (  # noqa: E402,F401
 from . import splines as _splines  # noqa: E402
 
 __all__ += list(_splines.__all__)
+
+
+def lfiltic(b, a, y, x=None):
+    """Initial lfilter state from past outputs/inputs
+    (scipy.signal.lfiltic semantics): y = [y[-1], y[-2], ...],
+    x = [x[-1], x[-2], ...]; host table math feeding lfilter's zi."""
+    b = _coeff_1d(b, "b")
+    a = _coeff_1d(a, "a")
+    if a[0] == 0:
+        raise PlanError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    N = a.size - 1
+    M = b.size - 1
+    K = max(M, N)
+    y = np.asarray(y, dtype=np.float64).ravel()
+    if y.size < N:
+        y = np.concatenate([y, np.zeros(N - y.size)])
+    if x is None:
+        x = np.zeros(M)
+    else:
+        x = np.asarray(x, dtype=np.float64).ravel()
+        if x.size < M:
+            x = np.concatenate([x, np.zeros(M - x.size)])
+    zi = np.zeros(K)
+    for m in range(M):
+        zi[m] += np.sum(b[m + 1:] * x[:M - m])
+    for m in range(N):
+        zi[m] -= np.sum(a[m + 1:] * y[:N - m])
+    return zi
+
+
+def freqz_sos(sos, worN=512, whole: bool = False, fs: float = 2 * np.pi):
+    """Frequency response of an SOS filter — scipy's new name for
+    sosfreqz (scipy.signal.freqz_sos)."""
+    return sosfreqz(sos, worN=worN, whole=whole, fs=fs)

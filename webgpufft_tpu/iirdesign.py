@@ -30,6 +30,7 @@ __all__ = [
     "buttord", "cheb1ord", "cheb2ord", "ellipord",
     "bilinear", "bilinear_zpk",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+    "lp2lp", "lp2hp", "lp2bp", "lp2bs", "band_stop_obj",
     "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf", "tf2sos",
     "iirnotch", "iirpeak", "iircomb", "iirdesign",
 ]
@@ -992,3 +993,43 @@ def tf2sos(b, a, pairing: Optional[str] = None, *, analog: bool = False):
     (scipy.signal.tf2sos semantics: factor via tf2zpk, pair via
     zpk2sos)."""
     return zpk2sos(*tf2zpk(b, a), pairing=pairing, analog=analog)
+
+
+def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
+    """Band-stop order objective (scipy.signal.band_stop_obj semantics):
+    the analog filter order needed when passband edge ``ind`` moves to
+    ``wp`` — the function the bandstop *ord selectors minimize."""
+    return _band_stop_order(float(wp), int(ind),
+                            np.asarray(passb, dtype=np.float64),
+                            np.asarray(stopb, dtype=np.float64),
+                            float(gpass), float(gstop), type)
+
+
+def _tf_transform(b, a, zpk_fn, *args):
+    """Apply a zpk-domain frequency transform to a (b, a) pair
+    (scipy's lp2lp/lp2hp/lp2bp/lp2bs tf forms route through zpk here;
+    coefficient agreement with scipy's direct polynomial arithmetic is
+    to root-finding precision, pinned in tests)."""
+    z, p, k = tf2zpk(b, a)
+    z2, p2, k2 = zpk_fn(z, p, k, *args)
+    return zpk2tf(z2, p2, k2)
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at wo, tf form (scipy.signal.lp2lp)."""
+    return _tf_transform(b, a, lp2lp_zpk, float(wo))
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> highpass at wo, tf form (scipy.signal.lp2hp)."""
+    return _tf_transform(b, a, lp2hp_zpk, float(wo))
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass (center wo, width bw), tf form."""
+    return _tf_transform(b, a, lp2bp_zpk, float(wo), float(bw))
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop (center wo, width bw), tf form."""
+    return _tf_transform(b, a, lp2bs_zpk, float(wo), float(bw))
