@@ -407,3 +407,89 @@ class TestPartialFractions:
             L.residuez([1.0], [0.0, 1.0])
         with pytest.raises(PlanError):
             L.unique_roots([1.0], rtype="median")
+
+
+class TestLtiClasses:
+    def test_tf_roundtrips(self):
+        A = L.lti([1.0, 2], [3, 4, 5])
+        B = ss.lti([1.0, 2], [3, 4, 5])
+        _close(A.num, B.num, tol=1e-12)
+        _close(A.den, B.den, tol=1e-12)
+        _close(np.sort_complex(A.poles), np.sort_complex(B.poles),
+               tol=1e-9)
+        _close(A.zeros, B.zeros, tol=1e-9)
+        za, zb = A.to_zpk(), B.to_zpk()
+        assert np.isclose(za.gain, zb.gain)
+        sa, sb = A.to_ss(), B.to_ss()
+        _close(sa.A, sb.A, tol=1e-12)
+        _close(sa.D, sb.D, tol=1e-12)
+        assert A.dt is None and sa.dt is None
+
+    def test_to_discrete(self):
+        A = L.lti([1.0, 2], [3, 4, 5])
+        B = ss.lti([1.0, 2], [3, 4, 5])
+        with warnings.catch_warnings():
+            # scipy's own to_discrete tf path warns BadCoefficients
+            warnings.simplefilter("ignore")
+            da, db = A.to_discrete(0.1), B.to_discrete(0.1)
+        _close(da.num, db.num, tol=1e-10)
+        _close(da.den, db.den, tol=1e-10)
+        assert da.dt == db.dt == 0.1
+        with pytest.raises(PlanError):
+            da.to_discrete(0.1)
+
+    def test_responses(self):
+        A = L.lti([1.0, 2], [3, 4, 5])
+        B = ss.lti([1.0, 2], [3, 4, 5])
+        wa, ma, pa = A.bode(n=50)
+        wb, mb, pb = B.bode(n=50)
+        _close(wa, wb)
+        _close(ma, mb, tol=1e-7)
+        ta, ya = A.step()
+        tb, yb = B.step()
+        _close(ta, tb)
+        _close(ya, yb, tol=5e-4)
+        ta, ya = A.impulse(N=64)
+        tb, yb = B.impulse(N=64)
+        _close(ya, yb, tol=5e-4)
+        T = np.linspace(0, 1, 30)
+        _close(A.output(np.ones(30), T)[1], B.output(np.ones(30), T)[1],
+               tol=5e-4)
+
+    def test_discrete_classes(self):
+        D1 = L.dlti([1.0, 0.5], [1.0, -0.5], dt=0.2)
+        D2 = ss.dlti([1.0, 0.5], [1.0, -0.5], dt=0.2)
+        td, yd = D1.step(n=5)
+        te, ye = D2.step(n=5)
+        _close(td, te)
+        _close(yd[0], ye[0], tol=1e-6)
+        wfa, ha = D1.freqresp(n=16)
+        wfb, hb = D2.freqresp(n=16)
+        _close(wfa, wfb)
+        _close(ha, hb, tol=1e-7)
+        Z1 = L.ZerosPolesGain([1], [0.5, 0.4], 2.0, dt=0.1)
+        Z2 = ss.ZerosPolesGain([1], [0.5, 0.4], 2.0, dt=0.1)
+        _close(Z1.freqresp(n=8)[1], Z2.freqresp(n=8)[1], tol=1e-8)
+        u = np.ones(12)
+        o1 = D1.output(u, None)
+        o2 = D2.output(u, None)
+        _close(o1[1], o2[1], tol=1e-5)
+
+    def test_statespace_and_factories(self):
+        S1 = L.StateSpace(np.eye(2) * 0.5, np.ones((2, 1)),
+                          np.ones((1, 2)), np.zeros((1, 1)), dt=True)
+        assert S1.inputs == 1 and S1.outputs == 1 and S1.dt is True
+        assert isinstance(L.lti([1], [1, 1]), L.TransferFunction)
+        assert isinstance(L.lti([], [-1.0], 2.0), L.ZerosPolesGain)
+        assert isinstance(L.lti(np.eye(1), np.ones((1, 1)),
+                                np.ones((1, 1)), np.zeros((1, 1))),
+                          L.StateSpace)
+        with pytest.raises(PlanError):
+            L.lti([1.0])
+        # conversion chain vs scipy (its ss2tf path warns)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            A = L.lti([], [-1.0, -2.0], 3.0).to_ss().to_tf()
+            B = ss.lti([], [-1.0, -2.0], 3.0).to_ss().to_tf()
+        _close(np.atleast_1d(A.num), np.atleast_1d(B.num), tol=1e-9)
+        _close(A.den, B.den, tol=1e-9)

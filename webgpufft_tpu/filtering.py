@@ -58,6 +58,7 @@ from .ltisys import (  # noqa: F401
     findfreqs, freqs, freqs_zpk, freqresp, bode, dfreqresp, dbode,
     unique_roots, residue, residuez, invres, invresz,
     abcd_normalize,
+    lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
 )
 from . import ltisys as _ltisys
 

@@ -36,6 +36,7 @@ __all__ = [
     "freqresp", "bode", "dfreqresp", "dbode",
     "unique_roots", "residue", "residuez", "invres", "invresz",
     "abcd_normalize",
+    "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
 ]
 
 
@@ -852,3 +853,211 @@ def abcd_normalize(A=None, B=None, C=None, D=None):
         raise PlanError("A, B, C, D have incompatible shapes: "
                         f"{A.shape}, {B.shape}, {C.shape}, {D.shape}")
     return A, B, C, D
+
+
+# ------------------------------------------------------------ LTI classes
+
+class _LtiBase:
+    """Shared machinery of the tuple-form system classes
+    (scipy.signal lti/dlti semantics: ``dt is None`` means continuous;
+    any other value — including True — means discrete)."""
+
+    dt = None
+
+    @property
+    def is_discrete(self) -> bool:
+        return self.dt is not None
+
+    def _dt_tail(self):
+        return () if self.dt is None else (self.dt,)
+
+    # system-form accessors implemented by subclasses: _as_tf/_as_zpk/_as_ss
+
+    def to_tf(self):
+        num, den = self._as_tf()
+        return TransferFunction(num, den, dt=self.dt)
+
+    def to_zpk(self):
+        z, p, k = self._as_zpk()
+        return ZerosPolesGain(z, p, k, dt=self.dt)
+
+    def to_ss(self):
+        A, B, C, D = self._as_ss()
+        return StateSpace(A, B, C, D, dt=self.dt)
+
+    def to_discrete(self, dt: float, method: str = "zoh", alpha=None):
+        if self.is_discrete:
+            raise PlanError("to_discrete only applies to continuous "
+                            "systems")
+        out = cont2discrete(self._tuple(), dt, method=method, alpha=alpha)
+        return type(self)(*out[:-1], dt=out[-1])
+
+    @property
+    def zeros(self):
+        return self._as_zpk()[0]
+
+    @property
+    def poles(self):
+        return self._as_zpk()[1]
+
+    @property
+    def inputs(self) -> int:
+        return self._as_ss()[3].shape[1]
+
+    @property
+    def outputs(self) -> int:
+        return self._as_ss()[3].shape[0]
+
+    # ------------------------------------------------- response methods
+
+    def freqresp(self, w=None, n: int = 10000):
+        if self.is_discrete:
+            return dfreqresp(self._tuple() + (self._num_dt(),), w=w, n=n)
+        return freqresp(self._tuple(), w=w, n=n)
+
+    def bode(self, w=None, n: int = 100):
+        if self.is_discrete:
+            return dbode(self._tuple() + (self._num_dt(),), w=w, n=n)
+        return bode(self._tuple(), w=w, n=n)
+
+    def _num_dt(self) -> float:
+        return 1.0 if self.dt is True else float(self.dt)
+
+    def step(self, X0=None, T=None, N=None, **kw):
+        if self.is_discrete:
+            t, ys = dstep(self._tuple() + (self._num_dt(),),
+                          x0=kw.get("x0", X0), t=T,
+                          n=kw.get("n", N))
+            return t, ys
+        return step(self._tuple(), X0=X0, T=T, N=N)
+
+    def impulse(self, X0=None, T=None, N=None, **kw):
+        if self.is_discrete:
+            t, ys = dimpulse(self._tuple() + (self._num_dt(),),
+                             x0=kw.get("x0", X0), t=T,
+                             n=kw.get("n", N))
+            return t, ys
+        return impulse(self._tuple(), X0=X0, T=T, N=N)
+
+    def output(self, U, T, X0=None):
+        if self.is_discrete:
+            return dlsim(self._tuple() + (self._num_dt(),), U, t=T,
+                         x0=X0)
+        return lsim(self._tuple(), U, T, X0=X0)
+
+    def __repr__(self):
+        kind = "dt: {!r}".format(self.dt) if self.is_discrete \
+            else "continuous-time"
+        return f"{type(self).__name__}({kind})"
+
+
+class TransferFunction(_LtiBase):
+    """Transfer-function system (scipy.signal.TransferFunction
+    semantics: coefficients normalized on construction)."""
+
+    def __init__(self, num, den, *, dt=None):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            self.num, self.den = normalize(num, den)
+        # single-output systems keep a 1-D num (scipy flattens the
+        # (1, k) row that e.g. cont2discrete's tf path produces)
+        num2 = np.atleast_2d(self.num)
+        if num2.shape[0] == 1:
+            self.num = num2[0]
+        self.dt = dt
+
+    def _tuple(self):
+        return (self.num, self.den)
+
+    def _as_tf(self):
+        return self.num, self.den
+
+    def _as_zpk(self):
+        return tf2zpk(np.atleast_1d(self.num), self.den)
+
+    def _as_ss(self):
+        return _atleast_ss(*tf2ss(self.num, self.den))
+
+    def to_tf(self):
+        return self
+
+
+class ZerosPolesGain(_LtiBase):
+    """Zero-pole-gain system (scipy.signal.ZerosPolesGain)."""
+
+    def __init__(self, zeros, poles, gain, *, dt=None):
+        self.zeros = np.atleast_1d(np.asarray(zeros))
+        self.poles = np.atleast_1d(np.asarray(poles))
+        self.gain = float(np.real(gain)) if np.isrealobj(gain) \
+            else complex(gain)
+        self.dt = dt
+
+    # zeros/poles are plain attributes here
+    zeros = None
+    poles = None
+
+    def _tuple(self):
+        return (self.zeros, self.poles, self.gain)
+
+    def _as_tf(self):
+        return zpk2tf(self.zeros, self.poles, self.gain)
+
+    def _as_zpk(self):
+        return self.zeros, self.poles, self.gain
+
+    def _as_ss(self):
+        return _atleast_ss(*zpk2ss(self.zeros, self.poles, self.gain))
+
+    def to_zpk(self):
+        return self
+
+
+class StateSpace(_LtiBase):
+    """State-space system (scipy.signal.StateSpace)."""
+
+    def __init__(self, A, B, C, D, *, dt=None):
+        self.A, self.B, self.C, self.D = abcd_normalize(A, B, C, D)
+        self.dt = dt
+
+    def _tuple(self):
+        return (self.A, self.B, self.C, self.D)
+
+    def _as_tf(self):
+        num, den = ss2tf(self.A, self.B, self.C, self.D)
+        return np.atleast_2d(num)[0], den
+
+    def _as_zpk(self):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return ss2zpk(self.A, self.B, self.C, self.D)
+
+    def _as_ss(self):
+        return self.A, self.B, self.C, self.D
+
+    def to_ss(self):
+        return self
+
+
+def _system_factory(args, dt):
+    if len(args) == 2:
+        return TransferFunction(*args, dt=dt)
+    if len(args) == 3:
+        return ZerosPolesGain(*args, dt=dt)
+    if len(args) == 4:
+        return StateSpace(*args, dt=dt)
+    raise PlanError("needs 2 (tf), 3 (zpk) or 4 (ss) system arguments")
+
+
+def lti(*system):
+    """Continuous-time system factory (scipy.signal.lti semantics):
+    dispatches on argument count to TransferFunction / ZerosPolesGain /
+    StateSpace with ``dt=None``."""
+    return _system_factory(system, None)
+
+
+def dlti(*system, dt=True):
+    """Discrete-time system factory (scipy.signal.dlti semantics;
+    ``dt=True`` means unspecified-but-discrete)."""
+    return _system_factory(system, dt)
