@@ -78,7 +78,7 @@ __all__ = [
     "upload_complex", "download_complex",
     "create_distributed_plan",
     "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
-    "peaks", "ltisys", "splines", "ShortTimeFFT",
+    "peaks", "ltisys", "splines", "windows", "ShortTimeFFT",
 ]
 
 
@@ -236,5 +236,6 @@ from . import waveforms  # noqa: E402
 from . import peaks  # noqa: E402
 from . import ltisys  # noqa: E402
 from . import splines  # noqa: E402
+from . import windows  # noqa: E402
 from .shorttime import ShortTimeFFT  # noqa: E402
 fft = fftapi

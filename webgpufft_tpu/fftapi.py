@@ -817,41 +817,19 @@ def detrend(data, axis: int = -1, type: str = "linear", bp=0):
 def get_window(window, Nx: int, fftbins: bool = True) -> np.ndarray:
     """Window samples (scipy.signal.get_window semantics: string, (name,
     param) tuple, or a float Kaiser beta; ``fftbins=True`` gives the
-    periodic form used by the spectral estimators)."""
-    if isinstance(window, (int, float)) and not isinstance(window, bool):
-        window = ("kaiser", float(window))
-    try:
-        from scipy.signal import get_window as _gw
-        return np.asarray(_gw(window, int(Nx), fftbins=fftbins), np.float32)
-    except ImportError:
-        if fftbins:
-            return _get_window(window, int(Nx))
-        table = {"hann": np.hanning, "hamming": np.hamming,
-                 "blackman": np.blackman}
-        if not isinstance(window, str) or window not in table:
-            raise PlanError(
-                f"window {window!r} needs scipy; available without it: "
-                f"{sorted(table)}")
-        return np.asarray(table[window](int(Nx)), np.float32)
+    periodic form used by the spectral estimators).  Resolved through
+    the framework's own window zoo (webgpufft_tpu.windows, scipy-pinned)
+    — no scipy dependency at runtime."""
+    from .windows import get_window as _gw
+    return np.asarray(_gw(window, int(Nx), fftbins=fftbins), np.float32)
 
 
 # ---------------------------------------------------------------- stft
 
 def _get_window(window, W: int) -> np.ndarray:
     if isinstance(window, (str, tuple)):
-        try:
-            from scipy.signal import get_window as _gw
-            return np.asarray(_gw(window, W), np.float32)
-        except ImportError:
-            table = {"hann": np.hanning, "hamming": np.hamming,
-                     "blackman": np.blackman}
-            if not isinstance(window, str) or window not in table:
-                raise PlanError(
-                    f"window {window!r} needs scipy; available without it: "
-                    f"{sorted(table)}")
-            # numpy's windows are symmetric; scipy's get_window default is
-            # periodic — build periodic from the W+1 symmetric form
-            return np.asarray(table[window](W + 1)[:W], np.float32)
+        from .windows import get_window as _gw
+        return np.asarray(_gw(window, W), np.float32)
     w = np.asarray(window, np.float32)
     if w.shape != (W,):
         raise PlanError(f"window must have length nperseg ({W}), "
