@@ -312,3 +312,130 @@ class TestFreqzSos:
         assert np.allclose(w0, w1)
         assert np.allclose(ascomplex(np.asarray(h1)) if np.asarray(h1).ndim > 1 else h1,
                            h0, atol=1e-5)
+
+
+class TestGammatone:
+    @pytest.mark.parametrize("freq,fs", [(440, 16000), (1000, 44100),
+                                         (0.3, 2)])
+    def test_iir_and_fir(self, freq, fs):
+        bg, ag = D.gammatone(freq, "iir", fs=fs)
+        be, ae = ss.gammatone(freq, "iir", fs=fs)
+        assert np.allclose(bg, be, atol=1e-18, rtol=1e-10)
+        assert np.allclose(ag, ae, atol=1e-14, rtol=1e-10)
+        bg, ag = D.gammatone(freq, "fir", fs=fs)
+        be, ae = ss.gammatone(freq, "fir", fs=fs)
+        assert np.allclose(bg, be, atol=1e-15)
+
+    def test_fir_custom_order(self):
+        bg, _ = D.gammatone(440, "fir", order=6, numtaps=64, fs=16000)
+        be, _ = ss.gammatone(440, "fir", order=6, numtaps=64, fs=16000)
+        assert np.allclose(bg, be, atol=1e-15)
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            D.gammatone(9000, "fir", fs=16000)      # past nyquist
+        with pytest.raises(PlanError):
+            D.gammatone(440, "butter", fs=16000)
+        with pytest.raises(PlanError):
+            D.gammatone(440, "fir", order=30, fs=16000)
+        with pytest.warns(UserWarning):
+            D.gammatone(440, "iir", order=4, fs=16000)
+
+
+class TestFirwin2d:
+    def test_separable_and_circular(self):
+        from webgpufft_tpu import filtering as FL
+        h = FL.firwin_2d((5, 7), ("hann", "hamming"), fc=0.3)
+        assert np.allclose(h, ss.firwin_2d((5, 7), ("hann", "hamming"),
+                                           fc=0.3), atol=1e-14)
+        hc = FL.firwin_2d((9, 9), "hann", fc=0.4, circular=True)
+        assert np.allclose(hc, ss.firwin_2d((9, 9), "hann", fc=0.4,
+                                            circular=True), atol=1e-14)
+        hk = FL.firwin_2d((8, 8), (("kaiser", 5.0), ("kaiser", 5.0)),
+                          fc=1000, fs=8000)
+        assert np.allclose(hk, ss.firwin_2d(
+            (8, 8), (("kaiser", 5.0), ("kaiser", 5.0)), fc=1000, fs=8000),
+            atol=1e-14)
+
+    def test_validation(self):
+        from webgpufft_tpu import filtering as FL
+        with pytest.raises(PlanError):
+            FL.firwin_2d((5,), ("hann", "hann"), fc=0.3)
+        with pytest.raises(PlanError):
+            FL.firwin_2d((5, 5), "hann", fc=0.3)       # needs 2 windows
+        with pytest.raises(PlanError):
+            FL.firwin_2d((5, 5), "hann", circular=True)  # fc missing
+
+
+class TestClosestDualWindow:
+    def test_matches_scipy(self):
+        from webgpufft_tpu import fft as wf
+        w = ss.windows.gaussian(8, 2)
+        for scaled in (True, False):
+            for dd in (None, np.ones(8),
+                       ss.windows.hann(8, sym=False) + 0.1):
+                g, ga = wf.closest_STFT_dual_window(w, 3, dd,
+                                                    scaled=scaled)
+                e, ea = ss.closest_STFT_dual_window(w, 3, dd,
+                                                    scaled=scaled)
+                assert np.allclose(g, e, atol=1e-13)
+                assert np.isclose(ga, ea)
+
+    def test_is_valid_dual(self):
+        """The result reconstructs: use it as ShortTimeFFT dual_win."""
+        from webgpufft_tpu import ShortTimeFFT, fft as wf
+        w = ss.windows.gaussian(8, 2)
+        d, _ = wf.closest_STFT_dual_window(w, 3, np.ones(8))
+        A = ShortTimeFFT(w, hop=3, fs=1, dual_win=np.asarray(d))
+        x = np.random.default_rng(0).standard_normal(40)
+        S = A.stft(x)
+        xr = A.istft(np.asarray(S), k1=40, interleaved=True)
+        assert np.max(np.abs(np.asarray(xr) - x)) < 1e-4
+
+    def test_validation(self):
+        from webgpufft_tpu import fft as wf
+        with pytest.raises(PlanError):
+            wf.closest_STFT_dual_window(np.ones(8), 0)
+        with pytest.raises(PlanError):
+            wf.closest_STFT_dual_window(np.ones(8), 3, np.ones(7))
+
+
+class TestFindPeaksCwt:
+    def _sig(self):
+        rng = np.random.default_rng(0)
+        x = np.zeros(200)
+        for c in (40, 90, 160):
+            x[c] = 1
+        return np.convolve(x, ss.windows.gaussian(25, 4), "same") \
+            + 0.02 * rng.standard_normal(200)
+
+    @pytest.mark.parametrize("kw", [
+        {}, {"min_snr": 2}, {"noise_perc": 15}, {"gap_thresh": 3},
+        {"window_size": 15}, {"min_length": 3}])
+    def test_matches_scipy(self, kw):
+        import warnings as _w
+        from webgpufft_tpu import peaks as P
+        sig = self._sig()
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            want = ss.find_peaks_cwt(sig, np.arange(1, 12), **kw)
+        got = P.find_peaks_cwt(sig, np.arange(1, 12), **kw)
+        assert np.array_equal(got, want), kw
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_signals(self, seed):
+        import warnings as _w
+        from webgpufft_tpu import peaks as P
+        r2 = np.random.default_rng(seed)
+        s2 = np.cumsum(r2.standard_normal(300)) * 0.1 \
+            + np.sin(np.arange(300) / 10)
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            want = ss.find_peaks_cwt(s2, np.arange(2, 20))
+        got = P.find_peaks_cwt(s2, np.arange(2, 20))
+        assert np.array_equal(got, want)
+
+    def test_validation(self):
+        from webgpufft_tpu import peaks as P
+        with pytest.raises(PlanError):
+            P.find_peaks_cwt(np.zeros(50), [5, 6], max_distances=[1])

@@ -55,7 +55,7 @@ __all__ = [
     "resample", "resample_poly", "upfirdn",
     "decimate", "hilbert", "hilbert2",
     "czt", "zoom_fft", "czt_points", "vectorstrength", "envelope",
-    "ShortTimeFFT", "CZT", "ZoomFFT",
+    "ShortTimeFFT", "closest_STFT_dual_window", "CZT", "ZoomFFT",
     "check_COLA", "check_NOLA", "choose_conv_method",
     "fht", "ifht", "fhtoffset",
     "detrend", "get_window",
@@ -1975,7 +1975,7 @@ def envelope(z, bp_in=(1, None), *, n_out: Optional[int] = None,
 
 # the modern STFT class lives in shorttime.py (late import: it
 # builds on this module's framing/transform machinery)
-from .shorttime import ShortTimeFFT  # noqa: E402
+from .shorttime import ShortTimeFFT, closest_STFT_dual_window  # noqa: E402
 
 
 def _check_window_f64(window, nperseg: int) -> np.ndarray:

@@ -63,7 +63,7 @@ from .ltisys import (  # noqa: F401
 from . import ltisys as _ltisys
 
 __all__ = [
-    "firwin", "firwin2", "kaiser_beta", "kaiser_atten",
+    "firwin", "firwin2", "firwin_2d", "kaiser_beta", "kaiser_atten",
     "freqz", "sosfreqz", "freqz_sos", "freqz_zpk", "group_delay",
     "firls", "minimum_phase", "remez", "kaiserord",
     "lfilter", "lfilter_zi", "lfiltic", "filtfilt",
@@ -140,7 +140,10 @@ def firwin(numtaps: int, cutoff, *, width: Optional[float] = None,
     for left, right in bands:
         h += right * np.sinc(right * m)
         h -= left * np.sinc(left * m)
-    h *= np.asarray(get_window(window, numtaps, fftbins=False),
+    # f64 window straight from the zoo — filter tables must not pass
+    # through the f32 device-window cast
+    from .windows import get_window as _gw64
+    h *= np.asarray(_gw64(window, numtaps, fftbins=False),
                     dtype=np.float64)
     if scale:
         left, right = bands[0]
@@ -205,7 +208,8 @@ def firwin2(numtaps: int, freq, gain, *, nfreqs: Optional[int] = None,
     if ftype > 2:
         shift *= 1j
     out_full = np.fft.irfft(fx * shift)
-    win = np.asarray(get_window(window, numtaps, fftbins=False),
+    from .windows import get_window as _gw64
+    win = np.asarray(_gw64(window, numtaps, fftbins=False),
                      dtype=np.float64) if window is not None else 1.0
     out = out_full[:numtaps] * win
     if ftype == 3:
@@ -1218,3 +1222,30 @@ def freqz_sos(sos, worN=512, whole: bool = False, fs: float = 2 * np.pi):
     """Frequency response of an SOS filter — scipy's new name for
     sosfreqz (scipy.signal.freqz_sos)."""
     return sosfreqz(sos, worN=worN, whole=whole, fs=fs)
+
+
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2,
+              circular: bool = False, pass_zero=True, scale: bool = True):
+    """2-D window-method FIR design (scipy.signal.firwin_2d semantics):
+    separable outer product of two 1-D firwin designs, or a circularly
+    symmetric filter built by radial interpolation of an 8x-oversampled
+    1-D design.  NOTE: like scipy 1.17, ``pass_zero``/``scale`` are
+    accepted for signature parity but not forwarded (both branches use
+    firwin's defaults)."""
+    if len(hsize) != 2:
+        raise PlanError("hsize must be a 2-element tuple or list")
+    if circular:
+        if fc is None:
+            raise PlanError("Cutoff frequency `fc` must be provided when "
+                            "`circular` is True")
+        n_r = max(hsize[0], hsize[1]) * 8
+        win_r = firwin(n_r, cutoff=fc, window=window, fs=fs)
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, hsize[0]),
+                             np.linspace(-1, 1, hsize[1]))
+        r = np.sqrt(f1 * f1 + f2 * f2)
+        return np.interp(r, np.linspace(0, 1, n_r), np.asarray(win_r))
+    if len(window) != 2:
+        raise PlanError("window must be a 2-element tuple or list")
+    row = firwin(hsize[0], cutoff=fc, window=window[0], fs=fs)
+    col = firwin(hsize[1], cutoff=fc, window=window[1], fs=fs)
+    return np.outer(row, col)

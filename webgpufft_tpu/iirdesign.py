@@ -32,7 +32,7 @@ __all__ = [
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
     "lp2lp", "lp2hp", "lp2bp", "lp2bs", "band_stop_obj",
     "zpk2tf", "tf2zpk", "zpk2sos", "sos2zpk", "sos2tf", "tf2sos",
-    "iirnotch", "iirpeak", "iircomb", "iirdesign",
+    "iirnotch", "iirpeak", "iircomb", "iirdesign", "gammatone",
 ]
 
 
@@ -1033,3 +1033,86 @@ def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
 def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
     """Lowpass prototype -> bandstop (center wo, width bw), tf form."""
     return _tf_transform(b, a, lp2bs_zpk, float(wo), float(bw))
+
+
+def _hz_to_erb(hz: float) -> float:
+    """Glasberg & Moore equivalent rectangular bandwidth."""
+    return hz / 9.26449 + 24.7
+
+
+def gammatone(freq: float, ftype: str, order: Optional[int] = None,
+              numtaps: Optional[int] = None, fs: Optional[float] = None):
+    """Gammatone auditory filter (scipy.signal.gammatone semantics):
+    'fir' samples the gammatone impulse response t^(n-1) e^{-2 pi b t}
+    cos(2 pi f t); 'iir' is Slaney's 4th-order design collapsed to one
+    (b, a) pair.  Host design tables."""
+    import warnings
+    import cmath
+    freq = float(freq)
+    fs = 2.0 if fs is None else float(fs)
+    if fs <= 0:
+        raise PlanError("fs must be positive")
+    if not 0 < freq < fs / 2:
+        raise PlanError(f"The frequency must be between 0 and {fs / 2}"
+                        f" (Nyquist), but given {freq}.")
+    ftype = ftype.lower()
+    if ftype == "fir":
+        order = 4 if order is None else int(order)
+        numtaps = max(int(fs * 0.015), 15) if numtaps is None \
+            else int(numtaps)
+        if not 0 < order <= 24:
+            raise PlanError("Invalid order: order must be > 0 and <= 24.")
+        t = np.arange(numtaps) / fs
+        bw = 1.019 * _hz_to_erb(freq)
+        b = t ** (order - 1) * np.exp(-2 * np.pi * bw * t) \
+            * np.cos(2 * np.pi * freq * t)
+        scale = 2 * (2 * np.pi * bw) ** order \
+            / math.factorial(order - 1) / fs
+        return b * scale, np.asarray([1.0])
+    if ftype != "iir":
+        raise PlanError("ftype must be either fir or iir.")
+    if order is not None:
+        warnings.warn("order is not used for IIR gammatone filter.",
+                      stacklevel=2)
+    if numtaps is not None:
+        warnings.warn("numtaps is not used for IIR gammatone filter.",
+                      stacklevel=2)
+    # Slaney (1993): the 8th-order denominator is the 4x repeated
+    # complex pole pair; the gain normalizes the response at freq
+    T = 1.0 / fs
+    bw = 2 * math.pi * 1.019 * _hz_to_erb(freq)
+    fr = 2 * freq * math.pi * T
+    bwT = bw * T
+    g1 = -2 * cmath.exp(2j * fr) * T
+    g2 = 2 * cmath.exp(-bwT + 1j * fr) * T
+    g3 = math.sqrt(3 + 2 ** 1.5) * math.sin(fr)
+    g4 = math.sqrt(3 - 2 ** 1.5) * math.sin(fr)
+    g5 = cmath.exp(2j * fr)
+    g = (g1 + g2 * (math.cos(fr) - g4)) \
+        * (g1 + g2 * (math.cos(fr) + g4)) \
+        * (g1 + g2 * (math.cos(fr) - g3)) \
+        * (g1 + g2 * (math.cos(fr) + g3))
+    g /= (-2 / math.exp(2 * bwT) - 2 * g5
+          + 2 * (1 + g5) / math.exp(bwT)) ** 4
+    g = math.hypot(g.real, g.imag)
+    cs = [math.cos(k * fr) for k in range(5)]
+    eb = [math.exp(-k * bwT) for k in range(9)]
+    b = np.array([
+        T ** 4 / g,
+        -4 * T ** 4 * cs[1] * eb[1] / g,
+        6 * T ** 4 * cs[2] * eb[2] / g,
+        -4 * T ** 4 * cs[3] * eb[3] / g,
+        T ** 4 * cs[4] * eb[4] / g,
+    ])
+    a = np.array([
+        1.0,
+        -8 * cs[1] * eb[1],
+        4 * (4 + 3 * cs[2]) * eb[2],
+        -8 * (6 * cs[1] + cs[3]) * eb[3],
+        2 * (18 + 16 * cs[2] + cs[4]) * eb[4],
+        -8 * (6 * cs[1] + cs[3]) * eb[5],
+        4 * (4 + 3 * cs[2]) * eb[6],
+        -8 * cs[1] * eb[7],
+        eb[8],
+    ])
+    return b, a

@@ -27,7 +27,7 @@ from .spec import PlanError
 
 __all__ = [
     "find_peaks", "peak_prominences", "peak_widths",
-    "argrelmin", "argrelmax", "argrelextrema",
+    "argrelmin", "argrelmax", "argrelextrema", "find_peaks_cwt",
 ]
 
 
@@ -320,3 +320,111 @@ def argrelmax(data, axis: int = 0, order: int = 1, mode: str = "clip"):
 def argrelmin(data, axis: int = 0, order: int = 1, mode: str = "clip"):
     """Relative minima (scipy.signal.argrelmin)."""
     return argrelextrema(data, np.less, axis, order, mode)
+
+
+# ------------------------------------------------------- wavelet peaks
+
+def _ricker(points: int, a: float) -> np.ndarray:
+    """Ricker (mexican-hat) wavelet, scipy's normalization."""
+    A = 2 / (np.sqrt(3 * a) * (np.pi ** 0.25))
+    vec = np.arange(points) - (points - 1.0) / 2
+    xsq = vec * vec
+    return A * (1 - xsq / (a * a)) * np.exp(-xsq / (2 * a * a))
+
+
+def _cwt_ricker(data: np.ndarray, widths, wavelet) -> np.ndarray:
+    """Continuous wavelet transform rows: per width, 'same' convolution
+    with the length-min(10*width, n) reversed-conjugate wavelet."""
+    out = np.empty((len(widths), data.size))
+    for i, w in enumerate(widths):
+        N = int(min(10 * w, data.size))
+        wd = np.conj(np.asarray(wavelet(N, w))[::-1])
+        out[i] = np.convolve(data, wd, mode="same")
+    return out
+
+
+def _ridge_lines(matr: np.ndarray, max_distances, gap_thresh):
+    """Connect per-row relative maxima into ridge lines, walking from
+    the widest row down (Du et al. 2006 ridge-line algorithm, scipy's
+    conventions: nearest previous column within max_distances[row]
+    connects; a line dies after gap_thresh rows without a connection)."""
+    relmax = _boolrelextrema(matr, np.greater, axis=1, order=1,
+                             mode="clip")
+    has = np.nonzero(relmax.any(axis=1))[0]
+    if has.size == 0:
+        return []
+    start = has[-1]
+    live = [[[start], [c], 0] for c in np.nonzero(relmax[start])[0]]
+    done = []
+    for row in range(start - 1, -1, -1):
+        this_cols = np.nonzero(relmax[row])[0]
+        for line in live:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in live])
+        for c in this_cols:
+            line = None
+            if prev_cols.size:
+                d = np.abs(c - prev_cols)
+                j = int(np.argmin(d))
+                if d[j] <= max_distances[row]:
+                    line = live[j]
+            if line is not None:
+                line[0].append(row)
+                line[1].append(c)
+                line[2] = 0
+            else:
+                live.append([[row], [c], 0])
+        for i in range(len(live) - 1, -1, -1):
+            if live[i][2] > gap_thresh:
+                done.append(live[i])
+                del live[i]
+    out = []
+    for rows_, cols_, _ in done + live:
+        order = np.argsort(rows_)
+        out.append([np.asarray(rows_)[order], np.asarray(cols_)[order]])
+    return out
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1,
+                   noise_perc: float = 10, window_size=None):
+    """Wavelet-ridge peak finding (scipy.signal.find_peaks_cwt
+    semantics): CWT over ``widths`` (ricker default), ridge lines walked
+    widest-to-narrowest, filtered by length and by the SNR of the
+    narrowest-row value against a windowed noise percentile."""
+    vector = np.asarray(vector, dtype=np.float64)
+    widths = np.atleast_1d(np.asarray(widths, dtype=np.float64))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    max_distances = np.atleast_1d(np.asarray(max_distances))
+    if max_distances.size < widths.size:
+        raise PlanError("max_distances must have at least as many entries "
+                        "as widths")
+    if wavelet is None:
+        wavelet = _ricker
+    cwt_dat = _cwt_ricker(vector, widths, wavelet)
+    lines = _ridge_lines(cwt_dat, max_distances, gap_thresh)
+    n = cwt_dat.shape[1]
+    if min_length is None:
+        min_length = np.ceil(cwt_dat.shape[0] / 4)
+    if window_size is None:
+        window_size = np.ceil(n / 20)
+    window_size = int(window_size)
+    hf, odd = divmod(window_size, 2)
+    row0 = cwt_dat[0]
+    noises = np.array([
+        np.percentile(row0[max(i - hf, 0):min(i + hf + odd, n)],
+                      noise_perc)
+        for i in range(n)])
+    keep = []
+    for rows_, cols_ in lines:
+        if rows_.size < min_length:
+            continue
+        denom = noises[cols_[0]]
+        snr = np.inf if denom == 0 else \
+            abs(cwt_dat[rows_[0], cols_[0]] / denom)
+        if snr >= min_snr:
+            keep.append(cols_[0])
+    return np.sort(np.asarray(keep, dtype=np.intp))

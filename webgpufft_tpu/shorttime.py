@@ -32,7 +32,7 @@ from .fftapi import (
     asinterleaved, _frame_segments, _frame_geometry, get_window,
 )
 
-__all__ = ["ShortTimeFFT"]
+__all__ = ["ShortTimeFFT", "closest_STFT_dual_window"]
 
 _FFT_MODES = ("twosided", "centered", "onesided", "onesided2X")
 
@@ -591,3 +591,47 @@ class ShortTimeFFT:
         lo = k0 - self.k_min
         return jax.lax.slice_in_dim(y, lo, lo + (k1 - k0),
                                     axis=y.ndim - 2)
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
+                             scaled: bool = True):
+    """The valid STFT dual window closest to ``desired_dual``
+    (scipy.signal.closest_STFT_dual_window semantics): project the
+    desired window onto the affine space of windows satisfying the
+    hop-biorthogonality constraint; with ``scaled`` the optimal scalar
+    multiple of the projection direction is used.  Returns
+    ``(dual_win, alpha)``."""
+    win = np.asarray(win, dtype=np.float64)
+    if desired_dual is None:
+        desired_dual = np.ones_like(win)
+    desired_dual = np.asarray(desired_dual, dtype=np.float64)
+    if not (win.ndim == 1 and win.shape == desired_dual.shape):
+        raise PlanError("win and desired_dual must be 1-D arrays of "
+                        "equal length")
+    if not np.all(np.isfinite(win)):
+        raise PlanError("win must have finite entries")
+    if not np.all(np.isfinite(desired_dual)):
+        raise PlanError("desired_dual must have finite entries")
+    if not (isinstance(hop, (int, np.integer)) and 1 <= hop <= win.size):
+        raise PlanError(f"hop={hop!r} is not an integer between 1 and "
+                        f"len(win)={win.size}")
+    w_d = _canonical_dual(win, int(hop))
+    # hop-aliased correlation of win with the desired dual, then the
+    # projection residual direction q_d
+    wdd = np.conj(win) * desired_dual
+    q = wdd.copy()
+    for k in range(hop, win.size, hop):
+        q[k:] += wdd[:-k]
+        q[:-k] += wdd[k:]
+    q_d = w_d * q
+    if not scaled:
+        return w_d + desired_dual - q_d, 1.0
+    numerator = np.conj(q_d) @ w_d
+    denominator = q_d.real @ q_d.real + q_d.imag @ q_d.imag
+    if not (abs(numerator) > 0
+            and denominator > np.finfo(np.float64).resolution):
+        raise PlanError("Unable to calculate scaled closest dual window "
+                        "(numerically unstable scaling factor); try "
+                        "scaled=False")
+    alpha = numerator / denominator
+    return w_d + alpha * (desired_dual - q_d), alpha
