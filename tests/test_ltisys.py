@@ -493,3 +493,59 @@ class TestLtiClasses:
             B = ss.lti([], [-1.0, -2.0], 3.0).to_ss().to_tf()
         _close(np.atleast_1d(A.num), np.atleast_1d(B.num), tol=1e-9)
         _close(A.den, B.den, tol=1e-9)
+
+
+class TestPlacePoles:
+    A4 = np.array([[1.38, -0.2077, 6.715, -5.676],
+                   [-0.5814, -4.29, 0, 0.675],
+                   [1.067, 4.273, -6.654, 5.893],
+                   [0.048, 4.273, 1.343, -2.104]])
+    B4 = np.array([[0, 5.679], [1.136, 1.136], [0, 0], [-3.146, 0]])
+
+    def test_siso_ackermann_matches_scipy(self):
+        A = np.array([[0.0, 1.0], [-2.0, -3.0]])
+        B = np.array([[0.0], [1.0]])
+        got = L.place_poles(A, B, [-5.0, -6.0])
+        want = ss.place_poles(A, B, [-5.0, -6.0])
+        # SISO gain is unique -> must match scipy exactly
+        _close(got.gain_matrix, np.atleast_2d(want.gain_matrix),
+               tol=1e-9)
+        _close(np.sort(got.computed_poles.real),
+               np.sort(np.asarray(want.computed_poles).real), tol=1e-9)
+
+    @pytest.mark.parametrize("P", [
+        np.array([-0.2, -0.5, -5.0566, -8.6659]),
+        np.array([-1 + 1j, -1 - 1j, -2.0, -3.0]),
+        np.array([-2.0, -2.0, -5.0, -6.0]),      # repeat <= rank(B)
+    ])
+    def test_mimo_places_poles(self, P):
+        f = L.place_poles(self.A4, self.B4, P)
+        got = np.sort_complex(f.computed_poles)
+        want = np.sort_complex(_order_poles(P))
+        assert np.max(np.abs(got - want)) < 1e-6
+        assert f.rtol < 1e-6
+        # the closed loop truly has those poles
+        ev = np.linalg.eigvals(self.A4 - self.B4 @ f.gain_matrix)
+        assert np.max(np.abs(np.sort_complex(ev) - want)) < 1e-6
+
+    def test_validation(self):
+        with pytest.raises(PlanError):
+            L.place_poles(self.A4, self.B4, [-1, -2, -3])   # wrong count
+        with pytest.raises(PlanError):
+            L.place_poles(self.A4, self.B4,
+                          [-1 + 1j, -2, -3, -4])            # unpaired
+        with pytest.raises(PlanError):
+            L.place_poles(self.A4, self.B4,
+                          [-2.0, -2.0, -2.0, -5.0])         # > rank(B)
+        with pytest.raises(PlanError):
+            L.place_poles(np.eye(2), np.zeros((2, 1)), [-1, -2])
+
+    def test_badcoefficients_exported(self):
+        assert issubclass(L.BadCoefficients, UserWarning)
+
+
+def _order_poles(P):
+    P = np.asarray(P)
+    r = np.sort(P[np.isreal(P)])
+    c = np.sort_complex(P[np.imag(P) != 0])
+    return np.concatenate([r, c])

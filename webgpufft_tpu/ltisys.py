@@ -37,6 +37,7 @@ __all__ = [
     "unique_roots", "residue", "residuez", "invres", "invresz",
     "abcd_normalize",
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
+    "place_poles", "BadCoefficients",
 ]
 
 
@@ -1061,3 +1062,149 @@ def dlti(*system, dt=True):
     """Discrete-time system factory (scipy.signal.dlti semantics;
     ``dt=True`` means unspecified-but-discrete)."""
     return _system_factory(system, dt)
+
+
+class BadCoefficients(UserWarning):
+    """Warning about badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients analog; raised by normalize)."""
+
+
+class _Bunch:
+    """Attribute bag matching scipy's place_poles return object."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __repr__(self):
+        keys = ", ".join(sorted(self.__dict__))
+        return f"Bunch({keys})"
+
+
+def _order_complex_poles(poles: np.ndarray) -> np.ndarray:
+    """scipy's pole ordering: real poles ascending first, then complex
+    conjugate pairs (each pair adjacent, negative-imag first by sort);
+    raises unless complex poles pair up."""
+    ordered = np.sort(poles[np.isreal(poles)])
+    cplx = np.sort_complex(poles[np.imag(poles) != 0])
+    for p in cplx[::2]:
+        if p.conjugate() not in cplx:
+            raise PlanError("Complex poles must come with their "
+                            "conjugates")
+    return np.concatenate([ordered, cplx])
+
+
+def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
+                maxiter: int = 30):
+    """Full-state-feedback pole placement: gain K with
+    eig(A - B K) = poles (scipy.signal.place_poles call surface).
+
+    SISO systems use Ackermann's formula (exact); MIMO systems solve the
+    Sylvester equation A X - X Lambda = B G for a randomized real G
+    (Bhattacharyya-de Souza parametrization), retrying until X is well
+    conditioned.  The placed POLES match scipy's to the same rtol
+    contract; the gain matrix itself is one valid member of the
+    non-unique MIMO solution family and may differ from scipy's
+    KNV/Tits-Yang iterate.  Returns a Bunch(gain_matrix, computed_poles,
+    requested_poles, X, rtol, nb_iter)."""
+    if method not in ("YT", "KNV0"):
+        raise PlanError("method must be 'YT' or 'KNV0'")
+    A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+    B = np.atleast_2d(np.asarray(B, dtype=np.float64))
+    n = A.shape[0]
+    if A.shape != (n, n):
+        raise PlanError("A must be square")
+    if B.shape[0] != n:
+        raise PlanError("A and B must have the same number of rows")
+    poles = np.atleast_1d(np.asarray(poles))
+    if poles.size != n:
+        raise PlanError("poles must have the same length as the state "
+                        "dimension (A.shape[0])")
+    poles = _order_complex_poles(poles)
+    rankB = np.linalg.matrix_rank(B)
+    if rankB == 0:
+        raise PlanError("B must not be all zeros")
+    vals, counts = np.unique(np.round(poles, 10), return_counts=True)
+    if np.any(counts > rankB):
+        raise PlanError("at most rank(B) repetitions of a pole are "
+                        "placeable")
+    m = B.shape[1]
+    if m == 1 or rankB == 1:
+        # Ackermann: K = e_n^T C^-1 phi(A) with phi the target
+        # characteristic polynomial
+        bvec = B[:, :1]
+        C = np.hstack([np.linalg.matrix_power(A, k) @ bvec
+                       for k in range(n)])
+        if np.linalg.matrix_rank(C) < n:
+            raise PlanError("the system is not controllable from the "
+                            "given B")
+        phi = np.real(np.poly(poles))
+        phiA = np.zeros_like(A)
+        for c in phi:
+            phiA = phiA @ A + c * np.eye(n)
+        krow = np.linalg.solve(C.T, np.eye(n)[:, -1]).T @ phiA
+        K = np.zeros((m, n))
+        # distribute onto the effective input direction
+        if m == 1:
+            K[0] = krow
+        else:
+            # rank-1 B: write B = b u^T, place through the range
+            u, s, vt = np.linalg.svd(B)
+            bvec = u[:, :1] * s[0]
+            C = np.hstack([np.linalg.matrix_power(A, k) @ bvec
+                           for k in range(n)])
+            krow = np.linalg.solve(C.T, np.eye(n)[:, -1]).T @ phiA
+            K = vt[:1].T @ krow[None, :]
+        X = np.linalg.inv(np.eye(n))  # transfer matrix placeholder
+        nb_iter = 0
+    else:
+        # real block-diagonal Lambda: 2x2 blocks for conjugate pairs
+        Lam = np.zeros((n, n))
+        i = 0
+        for p in poles:
+            if np.imag(p) == 0:
+                Lam[i, i] = np.real(p)
+                i += 1
+            elif np.imag(p) < 0:
+                re, im = np.real(p), np.imag(p)
+                Lam[i, i] = Lam[i + 1, i + 1] = re
+                Lam[i, i + 1] = -im
+                Lam[i + 1, i] = im
+                i += 2
+        from scipy.linalg import solve_sylvester
+        rng = np.random.default_rng(0)
+        best = None
+        nb_iter = 0
+        for it in range(int(maxiter)):
+            nb_iter = it + 1
+            G = rng.standard_normal((m, n))
+            try:
+                X = solve_sylvester(A, -Lam, -B @ G)
+            except Exception:
+                continue
+            cond = np.linalg.cond(X)
+            if best is None or cond < best[0]:
+                best = (cond, X, G)
+            if cond < 1e6:
+                break
+        if best is None:
+            raise PlanError("pole placement failed: could not solve the "
+                            "Sylvester parametrization")
+        _, X, G = best
+        # A X - X Lam = -B G  =>  eig(A + B G X^-1) = Lam
+        # => K = -G X^-1 so that eig(A - B K) = Lam
+        K = -np.real(G @ np.linalg.inv(X))
+    computed = np.linalg.eigvals(A - B @ K)
+    computed = _order_complex_poles(
+        np.where(np.abs(np.imag(computed)) < 1e-10,
+                 np.real(computed) + 0j, computed))
+    req_real = np.where(np.abs(np.imag(poles)) == 0,
+                        np.real(poles), np.real(poles))
+    # rtol contract: relative mismatch of placed poles
+    denom = np.where(np.abs(poles) > 0, np.abs(poles), 1.0)
+    achieved_rtol = float(np.max(np.abs(np.sort_complex(computed)
+                                        - np.sort_complex(poles))
+                                 / denom))
+    return _Bunch(gain_matrix=np.atleast_2d(K),
+                  computed_poles=computed,
+                  requested_poles=poles,
+                  X=X, rtol=achieved_rtol, nb_iter=nb_iter)
