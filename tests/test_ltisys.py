@@ -549,3 +549,16 @@ def _order_poles(P):
     r = np.sort(P[np.isreal(P)])
     c = np.sort_complex(P[np.imag(P) != 0])
     return np.concatenate([r, c])
+
+
+class TestPlacePolesReviewRegressions:
+    def test_unpaired_repeated_complex_rejected(self):
+        A4 = TestPlacePoles.A4
+        B4 = TestPlacePoles.B4
+        with pytest.raises(PlanError):
+            L.place_poles(A4, B4, [1j, 1j, -1j, -2.0])
+
+    def test_rtol_consistent_ordering(self):
+        f = L.place_poles(TestPlacePoles.A4, TestPlacePoles.B4,
+                          [-1 + 1j, -1 - 1j, -2.0, -3.0])
+        assert f.rtol < 1e-9

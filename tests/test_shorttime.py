@@ -247,3 +247,40 @@ class TestConstructors:
         assert not A.invertible
         with pytest.raises(PlanError):
             _ = A.dual_win
+
+
+class TestReviewRegressions:
+    """Round-3 review findings."""
+
+    @pytest.mark.parametrize("m,hop,n", [(7, 3, 41), (9, 5, 37),
+                                         (5, 2, 23)])
+    def test_istft_default_k1_odd_window(self, rng, m, hop, n):
+        w = np.hanning(m) + 0.1
+        A = ShortTimeFFT(w, hop=hop, fs=7)
+        B = ss.ShortTimeFFT(w, hop=hop, fs=7)
+        x = rng.standard_normal(n)
+        _close(A.istft(B.stft(x).astype(np.complex64)),
+               B.istft(B.stft(x)), label=f"m{m}h{hop}")
+
+    def test_istft_k1_bound_clean_error(self, rng):
+        A, _ = _pair()
+        S = np.asarray(A.stft(rng.standard_normal(50)))
+        with pytest.raises(PlanError):
+            A.istft(S, k1=60, interleaved=True)
+        # the true end of the overlap-add IS reachable
+        q = S.shape[-2]
+        k_hi = A.k_min + (q - 1) * A.hop + A.m_num
+        A.istft(S, k0=k_hi - 5, k1=k_hi, interleaved=True)
+
+    def test_short_signal_pads_like_scipy(self, rng):
+        A, B = _pair()
+        xs = rng.standard_normal(5)
+        _close(A.stft(xs), B.stft(xs), label="short")
+
+    def test_negative_sum_window_magnitude_scaling(self, rng):
+        w = -ss.windows.gaussian(8, std=2, sym=True)
+        A = ShortTimeFFT(w, hop=3, fs=10, scale_to="magnitude")
+        B = ss.ShortTimeFFT(w, hop=3, fs=10, scale_to="magnitude")
+        assert np.isclose(A.fac_magnitude, B.fac_magnitude)
+        x = rng.standard_normal(50)
+        _close(A.stft(x), B.stft(x), label="neg win")

@@ -439,3 +439,24 @@ class TestFindPeaksCwt:
         from webgpufft_tpu import peaks as P
         with pytest.raises(PlanError):
             P.find_peaks_cwt(np.zeros(50), [5, 6], max_distances=[1])
+
+
+class TestEnvelopeCornerBands:
+    """Round-3 review regressions: real-input bands touching/below DC."""
+
+    @pytest.mark.parametrize("bp", [(0, 20), (-3, 20), (None, None),
+                                    (-32, 10)])
+    def test_real_low_bands(self, rng, bp):
+        x = _mod_signal(rng)
+        _close(wfft.envelope(x, bp), ss.envelope(x, bp), label=str(bp))
+
+    def test_low_band_with_resample(self, rng):
+        x = _mod_signal(rng)
+        _close(wfft.envelope(x, (0, 20), n_out=48),
+               ss.envelope(x, (0, 20), n_out=48))
+        _close(wfft.envelope(x, (-3, 20), residual="all"),
+               ss.envelope(x, (-3, 20), residual="all"))
+
+    def test_odd_length_low_band(self, rng):
+        x = rng.standard_normal(63)
+        _close(wfft.envelope(x, (0, 20)), ss.envelope(x, (0, 20)))

@@ -1852,137 +1852,139 @@ def envelope(z, bp_in=(1, None), *, n_out: Optional[int] = None,
              squared: bool = False, residual: Optional[str] = "lowpass",
              axis: int = -1):
     """Bandpass envelope + residual split (scipy.signal.envelope
-    semantics): the envelope is the magnitude of the analytic signal
-    rebuilt from the FFT bins ``bp_in[0]:bp_in[1]`` (integer multiples
-    of 1/(n*T)); ``residual`` selects what the band filter removed
-    ('lowpass': below-band content — for real input |bin| < bp_in[0]
-    plus the Nyquist bin; 'all': everything out of band; None: envelope
-    only).  ``n_out`` Fourier-resamples both outputs (selected bins
-    re-placed modulo n_out — scipy's aliasing behavior, verified
-    empirically).  Runs on the plan-layer FFTs.
+    semantics, mirrored structurally): real input works on the rfft
+    half-spectrum with NO hermitian mirror — in-band bins are doubled
+    (DC never), the band is cut out as a contiguous slice (fftshift when
+    it straddles 0) and ifft'd at ``n_out`` (scipy's truncate/zero-pad
+    resampling), and the residual is what remains after zeroing the band
+    ('lowpass' additionally zeroes [bp1, (n+1)//2), which leaves an even
+    n's Nyquist bin in the residual — scipy's quirk), rebuilt by irfft
+    with the min(n, n_out)/2 bin correction.  Complex input uses the
+    full spectrum with crop/split Fourier resampling.
 
-    Returns the envelope alone for ``residual=None``, else the stacked
-    ``(2, ...)`` [envelope, residual].  Real input gives a real
-    residual; complex (or interleaved) input gives interleaved outputs.
+    Runs on the plan-layer FFTs.  Returns the envelope alone for
+    ``residual=None``, else the stacked ``(2, ...)`` [envelope,
+    residual]; real input gives a real residual, complex input
+    interleaved outputs.
     """
     if residual not in ("lowpass", "all", None):
         raise PlanError("residual must be 'lowpass', 'all' or None")
-    # floats are treated as REAL signals (unlike the transforms, a
-    # trailing dim of 2 is NOT auto-interpreted as interleaved — scipy's
-    # envelope of a (..., 2) float array is two real channels); pass
-    # complex (or pre-interleave via asinterleaved + a complex view) for
-    # the complex-signal path
     if np.iscomplexobj(z):
         real_in = False
         x = asinterleaved(z)
-    else:
-        real_in = True
-        x = jnp.asarray(z, jnp.float32)
-    if real_in:
-        x = jnp.moveaxis(x, axis, -1)
-        n = x.shape[-1]
-        Z = fft(x, axis=-1, interleaved=False)        # (..., n, 2)
-    else:
         ax = axis if axis >= 0 else x.ndim - 1 + axis
         x = jnp.moveaxis(x, ax, -2)
         n = x.shape[-2]
-        Z = fft(x, axis=-1)  # logical last axis = interleaved -2
+    else:
+        real_in = True
+        x = jnp.asarray(z, jnp.float32)
+        x = jnp.moveaxis(x, axis, -1)
+        n = x.shape[-1]
     bp0 = -(n // 2) if bp_in[0] is None else int(bp_in[0])
     bp1 = (n + 1) // 2 if bp_in[1] is None else int(bp_in[1])
     if not -(n // 2) <= bp0 < bp1 <= (n + 1) // 2:
         raise PlanError(f"bp_in={bp_in!r} invalid for n={n}: need "
                         f"-n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2")
-    bins = (np.arange(n) + n // 2) % n - n // 2       # signed bin index
-    inband = (bins >= bp0) & (bins < bp1)
     nout = int(n_out) if n_out is not None else n
+    fak = nout / n
+    straddle = bp0 <= 0 < bp1
 
-    def band_ifft(mask, crop: bool):
-        sel = Z * jnp.asarray(mask, jnp.float32)[:, None]
-        if nout != n:
-            if crop:
-                # residual path: standard Fourier-resample semantics —
-                # when shrinking, bins beyond the new Nyquist are
-                # dropped (the two +/-nout/2 bins merge into the new
-                # Nyquist slot); when growing, an even-n Nyquist bin is
-                # split in half across +/-n/2
-                weights = np.ones(n)
-                keepable = (bins >= -(nout // 2)) & (bins <= nout // 2)
-                weights[~keepable] = 0.0
-                if nout > n and n % 2 == 0:
-                    weights[bins == -(n // 2)] = 0.5
-                sel = sel * jnp.asarray(weights, jnp.float32)[:, None]
-                dest = np.where(keepable, bins % nout, 0)
-                if nout > n and n % 2 == 0:
-                    # mirror half of the old Nyquist onto +n/2
-                    mirror = sel[..., bins == -(n // 2), :]
-                    placed = jnp.zeros(sel.shape[:-2] + (nout, 2),
-                                       sel.dtype)
-                    placed = placed.at[..., dest, :].add(sel)
-                    placed = placed.at[..., n // 2, :].add(
-                        mirror[..., 0, :])
-                    sel = placed * (nout / n)
-                else:
-                    placed = jnp.zeros(sel.shape[:-2] + (nout, 2),
-                                       sel.dtype)
-                    sel = placed.at[..., dest, :].add(sel) * (nout / n)
-            else:
-                # envelope path: cyclic (mod n_out) placement — a pure
-                # frequency shift of the baseband band, magnitude-
-                # invariant, and exactly scipy's aliasing behavior
-                dest = bins % nout
-                placed = jnp.zeros(sel.shape[:-2] + (nout, 2), sel.dtype)
-                sel = placed.at[..., dest, :].add(sel) * (nout / n)
-        return ifft(sel, axis=-1)  # logical last axis
-
-    env_c = band_ifft(inband, crop=False)
     if real_in:
-        env_c = env_c * 2.0
-    env = jnp.sqrt(env_c[..., 0] ** 2 + env_c[..., 1] ** 2)
-    if squared:
-        env = env * env
-
-    def restore_real(arr):
-        return jnp.moveaxis(arr, -1, axis)
-
-    def restore_cplx(arr):
-        dst = axis - 1 if axis < 0 else axis + (arr.ndim - x.ndim)
-        return jnp.moveaxis(arr, -2, dst if axis < 0 else axis
-                            + (1 if arr.ndim > x.ndim else 0))
-
-    if residual is None:
-        return restore_real(env) if real_in else \
-            jnp.moveaxis(env, -1, axis if axis < 0 else axis)
-    if residual == "lowpass":
-        if real_in:
-            keep = np.abs(bins) < abs(bp0)
-            if n % 2 == 0:
-                keep = keep | (bins == -(n // 2))
-        else:
-            keep = bins < bp0
+        Xh = rfft(x, axis=-1)                       # (..., n//2+1, 2)
+        Z = jnp.concatenate(
+            [Xh, jnp.zeros(Xh.shape[:-2] + (n - Xh.shape[-2], 2),
+                           Xh.dtype)], axis=-2)     # upper half zero
+        w2 = np.ones(n, np.float32)
+        if bp0 > 0:
+            w2[bp0:bp1] = 2.0
+        elif bp1 > 0:
+            w2[1:bp1] = 2.0
+        Z = Z * w2[:, None]
     else:
-        if real_in:
-            keep = ~(inband | ((-bins >= bp0) & (-bins < bp1)))
+        Z = fft(x, axis=-1)                         # logical last axis
+
+    # ---- envelope: contiguous band slice -> ifft at n_out
+    if not straddle:
+        band = Z[..., slice(bp0, bp1), :]           # python slicing
+    else:
+        Zs = jnp.roll(Z, n // 2, axis=-2)           # fftshift
+        band = Zs[..., bp0 + n // 2:bp1 + n // 2, :]
+    blen = band.shape[-2]
+    if blen < nout:
+        band = jnp.concatenate(
+            [band, jnp.zeros(band.shape[:-2] + (nout - blen, 2),
+                             band.dtype)], axis=-2)
+    elif blen > nout:
+        band = band[..., :nout, :]
+    z_bb = ifft(band, axis=-1) * fak
+    env = z_bb[..., 0] ** 2 + z_bb[..., 1] ** 2
+    if not squared:
+        env = jnp.sqrt(env)
+    if residual is None:
+        return jnp.moveaxis(env, -1, axis)
+
+    # ---- residual: zero the band, then the lowpass cut
+    keep = np.ones(n, np.float32)
+    idx = np.arange(n)
+    if not straddle:
+        keep[idx[slice(bp0, bp1)]] = 0.0
+    else:
+        keep[:bp1] = 0.0
+        keep[idx[slice(bp0, None)]] = 0.0
+    if residual == "lowpass":
+        if bp1 > 0:
+            keep[bp1:(n + 1) // 2] = 0.0
         else:
-            keep = ~inband
-    res_c = band_ifft(keep, crop=True)
+            keep[idx[slice(bp0, None)]] = 0.0
+            keep[0:(n + 1) // 2] = 0.0
+    Zr = Z * keep[:, None]
     if real_in:
-        out = jnp.stack([env, res_c[..., 0]], axis=0)
+        m = min(n, nout)
+        if nout != n and m % 2 == 0:
+            corr = np.ones(n, np.float32)
+            corr[m // 2] = 2.0 if nout < n else 0.5
+            Zr = Zr * corr[:, None]
+        half = nout // 2 + 1
+        if half <= n:
+            Zh = Zr[..., :half, :]
+        else:
+            Zh = jnp.concatenate(
+                [Zr, jnp.zeros(Zr.shape[:-2] + (half - n, 2), Zr.dtype)],
+                axis=-2)
+        res = irfft(Zh, n=nout, axis=-1) * fak
+        out = jnp.stack([env, res], axis=0)
         return jnp.moveaxis(out, -1, axis if axis < 0 else axis + 1)
+    # complex residual: crop/split Fourier resampling (resample
+    # domain='freq' semantics)
+    if nout != n:
+        bins = (np.arange(n) + n // 2) % n - n // 2
+        wts = np.ones(n, np.float32)
+        keepable = (bins >= -(nout // 2)) & (bins <= nout // 2)
+        wts[~keepable] = 0.0
+        if nout > n and n % 2 == 0:
+            wts[bins == -(n // 2)] = 0.5
+        Zr2 = Zr * jnp.asarray(wts, jnp.float32)[:, None]
+        dest = np.where(keepable, bins % nout, 0)
+        placed = jnp.zeros(Zr2.shape[:-2] + (nout, 2), Zr2.dtype)
+        placed = placed.at[..., dest, :].add(
+            Zr2 * jnp.asarray(keepable, jnp.float32)[:, None])
+        if nout > n and n % 2 == 0:
+            placed = placed.at[..., n // 2, :].add(
+                Zr2[..., np.flatnonzero(bins == -(n // 2))[0], :])
+        Zr = placed * fak
+        res_c = ifft(Zr, axis=-1)
+    else:
+        res_c = ifft(Zr, axis=-1)
     out = jnp.stack([jnp.stack([env, jnp.zeros_like(env)], -1), res_c],
                     axis=0)
     return jnp.moveaxis(out, -2, axis - 1 if axis < 0 else axis + 1)
-
-
-# the modern STFT class lives in shorttime.py (late import: it
-# builds on this module's framing/transform machinery)
-from .shorttime import ShortTimeFFT, closest_STFT_dual_window  # noqa: E402
 
 
 def _check_window_f64(window, nperseg: int) -> np.ndarray:
     """f64 window for the COLA/NOLA checks — the 1e-10 tolerances are
     finer than the f32 device window tables."""
     if isinstance(window, (str, tuple)):
-        from scipy.signal import get_window as _gw
+        from .windows import get_window as _gw
         return np.asarray(_gw(window, nperseg), dtype=np.float64)
     win = np.asarray(window, dtype=np.float64)
     if win.ndim != 1 or win.size != nperseg:
@@ -2111,3 +2113,8 @@ class ZoomFFT(CZT):
         a = np.exp(2j * np.pi * f1 / self.fs)
         wp = np.exp(-2j * np.pi * scale / m)
         super().__init__(n, m=m, w=wp, a=a)
+
+
+# the modern STFT class lives in shorttime.py (late import: it builds on
+# this module's framing/transform machinery)
+from .shorttime import ShortTimeFFT, closest_STFT_dual_window  # noqa: E402

@@ -1086,8 +1086,12 @@ def _order_complex_poles(poles: np.ndarray) -> np.ndarray:
     raises unless complex poles pair up."""
     ordered = np.sort(poles[np.isreal(poles)])
     cplx = np.sort_complex(poles[np.imag(poles) != 0])
-    for p in cplx[::2]:
-        if p.conjugate() not in cplx:
+    # multiplicity-aware pairing: each pole must pair with its adjacent
+    # conjugate in the sorted order
+    if cplx.size % 2:
+        raise PlanError("Complex poles must come with their conjugates")
+    for i in range(0, cplx.size, 2):
+        if not np.isclose(cplx[i], np.conj(cplx[i + 1])):
             raise PlanError("Complex poles must come with their "
                             "conjugates")
     return np.concatenate([ordered, cplx])
@@ -1154,7 +1158,7 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
                            for k in range(n)])
             krow = np.linalg.solve(C.T, np.eye(n)[:, -1]).T @ phiA
             K = vt[:1].T @ krow[None, :]
-        X = np.linalg.inv(np.eye(n))  # transfer matrix placeholder
+        X = np.eye(n)
         nb_iter = 0
     else:
         # real block-diagonal Lambda: 2x2 blocks for conjugate pairs
@@ -1197,13 +1201,12 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
     computed = _order_complex_poles(
         np.where(np.abs(np.imag(computed)) < 1e-10,
                  np.real(computed) + 0j, computed))
-    req_real = np.where(np.abs(np.imag(poles)) == 0,
-                        np.real(poles), np.real(poles))
-    # rtol contract: relative mismatch of placed poles
-    denom = np.where(np.abs(poles) > 0, np.abs(poles), 1.0)
-    achieved_rtol = float(np.max(np.abs(np.sort_complex(computed)
-                                        - np.sort_complex(poles))
-                                 / denom))
+    # rtol contract: relative mismatch of placed poles, aligned in one
+    # consistent sort order (sort_complex for BOTH diff and denominator)
+    comp_s = np.sort_complex(computed)
+    req_s = np.sort_complex(poles)
+    denom = np.where(np.abs(req_s) > 0, np.abs(req_s), 1.0)
+    achieved_rtol = float(np.max(np.abs(comp_s - req_s) / denom))
     return _Bunch(gain_matrix=np.atleast_2d(K),
                   computed_poles=computed,
                   requested_poles=poles,

@@ -268,7 +268,7 @@ class ShortTimeFFT:
     def fac_magnitude(self) -> float:
         if self._scaling == "magnitude":
             return 1.0
-        return 1.0 / np.sum(self._win)
+        return 1.0 / abs(np.sum(self._win))
 
     @property
     def fac_psd(self) -> float:
@@ -446,9 +446,6 @@ class ShortTimeFFT:
             xi = jnp.asarray(x, jnp.float32)
             xi = jnp.moveaxis(xi, axis, -1)
             n = xi.shape[-1]
-        if n < max(self.m_num, 1):
-            raise PlanError(f"signal length {n} must be >= m_num "
-                            f"({self.m_num})")
         p0, p1 = self.p_range(n, p0, p1)
         nb = p1 - p0
         k_first = p0 * self._hop - self.m_num_mid + k_offset
@@ -497,8 +494,7 @@ class ShortTimeFFT:
         Z = jnp.swapaxes(Z, -3, -2)               # (..., f, p, 2)
         # scipy's multidimensional layout: the frequency axis replaces
         # the original time axis; the new slice axis is appended last
-        nd_logical = Z.ndim - 2                   # dims besides (p, lane)
-        a = axis % (nd_logical if not complex_in else nd_logical)
+        a = axis % (Z.ndim - 2)                   # dims besides (p, lane)
         return jnp.moveaxis(Z, -3, a)
 
     @staticmethod
@@ -558,9 +554,12 @@ class ShortTimeFFT:
             raise PlanError(f"S has {Z.shape[-3]} frequency rows; "
                             f"f_pts is {self.f_pts}")
         q = Z.shape[-2]
-        # n implied by q slices: the largest n with p_num(n) == q
-        n_impl = (self.p_min + q - 1) * self._hop + self.m_num_mid
-        k_hi = self.k_max(n_impl)
+        # n implied by q slices (scipy's default k1); the slice-p_max
+        # algebra gives n = (p_min + q - 1) * hop + (m_num - m_num_mid)
+        n_impl = (self.p_min + q - 1) * self._hop \
+            + (self.m_num - self.m_num_mid)
+        # the overlap-add output physically ends here — the bound for k1
+        k_hi = self.k_min + (q - 1) * self._hop + self.m_num
         if k1 is None:
             k1 = n_impl
         if not (self.k_min <= k0 < k1 <= k_hi):
