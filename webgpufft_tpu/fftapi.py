@@ -45,7 +45,10 @@ from .utils import factors
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
     "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
-    "hfft", "ihfft",
+    "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
+    "prev_fast_len", "set_workers", "get_workers",
+    "set_backend", "skip_backend", "set_global_backend",
+    "register_backend",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "fftconvolve", "oaconvolve", "convolve", "correlate",
     "convolve2d", "correlate2d",
@@ -2118,3 +2121,139 @@ class ZoomFFT(CZT):
 # the modern STFT class lives in shorttime.py (late import: it builds on
 # this module's framing/transform machinery)
 from .shorttime import ShortTimeFFT, closest_STFT_dual_window  # noqa: E402
+
+
+def prev_fast_len(n: int, real: bool = False) -> int:
+    """Largest radix-supported (smooth) length <= n
+    (scipy.fft.prev_fast_len analog over the framework's radix set —
+    like :func:`next_fast_len`, sizes are plan-fast lengths here, which
+    include 13; ``real`` is accepted for signature parity, the r2c path
+    supports the same set)."""
+    n = int(n)
+    if n < 1:
+        raise PlanError("n must be a positive integer")
+    m = n
+    while m > 1 and factors.next_smooth_at_least(m) != m:
+        m -= 1
+    return m
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm=None, *,
+          interleaved: Optional[bool] = None):
+    """2-D FFT of a Hermitian-symmetric (real-spectrum) signal
+    (scipy.fft.hfft2 semantics).  Returns a real array."""
+    return hfftn(x, s=s, axes=axes, norm=norm, interleaved=interleaved)
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm=None):
+    """Inverse of :func:`hfft2` (scipy.fft.ihfft2)."""
+    return ihfftn(x, s=s, axes=axes, norm=norm)
+
+
+def hfftn(x, s=None, axes=None, norm=None, *,
+          interleaved: Optional[bool] = None):
+    """N-D Hermitian FFT: the real spectrum of a Hermitian-symmetric
+    complex signal (scipy.fft.hfftn semantics) — irfftn of the
+    conjugate, scaled by the norm-mode factor."""
+    z = asinterleaved(x, interleaved)
+    zc = z.at[..., 1].multiply(-1.0) if hasattr(z, "at") \
+        else jnp.concatenate([z[..., :1], -z[..., 1:]], axis=-1)
+    y = irfftn(zc, s=s, axes=axes, norm="backward")
+    nd = y.ndim
+    # total length along the transformed axes of the OUTPUT
+    if axes is None:
+        ax_list = list(range(nd)) if s is None else \
+            list(range(nd - len(s), nd))
+    else:
+        ax_list = [a % nd for a in (axes if isinstance(axes, (tuple, list))
+                                    else (axes,))]
+    N = 1
+    for a in ax_list:
+        N *= y.shape[a]
+    if norm in (None, "backward"):
+        return y * np.float32(N)
+    if norm == "ortho":
+        return y * np.float32(math.sqrt(N))
+    if norm == "forward":
+        return y
+    raise PlanError(f"invalid norm {norm!r}")
+
+
+def ihfftn(x, s=None, axes=None, norm=None):
+    """Inverse N-D Hermitian FFT (scipy.fft.ihfftn semantics):
+    conj(rfftn(x)) with the inverse norm factor.  Returns interleaved
+    (..., 2)."""
+    xr = jnp.asarray(x, jnp.float32)
+    Y = rfftn(xr, s=s, axes=axes, norm="backward")
+    nd = xr.ndim
+    if axes is None:
+        ax_list = list(range(nd)) if s is None else \
+            list(range(nd - len(s), nd))
+    else:
+        ax_list = [a % nd for a in (axes if isinstance(axes, (tuple, list))
+                                    else (axes,))]
+    if s is not None:
+        N = 1
+        for v in s:
+            N *= int(v)
+    else:
+        N = 1
+        for a in ax_list:
+            N *= xr.shape[a]
+    if norm in (None, "backward"):
+        fac = 1.0 / N
+    elif norm == "ortho":
+        fac = 1.0 / math.sqrt(N)
+    elif norm == "forward":
+        fac = 1.0
+    else:
+        raise PlanError(f"invalid norm {norm!r}")
+    Yc = Y.at[..., 1].multiply(-1.0)
+    return Yc * np.float32(fac)
+
+
+# ------------------------------------------------- scipy.fft compat shims
+
+class _WorkersCtx:
+    def __init__(self, n):
+        self._n = n
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def set_workers(workers: int):
+    """scipy.fft.set_workers-compatible context manager.  The XLA plan
+    layer owns its own parallelism (one device program), so the worker
+    count is accepted and ignored."""
+    return _WorkersCtx(int(workers))
+
+
+def get_workers() -> int:
+    """scipy.fft.get_workers analog: the plan layer presents a single
+    logical execution stream."""
+    return 1
+
+
+def set_backend(backend, coerce: bool = False, only: bool = False):
+    """scipy.fft.set_backend-compatible no-op context manager: this
+    framework has exactly one FFT backend (the TPU plan layer)."""
+    return _WorkersCtx(0)
+
+
+def skip_backend(backend):
+    """scipy.fft.skip_backend-compatible no-op context manager."""
+    return _WorkersCtx(0)
+
+
+def set_global_backend(backend, coerce=False, only=False,
+                       try_last=False):
+    """scipy.fft.set_global_backend analog — accepted and ignored (one
+    backend exists)."""
+
+
+def register_backend(backend):
+    """scipy.fft.register_backend analog — accepted and ignored."""
