@@ -46,7 +46,7 @@ from .runtime.aot import (ExportedPlan, export_distributed_plan, export_plan,
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def upload_complex(z, device=None):
