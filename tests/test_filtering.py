@@ -545,3 +545,22 @@ class TestOrderFilters:
             FL.order_filter(np.zeros(10), np.zeros(3), 0)  # empty domain
         with pytest.raises(PlanError):
             FL.order_filter(np.zeros(10), np.ones((3, 3)), 0)
+
+
+class TestNamespaceComplete:
+    def test_every_advertised_name_is_bound(self):
+        """Regression: the re-export list once advertised names in
+        __all__ that were not module attributes (stale explicit import)."""
+        missing = [n for n in FL.__all__ if not hasattr(FL, n)]
+        assert not missing, missing
+
+    def test_scipy_signal_surface_coverage(self):
+        """Every public scipy.signal name has a framework counterpart."""
+        import webgpufft_tpu as W
+        have = set()
+        for mod in (W.fft, W.filtering, W.iirdesign, W.peaks, W.ltisys,
+                    W.waveforms, W.splines, W.ndimage, W.windows):
+            have |= set(getattr(mod, "__all__", []))
+        have |= {"ShortTimeFFT", "windows"}
+        missing = [n for n in ss.__all__ if n not in have]
+        assert not missing, missing

@@ -33,33 +33,12 @@ from .spec import PlanError
 # IIR design lives in its own module (pure host coefficient math); it is
 # re-exported here so the scipy.signal call set is one namespace:
 # ``from webgpufft_tpu.filtering import butter, sosfiltfilt``.
-from .iirdesign import (  # noqa: F401
-    butter, cheby1, cheby2, ellip, bessel, iirfilter,
-    buttap, cheb1ap, cheb2ap, ellipap, besselap,
-    buttord, cheb1ord, cheb2ord, ellipord,
-    bilinear, bilinear_zpk,
-    lp2lp_zpk, lp2hp_zpk, lp2bp_zpk, lp2bs_zpk,
-    zpk2tf, tf2zpk, zpk2sos, sos2zpk, sos2tf,
-)
 from . import iirdesign as _iirdesign
-# Peak finding is host analysis math in its own module; re-exported so
-# scipy.signal users keep the single-namespace habit
-# (``from webgpufft_tpu.filtering import find_peaks``).
-from .peaks import (  # noqa: F401
-    find_peaks, peak_prominences, peak_widths,
-    argrelmin, argrelmax, argrelextrema,
-)
+# Peak finding and the LTI toolbox live in their own modules; their
+# whole __all__ is re-exported programmatically so the scipy.signal
+# single-namespace story can never drift out of sync with the modules
+# (a stale explicit import list once advertised names it didn't bind).
 from . import peaks as _peaks
-# LTI system toolbox (conversions / discretization / simulation) — same
-# single-namespace re-export.
-from .ltisys import (  # noqa: F401
-    normalize, tf2ss, ss2tf, zpk2ss, ss2zpk,
-    cont2discrete, lsim, dlsim, step, impulse, dstep, dimpulse,
-    findfreqs, freqs, freqs_zpk, freqresp, bode, dfreqresp, dbode,
-    unique_roots, residue, residuez, invres, invresz,
-    abcd_normalize,
-    lti, dlti, TransferFunction, ZerosPolesGain, StateSpace,
-)
 from . import ltisys as _ltisys
 
 __all__ = [
@@ -72,6 +51,11 @@ __all__ = [
     "wiener", "order_filter", "medfilt", "medfilt2d",
 ] + list(_iirdesign.__all__) + list(_peaks.__all__) \
     + list(_ltisys.__all__)
+
+for _mod in (_iirdesign, _peaks, _ltisys):
+    for _name in _mod.__all__:
+        globals()[_name] = getattr(_mod, _name)
+del _mod, _name
 
 
 # ------------------------------------------------------------- FIR design
@@ -1178,14 +1162,12 @@ def remez(numtaps: int, bands, desired, *, weight=None,
 # B-spline toolbox (splines.py) builds on lfilter/sosfilt above; the
 # late import avoids circular module initialization while keeping the
 # scipy.signal single-namespace story.
-from .splines import (  # noqa: E402,F401
-    gauss_spline, cspline1d, qspline1d, cspline2d, qspline2d,
-    cspline1d_eval, qspline1d_eval, spline_filter, sepfir2d,
-    symiirorder1, symiirorder2,
-)
 from . import splines as _splines  # noqa: E402
 
 __all__ += list(_splines.__all__)
+for _name in _splines.__all__:
+    globals()[_name] = getattr(_splines, _name)
+del _name
 
 
 def lfiltic(b, a, y, x=None):

@@ -57,7 +57,16 @@ class Plan:
         self.input_desc = input_desc
         self.output_desc = output_desc
         self._workspace_bytes = workspace_bytes
-        self._consts = {k: jnp.asarray(v) for k, v in consts.items()}
+        # Constant tables stay HOST numpy at build time: a plan may be
+        # built lazily inside a CALLER's jit trace (facade calls compose
+        # under jit), and jnp.asarray there would capture tracers in the
+        # long-lived plan cache — the first eager exec after that trace
+        # then dies with UnexpectedTracerError.  Device copies are
+        # materialized lazily, only outside any active trace (see
+        # _device_consts); inside a trace the numpy tables embed as
+        # jaxpr constants, which is exactly right.
+        self._consts_np = {k: np.asarray(v) for k, v in consts.items()}
+        self._consts_dev = None
         self._fn = fn
         # static side metadata attached by build_staged_fn (None for plans
         # with bespoke pipelines like fftconv/conv2d)
@@ -66,8 +75,23 @@ class Plan:
         self.accepts_out = getattr(fn, "accepts_out", False)
         donate_args = (1,) if donate else ()
         self._jit = jax.jit(fn, donate_argnums=donate_args)
+        self._donate = donate
         self._jit_out = None  # lazily created variant taking an out buffer
         self._jit_variants = {}
+
+    @property
+    def _consts(self):
+        """Constant tables for exec: device arrays when no trace is
+        active (materialized once, then reused — no per-call upload);
+        the raw numpy tables inside a caller's jit trace, where they
+        embed as jaxpr constants."""
+        from jax._src import core as _jax_core
+        if not _jax_core.trace_state_clean():
+            return self._consts_np
+        if self._consts_dev is None:
+            self._consts_dev = {k: jnp.asarray(v)
+                                for k, v in self._consts_np.items()}
+        return self._consts_dev
 
     # -- execution ---------------------------------------------------------
 
@@ -220,7 +244,8 @@ class Plan:
     def destroy(self):
         """Release references to device constants (buffers are freed by the
         runtime once unreferenced; parity no-op otherwise)."""
-        self._consts = {}
+        self._consts_np = {}
+        self._consts_dev = {}
         self._jit = None
         self._jit_out = None
 

@@ -41,18 +41,20 @@ def _default_precision(dtype, precision: float) -> float:
 
 # -------------------------------------------------- symmetric IIR filters
 
-def _sym1_ic(x: np.ndarray, z1: float, precision: float) -> np.ndarray:
+def _sym1_ic(x, z1: float, precision: float):
     """Mirror-symmetric starting value for the causal first-order section
     1/(1 - z1 z^-1): y[0] = x[0] + z1 * sum_k z1^k x[k], the sum
     truncated once |z1|^k < precision (scipy's convergence contract:
-    the tail must decay within the signal length)."""
+    the tail must decay within the signal length).  The weights are a
+    host f64 table; the dot runs in jnp so the whole filter traces
+    under a caller's jit."""
     K = x.shape[-1]
     M = int(math.floor(math.log(precision) / math.log(abs(z1)))) + 1
     if M >= K:
         raise PlanError("Sum to find symmetric boundary conditions did "
                         "not converge (signal too short for |z1| and "
                         "precision)")
-    pw = z1 ** np.arange(M, dtype=np.float64)
+    pw = jnp.asarray(z1 ** np.arange(M, dtype=np.float64), jnp.float32)
     return x[..., 0] + z1 * (x[..., :M] @ pw)
 
 
@@ -63,25 +65,22 @@ def symiirorder1(signal, c0: float, z1: float, precision: float = -1.0):
     boundary values from the truncated mirror sums."""
     if abs(z1) >= 1:
         raise PlanError("|z1| must be less than 1.0")
-    x = np.asarray(signal, dtype=np.float64)
+    prec = _default_precision(getattr(signal, "dtype", np.float64),
+                              precision)
+    x = jnp.asarray(signal, jnp.float32)
     if x.ndim > 2:
         raise PlanError("Input must be 1D or 2D")
-    prec = _default_precision(np.asarray(signal).dtype, precision)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None]
-    K = x.shape[-1]
     y0 = _sym1_ic(x, z1, prec)
     y1_tail, _ = lfilter([1.0], [1.0, -z1], x[:, 1:],
                          zi=(z1 * y0)[:, None])
-    y1 = jnp.concatenate([jnp.asarray(y0, jnp.float32)[:, None],
-                          y1_tail], axis=-1)
-    out_last = -c0 / (z1 - 1.0) * np.asarray(y1[:, -1], np.float64)
+    y1 = jnp.concatenate([y0[:, None], y1_tail], axis=-1)
+    out_last = (-c0 / (z1 - 1.0)) * y1[:, -1]
     out_rev, _ = lfilter([c0], [1.0, -z1], y1[:, -2::-1],
                          zi=(z1 * out_last)[:, None])
-    out = jnp.concatenate([out_rev[:, ::-1],
-                           jnp.asarray(out_last, jnp.float32)[:, None]],
-                          axis=-1)
+    out = jnp.concatenate([out_rev[:, ::-1], out_last[:, None]], axis=-1)
     return out[0] if squeeze else out
 
 
@@ -115,19 +114,19 @@ def _sym2_run(x: np.ndarray, r: float, omega: float,
     sos = np.array([[cs, 0.0, 0.0, 1.0, -a2, -a3]])
     coef = np.array([[a3, a2], [0.0, a3]])
 
+    coefj = jnp.asarray(coef, jnp.float32)
+
     def seed(ic):
         # direct-form-II-transposed state equivalent to the last two
         # outputs ic = (y[n-1], y[n-2]) of the pure-recursive section
-        return (coef @ ic[..., None])[..., 0]
+        return (coefj @ ic[..., None])[..., 0]
 
+    ic_fwd = jnp.asarray(ic_fwd, jnp.float32)
+    ic_bwd = jnp.asarray(ic_bwd, jnp.float32)
     y_fwd_tail, _ = sosfilt(sos, x[:, 2:], zi=seed(ic_fwd)[None])
-    y_fwd = jnp.concatenate([jnp.asarray(ic_fwd[:, ::-1].copy(),
-                                         jnp.float32)[:, ::-1],
-                             y_fwd_tail], axis=-1)
+    y_fwd = jnp.concatenate([ic_fwd, y_fwd_tail], axis=-1)
     y_rev, _ = sosfilt(sos, y_fwd[:, -3::-1], zi=seed(ic_bwd)[None])
-    out = jnp.concatenate([y_rev[:, ::-1],
-                           jnp.asarray(ic_bwd[:, ::-1].copy(),
-                                       jnp.float32)], axis=-1)
+    out = jnp.concatenate([y_rev[:, ::-1], ic_bwd[:, ::-1]], axis=-1)
     return out
 
 
@@ -138,10 +137,11 @@ def symiirorder2(input, r: float, omega: float, precision: float = -1.0):
     truncated _hc/_hs sums, recursions on device."""
     if r >= 1.0:
         raise PlanError("r must be less than 1.0")
-    x = np.asarray(input, dtype=np.float64)
+    prec = _default_precision(getattr(input, "dtype", np.float64),
+                              precision)
+    x = jnp.asarray(input, jnp.float32)
     if x.ndim > 2:
         raise PlanError("Input must be 1D or 2D")
-    prec = _default_precision(np.asarray(input).dtype, precision)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None]
@@ -173,19 +173,21 @@ def symiirorder2(input, r: float, omega: float, precision: float = -1.0):
     t1 = _hc(k + 2, cs, r, omega)
     m0 = _truncate(t0, False)
     m1 = _truncate(t1, False)
-    ic0 = _hc(0, cs, r, omega) * x[:, 0] + x[:, :m0] @ t0[:m0]
-    ic1 = (_hc(1, cs, r, omega) * x[:, 0]
-           + _hc(0, cs, r, omega) * x[:, 1] + x[:, :m1] @ t1[:m1])
-    ic_fwd = np.stack([ic0, ic1], axis=-1)
+    t0j = jnp.asarray(t0[:m0], jnp.float32)
+    t1j = jnp.asarray(t1[:m1], jnp.float32)
+    ic0 = float(_hc(0, cs, r, omega)) * x[:, 0] + x[:, :m0] @ t0j
+    ic1 = (float(_hc(1, cs, r, omega)) * x[:, 0]
+           + float(_hc(0, cs, r, omega)) * x[:, 1] + x[:, :m1] @ t1j)
+    ic_fwd = jnp.stack([ic0, ic1], axis=-1)
     # backward: out[K-1], out[K-2] from the folded total response
     xr = x[:, ::-1]
     d0 = _hs(k, cs, r, omega) + _hs(k + 1, cs, r, omega)
     d1 = _hs(k - 1, cs, r, omega) + _hs(k + 2, cs, r, omega)
     n0 = _truncate(d0, True)
     n1 = _truncate(d1, True)
-    b0 = xr[:, :n0] @ d0[:n0]
-    b1 = xr[:, :n1] @ d1[:n1]
-    ic_bwd = np.stack([b0, b1], axis=-1)
+    b0 = xr[:, :n0] @ jnp.asarray(d0[:n0], jnp.float32)
+    b1 = xr[:, :n1] @ jnp.asarray(d1[:n1], jnp.float32)
+    ic_bwd = jnp.stack([b0, b1], axis=-1)
     out = _sym2_run(x, r, omega, ic_fwd, ic_bwd)
     return out[0] if squeeze else out
 
@@ -218,45 +220,50 @@ def _cubic_smooth_coeff(signal: np.ndarray, lamb: float):
     precision-truncated symiirorder2 ones)."""
     rho, omega = _coeff_smooth(lamb)
     cs = 1 - 2 * rho * math.cos(omega) + rho * rho
-    x = signal[None] if signal.ndim == 1 else signal
+    sq = signal.ndim == 1
+    x = signal[None] if sq else signal
     K = x.shape[-1]
     k = np.arange(K, dtype=np.float64)
-    ic0 = (_hc(0, cs, rho, omega) * x[:, 0]
-           + x @ _hc(k + 1, cs, rho, omega))
-    ic1 = (_hc(0, cs, rho, omega) * x[:, 0]
-           + _hc(1, cs, rho, omega) * x[:, 1]
-           + x @ _hc(k + 2, cs, rho, omega))
+    w0 = jnp.asarray(_hc(k + 1, cs, rho, omega), jnp.float32)
+    w1 = jnp.asarray(_hc(k + 2, cs, rho, omega), jnp.float32)
+    ic0 = float(_hc(0, cs, rho, omega)) * x[:, 0] + x @ w0
+    ic1 = (float(_hc(0, cs, rho, omega)) * x[:, 0]
+           + float(_hc(1, cs, rho, omega)) * x[:, 1] + x @ w1)
     xr = x[:, ::-1]
-    b0 = xr @ (_hs(k, cs, rho, omega) + _hs(k + 1, cs, rho, omega))
-    b1 = xr @ (_hs(k - 1, cs, rho, omega) + _hs(k + 2, cs, rho, omega))
+    v0 = jnp.asarray(_hs(k, cs, rho, omega)
+                     + _hs(k + 1, cs, rho, omega), jnp.float32)
+    v1 = jnp.asarray(_hs(k - 1, cs, rho, omega)
+                     + _hs(k + 2, cs, rho, omega), jnp.float32)
+    b0 = xr @ v0
+    b1 = xr @ v1
     out = _sym2_run(x, rho, omega,
-                    np.stack([ic0, ic1], -1), np.stack([b0, b1], -1))
-    return out[0] if signal.ndim == 1 else out
+                    jnp.stack([ic0, ic1], -1), jnp.stack([b0, b1], -1))
+    return out[0] if sq else out
 
 
-def _prefilter_1d(x: np.ndarray, z1: float, gain: float):
+def _prefilter_1d(x, z1: float, gain: float):
     """Exact (untruncated) B-spline interpolation prefilter used by
     cspline1d/qspline1d at lamb == 0: gain / ((1-z1 z^-1)(1-z1 z)) with
-    the full-signal mirror starting sum."""
+    the full-signal mirror starting sum (host f64 weight table, jnp dot
+    — traces under jit)."""
+    x = jnp.asarray(x, jnp.float32)
     sq = x.ndim == 1
     if sq:
         x = x[None]
     K = x.shape[-1]
-    pw = z1 ** np.arange(K, dtype=np.float64)
+    pw = jnp.asarray(z1 ** np.arange(K, dtype=np.float64), jnp.float32)
     y0 = x[:, 0] + z1 * (x @ pw)
     if K == 1:
         # scipy quirk: the single-sample path omits the gain factor
         out = z1 / (z1 - 1) * y0
-        return jnp.asarray(out if not sq else out[:1], jnp.float32)
+        return out if not sq else out[:1]
     y1_tail, _ = lfilter([1.0], [1.0, -z1], x[:, 1:], zi=(z1 * y0)[:, None])
-    y1 = jnp.concatenate([jnp.asarray(y0, jnp.float32)[:, None], y1_tail],
-                         axis=-1)
-    out_last = z1 / (z1 - 1) * np.asarray(y1[:, -1], np.float64)
+    y1 = jnp.concatenate([y0[:, None], y1_tail], axis=-1)
+    out_last = (z1 / (z1 - 1)) * y1[:, -1]
     # backward: out[k] = z1 (out[k+1] - y1[k])  ==  lfilter([-z1], [1,-z1])
     out_rev, _ = lfilter([-z1], [1.0, -z1], y1[:, -2::-1],
                          zi=(z1 * out_last)[:, None])
-    out = jnp.concatenate([out_rev[:, ::-1],
-                           jnp.asarray(out_last, jnp.float32)[:, None]],
+    out = jnp.concatenate([out_rev[:, ::-1], out_last[:, None]],
                           axis=-1) * gain
     return out[0] if sq else out
 
@@ -265,7 +272,7 @@ def cspline1d(signal, lamb: float = 0.0):
     """Cubic B-spline coefficients of a rank-1 signal
     (scipy.signal.cspline1d semantics; mirror-symmetric boundaries;
     ``lamb > 0`` smooths)."""
-    x = np.asarray(signal, dtype=np.float64)
+    x = jnp.asarray(signal, jnp.float32)
     if lamb != 0.0:
         return _cubic_smooth_coeff(x, lamb)
     return _prefilter_1d(x, -2 + math.sqrt(3), 6.0)
@@ -275,8 +282,8 @@ def qspline1d(signal, lamb: float = 0.0):
     """Quadratic B-spline coefficients (scipy.signal.qspline1d)."""
     if lamb != 0.0:
         raise PlanError("Smoothing quadratic splines not supported yet.")
-    x = np.asarray(signal, dtype=np.float64)
-    return _prefilter_1d(x, -3 + 2 * math.sqrt(2), 8.0)
+    return _prefilter_1d(jnp.asarray(signal, jnp.float32),
+                         -3 + 2 * math.sqrt(2), 8.0)
 
 
 def cspline2d(signal, lamb: float = 0.0, precision: float = -1.0):
