@@ -348,3 +348,100 @@ def test_fuzz_distributed_pencil(seed, assert_close):
                                       batch_axis=dp, seq_axis=("sp0", "sp1"))
         back = np.asarray(c2r(y)).reshape(batch, *shape)
         assert_close(back, x, label=f"pfuzz c2r seed={seed} {shape} {key}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_dsp_toolkit(seed):
+    """Random filter designs applied on device vs scipy end-to-end:
+    design family, order, band type, and application path all drawn
+    randomly; every chain is checked against scipy.signal."""
+    import scipy.signal as ss
+    from webgpufft_tpu import filtering as FL
+    r = np.random.default_rng(1000 + seed)
+    n = int(r.integers(64, 400))
+    x = r.standard_normal(n).astype(np.float32)
+
+    # random IIR design
+    ftype = r.choice(["butter", "cheby1", "cheby2", "ellip"])
+    order = int(r.integers(2, 7))
+    btype = r.choice(["lowpass", "highpass", "bandpass"])
+    if btype == "bandpass":
+        lo = r.uniform(0.1, 0.4)
+        wn = [lo, lo + r.uniform(0.1, 0.4)]
+    else:
+        wn = r.uniform(0.1, 0.8)
+    kw = {}
+    if ftype in ("cheby1", "ellip"):
+        kw["rp"] = 1.0
+    if ftype in ("cheby2", "ellip"):
+        kw["rs"] = 40.0
+    sos = FL.iirfilter(order, wn, btype=btype, ftype=ftype,
+                       output="sos", **kw)
+    sos_ref = ss.iirfilter(order, wn, btype=btype, ftype=ftype,
+                           output="sos", **kw)
+    assert np.allclose(sos, sos_ref, atol=1e-9, rtol=1e-7)
+
+    got = np.asarray(FL.sosfilt(sos, x))
+    want = ss.sosfilt(sos_ref, x)
+    scale = max(np.max(np.abs(want)), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 5e-4
+
+    # random FIR design + device convolution path
+    numtaps = int(r.integers(9, 64)) | 1
+    cutoff = r.uniform(0.1, 0.9)
+    taps = FL.firwin(numtaps, cutoff)
+    assert np.allclose(taps, ss.firwin(numtaps, cutoff), atol=1e-13)
+    got = np.asarray(FL.lfilter(taps, 1.0, x))
+    want = ss.lfilter(taps, [1.0], x)
+    assert np.max(np.abs(got - want)) / max(np.max(np.abs(want)),
+                                            1e-6) < 5e-4
+
+    # random symmetric IIR (splines) geometry
+    from webgpufft_tpu import splines as SP
+    z1 = float(r.uniform(-0.7, 0.7))
+    if abs(z1) > 0.05 and n > 60:
+        c0 = float(r.uniform(0.5, 3.0))
+        got = np.asarray(SP.symiirorder1(x.astype(np.float64), c0, z1))
+        want = ss.symiirorder1(x.astype(np.float64), c0, z1)
+        assert np.max(np.abs(got - want)) / max(np.max(np.abs(want)),
+                                                1e-6) < 5e-4
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_shorttime_and_envelope(seed):
+    """Random ShortTimeFFT geometries and envelope bands vs scipy."""
+    import scipy.signal as ss
+    from webgpufft_tpu import ShortTimeFFT
+    from webgpufft_tpu import fft as wfft
+    from webgpufft_tpu.fftapi import ascomplex
+    r = np.random.default_rng(2000 + seed)
+    n = int(r.integers(40, 300))
+    x = r.standard_normal(n)
+
+    m = int(r.integers(4, 24))
+    hop = int(r.integers(1, m + 1))
+    mfft = m + int(r.integers(0, 9))
+    mode = r.choice(["onesided", "twosided", "centered"])
+    A = ShortTimeFFT(ss.windows.gaussian(m, m / 4), hop=hop, fs=5,
+                     fft_mode=mode, mfft=mfft)
+    B = ss.ShortTimeFFT(ss.windows.gaussian(m, m / 4), hop=hop, fs=5,
+                        fft_mode=mode, mfft=mfft)
+    S_g = ascomplex(np.asarray(A.stft(x)))
+    S_e = B.stft(x)
+    scale = max(np.max(np.abs(S_e)), 1e-6)
+    assert np.max(np.abs(S_g - S_e)) / scale < 5e-4, (m, hop, mfft, mode)
+    if A.invertible:
+        xr = np.asarray(A.istft(S_e.astype(np.complex64), k1=n))
+        want = B.istft(S_e, k1=n)
+        if mode == "onesided":
+            assert np.max(np.abs(xr - want.real)) < 5e-4 * max(
+                np.max(np.abs(want.real)), 1e-6)
+
+    # envelope with a random legal band
+    bp0 = int(r.integers(-(n // 2), (n + 1) // 2 - 1))
+    bp1 = int(r.integers(bp0 + 1, (n + 1) // 2 + 1))
+    res = r.choice(["lowpass", "all"])
+    got = np.asarray(wfft.envelope(x, (bp0, bp1), residual=res))
+    want = ss.envelope(x, (bp0, bp1), residual=res)
+    scale = max(np.max(np.abs(want)), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 1e-4, (bp0, bp1, res)
