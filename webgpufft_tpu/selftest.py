@@ -135,6 +135,32 @@ def run(tol: float = 1e-5) -> bool:
     except ImportError:
         pass
 
+    # DSP toolkit device paths (round-3 surfaces): IIR scan, FIR plan
+    # route, ShortTimeFFT framing/overlap-add, envelope band slicing
+    try:
+        import scipy.signal as ss_or
+        from webgpufft_tpu import filtering as FL
+        from webgpufft_tpu import ShortTimeFFT
+
+        xf = rng.standard_normal(2048).astype(np.float32)
+        sos = FL.butter(6, 0.2, output="sos")
+        check("dsp sosfiltfilt", np.asarray(FL.sosfiltfilt(sos, xf)),
+              ss_or.sosfiltfilt(ss_or.butter(6, 0.2, output="sos"), xf))
+        taps = FL.remez(63, [0, 0.2, 0.3, 1.0], [1, 0], fs=2.0)
+        check("dsp lfilter remez", np.asarray(FL.lfilter(taps, 1.0, xf)),
+              ss_or.lfilter(taps, [1.0], xf))
+        SFT = ShortTimeFFT.from_window("hann", fs=1.0, nperseg=256,
+                                       noverlap=192)
+        Sd = SFT.stft(xf)
+        check("dsp shorttime roundtrip",
+              np.asarray(SFT.istft(Sd, k1=2048, interleaved=True)), xf)
+        check("dsp envelope", np.asarray(fftapi.envelope(xf)),
+              ss_or.envelope(xf.astype(np.float64)))
+        check("dsp cspline1d", np.asarray(FL.cspline1d(xf)),
+              ss_or.cspline1d(xf.astype(np.float64)))
+    except ImportError:
+        pass
+
     # AOT export/load roundtrip on this backend
     p = W.create_plan({"type": "c2c", "shape": [64], "batch": 2,
                        "normalize": "unitary"}, cache=cache)
