@@ -886,8 +886,8 @@ class TestHermitianNd:
             assert p <= n
             assert F.next_fast_len(p) == p       # p is itself fast
             if p < n:
-                assert F.next_fast_len(p + 1) > n or \
-                    F.next_fast_len(p + 1) <= n is False or True
+                # maximality: the next fast length past p overshoots n
+                assert F.next_fast_len(p + 1) > n
         # monotone
         vals = [F.prev_fast_len(n) for n in range(1, 200)]
         assert all(a <= b for a, b in zip(vals, vals[1:]))

@@ -2133,7 +2133,7 @@ def prev_fast_len(n: int, real: bool = False) -> int:
     if n < 1:
         raise PlanError("n must be a positive integer")
     m = n
-    while m > 1 and factors.next_smooth_at_least(m) != m:
+    while m > 1 and not factors.is_smooth(m):
         m -= 1
     return m
 

@@ -62,8 +62,8 @@ class Plan:
         # under jit), and jnp.asarray there would capture tracers in the
         # long-lived plan cache — the first eager exec after that trace
         # then dies with UnexpectedTracerError.  Device copies are
-        # materialized lazily, only outside any active trace (see
-        # _device_consts); inside a trace the numpy tables embed as
+        # materialized lazily, only outside any active trace (see the
+        # _consts property); inside a trace the numpy tables embed as
         # jaxpr constants, which is exactly right.
         self._consts_np = {k: np.asarray(v) for k, v in consts.items()}
         self._consts_dev = None
@@ -81,16 +81,26 @@ class Plan:
 
     @property
     def _consts(self):
-        """Constant tables for exec: device arrays when no trace is
-        active (materialized once, then reused — no per-call upload);
-        the raw numpy tables inside a caller's jit trace, where they
-        embed as jaxpr constants."""
-        from jax._src import core as _jax_core
-        if not _jax_core.trace_state_clean():
+        """Constant tables for exec: device arrays once materialized
+        (committed arrays embed safely as constants inside later traces
+        too); before that, materialize only when no trace is active —
+        inside a caller's jit trace the raw numpy tables are returned
+        and embed as jaxpr constants.  The numpy copies are dropped at
+        materialization (no double-residency per cached plan)."""
+        if self._consts_dev is not None:
+            return self._consts_dev
+        try:
+            from jax._src import core as _jax_core
+            trace_clean = _jax_core.trace_state_clean()
+        except (ImportError, AttributeError):
+            # private-API fallback: numpy consts are always safe (they
+            # just re-upload per eager exec)
             return self._consts_np
-        if self._consts_dev is None:
-            self._consts_dev = {k: jnp.asarray(v)
-                                for k, v in self._consts_np.items()}
+        if not trace_clean:
+            return self._consts_np
+        self._consts_dev = {k: jnp.asarray(v)
+                            for k, v in self._consts_np.items()}
+        self._consts_np = {}
         return self._consts_dev
 
     # -- execution ---------------------------------------------------------

@@ -158,7 +158,8 @@ def run(tol: float = 1e-5) -> bool:
               ss_or.envelope(xf.astype(np.float64)))
         check("dsp cspline1d", np.asarray(FL.cspline1d(xf)),
               ss_or.cspline1d(xf.astype(np.float64)))
-    except ImportError:
+    except (ImportError, AttributeError):
+        # AttributeError: scipy < 1.16 has no envelope oracle
         pass
 
     # AOT export/load roundtrip on this backend

@@ -255,8 +255,8 @@ def _prefilter_1d(x, z1: float, gain: float):
     y0 = x[:, 0] + z1 * (x @ pw)
     if K == 1:
         # scipy quirk: the single-sample path omits the gain factor
-        out = z1 / (z1 - 1) * y0
-        return out if not sq else out[:1]
+        out = (z1 / (z1 - 1) * y0)[:, None]
+        return out[0] if sq else out
     y1_tail, _ = lfilter([1.0], [1.0, -z1], x[:, 1:], zi=(z1 * y0)[:, None])
     y1 = jnp.concatenate([y0[:, None], y1_tail], axis=-1)
     out_last = (z1 / (z1 - 1)) * y1[:, -1]
