@@ -263,3 +263,82 @@ def test_distributed_operand_bounds(mesh8, rng, assert_close, monkeypatch):
     with pytest.raises(ValueError, match="per-device"):
         monkeypatch.setattr(A, "OPERAND_CHUNK_ELEMS", 16)
         sharded.build_distributed_fft_1d(n, mesh8, "dp")
+
+
+class TestDistributedStft:
+    """Sequence-parallel STFT/ISTFT: time axis sharded over the mesh,
+    the (W - H)-sample window-overlap halo rides one ppermute."""
+
+    @pytest.fixture(scope="class")
+    def spmesh(self):
+        return sharded.make_mesh({"sp": 8})
+
+    @pytest.mark.parametrize("W,O,n,win", [
+        (256, 192, 4000, "hann"),   # 75% overlap, gcd framing
+        (128, 64, 4544, "hann"),    # 50% overlap (H | W)
+        (64, 0, 4544, "boxcar"),    # no overlap (no halo; hann fails NOLA)
+        (100, 37, 3969, "hann"),    # coprime-ish hop (gather fallback)
+    ])
+    def test_matches_facade(self, spmesh, W, O, n, win):
+        from webgpufft_tpu.parallel import (build_distributed_stft,
+                                            build_distributed_istft)
+        from webgpufft_tpu import fft as wfft
+        mesh = spmesh
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        f, t, fn = build_distributed_stft(n, mesh, "sp", fs=50.0,
+                                          window=win, nperseg=W,
+                                          noverlap=O)
+        with mesh:
+            Zd = np.asarray(jax.jit(fn)(x))
+        fr, tr, Zr = wfft.stft(x, fs=50.0, window=win, nperseg=W,
+                               noverlap=O)
+        assert np.allclose(f, np.asarray(fr))
+        assert np.allclose(t, np.asarray(tr))
+        Zr = np.asarray(Zr)
+        assert Zd.shape == Zr.shape
+        scale = max(np.max(np.abs(Zr)), 1e-6)
+        assert np.max(np.abs(Zd - Zr)) / scale < 1e-5
+
+        ifn = build_distributed_istft(n, mesh, "sp", fs=50.0,
+                                      window=win, nperseg=W, noverlap=O)
+        with mesh:
+            xr = np.asarray(jax.jit(ifn)(Zr))
+        assert xr.shape == x.shape
+        assert np.max(np.abs(xr - x)) < 2e-5 * max(np.max(np.abs(x)), 1)
+
+    def test_no_all_to_all(self, spmesh):
+        """The comm profile is the O(W) halo, not an O(n) exchange."""
+        from webgpufft_tpu.parallel import build_distributed_stft
+        mesh = spmesh
+        n = 4000
+        _, _, fn = build_distributed_stft(n, mesh, "sp", nperseg=256,
+                                          noverlap=192)
+        x = jnp.zeros((1, n), jnp.float32)
+        with mesh:
+            hlo = jax.jit(fn).lower(x).compile().as_text()
+        assert "all-to-all" not in hlo
+
+    def test_frame_split_validation(self, spmesh):
+        from webgpufft_tpu.parallel import build_distributed_stft
+        mesh = spmesh
+        with pytest.raises(ValueError):
+            # frame count not divisible by 8
+            build_distributed_stft(1000, mesh, "sp", nperseg=256,
+                                   noverlap=192)
+
+    def test_1d_input_and_nfft(self, spmesh):
+        from webgpufft_tpu.parallel import (build_distributed_stft,
+                                            build_distributed_istft)
+        from webgpufft_tpu import fft as wfft
+        mesh = spmesh
+        n = 4544
+        x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+        f, t, fn = build_distributed_stft(n, mesh, "sp", nperseg=128,
+                                          noverlap=64, nfft=256)
+        with mesh:
+            Zd = np.asarray(fn(x))
+        _, _, Zr = wfft.stft(x, nperseg=128, noverlap=64, nfft=256)
+        Zr = np.asarray(Zr)
+        assert Zd.shape == Zr.shape
+        assert np.max(np.abs(Zd - Zr)) < 1e-5 * max(np.max(np.abs(Zr)), 1)

@@ -10,6 +10,8 @@ from .sharded import (
     build_distributed_fftconv_1d,
     build_distributed_fftconv_nd,
     build_distributed_r2c_1d,
+    build_distributed_stft,
+    build_distributed_istft,
     choose_distributed_split,
     make_mesh,
     shard_batch,
@@ -20,5 +22,6 @@ __all__ = [
     "build_distributed_c2r_1d", "build_distributed_fft_1d",
     "build_distributed_fft_axis0", "build_distributed_fftconv_1d",
     "build_distributed_fftconv_nd", "build_distributed_r2c_1d",
+    "build_distributed_stft", "build_distributed_istft",
     "choose_distributed_split", "make_mesh", "shard_batch",
 ]

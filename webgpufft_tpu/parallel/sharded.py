@@ -1468,3 +1468,184 @@ def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
         raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
     arr = np.array(devices[:need]).reshape(sizes)
     return Mesh(arr, names)
+
+
+# ---------------------------------------------------------------- STFT (sp)
+
+def distributed_stft_geometry(n: int, nperseg: int, hop: int, ndev: int):
+    """Frame geometry of the facade stft (boundary='zeros', padded=True)
+    for a length-n signal: (nb, lpad, total).  Distribution needs
+    ndev | nb; returns None when the frame count does not split."""
+    W, H = int(nperseg), int(hop)
+    lpad = W // 2
+    L = n + 2 * lpad
+    nb = max(-(-(L - W) // H) + 1, 1)
+    if nb % ndev:
+        return None
+    total = (nb - 1) * H + W
+    return nb, lpad, total
+
+
+def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
+                           fs: float = 1.0, window="hann",
+                           nperseg: int = 256,
+                           noverlap: Optional[int] = None,
+                           nfft: Optional[int] = None):
+    """Sequence-parallel STFT: the signal's TIME axis is sharded over
+    ``axis_name`` and each device frames + transforms its own slab.
+
+    Matches webgpufft_tpu.fft.stft(x, fs, window, nperseg, noverlap,
+    nfft, boundary='zeros', padded=True) exactly.  Communication is ONE
+    ppermute of the (nperseg - hop)-sample window-overlap halo per device
+    — O(W) per device, independent of n (the same halo idiom as the
+    distributed convolution; spectral routes would move O(n)).  The
+    output spectrogram is sharded along the FRAME axis, so a downstream
+    per-frame pipeline (masking, spectrogram statistics, ISTFT synthesis
+    via :func:`build_distributed_istft`) stays on-device.
+
+    Returns (f, t, fn) with fn(x): (batch, n) real -> (batch, nf, nb, 2)
+    sharded P(None, None, axis_name, None).
+    """
+    from ..fftapi import _stft_hop, _get_window, _frame_segments, rfft
+
+    ndev = mesh.shape[axis_name]
+    W, H = _stft_hop("distributed stft", nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise ValueError("nfft must be >= nperseg")
+    geom = distributed_stft_geometry(n, W, H, ndev)
+    if geom is None:
+        raise ValueError(
+            f"distributed stft needs the frame count to split over "
+            f"{ndev} devices (n={n}, nperseg={W}, hop={H}); pad the "
+            f"signal or change the hop")
+    nb, lpad, total = geom
+    nb_loc = nb // ndev
+    S = nb_loc * H                       # per-device signal slab
+    halo = W - H                         # window overlap into the right
+    win = _get_window(window, W)
+    scale = np.float32(1.0 / win.sum())
+    winj = jnp.asarray(win)
+    perm = [((i + 1) % ndev, i) for i in range(ndev)]
+
+    def local_fn(x_loc, tail):
+        # x_loc (batch, 1, S); tail (batch, halo) replicated — the
+        # global padded signal's last (W - H) samples, which are the
+        # "right neighbor" of the LAST device
+        x_loc = x_loc[:, 0]
+        if halo > 0:
+            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
+            last = jax.lax.axis_index(axis_name) == ndev - 1
+            h = jnp.where(last, tail, h)
+            xin = jnp.concatenate([x_loc, h], axis=-1)
+        else:
+            xin = x_loc
+        fr = _frame_segments(xin, W, H, nb_loc) * winj
+        if m > W:
+            fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, m - W)])
+        Z = rfft(fr, axis=-1) * scale           # (batch, nb_loc, f, 2)
+        return jnp.swapaxes(Z, -3, -2)[:, None]  # (batch, 1, f, nb_loc, 2)
+
+    smap = jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(P(None, axis_name), P()),
+                         out_specs=P(None, axis_name))
+
+    def fn(x):
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if x.shape[-1] != n:
+            raise ValueError(f"expected signal length {n}, got "
+                             f"{x.shape[-1]}")
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                     + [(lpad, total - n - lpad)])
+        body = xp[..., :ndev * S].reshape(*x.shape[:-1], ndev, S)
+        tail = xp[..., ndev * S:]
+        Z = smap(body, tail)                  # (batch, ndev, f, nb_loc, 2)
+        b, _, nf, _, _ = Z.shape
+        Z = jnp.transpose(Z, (0, 2, 1, 3, 4)).reshape(b, nf, nb, 2)
+        return Z[0] if squeeze else Z
+
+    f = np.fft.rfftfreq(m, 1.0 / fs)
+    t = (np.arange(nb) * H + W // 2 - lpad) / fs
+    return f, t, fn
+
+
+def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
+                            fs: float = 1.0, window="hann",
+                            nperseg: int = 256,
+                            noverlap: Optional[int] = None,
+                            nfft: Optional[int] = None):
+    """Inverse of :func:`build_distributed_stft`: per-frame synthesis
+    (irfft + window) runs sharded along the frame axis; each device
+    overlap-adds its own slab and the (W - H)-sample seam overhangs ride
+    ONE ppermute to the right neighbor.  Matches the facade
+    webgpufft_tpu.fft.istft's COLA win^2 normalization (host-precomputed
+    profile).  fn(Z): (batch, nf, nb, 2) -> (batch, n).
+    """
+    from ..fftapi import _stft_hop, _get_window, irfft
+    from ..shorttime import _overlap_add
+
+    ndev = mesh.shape[axis_name]
+    W, H = _stft_hop("distributed istft", nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    geom = distributed_stft_geometry(n, W, H, ndev)
+    if geom is None:
+        raise ValueError("frame count does not split over the mesh axis")
+    nb, lpad, total = geom
+    nb_loc = nb // ndev
+    S = nb_loc * H
+    halo = W - H
+    win = _get_window(window, W).astype(np.float64)
+    # global COLA win^2 profile (data-independent host precompute)
+    norm = np.zeros(total)
+    for p in range(nb):
+        norm[p * H:p * H + W] += win * win
+    if np.min(norm[lpad:lpad + n]) <= 1e-10:
+        raise ValueError("window/hop fail NOLA; istft not invertible")
+    inv_norm = np.zeros_like(norm)
+    nz = norm > 1e-10
+    inv_norm[nz] = 1.0 / norm[nz]
+    winj = jnp.asarray(win, jnp.float32)
+    scale = np.float32(win.sum())
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local_fn(Z_loc):
+        # Z_loc (batch, 1, f, nb_loc, 2) -> slab (batch, 1, S) plus the
+        # seam overhang shipped right
+        Zt = jnp.swapaxes(Z_loc[:, 0], -3, -2)      # (batch, nb_loc, f, 2)
+        fr = irfft(Zt, n=m, axis=-1) * scale
+        fr = fr[..., :W] * winj
+        y = _overlap_add(fr, W, H)                  # (batch, S + halo)
+        if halo > 0:
+            over = jax.lax.ppermute(y[..., S:], axis_name, perm)
+            first = jax.lax.axis_index(axis_name) == 0
+            over = jnp.where(first, 0.0, over)
+            body = y[..., :S].at[..., :halo].add(over)
+        else:
+            body = y[..., :S]
+        # the LAST device's overhang covers the global tail region
+        return body[:, None], y[..., S:][:, None]
+
+    smap = jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(P(None, None, None, axis_name),),
+                         out_specs=(P(None, axis_name),
+                                    P(None, axis_name)))
+
+    def fn(Z):
+        Z = jnp.asarray(Z, jnp.float32)
+        squeeze = Z.ndim == 3
+        if squeeze:
+            Z = Z[None]
+        body, overs = smap(Z[:, None])
+        # body (batch, ndev, S) -> flat; append the LAST device's
+        # overhang as the global tail
+        flat = body.reshape(Z.shape[0], ndev * S)
+        tail = overs[:, -1]
+        y = jnp.concatenate([flat, tail], axis=-1)   # (batch, total)
+        y = y * jnp.asarray(inv_norm, jnp.float32)
+        out = jax.lax.slice_in_dim(y, lpad, lpad + n, axis=1)
+        return out[0] if squeeze else out
+
+    return fn
