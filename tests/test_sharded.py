@@ -342,3 +342,38 @@ class TestDistributedStft:
         Zr = np.asarray(Zr)
         assert Zd.shape == Zr.shape
         assert np.max(np.abs(Zd - Zr)) < 1e-5 * max(np.max(np.abs(Zr)), 1)
+
+
+class TestDistributedWelch:
+    @pytest.fixture(scope="class")
+    def spmesh(self):
+        return sharded.make_mesh({"sp": 8})
+
+    @pytest.mark.parametrize("n,W,O,sc", [
+        (4288, 256, 192, "density"),
+        (4160, 128, 64, "spectrum"),
+        (4288, 256, 192, "spectrum"),
+    ])
+    def test_matches_facade(self, spmesh, n, W, O, sc):
+        from webgpufft_tpu.parallel import build_distributed_welch
+        from webgpufft_tpu import fft as wfft
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        f, fn = build_distributed_welch(n, spmesh, "sp", fs=100.0,
+                                        nperseg=W, noverlap=O, scaling=sc)
+        with spmesh:
+            Pd = np.asarray(jax.jit(fn)(x))
+        fr, Pr = wfft.welch(x, fs=100.0, nperseg=W, noverlap=O,
+                            scaling=sc)
+        Pr = np.asarray(Pr)
+        assert np.allclose(f, np.asarray(fr))
+        assert Pd.shape == Pr.shape
+        assert np.max(np.abs(Pd - Pr)) / np.max(Pr) < 1e-5
+
+    def test_validation(self, spmesh):
+        from webgpufft_tpu.parallel import build_distributed_welch
+        with pytest.raises(ValueError):
+            build_distributed_welch(4544, spmesh, "sp", nperseg=128,
+                                    noverlap=64)   # 70 frames, not /8
+        with pytest.raises(ValueError):
+            build_distributed_welch(100, spmesh, "sp", nperseg=256)

@@ -1649,3 +1649,91 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
         return out[0] if squeeze else out
 
     return fn
+
+
+def build_distributed_welch(n: int, mesh: Mesh, axis_name: str = "sp",
+                            fs: float = 1.0, window="hann",
+                            nperseg: int = 256,
+                            noverlap: Optional[int] = None,
+                            nfft: Optional[int] = None,
+                            scaling: str = "density"):
+    """Sequence-parallel Welch PSD: the signal's time axis is sharded,
+    each device computes the mean-detrended windowed periodograms of its
+    own frames (the facade welch geometry — no boundary padding, partial
+    tail dropped), and ONE psum of the (nf,)-sized per-device frame sums
+    produces the global average.  Communication: the (nperseg - hop)
+    halo ppermute + one psum of nf floats, independent of n.
+
+    Matches webgpufft_tpu.fft.welch (scipy.signal.welch with
+    detrend='constant') exactly.  Requires the frame count to divide the
+    mesh axis.  Returns (f, fn); fn(x): (batch, n) -> (batch, nf).
+    """
+    from ..fftapi import _stft_hop, _get_window, _frame_segments, rfft
+
+    ndev = mesh.shape[axis_name]
+    W, H = _stft_hop("distributed welch", nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise ValueError("nfft must be >= nperseg")
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    if n < W:
+        raise ValueError(f"signal shorter than nperseg ({n} < {W})")
+    nb = (n - W) // H + 1
+    if nb % ndev:
+        raise ValueError(
+            f"distributed welch needs the frame count ({nb}) to split "
+            f"over {ndev} devices; adjust nperseg/noverlap or crop n")
+    nb_loc = nb // ndev
+    S = nb_loc * H
+    halo = W - H
+    win = _get_window(window, W)
+    winj = jnp.asarray(win)
+    dbl = np.full(m // 2 + 1, 2.0, np.float64)
+    dbl[0] = 1.0
+    if m % 2 == 0:
+        dbl[-1] = 1.0
+    if scaling == "density":
+        s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
+    else:
+        s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
+    sv = jnp.asarray(dbl * s / nb, jnp.float32)
+    perm = [((i + 1) % ndev, i) for i in range(ndev)]
+
+    def local_fn(x_loc, tail):
+        x_loc = x_loc[:, 0]
+        if halo > 0:
+            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
+            last = jax.lax.axis_index(axis_name) == ndev - 1
+            h = jnp.where(last, tail, h)
+            xin = jnp.concatenate([x_loc, h], axis=-1)
+        else:
+            xin = x_loc
+        fr = _frame_segments(xin, W, H, nb_loc)
+        fr = fr - jnp.mean(fr, axis=-1, keepdims=True)   # detrend
+        fr = fr * winj
+        if m > W:
+            fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, m - W)])
+        Z = rfft(fr, axis=-1)                            # (b, nb_loc, f, 2)
+        p_loc = jnp.sum(Z[..., 0] ** 2 + Z[..., 1] ** 2, axis=-2) * sv
+        return jax.lax.psum(p_loc, axis_name)[:, None]
+
+    smap = jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(P(None, axis_name), P()),
+                         out_specs=P(None, axis_name))
+
+    def fn(x):
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if x.shape[-1] != n:
+            raise ValueError(f"expected signal length {n}, got "
+                             f"{x.shape[-1]}")
+        total = (nb - 1) * H + W
+        body = x[..., :ndev * S].reshape(*x.shape[:-1], ndev, S)
+        tail = x[..., ndev * S:total]
+        Pxx = smap(body, tail)[:, 0]      # psum-replicated; take one
+        return Pxx[0] if squeeze else Pxx
+
+    return np.fft.rfftfreq(m, 1.0 / fs), fn
