@@ -377,3 +377,42 @@ class TestDistributedWelch:
                                     noverlap=64)   # 70 frames, not /8
         with pytest.raises(ValueError):
             build_distributed_welch(100, spmesh, "sp", nperseg=256)
+
+
+class TestDistributedCsd:
+    @pytest.fixture(scope="class")
+    def spmesh(self):
+        return sharded.make_mesh({"sp": 8})
+
+    def test_matches_facade(self, spmesh):
+        from webgpufft_tpu.parallel import build_distributed_csd
+        from webgpufft_tpu import fft as wfft
+        from webgpufft_tpu.fftapi import ascomplex
+        rng = np.random.default_rng(0)
+        n = 4288
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        y = rng.standard_normal((2, n)).astype(np.float32)
+        f, fn = build_distributed_csd(n, spmesh, "sp", fs=100.0,
+                                      nperseg=256, noverlap=192)
+        with spmesh:
+            Pd = ascomplex(np.asarray(jax.jit(fn)(x, y)))
+        fr, Pr = wfft.csd(x, y, fs=100.0, nperseg=256, noverlap=192)
+        Pr = ascomplex(np.asarray(Pr))
+        assert np.allclose(f, np.asarray(fr))
+        assert np.max(np.abs(Pd - Pr)) / np.max(np.abs(Pr)) < 1e-5
+
+    def test_self_csd_is_welch(self, spmesh):
+        from webgpufft_tpu.parallel import (build_distributed_csd,
+                                            build_distributed_welch)
+        rng = np.random.default_rng(1)
+        n = 4288
+        x = rng.standard_normal(n).astype(np.float32)
+        f, cfn = build_distributed_csd(n, spmesh, "sp", nperseg=256,
+                                       noverlap=192)
+        _, wfn = build_distributed_welch(n, spmesh, "sp", nperseg=256,
+                                         noverlap=192)
+        with spmesh:
+            Pc = np.asarray(cfn(x, x))
+            Pw = np.asarray(wfn(x))
+        assert np.max(np.abs(Pc[..., 0] - Pw)) / np.max(Pw) < 1e-5
+        assert np.max(np.abs(Pc[..., 1])) / np.max(Pw) < 1e-5

@@ -13,6 +13,7 @@ from .sharded import (
     build_distributed_stft,
     build_distributed_istft,
     build_distributed_welch,
+    build_distributed_csd,
     choose_distributed_split,
     make_mesh,
     shard_batch,
@@ -24,6 +25,6 @@ __all__ = [
     "build_distributed_fft_axis0", "build_distributed_fftconv_1d",
     "build_distributed_fftconv_nd", "build_distributed_r2c_1d",
     "build_distributed_stft", "build_distributed_istft",
-    "build_distributed_welch",
+    "build_distributed_welch", "build_distributed_csd",
     "choose_distributed_split", "make_mesh", "shard_batch",
 ]

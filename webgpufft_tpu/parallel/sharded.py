@@ -1737,3 +1737,95 @@ def build_distributed_welch(n: int, mesh: Mesh, axis_name: str = "sp",
         return Pxx[0] if squeeze else Pxx
 
     return np.fft.rfftfreq(m, 1.0 / fs), fn
+
+
+def build_distributed_csd(n: int, mesh: Mesh, axis_name: str = "sp",
+                          fs: float = 1.0, window="hann",
+                          nperseg: int = 256,
+                          noverlap: Optional[int] = None,
+                          nfft: Optional[int] = None,
+                          scaling: str = "density"):
+    """Sequence-parallel cross spectral density (facade csd semantics:
+    segment-averaged conj(X)*Y on the common framing) — the pair
+    extension of :func:`build_distributed_welch` with the same O(W)
+    halo + one psum of 2*nf floats.  Returns (f, fn);
+    fn(x, y): (batch, n) x 2 -> (batch, nf, 2) interleaved."""
+    from ..fftapi import _stft_hop, _get_window, _frame_segments, rfft
+
+    ndev = mesh.shape[axis_name]
+    W, H = _stft_hop("distributed csd", nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise ValueError("nfft must be >= nperseg")
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    if n < W:
+        raise ValueError(f"signal shorter than nperseg ({n} < {W})")
+    nb = (n - W) // H + 1
+    if nb % ndev:
+        raise ValueError(
+            f"distributed csd needs the frame count ({nb}) to split "
+            f"over {ndev} devices")
+    nb_loc = nb // ndev
+    S = nb_loc * H
+    halo = W - H
+    win = _get_window(window, W)
+    winj = jnp.asarray(win)
+    dbl = np.full(m // 2 + 1, 2.0, np.float64)
+    dbl[0] = 1.0
+    if m % 2 == 0:
+        dbl[-1] = 1.0
+    if scaling == "density":
+        s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
+    else:
+        s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
+    sv = jnp.asarray(dbl * s / nb, jnp.float32)
+    perm = [((i + 1) % ndev, i) for i in range(ndev)]
+
+    def spectra(x_loc, tail):
+        if halo > 0:
+            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
+            last = jax.lax.axis_index(axis_name) == ndev - 1
+            h = jnp.where(last, tail, h)
+            xin = jnp.concatenate([x_loc, h], axis=-1)
+        else:
+            xin = x_loc
+        fr = _frame_segments(xin, W, H, nb_loc)
+        fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
+        fr = fr * winj
+        if m > W:
+            fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, m - W)])
+        return rfft(fr, axis=-1)                     # (b, nb_loc, f, 2)
+
+    def local_fn(x_loc, y_loc, tx, ty):
+        Zx = spectra(x_loc[:, 0], tx)
+        Zy = spectra(y_loc[:, 0], ty)
+        xr, xi = Zx[..., 0], Zx[..., 1]
+        yr, yi = Zy[..., 0], Zy[..., 1]
+        pr = jnp.sum(xr * yr + xi * yi, axis=-2) * sv   # Re(conj(X) Y)
+        pi = jnp.sum(xr * yi - xi * yr, axis=-2) * sv
+        out = jnp.stack([pr, pi], axis=-1)
+        return jax.lax.psum(out, axis_name)[:, None]
+
+    smap = jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(P(None, axis_name), P(None, axis_name),
+                                   P(), P()),
+                         out_specs=P(None, axis_name))
+
+    total = (nb - 1) * H + W
+
+    def fn(x, y):
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x, y = x[None], y[None]
+        if x.shape[-1] != n or y.shape[-1] != n:
+            raise ValueError(f"expected signal length {n}")
+        bx = x[..., :ndev * S].reshape(*x.shape[:-1], ndev, S)
+        by = y[..., :ndev * S].reshape(*y.shape[:-1], ndev, S)
+        Pxy = smap(bx, by, x[..., ndev * S:total], y[..., ndev * S:total])
+        Pxy = Pxy[:, 0]
+        return Pxy[0] if squeeze else Pxy
+
+    return np.fft.rfftfreq(m, 1.0 / fs), fn
