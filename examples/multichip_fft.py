@@ -50,6 +50,26 @@ def main():
     assert np.max(np.abs(got2 - ref)) / np.max(np.abs(ref)) < 1e-5
     print(f"building-block digit split: {fft.split}")
 
+    # sequence-parallel spectral analysis: a signal too long for one
+    # chip, analyzed where it lives — the time axis stays sharded; only
+    # the window-overlap halo (one ppermute) and an nf-float psum move
+    from webgpufft_tpu.parallel import (build_distributed_stft,
+                                        build_distributed_welch)
+    sp_n = mesh.shape["sp"]
+    nsig = 64 * (16 * sp_n - 1)          # frame count divides sp
+    nw = 64 * 16 * sp_n + 192            # welch framing divides sp
+    xs = rng.standard_normal(nw).astype(np.float32)
+    f, t, stft_fn = build_distributed_stft(nsig, mesh, "sp",
+                                           nperseg=256, noverlap=192)
+    fw, welch_fn = build_distributed_welch(nw, mesh, "sp",
+                                           nperseg=256, noverlap=192)
+    with mesh:
+        Z = stft_fn(xs[:nsig])
+        P = welch_fn(xs)
+    print(f"seq-parallel stft: {np.asarray(Z).shape} "
+          f"(frames sharded over sp), welch peak at "
+          f"{fw[int(np.argmax(np.asarray(P)))]:.3f}")
+
 
 if __name__ == "__main__":
     main()

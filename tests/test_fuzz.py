@@ -445,3 +445,55 @@ def test_fuzz_shorttime_and_envelope(seed):
     want = ss.envelope(x, (bp0, bp1), residual=res)
     scale = max(np.max(np.abs(want)), 1e-6)
     assert np.max(np.abs(got - want)) / scale < 1e-4, (bp0, bp1, res)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_distributed_spectral(seed, _dmeshes):
+    """Random sequence-parallel STFT/welch geometries vs the facade."""
+    from webgpufft_tpu.parallel import (build_distributed_stft,
+                                        build_distributed_istft,
+                                        build_distributed_welch)
+    from webgpufft_tpu.parallel import sharded as _sh
+    from webgpufft_tpu.parallel.sharded import distributed_stft_geometry
+    from webgpufft_tpu import fft as wfft
+    r = np.random.default_rng(3000 + seed)
+    mesh = _sh.make_mesh({"sp": int(r.choice([2, 4, 8]))})
+    ndev = mesh.shape["sp"]
+    W = int(r.choice([32, 64, 96, 128]))
+    H = int(r.integers(max(W // 4, 8), W + 1))
+    # walk n upward until the frame count splits
+    n = int(r.integers(1500, 4000))
+    for _ in range(2000):
+        if distributed_stft_geometry(n, W, H, ndev) is not None:
+            break
+        n += 1
+    x = r.standard_normal((2, n)).astype(np.float32)
+    f, t, fn = build_distributed_stft(n, mesh, "sp", nperseg=W,
+                                      noverlap=W - H)
+    with mesh:
+        Zd = np.asarray(fn(x))
+    _, _, Zr = wfft.stft(x, nperseg=W, noverlap=W - H)
+    Zr = np.asarray(Zr)
+    scale = max(np.max(np.abs(Zr)), 1e-6)
+    assert np.max(np.abs(Zd - Zr)) / scale < 2e-5, (W, H, n, ndev)
+
+    # inverse (only when hann/geometry is NOLA)
+    import scipy.signal as ss_
+    if ss_.check_NOLA("hann", W, W - H):
+        ifn = build_distributed_istft(n, mesh, "sp", nperseg=W,
+                                      noverlap=W - H)
+        with mesh:
+            xr = np.asarray(ifn(Zr))
+        assert np.max(np.abs(xr - x)) / max(np.max(np.abs(x)), 1e-6) \
+            < 5e-5, (W, H, n, ndev)
+
+    # welch on its own geometry (tail-drop framing)
+    nbw = (n - W) // H + 1
+    if nbw % ndev == 0:
+        fw, wfn = build_distributed_welch(n, mesh, "sp", nperseg=W,
+                                          noverlap=W - H)
+        with mesh:
+            Pd = np.asarray(wfn(x))
+        _, Pr = wfft.welch(x, nperseg=W, noverlap=W - H)
+        Pr = np.asarray(Pr)
+        assert np.max(np.abs(Pd - Pr)) / np.max(Pr) < 2e-5
