@@ -416,3 +416,33 @@ class TestDistributedCsd:
             Pw = np.asarray(wfn(x))
         assert np.max(np.abs(Pc[..., 0] - Pw)) / np.max(Pw) < 1e-5
         assert np.max(np.abs(Pc[..., 1])) / np.max(Pw) < 1e-5
+
+
+class TestDistributedSpectralDpSp:
+    def test_stft_welch_on_dp_sp(self):
+        """dp x sp composition: batch sharded over dp, time over sp."""
+        from webgpufft_tpu.parallel import (build_distributed_stft,
+                                            build_distributed_welch)
+        from webgpufft_tpu import fft as wfft
+        mesh = sharded.make_mesh({"dp": 2, "sp": 4})
+        rng = np.random.default_rng(2)
+        n = 4032      # nb = 64 for W=256/H=64 -> /4 devices
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        f, t, fn = build_distributed_stft(n, mesh, "sp", nperseg=256,
+                                          noverlap=192,
+                                          batch_axis_name="dp")
+        with mesh:
+            Zd = np.asarray(jax.jit(fn)(x))
+        _, _, Zr = wfft.stft(x, nperseg=256, noverlap=192)
+        Zr = np.asarray(Zr)
+        assert np.max(np.abs(Zd - Zr)) / np.max(np.abs(Zr)) < 1e-5
+        nw = 4288     # welch framing: (4288-256)/64+1 = 64 frames
+        xw = rng.standard_normal((4, nw)).astype(np.float32)
+        _, wfn = build_distributed_welch(nw, mesh, "sp", nperseg=256,
+                                         noverlap=192,
+                                         batch_axis_name="dp")
+        with mesh:
+            Pd = np.asarray(jax.jit(wfn)(xw))
+        _, Pr = wfft.welch(xw, nperseg=256, noverlap=192)
+        Pr = np.asarray(Pr)
+        assert np.max(np.abs(Pd - Pr)) / np.max(Pr) < 1e-5

@@ -1490,7 +1490,8 @@ def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
                            fs: float = 1.0, window="hann",
                            nperseg: int = 256,
                            noverlap: Optional[int] = None,
-                           nfft: Optional[int] = None):
+                           nfft: Optional[int] = None,
+                           batch_axis_name: Optional[str] = None):
     """Sequence-parallel STFT: the signal's TIME axis is sharded over
     ``axis_name`` and each device frames + transforms its own slab.
 
@@ -1547,8 +1548,9 @@ def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
         return jnp.swapaxes(Z, -3, -2)[:, None]  # (batch, 1, f, nb_loc, 2)
 
     smap = jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(P(None, axis_name), P()),
-                         out_specs=P(None, axis_name))
+                         in_specs=(P(batch_axis_name, axis_name),
+                                   P(batch_axis_name)),
+                         out_specs=P(batch_axis_name, axis_name))
 
     def fn(x):
         x = jnp.asarray(x, jnp.float32)
@@ -1576,7 +1578,8 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
                             fs: float = 1.0, window="hann",
                             nperseg: int = 256,
                             noverlap: Optional[int] = None,
-                            nfft: Optional[int] = None):
+                            nfft: Optional[int] = None,
+                            batch_axis_name: Optional[str] = None):
     """Inverse of :func:`build_distributed_stft`: per-frame synthesis
     (irfft + window) runs sharded along the frame axis; each device
     overlap-adds its own slab and the (W - H)-sample seam overhangs ride
@@ -1629,9 +1632,10 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
         return body[:, None], y[..., S:][:, None]
 
     smap = jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(P(None, None, None, axis_name),),
-                         out_specs=(P(None, axis_name),
-                                    P(None, axis_name)))
+                         in_specs=(P(batch_axis_name, None, None,
+                                     axis_name),),
+                         out_specs=(P(batch_axis_name, axis_name),
+                                    P(batch_axis_name, axis_name)))
 
     def fn(Z):
         Z = jnp.asarray(Z, jnp.float32)
@@ -1656,7 +1660,8 @@ def build_distributed_welch(n: int, mesh: Mesh, axis_name: str = "sp",
                             nperseg: int = 256,
                             noverlap: Optional[int] = None,
                             nfft: Optional[int] = None,
-                            scaling: str = "density"):
+                            scaling: str = "density",
+                            batch_axis_name: Optional[str] = None):
     """Sequence-parallel Welch PSD: the signal's time axis is sharded,
     each device computes the mean-detrended windowed periodograms of its
     own frames (the facade welch geometry — no boundary padding, partial
@@ -1719,8 +1724,9 @@ def build_distributed_welch(n: int, mesh: Mesh, axis_name: str = "sp",
         return jax.lax.psum(p_loc, axis_name)[:, None]
 
     smap = jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(P(None, axis_name), P()),
-                         out_specs=P(None, axis_name))
+                         in_specs=(P(batch_axis_name, axis_name),
+                                   P(batch_axis_name)),
+                         out_specs=P(batch_axis_name, axis_name))
 
     def fn(x):
         x = jnp.asarray(x, jnp.float32)
@@ -1744,7 +1750,8 @@ def build_distributed_csd(n: int, mesh: Mesh, axis_name: str = "sp",
                           nperseg: int = 256,
                           noverlap: Optional[int] = None,
                           nfft: Optional[int] = None,
-                          scaling: str = "density"):
+                          scaling: str = "density",
+                          batch_axis_name: Optional[str] = None):
     """Sequence-parallel cross spectral density (facade csd semantics:
     segment-averaged conj(X)*Y on the common framing) — the pair
     extension of :func:`build_distributed_welch` with the same O(W)
@@ -1808,9 +1815,11 @@ def build_distributed_csd(n: int, mesh: Mesh, axis_name: str = "sp",
         return jax.lax.psum(out, axis_name)[:, None]
 
     smap = jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(P(None, axis_name), P(None, axis_name),
-                                   P(), P()),
-                         out_specs=P(None, axis_name))
+                         in_specs=(P(batch_axis_name, axis_name),
+                                   P(batch_axis_name, axis_name),
+                                   P(batch_axis_name),
+                                   P(batch_axis_name)),
+                         out_specs=P(batch_axis_name, axis_name))
 
     total = (nb - 1) * H + W
 
