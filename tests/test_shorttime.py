@@ -284,3 +284,20 @@ class TestReviewRegressions:
         assert np.isclose(A.fac_magnitude, B.fac_magnitude)
         x = rng.standard_normal(50)
         _close(A.stft(x), B.stft(x), label="neg win")
+
+
+class TestPhaseShiftModulo:
+    """Deep-fuzz regression: the FFT-input roll is
+    (phase_shift + m_num_mid) mod m_num (the WINDOW length, not mfft) —
+    negative shifts with odd windows diverged before."""
+
+    @pytest.mark.parametrize("m,mfft,ps", [
+        (3, 6, -2), (3, 6, 4), (5, 7, -3), (4, 8, 6), (5, 12, -4)])
+    def test_matches_scipy(self, rng, m, mfft, ps):
+        w = rng.uniform(0.2, 1.0, m)
+        x = rng.standard_normal(60)
+        A = ShortTimeFFT(w, hop=1, fs=3, fft_mode="twosided", mfft=mfft,
+                         phase_shift=ps)
+        B = ss.ShortTimeFFT(w, hop=1, fs=3, fft_mode="twosided",
+                            mfft=mfft, phase_shift=ps)
+        _close(A.stft(x), B.stft(x), label=f"m{m} mfft{mfft} ps{ps}")

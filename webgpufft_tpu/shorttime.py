@@ -414,12 +414,14 @@ class ShortTimeFFT:
                             "'odd'") from None
 
     def _roll_amount(self) -> int:
-        """The FFT input is rolled LEFT by this amount (scipy's pinned
-        convention: spectrum gains e^{+2 pi i q (m_mid + phase_shift) /
-        mfft}); zero when phase_shift is None."""
+        """The FFT input is rolled LEFT by this amount — scipy's pinned
+        convention: (phase_shift + m_num_mid) taken MOD THE WINDOW
+        LENGTH (not mfft; deep-fuzz-caught for negative shifts and odd
+        windows), spectrum gains e^{+2 pi i q s / mfft}.  Zero when
+        phase_shift is None."""
         if self._phase_shift is None:
             return 0
-        return self.m_num_mid + self._phase_shift
+        return (self._phase_shift + self.m_num_mid) % self.m_num
 
     def _onesided2x_fac(self) -> np.ndarray:
         fac = np.ones(self.f_pts, np.float32)
