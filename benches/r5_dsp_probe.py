@@ -83,6 +83,31 @@ def main():
     record({"bench": "envelope_1m", "ms": t_env * 1e3,
             "eff_gbps": 3 * n * 4 / t_env / 1e9})
 
+    # --- IIR route A/B: sequential lax.scan vs associative parallel
+    # prefix (the measured gate for filtering.IIR_ASSOC_MIN_N) —
+    # strictly alternating trials per CLAUDE.md
+    import webgpufft_tpu.filtering as FLmod
+    import scipy.signal as ss2
+    b2, a2 = ss2.butter(2, 0.25)
+    xi = jnp.asarray(rng.standard_normal((4, 1 << 20)), jnp.float32)
+    times = {"scan": [], "assoc": []}
+    for _ in range(3):
+        for mode in ("scan", "assoc"):
+            old = FLmod.IIR_ASSOC_MIN_N
+            FLmod.IIR_ASSOC_MIN_N = None if mode == "scan" else 1
+            try:
+                times[mode].append(unrolled_chain_time(
+                    lambda v: FLmod.lfilter(b2, a2, v), xi, unroll=2))
+            finally:
+                FLmod.IIR_ASSOC_MIN_N = old
+    t_scan = float(np.median(times["scan"]))
+    t_assoc = float(np.median(times["assoc"]))
+    record({"bench": "iir_route_ab_1m_k2",
+            "scan_ms": t_scan * 1e3, "assoc_ms": t_assoc * 1e3,
+            "assoc_speedup": t_scan / t_assoc,
+            "verdict": "flip-to-assoc" if t_assoc < 0.8 * t_scan
+            else "keep-scan"})
+
     print("r5_dsp probe done", time.strftime("%F %T"))
 
 

@@ -564,3 +564,39 @@ class TestNamespaceComplete:
         have |= {"ShortTimeFFT", "windows"}
         missing = [n for n in ss.__all__ if n not in have]
         assert not missing, missing
+
+
+class TestAssociativeIirRoute:
+    """The log-depth parallel-prefix IIR formulation must be an exact
+    reordering of the sequential scan (gate currently off pending the
+    on-chip A/B; see filtering.IIR_ASSOC_MIN_N)."""
+
+    @pytest.mark.parametrize("K,n,batch", [
+        (2, 100, 1), (2, 4000, 3), (4, 7000, 2), (3, 3300, 1)])
+    def test_assoc_matches_scipy(self, rng, K, n, batch):
+        b, a = ss.butter(K, 0.25)
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        zi = (rng.standard_normal((batch, K)) * 0.1).astype(np.float32)
+        from webgpufft_tpu.filtering import _iir_assoc
+        y, zf = _iir_assoc(b, a, x, zi)
+        yref, zref = ss.lfilter(b, a, x, zi=zi)
+        scale = max(np.max(np.abs(yref)), 1e-9)
+        assert np.max(np.abs(np.asarray(y) - yref)) / scale < 1e-5
+        assert np.max(np.abs(np.asarray(zf) - zref)) < 1e-5 * max(
+            np.max(np.abs(zref)), 1)
+
+    def test_gated_route_consistency(self, rng):
+        """Flipping the gate routes lfilter through the assoc path with
+        unchanged results."""
+        import webgpufft_tpu.filtering as FLmod
+        b, a = ss.butter(2, 0.3)
+        x = rng.standard_normal(2048).astype(np.float32)
+        y_seq = np.asarray(FLmod.lfilter(b, a, x))
+        old = FLmod.IIR_ASSOC_MIN_N
+        try:
+            FLmod.IIR_ASSOC_MIN_N = 64
+            y_assoc = np.asarray(FLmod.lfilter(b, a, x))
+        finally:
+            FLmod.IIR_ASSOC_MIN_N = old
+        scale = max(np.max(np.abs(y_seq)), 1e-9)
+        assert np.max(np.abs(y_assoc - y_seq)) / scale < 1e-5

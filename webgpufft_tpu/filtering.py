@@ -303,11 +303,74 @@ def _as_filter_data(x, axis: int):
     return xv, restore, complex_in
 
 
+# associative (log-depth) IIR route — MEASURED GATE, currently OFF.
+# The sequential lax.scan runs n serial steps (latency-bound on TPU for
+# long signals); the parallel-prefix form runs log2(n) vectorized passes
+# at O(K^2) flops/element.  On CPU the sequential loop WINS 5.5x at
+# 2^20/K=2 (measured 2026-08-18: 31 ms vs 171 ms — log passes re-stream
+# the whole array); the TPU tradeoff is expected to invert (serial scan
+# steps cannot use the VPU) but is UNMEASURED while the tunnel is down,
+# so per the repo'"'"'s measured-gate rule the default stays sequential.
+# benches/r5_dsp_probe.py carries the A/B; set IIR_ASSOC_MIN_N to an
+# element count to enable.  K is capped because the prefix carries
+# K x K cumulative matrices.
+IIR_ASSOC_MIN_N: Optional[int] = None
+IIR_ASSOC_MAX_K = 4
+
+
+def _iir_affine_parts(b: np.ndarray, a: np.ndarray):
+    """The DF2T state recurrence written affinely: z_k = M z_{k-1} + v x_k
+    with CONSTANT M (shift matrix with -a[1:] in column 0) and
+    v = b[1:] - b0 a[1:]; the output taps y_k = b0 x_k + z_{k-1}[0]."""
+    K = len(b) - 1
+    M = np.zeros((K, K), np.float32)
+    M[:, 0] = -a[1:]
+    M[:K - 1, 1:] += np.eye(K - 1, dtype=np.float32)
+    v = (b[1:] - b[0] * a[1:]).astype(np.float32)
+    return M, v
+
+
+def _iir_assoc(b: np.ndarray, a: np.ndarray, x, zi):
+    """DF2T recurrence as a parallel prefix (associative scan) over the
+    affine maps z -> M z + v x_k: combine((A1,c1),(A2,c2)) = (A2 A1,
+    A2 c1 + c2).  Exact reordering of the sequential recurrence (f32
+    rounding differs in the last bits).  Same contract as _iir_scan."""
+    K = len(b) - 1
+    M, v = _iir_affine_parts(b, a)
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    vj = jnp.asarray(v)
+    c = x[..., None] * vj                              # (..., n, K)
+    c = jnp.moveaxis(c, -2, 0)                         # (n, ..., K)
+    A = jnp.broadcast_to(jnp.asarray(M), (n, K, K))
+
+    def combine(l, r):
+        Al, cl = l
+        Ar, cr = r
+        Anew = jnp.einsum("...ij,...jk->...ik", Ar, Al)
+        # Ar (n',K,K) acts on cl (n',...,K): contract the last dim
+        cnew = jnp.einsum("nij,n...j->n...i", Ar, cl) + cr
+        return Anew, cnew
+
+    Acum, ccum = jax.lax.associative_scan(combine, (A, c), axis=0)
+    # z_k = Acum_k zi + ccum_k (inclusive, k = 1..n)
+    zs = jnp.einsum("nij,...j->n...i", Acum, zi) + ccum
+    z_prev = jnp.concatenate([jnp.broadcast_to(zi, (1, *lead, K)),
+                              zs[:-1]], axis=0)
+    y = np.float32(b[0]) * x + jnp.moveaxis(z_prev[..., 0], 0, -1)
+    return y, zs[-1]
+
+
 def _iir_scan(b: np.ndarray, a: np.ndarray, x, zi):
-    """Transposed direct-form-II recurrence as a lax.scan over time.
+    """Transposed direct-form-II recurrence: the sequential lax.scan for
+    short signals / high orders, the associative-scan parallel prefix
+    (log-depth) past IIR_ASSOC_MIN_N samples for order <= IIR_ASSOC_MAX_K.
 
     x: (..., n) f32; zi: (..., K) f32.  Returns (y, zf)."""
     K = len(b) - 1
+    if (IIR_ASSOC_MIN_N is not None and K <= IIR_ASSOC_MAX_K
+            and x.shape[-1] >= IIR_ASSOC_MIN_N):
+        return _iir_assoc(b, a, x, zi)
     bj = jnp.asarray(b.astype(np.float32))
     aj = jnp.asarray(a.astype(np.float32))
     xt = jnp.moveaxis(x, -1, 0)  # (n, ...)
