@@ -231,3 +231,52 @@ def test_aot_distributed_halo_plan(rng, assert_close):
                     kernel_shape=[17])
     assert_close(y[..., 0], ref.real, label="aot halo.re")
     assert_close(y[..., 1], ref.imag, label="aot halo.im")
+
+
+class TestExportPipeline:
+    """Generic facade-pipeline export: any jit-compatible chain built on
+    the framework serializes and replays (the serving story for the DSP
+    surfaces, not just single plans)."""
+
+    def test_stft_mask_istft_pipeline(self, rng):
+        import webgpufft_tpu as W
+        from webgpufft_tpu import fft as wfft
+        import jax
+
+        n = 2048
+
+        def denoise(sig):
+            _, _, Z = wfft.stft(sig, nperseg=128, noverlap=64)
+            mag = Z[..., 0] ** 2 + Z[..., 1] ** 2
+            Z = Z * (mag > 1e-4)[..., None]
+            _, back = wfft.istft(Z, nperseg=128, noverlap=64)
+            return back[..., :n]
+
+        x = rng.standard_normal(n).astype(np.float32)
+        blob = W.export_pipeline(denoise,
+                                 jax.ShapeDtypeStruct((n,), np.float32))
+        pipe = W.load_exported_pipeline(blob)
+        got = np.asarray(pipe(x))
+        want = np.asarray(denoise(x))
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-6
+        assert pipe.shapes == [(n,)]
+
+    def test_filter_pipeline_and_validation(self, rng):
+        import webgpufft_tpu as W
+        from webgpufft_tpu import filtering as FL
+        import scipy.signal as ss_
+
+        sos = ss_.butter(4, 0.2, output="sos")
+
+        def f(sig):
+            return FL.sosfilt(sos, sig)
+
+        x = rng.standard_normal((3, 500)).astype(np.float32)
+        blob = W.export_pipeline(f, x)
+        pipe = W.load_exported_pipeline(blob)
+        assert np.allclose(np.asarray(pipe(x)), np.asarray(f(x)),
+                           atol=1e-6)
+        with pytest.raises(ValueError):
+            W.load_exported_pipeline(W.export_plan(
+                W.create_plan({"type": "c2c", "shape": [16]})))

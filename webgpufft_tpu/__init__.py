@@ -41,7 +41,9 @@ from .runtime.cache import (
     export_plan_cache_snapshot,
     import_plan_cache_snapshot,
 )
-from .runtime.aot import (ExportedPlan, export_distributed_plan, export_plan,
+from .runtime.aot import (ExportedPlan, ExportedPipeline,  # noqa: E501
+                          export_distributed_plan, export_plan,
+                          export_pipeline, load_exported_pipeline,
                           load_exported_plan)
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
@@ -73,6 +75,7 @@ __all__ = [
     "create_fftconv_kernel_major_channel_lane_preset",
     "create_fftconv_batch_major_channel_lane_preset",
     "export_plan", "export_distributed_plan", "load_exported_plan",
+    "export_pipeline", "load_exported_pipeline", "ExportedPipeline",
     "ExportedPlan",
     "interleave", "uninterleave", "BufferView",
     "upload_complex", "download_complex",

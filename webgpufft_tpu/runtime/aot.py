@@ -246,3 +246,74 @@ def load_exported_plan(data) -> ExportedPlan:
         raise PlanError(f"unsupported AOT artifact version {meta.get('version')}")
     exported = jexport.deserialize(bytearray(data[8 + hlen:]))
     return ExportedPlan(meta, exported)
+
+
+PIPELINE_SCHEMA = "webgpufft-tpu-aot-pipeline"
+
+
+def export_pipeline(fn, *example_args, path: Optional[str] = None) -> bytes:
+    """Serialize ANY jit-compatible pipeline built on the framework —
+    a facade chain (stft -> mask -> istft), a filter bank, an envelope
+    detector — as a versioned jax.export artifact for the CURRENT
+    backend platform.  ``example_args`` fix the traced shapes/dtypes
+    (arrays or jax.ShapeDtypeStruct).  The generic sibling of
+    :func:`export_plan` for pipelines that are not single plans."""
+    import jax
+    from jax import export as jexport
+
+    import numpy as _np
+    structs = [a if isinstance(a, jax.ShapeDtypeStruct)
+               else jax.ShapeDtypeStruct(_np.shape(a),
+                                         _np.asarray(a).dtype)
+               for a in example_args]
+    exp = jexport.export(jax.jit(fn))(*structs)
+    header = json.dumps({
+        "schema": PIPELINE_SCHEMA,
+        "version": AOT_VERSION,
+        "platforms": list(exp.platforms),
+        "shapes": [{"shape": list(s.shape), "dtype": str(s.dtype)}
+                   for s in structs],
+    }).encode("utf-8")
+    blob = len(header).to_bytes(8, "big") + header + bytes(exp.serialize())
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+class ExportedPipeline:
+    """A deserialized :func:`export_pipeline` artifact: call it like the
+    original function (shapes must match the recorded ones)."""
+
+    def __init__(self, meta, exported):
+        self.meta = meta
+        self._exported = exported
+
+    @property
+    def platforms(self):
+        return tuple(self.meta["platforms"])
+
+    @property
+    def shapes(self):
+        return [tuple(s["shape"]) for s in self.meta["shapes"]]
+
+    def __call__(self, *args):
+        return self._exported.call(*args)
+
+
+def load_exported_pipeline(data) -> ExportedPipeline:
+    """Load an :func:`export_pipeline` artifact (bytes or path)."""
+    from jax import export as jexport
+
+    if isinstance(data, (str, bytes)) and not isinstance(data, bytes):
+        with open(data, "rb") as f:
+            data = f.read()
+    elif isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    hlen = int.from_bytes(data[:8], "big")
+    meta = json.loads(data[8:8 + hlen].decode("utf-8"))
+    if meta.get("schema") != PIPELINE_SCHEMA:
+        raise ValueError(f"not a pipeline artifact: {meta.get('schema')}")
+    exported = jexport.deserialize(bytearray(data[8 + hlen:]))
+    return ExportedPipeline(meta, exported)
