@@ -446,3 +446,47 @@ class TestDistributedSpectralDpSp:
         _, Pr = wfft.welch(xw, nperseg=256, noverlap=192)
         Pr = np.asarray(Pr)
         assert np.max(np.abs(Pd - Pr)) / np.max(Pr) < 1e-5
+
+
+class TestSpectralReviewRegressions:
+    @pytest.fixture(scope="class")
+    def spmesh(self):
+        return sharded.make_mesh({"sp": 8})
+
+    def test_istft_infers_nfft_from_bins(self, spmesh):
+        """Regression: a zero-padded spectrogram (nfft > nperseg) fed to
+        an istft built WITHOUT nfft used to silently truncate bins."""
+        from webgpufft_tpu.parallel import (build_distributed_stft,
+                                            build_distributed_istft)
+        rng = np.random.default_rng(0)
+        n = 4544
+        x = rng.standard_normal(n).astype(np.float32)
+        _, _, fn = build_distributed_stft(n, spmesh, "sp", nperseg=128,
+                                          noverlap=64, nfft=256)
+        ifn = build_distributed_istft(n, spmesh, "sp", nperseg=128,
+                                      noverlap=64)   # nfft inferred
+        with spmesh:
+            Z = np.asarray(fn(x))
+            xr = np.asarray(ifn(Z))
+        assert np.max(np.abs(xr - x)) < 2e-5 * max(np.max(np.abs(x)), 1)
+
+    def test_istft_rejects_bin_mismatch(self, spmesh):
+        from webgpufft_tpu.parallel import build_distributed_istft
+        ifn = build_distributed_istft(4544, spmesh, "sp", nperseg=128,
+                                      noverlap=64, nfft=128)
+        bad = np.zeros((129, 72, 2), np.float32)   # 129 bins vs 65
+        with pytest.raises(ValueError):
+            with spmesh:
+                ifn(bad)
+
+    def test_halo_must_fit_slab(self, spmesh):
+        """Regression: an overlap wider than the per-device slab used to
+        fail late inside jit with an opaque broadcast error."""
+        from webgpufft_tpu.parallel import (build_distributed_stft,
+                                            build_distributed_welch)
+        with pytest.raises(ValueError, match="overlap"):
+            build_distributed_stft(448, spmesh, "sp", nperseg=256,
+                                   noverlap=192)
+        with pytest.raises(ValueError, match="overlap"):
+            build_distributed_welch(704, spmesh, "sp", nperseg=256,
+                                    noverlap=192)

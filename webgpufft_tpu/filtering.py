@@ -344,17 +344,22 @@ def _iir_assoc(b: np.ndarray, a: np.ndarray, x, zi):
     c = jnp.moveaxis(c, -2, 0)                         # (n, ..., K)
     A = jnp.broadcast_to(jnp.asarray(M), (n, K, K))
 
+    # Precision.HIGHEST everywhere: the cumulative K x K products run
+    # log2(n) rounds — bf16 MXU rounding (the DEFAULT) would corrupt
+    # near-unit-circle recurrences (CLAUDE.md rule)
+    _hi = jax.lax.Precision.HIGHEST
+
     def combine(l, r):
         Al, cl = l
         Ar, cr = r
-        Anew = jnp.einsum("...ij,...jk->...ik", Ar, Al)
+        Anew = jnp.einsum("...ij,...jk->...ik", Ar, Al, precision=_hi)
         # Ar (n',K,K) acts on cl (n',...,K): contract the last dim
-        cnew = jnp.einsum("nij,n...j->n...i", Ar, cl) + cr
+        cnew = jnp.einsum("nij,n...j->n...i", Ar, cl, precision=_hi) + cr
         return Anew, cnew
 
     Acum, ccum = jax.lax.associative_scan(combine, (A, c), axis=0)
     # z_k = Acum_k zi + ccum_k (inclusive, k = 1..n)
-    zs = jnp.einsum("nij,...j->n...i", Acum, zi) + ccum
+    zs = jnp.einsum("nij,...j->n...i", Acum, zi, precision=_hi) + ccum
     z_prev = jnp.concatenate([jnp.broadcast_to(zi, (1, *lead, K)),
                               zs[:-1]], axis=0)
     y = np.float32(b[0]) * x + jnp.moveaxis(z_prev[..., 0], 0, -1)

@@ -1486,6 +1486,65 @@ def distributed_stft_geometry(n: int, nperseg: int, hop: int, ndev: int):
     return nb, lpad, total
 
 
+def _halo_check(S: int, halo: int, what: str, ndev: int):
+    """The window-overlap halo must fit in ONE neighbor slab (the same
+    precondition halo_conv_geometry enforces for the halo convolution) —
+    otherwise the ppermute would need multi-hop fetches."""
+    if halo > S:
+        raise ValueError(
+            f"{what}: the window overlap (nperseg - hop = {halo}) "
+            f"exceeds the per-device slab ({S} samples over {ndev} "
+            f"devices); use fewer devices, a longer signal, or a "
+            f"smaller overlap")
+
+
+def _halo_extend(x_loc, tail, halo: int, ndev: int, axis_name: str,
+                 perm):
+    """Append the right neighbor's first ``halo`` samples (the LAST
+    device takes the replicated global tail)."""
+    if halo <= 0:
+        return x_loc
+    h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
+    last = jax.lax.axis_index(axis_name) == ndev - 1
+    h = jnp.where(last, tail, h)
+    return jnp.concatenate([x_loc, h], axis=-1)
+
+
+def _welch_frame_setup(what: str, n: int, ndev: int, window, nperseg,
+                       noverlap, nfft, scaling, fs):
+    """Shared geometry/scaling of the sequence-parallel Welch-family
+    estimators: (W, H, m, nb, nb_loc, S, halo, win, scale_vec)."""
+    from ..fftapi import _stft_hop, _get_window
+    W, H = _stft_hop(what, nperseg, noverlap)
+    m = int(nfft) if nfft is not None else W
+    if m < W:
+        raise ValueError("nfft must be >= nperseg")
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    if n < W:
+        raise ValueError(f"signal shorter than nperseg ({n} < {W})")
+    nb = (n - W) // H + 1
+    if nb % ndev:
+        raise ValueError(
+            f"{what} needs the frame count ({nb}) to split over "
+            f"{ndev} devices; adjust nperseg/noverlap or crop n")
+    nb_loc = nb // ndev
+    S = nb_loc * H
+    halo = W - H
+    _halo_check(S, halo, what, ndev)
+    win = _get_window(window, W)
+    dbl = np.full(m // 2 + 1, 2.0, np.float64)
+    dbl[0] = 1.0
+    if m % 2 == 0:
+        dbl[-1] = 1.0
+    if scaling == "density":
+        sc = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
+    else:
+        sc = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
+    sv = jnp.asarray(dbl * sc / nb, jnp.float32)
+    return W, H, m, nb, nb_loc, S, halo, win, sv
+
+
 def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
                            fs: float = 1.0, window="hann",
                            nperseg: int = 256,
@@ -1524,6 +1583,7 @@ def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
     nb_loc = nb // ndev
     S = nb_loc * H                       # per-device signal slab
     halo = W - H                         # window overlap into the right
+    _halo_check(S, halo, "distributed stft", ndev)
     win = _get_window(window, W)
     scale = np.float32(1.0 / win.sum())
     winj = jnp.asarray(win)
@@ -1533,14 +1593,8 @@ def build_distributed_stft(n: int, mesh: Mesh, axis_name: str = "sp",
         # x_loc (batch, 1, S); tail (batch, halo) replicated — the
         # global padded signal's last (W - H) samples, which are the
         # "right neighbor" of the LAST device
-        x_loc = x_loc[:, 0]
-        if halo > 0:
-            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
-            last = jax.lax.axis_index(axis_name) == ndev - 1
-            h = jnp.where(last, tail, h)
-            xin = jnp.concatenate([x_loc, h], axis=-1)
-        else:
-            xin = x_loc
+        xin = _halo_extend(x_loc[:, 0], tail, halo, ndev, axis_name,
+                           perm)
         fr = _frame_segments(xin, W, H, nb_loc) * winj
         if m > W:
             fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, m - W)])
@@ -1592,7 +1646,9 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
 
     ndev = mesh.shape[axis_name]
     W, H = _stft_hop("distributed istft", nperseg, noverlap)
-    m = int(nfft) if nfft is not None else W
+    m = int(nfft) if nfft is not None else None   # None: infer from Z
+    if m is not None and m < W:
+        raise ValueError("nfft must be >= nperseg")
     geom = distributed_stft_geometry(n, W, H, ndev)
     if geom is None:
         raise ValueError("frame count does not split over the mesh axis")
@@ -1600,6 +1656,7 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
     nb_loc = nb // ndev
     S = nb_loc * H
     halo = W - H
+    _halo_check(S, halo, "distributed istft", ndev)
     win = _get_window(window, W).astype(np.float64)
     # global COLA win^2 profile (data-independent host precompute)
     norm = np.zeros(total)
@@ -1616,9 +1673,11 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
 
     def local_fn(Z_loc):
         # Z_loc (batch, 1, f, nb_loc, 2) -> slab (batch, 1, S) plus the
-        # seam overhang shipped right
+        # seam overhang shipped right; the FFT length comes from the
+        # spectrogram's bin count when nfft wasn't given (facade rule)
+        m_eff = m if m is not None else 2 * (Z_loc.shape[-3] - 1)
         Zt = jnp.swapaxes(Z_loc[:, 0], -3, -2)      # (batch, nb_loc, f, 2)
-        fr = irfft(Zt, n=m, axis=-1) * scale
+        fr = irfft(Zt, n=m_eff, axis=-1) * scale
         fr = fr[..., :W] * winj
         y = _overlap_add(fr, W, H)                  # (batch, S + halo)
         if halo > 0:
@@ -1642,6 +1701,13 @@ def build_distributed_istft(n: int, mesh: Mesh, axis_name: str = "sp",
         squeeze = Z.ndim == 3
         if squeeze:
             Z = Z[None]
+        nf = Z.shape[-3]
+        m_eff = m if m is not None else 2 * (nf - 1)
+        if m_eff < W or nf != m_eff // 2 + 1:
+            raise ValueError(
+                f"spectrogram has {nf} frequency rows; expected "
+                f"{(m if m is not None else 'nfft')}//2 + 1 (pass nfft= "
+                f"matching the stft)")
         body, overs = smap(Z[:, None])
         # body (batch, ndev, S) -> flat; append the LAST device's
         # overhang as the global tail
@@ -1673,53 +1739,26 @@ def build_distributed_welch(n: int, mesh: Mesh, axis_name: str = "sp",
     detrend='constant') exactly.  Requires the frame count to divide the
     mesh axis.  Returns (f, fn); fn(x): (batch, n) -> (batch, nf).
     """
-    from ..fftapi import _stft_hop, _get_window, _frame_segments, rfft
+    from ..fftapi import _frame_segments, rfft
 
     ndev = mesh.shape[axis_name]
-    W, H = _stft_hop("distributed welch", nperseg, noverlap)
-    m = int(nfft) if nfft is not None else W
-    if m < W:
-        raise ValueError("nfft must be >= nperseg")
-    if scaling not in ("density", "spectrum"):
-        raise ValueError("scaling must be 'density' or 'spectrum'")
-    if n < W:
-        raise ValueError(f"signal shorter than nperseg ({n} < {W})")
-    nb = (n - W) // H + 1
-    if nb % ndev:
-        raise ValueError(
-            f"distributed welch needs the frame count ({nb}) to split "
-            f"over {ndev} devices; adjust nperseg/noverlap or crop n")
-    nb_loc = nb // ndev
-    S = nb_loc * H
-    halo = W - H
-    win = _get_window(window, W)
+    W, H, m, nb, nb_loc, S, halo, win, sv = _welch_frame_setup(
+        "distributed welch", n, ndev, window, nperseg, noverlap, nfft,
+        scaling, fs)
     winj = jnp.asarray(win)
-    dbl = np.full(m // 2 + 1, 2.0, np.float64)
-    dbl[0] = 1.0
-    if m % 2 == 0:
-        dbl[-1] = 1.0
-    if scaling == "density":
-        s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
-    else:
-        s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
-    sv = jnp.asarray(dbl * s / nb, jnp.float32)
     perm = [((i + 1) % ndev, i) for i in range(ndev)]
 
-    def local_fn(x_loc, tail):
-        x_loc = x_loc[:, 0]
-        if halo > 0:
-            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
-            last = jax.lax.axis_index(axis_name) == ndev - 1
-            h = jnp.where(last, tail, h)
-            xin = jnp.concatenate([x_loc, h], axis=-1)
-        else:
-            xin = x_loc
+    def spectra(x_loc, tail):
+        xin = _halo_extend(x_loc, tail, halo, ndev, axis_name, perm)
         fr = _frame_segments(xin, W, H, nb_loc)
         fr = fr - jnp.mean(fr, axis=-1, keepdims=True)   # detrend
         fr = fr * winj
         if m > W:
             fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, m - W)])
-        Z = rfft(fr, axis=-1)                            # (b, nb_loc, f, 2)
+        return rfft(fr, axis=-1)                         # (b, nb_loc, f, 2)
+
+    def local_fn(x_loc, tail):
+        Z = spectra(x_loc[:, 0], tail)
         p_loc = jnp.sum(Z[..., 0] ** 2 + Z[..., 1] ** 2, axis=-2) * sv
         return jax.lax.psum(p_loc, axis_name)[:, None]
 
@@ -1757,46 +1796,17 @@ def build_distributed_csd(n: int, mesh: Mesh, axis_name: str = "sp",
     extension of :func:`build_distributed_welch` with the same O(W)
     halo + one psum of 2*nf floats.  Returns (f, fn);
     fn(x, y): (batch, n) x 2 -> (batch, nf, 2) interleaved."""
-    from ..fftapi import _stft_hop, _get_window, _frame_segments, rfft
+    from ..fftapi import _frame_segments, rfft
 
     ndev = mesh.shape[axis_name]
-    W, H = _stft_hop("distributed csd", nperseg, noverlap)
-    m = int(nfft) if nfft is not None else W
-    if m < W:
-        raise ValueError("nfft must be >= nperseg")
-    if scaling not in ("density", "spectrum"):
-        raise ValueError("scaling must be 'density' or 'spectrum'")
-    if n < W:
-        raise ValueError(f"signal shorter than nperseg ({n} < {W})")
-    nb = (n - W) // H + 1
-    if nb % ndev:
-        raise ValueError(
-            f"distributed csd needs the frame count ({nb}) to split "
-            f"over {ndev} devices")
-    nb_loc = nb // ndev
-    S = nb_loc * H
-    halo = W - H
-    win = _get_window(window, W)
+    W, H, m, nb, nb_loc, S, halo, win, sv = _welch_frame_setup(
+        "distributed csd", n, ndev, window, nperseg, noverlap, nfft,
+        scaling, fs)
     winj = jnp.asarray(win)
-    dbl = np.full(m // 2 + 1, 2.0, np.float64)
-    dbl[0] = 1.0
-    if m % 2 == 0:
-        dbl[-1] = 1.0
-    if scaling == "density":
-        s = 1.0 / (fs * float(np.sum(win.astype(np.float64) ** 2)))
-    else:
-        s = 1.0 / float(np.sum(win.astype(np.float64))) ** 2
-    sv = jnp.asarray(dbl * s / nb, jnp.float32)
     perm = [((i + 1) % ndev, i) for i in range(ndev)]
 
     def spectra(x_loc, tail):
-        if halo > 0:
-            h = jax.lax.ppermute(x_loc[:, :halo], axis_name, perm)
-            last = jax.lax.axis_index(axis_name) == ndev - 1
-            h = jnp.where(last, tail, h)
-            xin = jnp.concatenate([x_loc, h], axis=-1)
-        else:
-            xin = x_loc
+        xin = _halo_extend(x_loc, tail, halo, ndev, axis_name, perm)
         fr = _frame_segments(xin, W, H, nb_loc)
         fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
         fr = fr * winj

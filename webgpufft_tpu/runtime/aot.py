@@ -263,8 +263,9 @@ def export_pipeline(fn, *example_args, path: Optional[str] = None) -> bytes:
 
     import numpy as _np
     structs = [a if isinstance(a, jax.ShapeDtypeStruct)
-               else jax.ShapeDtypeStruct(_np.shape(a),
-                                         _np.asarray(a).dtype)
+               else jax.ShapeDtypeStruct(
+                   _np.shape(a),
+                   jax.dtypes.canonicalize_dtype(_np.asarray(a).dtype))
                for a in example_args]
     exp = jexport.export(jax.jit(fn))(*structs)
     header = json.dumps({
@@ -302,18 +303,28 @@ class ExportedPipeline:
 
 
 def load_exported_pipeline(data) -> ExportedPipeline:
-    """Load an :func:`export_pipeline` artifact (bytes or path)."""
+    """Load an :func:`export_pipeline` artifact (bytes, path string, or
+    os.PathLike)."""
+    import os
     from jax import export as jexport
 
-    if isinstance(data, (str, bytes)) and not isinstance(data, bytes):
+    if isinstance(data, (str, os.PathLike)):
         with open(data, "rb") as f:
             data = f.read()
-    elif isinstance(data, str):
-        with open(data, "rb") as f:
-            data = f.read()
+    if len(data) < 8:
+        raise PlanError("pipeline artifact truncated (no header)")
     hlen = int.from_bytes(data[:8], "big")
-    meta = json.loads(data[8:8 + hlen].decode("utf-8"))
+    if hlen <= 0 or 8 + hlen > len(data):
+        raise PlanError("pipeline artifact corrupt (bad header length)")
+    try:
+        meta = json.loads(data[8:8 + hlen].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise PlanError(f"pipeline artifact corrupt: {e}") from None
     if meta.get("schema") != PIPELINE_SCHEMA:
         raise ValueError(f"not a pipeline artifact: {meta.get('schema')}")
+    if meta.get("version") != AOT_VERSION:
+        raise PlanError(
+            f"pipeline artifact version {meta.get('version')} != "
+            f"supported {AOT_VERSION}")
     exported = jexport.deserialize(bytearray(data[8 + hlen:]))
     return ExportedPipeline(meta, exported)
