@@ -125,6 +125,39 @@ def test_trig_vs_scipy(rng, kind, type, norm, m):
 
 
 @pytest.mark.parametrize("kind", ["dct", "dst"])
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_trig_norm_orthogonalize_grid(rng, kind, type):
+    """Every scipy norm x orthogonalize combination, both directions.
+
+    Pins the forward norm (scale 1/G on the forward side, unscaled
+    inverse) and the per-bin sqrt(2) ``orthogonalize`` reweights, which
+    are independent of norm (scipy applies them for types 1-3 on the
+    first/last bins; type 4 and dst1 are unaffected)."""
+    for m in (7, 12):
+        x = rng.standard_normal((2, m))
+        for norm in (None, "backward", "forward", "ortho"):
+            for o in (None, True, False):
+                for pfx in ("", "i"):
+                    ours = getattr(F, pfx + kind)
+                    sp = getattr(sf, pfx + kind)
+                    _close(ours(x.astype(np.float32), type=type, norm=norm,
+                                orthogonalize=o),
+                           sp(x, type=type, norm=norm, orthogonalize=o),
+                           label=f"{pfx}{kind}{type}/{norm}/o={o}/m={m}")
+
+
+def test_trig_nd_norm_orthogonalize(rng):
+    x = rng.standard_normal((3, 6, 7))
+    for norm in (None, "forward", "ortho"):
+        for o in (True, False):
+            _close(F.dctn(x.astype(np.float32), norm=norm, orthogonalize=o),
+                   sf.dctn(x, norm=norm, orthogonalize=o))
+            _close(F.idstn(x.astype(np.float32), type=3, norm=norm,
+                           orthogonalize=o),
+                   sf.idstn(x, type=3, norm=norm, orthogonalize=o))
+
+
+@pytest.mark.parametrize("kind", ["dct", "dst"])
 @pytest.mark.parametrize("norm", [None, "ortho"])
 def test_trig_nd(rng, kind, norm):
     x = rng.standard_normal((2, 10, 12))
@@ -164,8 +197,9 @@ def test_trig_axis_and_n(rng):
     _close(F.dst(x, n=20), sf.dst(x, n=20))
     with pytest.raises(PlanError, match="type"):
         F.dct(x, type=5)
+    _close(F.dct(x, norm="forward"), sf.dct(x, norm="forward"))
     with pytest.raises(PlanError, match="norm"):
-        F.dct(x, norm="forward")
+        F.dct(x, norm="bogus")
 
 
 @pytest.mark.parametrize("mode", ["full", "same", "valid"])

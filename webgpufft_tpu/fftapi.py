@@ -375,61 +375,63 @@ def irfft2(x, s=None, axes=(-2, -1), norm: Optional[str] = None, *,
 
 # ---------------------------------------------------------------- dct/dst
 
-def _trig_ortho_vectors(kind: str, type: int, m: int):
-    """(pre, post) diagonal scalings turning the plan layer's half-amplitude
-    'none' transform into scipy's orthonormal one.  ``pre`` scales the input
-    along the axis, ``post`` the output; either may be None (identity).
+def _trig_ortho_weights(kind: str, eff_type: int, m: int):
+    """(pre, post) per-bin sqrt(2) reweightings of scipy's ``orthogonalize``
+    flag, keyed by the EFFECTIVE transform being executed (the inverse of a
+    type-2 is type-3-based, and inverting a post-weight is the swapped
+    type's pre-weight — so one table serves both directions).  Either entry
+    may be None (identity).  Types 4 and dst1 have no special bins.
 
-    The plan layer's 'none' outputs are scipy's norm=None divided by 2
-    (except dct1, which matches scipy exactly) — the reference's math.js
-    sum conventions.  These vectors absorb both that factor and scipy's
-    per-bin ortho weights (the k=0 / k=N-1 special bins).
+    Pinned empirically against scipy 1.17 (ratio probes over every
+    kind x type x norm x direction; see tests/test_fftapi.py).
     """
     r2 = math.sqrt(2.0)
+    pre = post = None
     if kind == "dct":
-        if type == 1:
+        if eff_type == 1:
             pre = np.ones(m, np.float32)
             pre[0] = pre[-1] = r2
-            post = np.full(m, math.sqrt(1.0 / (2 * (m - 1))), np.float32)
-            post[0] /= r2
-            post[-1] /= r2
-            return pre, post
-        if type == 2:
-            post = np.full(m, 2 * math.sqrt(1.0 / (2 * m)), np.float32)
-            post[0] = math.sqrt(1.0 / m)
-            return None, post
-        if type == 3:
-            pre = np.full(m, math.sqrt(2.0 / m), np.float32)
-            pre[0] = 2.0 / math.sqrt(m)
-            return pre, None
-        return None, np.full(m, math.sqrt(2.0 / m), np.float32)  # dct4
-    if type == 1:
-        return None, np.full(m, math.sqrt(2.0 / (m + 1)), np.float32)
-    if type == 2:
-        post = np.full(m, math.sqrt(2.0 / m), np.float32)
-        post[-1] = math.sqrt(1.0 / m)
-        return None, post
-    if type == 3:
-        pre = np.full(m, math.sqrt(2.0 / m), np.float32)
-        pre[-1] = 2.0 / math.sqrt(m)
-        return pre, None
-    return None, np.full(m, math.sqrt(2.0 / m), np.float32)      # dst4
+            post = np.ones(m, np.float32)
+            post[0] = post[-1] = 1.0 / r2
+        elif eff_type == 2:
+            post = np.ones(m, np.float32)
+            post[0] = 1.0 / r2
+        elif eff_type == 3:
+            pre = np.ones(m, np.float32)
+            pre[0] = r2
+    else:
+        if eff_type == 2:
+            post = np.ones(m, np.float32)
+            post[-1] = 1.0 / r2
+        elif eff_type == 3:
+            pre = np.ones(m, np.float32)
+            pre[-1] = r2
+    return pre, post
 
 
 def _scipy_trig(x, kind: str, type: int, n, axis: int,
-                norm: Optional[str], inverse: bool):
+                norm: Optional[str], inverse: bool,
+                orthogonalize: Optional[bool] = None):
     """scipy.fft.dct/dst/idct/idst semantics over the plan layer.
 
     scipy's inverse is the type-swapped transform (2<->3; 1 and 4 are
     self-inverse) with the normalization folded in; all modes lower to the
     plan layer's 'none' forward transform plus explicit diagonal scalings.
-    Validated per (kind, type, norm, direction) against scipy in
-    tests/test_fftapi.py.
+    Normalization is a single scalar derived from the unnormalized
+    roundtrip gain G (dct1: 2(m-1), dst1: 2(m+1), else 2m):
+    forward 1 | 1/G | 1/sqrt(G) and inverse 1/G | 1 | 1/sqrt(G) for
+    norm backward | forward | ortho; ``orthogonalize`` (default: only
+    under ortho) additionally applies the per-bin sqrt(2) reweights.
+    Validated per (kind, type, norm, direction, orthogonalize) against
+    scipy in tests/test_fftapi.py.
     """
     if type not in (1, 2, 3, 4):
         raise PlanError(f"{kind} type must be 1..4, got {type}")
-    if norm not in (None, "backward", "ortho"):
-        raise PlanError(f"{kind} norm must be None|'backward'|'ortho', got {norm!r}")
+    if norm not in (None, "backward", "ortho", "forward"):
+        raise PlanError(
+            f"{kind} norm must be None|'backward'|'ortho'|'forward', "
+            f"got {norm!r}")
+    ortho_w = (norm == "ortho") if orthogonalize is None else bool(orthogonalize)
     x = _real_f32(x)
     axes = _axes_list(x.ndim, (axis,), False)
     if n is not None:
@@ -437,25 +439,21 @@ def _scipy_trig(x, kind: str, type: int, n, axis: int,
     m = x.shape[axes[0]]
     inv_type = {1: 1, 2: 3, 3: 2, 4: 4}[type]
     eff_type = inv_type if inverse else type
-    pre = post = None
-    scale = 1.0
-    if norm == "ortho":
-        # an orthonormal transform's inverse is the forward orthonormal
-        # transform of the swapped type, so the same vector table serves
-        # both directions (keyed by the EFFECTIVE type)
-        pre, post = _trig_ortho_vectors(kind, eff_type, m)
-    elif inverse:
-        # scipy idct/idst norm=None: the exact inverse of the norm=None
-        # forward; scaling derived from the unnormalized roundtrip gains
-        if kind == "dct" and type == 1:
-            scale = 1.0 / (2 * (m - 1))
-        elif kind == "dst" and type == 1:
-            scale = 1.0 / (m + 1)
-        else:
-            scale = 1.0 / m
+    if kind == "dct" and type == 1:
+        gain, half = 2.0 * (m - 1), 1.0   # plan 'none' dct1 matches scipy
+    elif kind == "dst" and type == 1:
+        gain, half = 2.0 * (m + 1), 2.0   # plan 'none' is scipy / 2
     else:
-        # plan 'none' is scipy's norm=None / 2 (dct1 matches exactly)
-        scale = 1.0 if (kind == "dct" and type == 1) else 2.0
+        gain, half = 2.0 * m, 2.0
+    if norm == "ortho":
+        scale = half / math.sqrt(gain)
+    elif (norm == "forward") != inverse:   # forward-norm fwd, backward inv
+        scale = half / gain
+    else:
+        scale = half
+    pre = post = None
+    if ortho_w:
+        pre, post = _trig_ortho_weights(kind, eff_type, m)
     x, undo = _move_to_trailing(x, axes, comp=False)
     if pre is not None:
         x = x * jnp.asarray(pre)
@@ -469,28 +467,29 @@ def _scipy_trig(x, kind: str, type: int, n, axis: int,
 
 
 def dct(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
-        norm: Optional[str] = None):
+        norm: Optional[str] = None, *, orthogonalize: Optional[bool] = None):
     """DCT along ``axis`` (scipy.fft.dct semantics)."""
-    return _scipy_trig(x, "dct", type, n, axis, norm, False)
+    return _scipy_trig(x, "dct", type, n, axis, norm, False, orthogonalize)
 
 
 def idct(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
-         norm: Optional[str] = None):
-    return _scipy_trig(x, "dct", type, n, axis, norm, True)
+         norm: Optional[str] = None, *, orthogonalize: Optional[bool] = None):
+    return _scipy_trig(x, "dct", type, n, axis, norm, True, orthogonalize)
 
 
 def dst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
-        norm: Optional[str] = None):
+        norm: Optional[str] = None, *, orthogonalize: Optional[bool] = None):
     """DST along ``axis`` (scipy.fft.dst semantics)."""
-    return _scipy_trig(x, "dst", type, n, axis, norm, False)
+    return _scipy_trig(x, "dst", type, n, axis, norm, False, orthogonalize)
 
 
 def idst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
-         norm: Optional[str] = None):
-    return _scipy_trig(x, "dst", type, n, axis, norm, True)
+         norm: Optional[str] = None, *, orthogonalize: Optional[bool] = None):
+    return _scipy_trig(x, "dst", type, n, axis, norm, True, orthogonalize)
 
 
-def _trig_nd(x, kind: str, type: int, s, axes, norm, inverse: bool):
+def _trig_nd(x, kind: str, type: int, s, axes, norm, inverse: bool,
+             orthogonalize: Optional[bool] = None):
     """scipy.fft.dctn-family semantics: the separable 1-D transform applied
     along each requested axis in turn."""
     x = _real_f32(x)
@@ -499,26 +498,30 @@ def _trig_nd(x, kind: str, type: int, s, axes, norm, inverse: bool):
     if len(sizes) != len(axes):
         raise PlanError(f"s has {len(sizes)} entries for {len(axes)} axes")
     for a, m in zip(axes, sizes):
-        x = _scipy_trig(x, kind, type, m, a, norm, inverse)
+        x = _scipy_trig(x, kind, type, m, a, norm, inverse, orthogonalize)
     return x
 
 
-def dctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+def dctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None, *,
+         orthogonalize: Optional[bool] = None):
     """ND DCT (scipy.fft.dctn semantics)."""
-    return _trig_nd(x, "dct", type, s, axes, norm, False)
+    return _trig_nd(x, "dct", type, s, axes, norm, False, orthogonalize)
 
 
-def idctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
-    return _trig_nd(x, "dct", type, s, axes, norm, True)
+def idctn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None, *,
+          orthogonalize: Optional[bool] = None):
+    return _trig_nd(x, "dct", type, s, axes, norm, True, orthogonalize)
 
 
-def dstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
+def dstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None, *,
+         orthogonalize: Optional[bool] = None):
     """ND DST (scipy.fft.dstn semantics)."""
-    return _trig_nd(x, "dst", type, s, axes, norm, False)
+    return _trig_nd(x, "dst", type, s, axes, norm, False, orthogonalize)
 
 
-def idstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None):
-    return _trig_nd(x, "dst", type, s, axes, norm, True)
+def idstn(x, type: int = 2, s=None, axes=None, norm: Optional[str] = None, *,
+          orthogonalize: Optional[bool] = None):
+    return _trig_nd(x, "dst", type, s, axes, norm, True, orthogonalize)
 
 
 # ---------------------------------------------------------------- conv
