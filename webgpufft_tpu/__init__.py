@@ -82,6 +82,8 @@ __all__ = [
     "create_distributed_plan",
     "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
     "peaks", "ltisys", "splines", "windows", "ShortTimeFFT",
+    "ScipyFftBackend", "scipy_fft_backend", "install_scipy_fft_backend",
+    "uninstall_scipy_fft_backend",
 ]
 
 
@@ -241,4 +243,7 @@ from . import ltisys  # noqa: E402
 from . import splines  # noqa: E402
 from . import windows  # noqa: E402
 from .shorttime import ShortTimeFFT  # noqa: E402
+from .scipy_backend import (ScipyFftBackend, scipy_fft_backend,  # noqa: E402
+                            install_scipy_fft_backend,
+                            uninstall_scipy_fft_backend)
 fft = fftapi
