@@ -55,6 +55,22 @@ def main():
                  "tuning": {"impl": impl}}, cache=W.PlanCache())
         except Exception as e:
             print(f"# impl={impl} build failed: {str(e)[:200]}", file=sys.stderr)
+    if on_tpu:
+        # FFTW_MEASURE-style planner: time route candidates live and keep
+        # the session's winner (runtime/measure.py) — harvests whatever
+        # config this tunnel session actually favors.
+        try:
+            mp = W.create_plan(
+                {"type": "c2c", "shape": [n], "batch": batch,
+                 "direction": "forward", "normalize": "unitary",
+                 "tuning": {"rigor": "measure"}}, cache=W.PlanCache())
+            note = ";".join(r for r in mp.route.reasons
+                            if r.startswith("measured"))
+            print(f"# measured planner: {note}", file=sys.stderr)
+            plans["measured"] = mp
+        except Exception as e:
+            print(f"# measured planner failed: {str(e)[:200]}",
+                  file=sys.stderr)
 
     ceiling = 0.0
     best = None

@@ -86,7 +86,7 @@ def test_snapshot_legacy_v1_upgrade():
     own = W.PlanCache()
     W.create_plan(type="dct2", shape=[8], batch=2, cache=own)
     snap = W.export_plan_cache_snapshot(own)
-    assert snap["version"] == 2
+    assert snap["version"] == C.SNAPSHOT_VERSION
     legacy = dict(snap)
     legacy["version"] = 1
     legacy["metadata"] = {"plans": 1}

@@ -1,0 +1,118 @@
+"""Measured plan selection (tuning.rigor="measure", runtime/measure.py)."""
+
+import numpy as np
+import pytest
+
+import webgpufft_tpu as W
+from webgpufft_tpu.runtime import measure as M
+
+
+def _opts(**tuning):
+    return {"type": "c2c", "shape": [512], "batch": 4,
+            "direction": "forward", "normalize": "unitary",
+            "tuning": {"rigor": "measure", **tuning}}
+
+
+def test_measure_builds_working_plan_and_records(rng):
+    cache = W.PlanCache()
+    p = W.create_plan(_opts(), cache=cache)
+    notes = [r for r in p.route.reasons if r.startswith("measured")]
+    assert notes, p.route.reasons
+    assert len(cache.measured) == 1
+    (rec,) = cache.measured.values()
+    assert rec["winner"] in rec["trials_ms"]
+    assert len(rec["trials_ms"]) >= 2          # really compared candidates
+    # numerically identical to the estimate-rigor plan
+    x = rng.standard_normal((4, 512, 2)).astype(np.float32)
+    pe = W.create_plan({**_opts(), "tuning": {}}, cache=cache)
+    err = np.max(np.abs(np.asarray(p.exec(x)) - np.asarray(pe.exec(x))))
+    assert err < 1e-5, err
+
+
+def test_measure_decision_is_cached(monkeypatch):
+    cache = W.PlanCache()
+    W.create_plan(_opts(), cache=cache)
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise AssertionError("re-measured a cached decision")
+
+    monkeypatch.setattr(M, "_chain_time", boom)
+    p2 = W.create_plan(_opts(), cache=cache)
+    assert calls["n"] == 0
+    assert any(r.startswith("measured-cached:") for r in p2.route.reasons)
+
+
+def test_measure_snapshot_roundtrip(monkeypatch):
+    cache = W.PlanCache()
+    W.create_plan(_opts(), cache=cache)
+    snap = W.export_plan_cache_snapshot(cache)
+    assert snap["version"] == 3 and len(snap["measured"]) == 1
+    fresh = W.PlanCache()
+    W.import_plan_cache_snapshot(snap, cache=fresh)
+    monkeypatch.setattr(M, "_chain_time",
+                        lambda *a, **k: pytest.fail("re-measured"))
+    p = W.create_plan(_opts(), cache=fresh)
+    assert any(r.startswith("measured-cached:") for r in p.route.reasons)
+
+
+def test_v2_snapshot_upgrades_with_empty_measured():
+    cache = W.PlanCache()
+    W.create_plan({"type": "c2c", "shape": [32], "batch": 2,
+                   "direction": "forward", "normalize": "none"}, cache=cache)
+    snap = W.export_plan_cache_snapshot(cache)
+    legacy = {k: v for k, v in snap.items() if k != "measured"}
+    legacy["version"] = 2
+    fresh = W.PlanCache()
+    assert W.import_plan_cache_snapshot(legacy, cache=fresh) == 1
+    assert fresh.measured == {}
+
+
+def test_measure_defers_under_trace(rng):
+    import jax
+
+    cache = W.PlanCache()
+    x = rng.standard_normal((4, 64, 2)).astype(np.float32)
+
+    @jax.jit
+    def run(v):
+        p = W.create_plan({"type": "c2c", "shape": [64], "batch": 4,
+                           "direction": "forward", "normalize": "none",
+                           "tuning": {"rigor": "measure"}}, cache=cache)
+        return p.exec(v)
+
+    y = np.asarray(run(x))
+    assert y.shape == x.shape
+    assert cache.measured == {}            # no timing happened under trace
+    specs = cache.specs()
+    assert all(s.tuning.rigor == "estimate" for s in specs)
+
+
+def test_measure_unsupported_types_degrade_gracefully():
+    cache = W.PlanCache()
+    p = W.create_plan({"type": "fftconv", "shape": [64],
+                       "fftConv": {"boundary": "circular"},
+                       "tuning": {"rigor": "measure"}}, cache=cache)
+    assert any(r.startswith("measure-unsupported:") for r in p.route.reasons)
+    assert cache.measured == {}
+
+
+def test_rigor_validation():
+    with pytest.raises(W.PlanError, match="rigor"):
+        W.create_plan({"type": "c2c", "shape": [16],
+                       "tuning": {"rigor": "exhaustive"}})
+
+
+def test_shape_changing_plan_measures(rng):
+    """r2c output shape differs from input: the hetero chain path."""
+    cache = W.PlanCache()
+    p = W.create_plan({"type": "r2c", "shape": [4096], "batch": 2,
+                       "direction": "forward", "normalize": "none",
+                       "tuning": {"rigor": "measure"}}, cache=cache)
+    assert any(r.startswith("measured") for r in p.route.reasons)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    got = np.asarray(p.exec(x))
+    want = np.fft.rfft(x, axis=-1)
+    err = np.max(np.abs((got[..., 0] + 1j * got[..., 1]) - want))
+    assert err / np.max(np.abs(want)) < 1e-5

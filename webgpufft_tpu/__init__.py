@@ -156,6 +156,19 @@ def create_plan(opts: Optional[Dict[str, Any]] = None, *,
         if snap is not None:
             import_plan_cache_snapshot(snap, cache=target)
     spec = normalize_spec(merged)
+    if spec.tuning.rigor == "measure":
+        # FFTW_MEASURE-style planner: time route candidates on the live
+        # device and build the winner (runtime/measure.py); the decision
+        # caches on the PlanCache and persists through snapshots.
+        from .runtime.measure import run_measure
+        spec, notes = run_measure(spec, target)
+        plan = target.get_or_create(spec)
+        import dataclasses as _dc
+        missing = tuple(n for n in notes if n not in plan.route.reasons)
+        if missing:
+            plan.route = _dc.replace(
+                plan.route, reasons=plan.route.reasons + missing)
+        return plan
     return target.get_or_create(spec)
 
 

@@ -21,16 +21,21 @@ from typing import Any, Dict, List, Optional
 from ..spec import PlanSpec, spec_to_dict
 
 SNAPSHOT_SCHEMA = "webgpufft-tpu.plan-cache"
-# v1: bare spec list.  v2 (current): adds framework metadata, reported in
-# the diagnostic when a spec entry fails to rebuild (version drift).  v1
-# snapshots are upgraded on import, mirroring the reference's
-# legacy-version upgrade (pipeline_cache.js:39-114).
-SNAPSHOT_VERSION = 2
+# v1: bare spec list.  v2: adds framework metadata, reported in the
+# diagnostic when a spec entry fails to rebuild (version drift).  v3
+# (current): adds the measured-rigor decisions ("measured" — see
+# runtime/measure.py) so serving processes reuse measured winners
+# without re-timing.  Legacy snapshots are upgraded on import, mirroring
+# the reference's legacy-version upgrade (pipeline_cache.js:39-114).
+SNAPSHOT_VERSION = 3
 
 
 class PlanCache:
     def __init__(self):
         self._plans: Dict[PlanSpec, Any] = {}
+        # measured-rigor decisions: measure_key -> {winner, overrides,
+        # trials_ms} (runtime/measure.py); exported in snapshots (v3)
+        self.measured: Dict[str, Dict[str, Any]] = {}
 
     def get_or_create(self, spec: PlanSpec):
         plan = self._plans.get(spec)
@@ -46,6 +51,7 @@ class PlanCache:
 
     def clear(self):
         self._plans.clear()
+        self.measured.clear()
 
     def specs(self) -> List[PlanSpec]:
         return list(self._plans.keys())
@@ -67,6 +73,7 @@ def export_plan_cache_snapshot(cache: Optional[PlanCache] = None) -> Dict[str, A
         "createdAtMs": int(time.time() * 1000),
         "metadata": {"plans": len(cache), "framework": f"webgpufft-tpu/{__version__}"},
         "specs": [spec_to_dict(s) for s in cache.specs()],
+        "measured": dict(cache.measured),
     }
 
 
@@ -82,6 +89,11 @@ def upgrade_snapshot(snapshot: Dict[str, Any]) -> Dict[str, Any]:
         meta = dict(up.get("metadata") or {})
         meta.setdefault("framework", "webgpufft-tpu/legacy-v1")
         up["metadata"] = meta
+        return upgrade_snapshot(up)
+    if version == 2:
+        up = dict(snapshot)
+        up["version"] = 3
+        up.setdefault("measured", {})
         return up
     raise ValueError(f"unsupported snapshot version {version}")
 
@@ -110,6 +122,11 @@ def import_plan_cache_snapshot(snapshot: Dict[str, Any],
         if build:
             cache.get_or_create(spec)
         count += 1
+    measured = snapshot.get("measured")
+    if isinstance(measured, dict):
+        for k, v in measured.items():
+            if isinstance(k, str) and isinstance(v, dict):
+                cache.measured.setdefault(k, v)
     return count
 
 

@@ -183,6 +183,10 @@ class TuningSpec:
     # (benches/r3_precision_transpose.py).  "high" = 3-pass bf16_3x
     # (~2e-5 rel err — just misses the f32 bar; offered for throughput).
     matmul_precision: str = "auto"             # auto|highest|high|default
+    # Planner effort (FFTW-style): "estimate" routes statically; "measure"
+    # times a small candidate set on the live device at plan build and
+    # returns the fastest (runtime/measure.py), cached + snapshot-persisted.
+    rigor: str = "estimate"                    # estimate|measure
     # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
     # reference-style options dict runs unmodified (VERDICT r1 #8); each key
     # shows up as route reason "ignored-webgpu-knob:<key>"
@@ -398,6 +402,8 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
            "tuning.largeRoute must be auto|chunk|out-of-core")
     _check(ts.matmul_precision in ("auto", "highest", "high", "default"),
            "tuning.matmulPrecision must be auto|highest|high|default")
+    _check(ts.rigor in ("estimate", "measure"),
+           "tuning.rigor must be estimate|measure")
     return ts
 
 
