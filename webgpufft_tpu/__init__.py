@@ -83,7 +83,7 @@ __all__ = [
     "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
     "peaks", "ltisys", "splines", "windows", "ShortTimeFFT",
     "ScipyFftBackend", "scipy_fft_backend", "install_scipy_fft_backend",
-    "uninstall_scipy_fft_backend",
+    "uninstall_scipy_fft_backend", "torch_fft",
 ]
 
 
@@ -259,4 +259,5 @@ from .shorttime import ShortTimeFFT  # noqa: E402
 from .scipy_backend import (ScipyFftBackend, scipy_fft_backend,  # noqa: E402
                             install_scipy_fft_backend,
                             uninstall_scipy_fft_backend)
+from . import torch_fft  # noqa: E402  (torch itself imports lazily)
 fft = fftapi
