@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Example: 3-D periodic Poisson solver on the distributed real-FFT path.
+
+Solves ``laplacian(u) = f`` with periodic boundaries on an
+``n x n x n`` grid by forward distributed rfftn, a spectral division by
+the discrete Laplacian symbol, and the inverse distributed c2r — the
+flagship scientific workload for distributed real transforms (3-D real
+volumes across chips, SURVEY.md §2.9 / VERDICT r2 #1).
+
+Run (works on CPU with virtual devices):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/poisson3d.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    if jax.device_count() < 2:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    import webgpufft_tpu as wft
+    from webgpufft_tpu.parallel import sharded
+
+    ndev = min(8, jax.device_count())
+    mesh = sharded.make_mesh({"sp": ndev})
+    n = 64
+    shape = (n, n, n)
+
+    fwd = wft.create_distributed_plan(type="r2c", shape=list(shape), batch=1,
+                                      direction="forward", normalize="none",
+                                      mesh=mesh, seq_axis="sp")
+    inv = wft.create_distributed_plan(type="c2r", shape=list(shape), batch=1,
+                                      direction="inverse", normalize="backward",
+                                      mesh=mesh, seq_axis="sp")
+    print(f"devices={ndev} grid={shape} fwd={fwd.route.mode} "
+          f"inv={inv.route.mode}")
+
+    # manufactured solution: u* = product of sines -> f = laplacian(u*)
+    rng = np.random.default_rng(0)
+    u_star = rng.standard_normal(shape).astype(np.float32)
+    u_star -= u_star.mean()                     # zero-mean (k=0 gauge)
+
+    # discrete 7-point Laplacian applied periodically
+    def lap(v):
+        out = -6.0 * v
+        for ax in range(3):
+            out = out + np.roll(v, 1, ax) + np.roll(v, -1, ax)
+        return out
+
+    f = lap(u_star).astype(np.float32)
+
+    # spectral symbol of the 7-point stencil: 2*cos(2 pi k / n) - 2 per
+    # axis.  The distributed r2c packs the HALF-COMPLEX axis at axis 0
+    # (the sharded axis carries the real-input trick), so the one-sided
+    # frequency range sits first.
+    k = np.arange(n)
+    c = 2.0 * np.cos(2.0 * np.pi * k / n) - 2.0
+    kz = np.arange(n // 2 + 1)
+    cz = 2.0 * np.cos(2.0 * np.pi * kz / n) - 2.0
+    denom = (cz[:, None, None] + c[None, :, None] + c[None, None, :])
+    denom[0, 0, 0] = 1.0                        # k=0: gauge, forced to 0 below
+    inv_sym = (1.0 / denom).astype(np.float32)
+    inv_sym[0, 0, 0] = 0.0
+
+    F = np.asarray(fwd.exec(f[None]))           # (1, n//2+1, n, n, 2)
+    U = F * inv_sym[None, ..., None]
+    u = np.asarray(inv.exec(jnp.asarray(U)))[0]
+
+    res = np.max(np.abs(lap(u) - f)) / np.max(np.abs(f))
+    err = np.max(np.abs(u - u_star)) / np.max(np.abs(u_star))
+    print(f"residual |lap(u) - f| rel: {res:.2e}")
+    print(f"solution error vs manufactured u*: {err:.2e}")
+    assert res < 1e-4 and err < 1e-4
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

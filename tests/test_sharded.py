@@ -29,6 +29,30 @@ def test_make_mesh_validates():
         sharded.make_mesh({"dp": 64})
 
 
+def test_make_mesh_ici_optimized_and_plain_agree_in_shape():
+    """Full-device meshes route through mesh_utils.create_device_mesh
+    (ICI-aware placement); partial meshes and ici_optimized=False keep
+    enumeration order.  All flavors produce the same logical mesh."""
+    for kwargs in ({}, {"ici_optimized": False}):
+        m = sharded.make_mesh({"dp": 2, "sp": 4}, **kwargs)
+        assert m.axis_names == ("dp", "sp")
+        assert tuple(m.shape.values()) == (2, 4)
+        assert len({d.id for d in m.devices.ravel()}) == 8
+    part = sharded.make_mesh({"sp": 4})
+    assert tuple(part.shape.values()) == (4,)
+
+
+def test_make_mesh_dcn_path():
+    """dcn= splits axes over host granules (degenerate 1-granule case on
+    the CPU fabric); invalid factors and unknown axes are rejected."""
+    m = sharded.make_mesh({"dp": 2, "sp": 4}, dcn={"dp": 1})
+    assert tuple(m.shape.values()) == (2, 4)
+    with pytest.raises(ValueError, match="does not divide"):
+        sharded.make_mesh({"dp": 3}, dcn={"dp": 2})
+    with pytest.raises(ValueError, match="not in the mesh"):
+        sharded.make_mesh({"dp": 4}, dcn={"xx": 2})
+
+
 def test_batch_sharded_c2c(mesh8, rng, assert_close):
     n, batch = 128, 32
     z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))

@@ -1458,14 +1458,63 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
 # Mesh helpers
 # ---------------------------------------------------------------------------
 
-def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
-    """Build a Mesh from {axis_name: size} over the available devices."""
-    devices = devices if devices is not None else jax.devices()
+def make_mesh(axis_sizes: dict, devices=None, *, ici_optimized: bool = True,
+              dcn: Optional[dict] = None) -> Mesh:
+    """Build a Mesh from {axis_name: size} over the available devices.
+
+    Production mesh construction for the distributed layer:
+
+    - Single-host / single-slice: when the mesh uses every device and
+      ``ici_optimized`` (default), device placement is delegated to
+      ``jax.experimental.mesh_utils.create_device_mesh``, which orders
+      devices so neighboring mesh coordinates are ICI neighbors (ring
+      collectives — the all_to_all digit exchange, halo ppermutes — ride
+      ICI links instead of hopping the fabric).  Otherwise devices fill
+      the mesh in enumeration order (exact round-1 behavior; also the
+      fallback when the topology has no better assignment).
+    - Multi-host / multi-slice: pass ``dcn={axis_name: hosts}`` to split
+      named axes across the slow DCN fabric via
+      ``mesh_utils.create_hybrid_device_mesh``; each listed axis size
+      must be divisible by its DCN factor, and only the listed axes
+      cross hosts (keep the sequence-parallel axis OUT of ``dcn`` — its
+      per-digit all_to_all is latency-bound and belongs on ICI; the
+      batch axis tolerates DCN since dp never communicates inside a
+      transform).  Requires a ``jax.distributed.initialize``d runtime.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
     names = tuple(axis_sizes)
-    sizes = tuple(axis_sizes.values())
+    sizes = tuple(int(axis_sizes[k]) for k in names)
     need = math.prod(sizes)
     if need > len(devices):
         raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    if dcn:
+        unknown = set(dcn) - set(names)
+        if unknown:
+            raise ValueError(f"dcn axes not in the mesh: {sorted(unknown)}")
+        dcn_shape = []
+        ici_shape = []
+        for k, s in zip(names, sizes):
+            f = int(dcn.get(k, 1))
+            if f < 1 or s % f:
+                raise ValueError(
+                    f"dcn factor {f} does not divide axis {k!r} size {s}")
+            dcn_shape.append(f)
+            ici_shape.append(s // f)
+        from jax.experimental import mesh_utils
+        # TPU slices group by slice_index; hosts (incl. the CPU test
+        # fabric) group by process instead
+        by_process = not hasattr(devices[0], "slice_index")
+        arr = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices,
+            process_is_granule=by_process)
+        return Mesh(arr, names)
+    if ici_optimized and need == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(sizes, devices=devices)
+            return Mesh(arr, names)
+        except Exception:
+            pass                     # topology not understood: plain order
     arr = np.array(devices[:need]).reshape(sizes)
     return Mesh(arr, names)
 
