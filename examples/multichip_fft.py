@@ -15,6 +15,11 @@ import numpy as np
 
 def main():
     import jax
+    # decide the CPU fallback BEFORE any device query (device_count()
+    # initializes the backend; platforms cannot change after that) — the
+    # documented virtual-device command sets XLA_FLAGS
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
     if jax.device_count() < 2:
         try:
             jax.config.update("jax_platforms", "cpu")

@@ -21,6 +21,12 @@ import numpy as np
 
 def main():
     import jax
+    # Decide the CPU fallback BEFORE any device query: jax.device_count()
+    # initializes the default backend, after which the platform cannot be
+    # switched.  The documented virtual-device command sets XLA_FLAGS, so
+    # key on that (the JAX_PLATFORMS env var is ignored on this stack).
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
     if jax.device_count() < 2:
         try:
             jax.config.update("jax_platforms", "cpu")
@@ -44,7 +50,7 @@ def main():
     print(f"devices={ndev} grid={shape} fwd={fwd.route.mode} "
           f"inv={inv.route.mode}")
 
-    # manufactured solution: u* = product of sines -> f = laplacian(u*)
+    # manufactured solution: a zero-mean random field u* -> f = laplacian(u*)
     rng = np.random.default_rng(0)
     u_star = rng.standard_normal(shape).astype(np.float32)
     u_star -= u_star.mean()                     # zero-mean (k=0 gauge)

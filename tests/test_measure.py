@@ -41,7 +41,34 @@ def test_measure_decision_is_cached(monkeypatch):
     monkeypatch.setattr(M, "_chain_time", boom)
     p2 = W.create_plan(_opts(), cache=cache)
     assert calls["n"] == 0
-    assert any(r.startswith("measured-cached:") for r in p2.route.reasons)
+    # the same (winner) plan object comes back, carrying its original
+    # measured-winner annotation from the first call
+    assert any(r.startswith("measured-winner:") for r in p2.route.reasons)
+
+
+def test_measure_never_mutates_estimate_callers_plan(rng):
+    """An estimate-rigor caller's plan must keep its route metadata even
+    when a later measure-rigor call resolves to the same cached plan."""
+    cache = W.PlanCache()
+    est = W.create_plan({**_opts(), "tuning": {}}, cache=cache)
+    before = est.route.reasons
+    W.create_plan(_opts(), cache=cache)     # may resolve to the same plan
+    assert est.route.reasons == before
+
+
+def test_measure_caches_degraded_decisions(monkeypatch):
+    """no-candidate outcomes are cached so repeat calls skip candidate
+    construction entirely."""
+    cache = W.PlanCache()
+    tiny = {"type": "c2c", "shape": [16], "batch": 1,
+            "direction": "forward", "normalize": "none",
+            "tuning": {"rigor": "measure"}}
+    p = W.create_plan(tiny, cache=cache)
+    assert any(r == "measure-no-candidates" for r in p.route.reasons)
+    assert len(cache.measured) == 1
+    monkeypatch.setattr(M, "candidate_overrides",
+                        lambda *a: pytest.fail("re-ran candidate sweep"))
+    W.create_plan(tiny, cache=cache)
 
 
 def test_measure_snapshot_roundtrip(monkeypatch):
@@ -51,10 +78,15 @@ def test_measure_snapshot_roundtrip(monkeypatch):
     assert snap["version"] == 3 and len(snap["measured"]) == 1
     fresh = W.PlanCache()
     W.import_plan_cache_snapshot(snap, cache=fresh)
+    assert fresh.measured == cache.measured
     monkeypatch.setattr(M, "_chain_time",
                         lambda *a, **k: pytest.fail("re-measured"))
     p = W.create_plan(_opts(), cache=fresh)
-    assert any(r.startswith("measured-cached:") for r in p.route.reasons)
+    # the recorded decision resolved the spec (no timing ran); the plan
+    # itself was prewarmed by the snapshot import
+    (rec,) = cache.measured.values()
+    for k, v in (rec["overrides"] or {}).items():
+        assert getattr(p.spec.tuning, k) == v
 
 
 def test_v2_snapshot_upgrades_with_empty_measured():
@@ -96,6 +128,17 @@ def test_measure_unsupported_types_degrade_gracefully():
                        "tuning": {"rigor": "measure"}}, cache=cache)
     assert any(r.startswith("measure-unsupported:") for r in p.route.reasons)
     assert cache.measured == {}
+
+
+def test_distributed_records_measure_degradation():
+    import jax
+    from webgpufft_tpu.parallel import sharded
+    mesh = sharded.make_mesh({"sp": min(4, jax.device_count())})
+    p = W.create_distributed_plan({"type": "c2c", "shape": [64], "batch": 2,
+                                   "direction": "forward", "normalize": "none",
+                                   "tuning": {"rigor": "measure"}},
+                                  mesh=mesh, seq_axis="sp")
+    assert "measure-unsupported:distributed" in p.route.reasons
 
 
 def test_rigor_validation():

@@ -161,13 +161,19 @@ def create_plan(opts: Optional[Dict[str, Any]] = None, *,
         # device and build the winner (runtime/measure.py); the decision
         # caches on the PlanCache and persists through snapshots.
         from .runtime.measure import run_measure
-        spec, notes = run_measure(spec, target)
+        spec, notes, built = run_measure(spec, target)
+        fresh = target.get(spec) is None
+        if built is not None:
+            target.adopt(spec, built)    # reuse the compiled winner
         plan = target.get_or_create(spec)
-        import dataclasses as _dc
-        missing = tuple(n for n in notes if n not in plan.route.reasons)
-        if missing:
+        if fresh and notes:
+            # annotate only a plan this call created — a cache-shared plan
+            # may already be held by estimate-rigor callers whose route
+            # metadata must not change under them
+            import dataclasses as _dc
             plan.route = _dc.replace(
-                plan.route, reasons=plan.route.reasons + missing)
+                plan.route, reasons=plan.route.reasons + tuple(
+                    n for n in notes if n not in plan.route.reasons))
         return plan
     return target.get_or_create(spec)
 

@@ -91,6 +91,15 @@ def ascomplex(y) -> np.ndarray:
     return _np_uninterleave(np.asarray(y))
 
 
+# facade transforms whose mathematical result is complex-valued (returned
+# interleaved (..., 2) f32 here); the scipy/torch bridges repack these as
+# complex dtypes — one shared table so the two cannot drift
+COMPLEX_VALUED_FFTS = frozenset({
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+    "rfft", "rfft2", "rfftn", "ihfft", "ihfft2", "ihfftn",
+})
+
+
 def _real_f32(x):
     x = jnp.asarray(x)
     if np.iscomplexobj(x):

@@ -516,6 +516,15 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
     pencil = isinstance(seq_axis, (tuple, list))
     _validate_axes(mesh, batch_axis, seq_axis, spec.batch)
     _reject_unsupported(spec, seq_axis)
+    measure_note = ()
+    if spec.tuning.rigor == "measure":
+        # the measured planner times single-chip candidates; distributed
+        # route choice is structural (split/digit geometry) — record the
+        # degradation rather than silently accepting the knob
+        import dataclasses as _dc
+        spec = _dc.replace(spec, tuning=_dc.replace(spec.tuning,
+                                                    rigor="estimate"))
+        measure_note = ("measure-unsupported:distributed",)
 
     route = RouteInfo(
         mode=("distributed-pencil" if pencil
@@ -523,7 +532,8 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
         impl="xla+ici",
         reasons=((f"mesh:{dict(mesh.shape)}",)
                  + ((f"batch-axis:{batch_axis}",) if batch_axis else ())
-                 + ((f"seq-axis:{seq_axis}",) if seq_axis else ())))
+                 + ((f"seq-axis:{seq_axis}",) if seq_axis else ())
+                 + measure_note))
 
     needs_kernel = spec.plan_type in ("fftconv", "conv2d")
 

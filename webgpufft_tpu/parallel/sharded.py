@@ -1500,6 +1500,11 @@ def make_mesh(axis_sizes: dict, devices=None, *, ici_optimized: bool = True,
                     f"dcn factor {f} does not divide axis {k!r} size {s}")
             dcn_shape.append(f)
             ici_shape.append(s // f)
+        if need != len(devices):
+            raise ValueError(
+                f"a dcn (multi-host) mesh must use every device: mesh needs "
+                f"{need}, fabric has {len(devices)} — size the axes to the "
+                f"full fabric or pass an explicit devices= subset")
         from jax.experimental import mesh_utils
         # TPU slices group by slice_index; hosts (incl. the CPU test
         # fabric) group by process instead

@@ -46,6 +46,15 @@ class PlanCache:
         plan._plan_cache = self  # for plan.get_pipeline_cache_snapshot()
         return plan
 
+    def get(self, spec: PlanSpec):
+        return self._plans.get(spec)
+
+    def adopt(self, spec: PlanSpec, plan) -> None:
+        """Seed an externally-built plan (e.g. the measured-rigor winner,
+        already compiled during timing) without rebuilding it."""
+        self._plans.setdefault(spec, plan)
+        plan._plan_cache = self
+
     def __len__(self):
         return len(self._plans)
 

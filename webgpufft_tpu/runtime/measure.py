@@ -155,11 +155,15 @@ def _chain_time(plan, x, *, unroll: int, reps: int) -> float:
     return max((time.perf_counter() - t0) / reps / unroll, 1e-9)
 
 
-def run_measure(spec: PlanSpec, cache) -> Tuple[PlanSpec, Tuple[str, ...]]:
+def run_measure(spec: PlanSpec, cache):
     """Resolve a rigor="measure" spec to its measured-winner concrete spec.
 
-    Returns (winner_spec, route_reason_notes).  Never raises on timing
-    trouble: any failure degrades to the static policy with a reason.
+    Returns (winner_spec, route_reason_notes, winner_plan_or_None) — the
+    already-built winner plan is handed back so the caller can seed it
+    into the PlanCache instead of rebuilding and re-jitting it.  Never
+    raises on timing trouble: any failure degrades to the static policy
+    with a reason, and degraded decisions are cached too so repeated
+    measure-rigor calls do not re-pay candidate construction.
     """
     from .. import _build_plan
 
@@ -168,9 +172,12 @@ def run_measure(spec: PlanSpec, cache) -> Tuple[PlanSpec, Tuple[str, ...]]:
         from jax._src import core as _jax_core
         trace_clean = _jax_core.trace_state_clean()
     except Exception:
-        trace_clean = True
+        # fail CLOSED: if the trace-state probe is unavailable we cannot
+        # prove we are outside a trace, and timing inside one dispatches
+        # device work on every retrace
+        trace_clean = False
     if not trace_clean:
-        return base, ("measure-deferred-under-trace",)
+        return base, ("measure-deferred-under-trace",), None
 
     key = measure_key(spec)
     hit = cache.measured.get(key)
@@ -178,12 +185,19 @@ def run_measure(spec: PlanSpec, cache) -> Tuple[PlanSpec, Tuple[str, ...]]:
         ov = hit.get("overrides") or {}
         note = hit.get("winner", "as-requested")
         return (_replace_tuning(base, **ov),
-                (f"measured-cached:{note}",))
+                (f"measured-cached:{note}",), None)
 
     if spec.plan_type in ("fftconv", "conv2d"):
         # conv plans take kernel operands; their streaming-route gate is
         # already measured separately (benches/r4_os_gate.py)
-        return base, (f"measure-unsupported:{spec.plan_type}",)
+        return base, (f"measure-unsupported:{spec.plan_type}",), None
+
+    def settle(note: str):
+        # a degraded decision is still a decision: cache it so repeated
+        # measure-rigor calls on this spec skip candidate construction
+        cache.measured[key] = {"winner": "as-requested", "overrides": {},
+                               "note": note}
+        return base, (note,), None
 
     cands = candidate_overrides(base)
     built = []
@@ -204,7 +218,7 @@ def run_measure(spec: PlanSpec, cache) -> Tuple[PlanSpec, Tuple[str, ...]]:
         built.append((desc, ov, p))
     x = _synth_input(built[0][2]) if built else None
     if x is None or len(built) < 2:
-        return base, ("measure-no-candidates",)
+        return settle("measure-no-candidates")
 
     times: Dict[str, float] = {}
     try:
@@ -214,15 +228,15 @@ def run_measure(spec: PlanSpec, cache) -> Tuple[PlanSpec, Tuple[str, ...]]:
                                  reps=MEASURE_REPS)
                 times[desc] = min(times.get(desc, math.inf), dt)
     except Exception:
-        return base, ("measure-failed",)
+        return settle("measure-failed")
 
     base_dt = times[built[0][0]]
-    win_desc, win_ov, _ = min(built, key=lambda b: times[b[0]])
+    win_desc, win_ov, win_plan = min(built, key=lambda b: times[b[0]])
     if times[win_desc] * WIN_MARGIN >= base_dt:
-        win_desc, win_ov = "as-requested", {}
+        win_desc, win_ov, win_plan = "as-requested", {}, built[0][2]
     records = {d: round(times[d] * 1e3, 4) for d in times}
     cache.measured[key] = {"winner": win_desc, "overrides": win_ov,
                            "trials_ms": records}
     speedup = base_dt / times.get(win_desc, base_dt)
     return (_replace_tuning(base, **win_ov),
-            (f"measured-winner:{win_desc}@{speedup:.2f}x",))
+            (f"measured-winner:{win_desc}@{speedup:.2f}x",), win_plan)

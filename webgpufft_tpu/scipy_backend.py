@@ -59,10 +59,7 @@ __all__ = [
 # scipy.fft multimethods whose mathematical result is complex-valued;
 # the facade returns these interleaved (..., 2) f32 and the backend
 # repacks them as complex64 (scipy's contract is a complex ndarray).
-_COMPLEX_OUT = frozenset({
-    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-    "rfft", "rfft2", "rfftn", "ihfft", "ihfft2", "ihfftn",
-})
+_COMPLEX_OUT = fftapi.COMPLEX_VALUED_FFTS
 
 # Accepted-and-ignored scipy parameters: the plan layer never mutates
 # its inputs (overwrite_x) and has no host thread pool (workers).

@@ -38,10 +38,7 @@ __all__ = [
     "fftfreq", "rfftfreq", "fftshift", "ifftshift",
 ]
 
-_COMPLEX_OUT = frozenset({
-    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-    "rfft", "rfft2", "rfftn", "ihfft", "ihfft2", "ihfftn",
-})
+_COMPLEX_OUT = fftapi.COMPLEX_VALUED_FFTS
 
 
 def _torch():
@@ -117,20 +114,33 @@ hfftn = _wrapn("hfftn", None)
 ihfftn = _wrapn("ihfftn", None)
 
 
-def fftfreq(n: int, d: float = 1.0, **kwargs):
-    """torch.fft.fftfreq (sample frequencies; float32 tensor)."""
+def _freq_factory(vals, *, out, dtype, layout, device, requires_grad):
     torch = _torch()
-    dtype = kwargs.pop("dtype", torch.float32)
-    return torch.from_numpy(
-        np.asarray(fftapi.fftfreq(n, d), dtype=np.float32)).to(dtype)
+    if out is not None:
+        raise TypeError("out= is not supported by this bridge")
+    if layout is not None and layout != torch.strided:
+        raise TypeError("only torch.strided layout is supported")
+    t = torch.from_numpy(np.array(vals, dtype=np.float32))
+    t = t.to(dtype=dtype or torch.float32, device=device or "cpu")
+    if requires_grad:
+        t.requires_grad_(True)
+    return t
 
 
-def rfftfreq(n: int, d: float = 1.0, **kwargs):
+def fftfreq(n: int, d: float = 1.0, *, out=None, dtype=None, layout=None,
+            device=None, requires_grad: bool = False):
+    """torch.fft.fftfreq (sample frequencies), incl. the factory kwargs."""
+    return _freq_factory(fftapi.fftfreq(n, d), out=out, dtype=dtype,
+                         layout=layout, device=device,
+                         requires_grad=requires_grad)
+
+
+def rfftfreq(n: int, d: float = 1.0, *, out=None, dtype=None, layout=None,
+             device=None, requires_grad: bool = False):
     """torch.fft.rfftfreq (one-sided sample frequencies)."""
-    torch = _torch()
-    dtype = kwargs.pop("dtype", torch.float32)
-    return torch.from_numpy(
-        np.asarray(fftapi.rfftfreq(n, d), dtype=np.float32)).to(dtype)
+    return _freq_factory(fftapi.rfftfreq(n, d), out=out, dtype=dtype,
+                         layout=layout, device=device,
+                         requires_grad=requires_grad)
 
 
 def fftshift(input, dim=None):
