@@ -1,0 +1,105 @@
+"""Legacy scipy.fftpack namespace (webgpufft_tpu/fftpack.py).
+
+Oracle is scipy.fftpack itself: the packed real-FFT format, the
+unnormalized legacy idct/idst, the shape= ND params, and the
+pseudo-differential operator family with fftpack's per-kernel Nyquist
+conventions (diff zeroes the bin for every order; shift applies both
+its cos and sin kernels there; imaginary-kernel operators zero it).
+"""
+
+import numpy as np
+import pytest
+import scipy.fftpack as fp
+
+from webgpufft_tpu import fftpack as W
+
+
+def _close(got, want, tol=3e-5, label=""):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape, (label, got.shape, want.shape)
+    e = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-12)
+    assert e < tol, (label, e)
+
+
+@pytest.mark.parametrize("n", [7, 8, 15, 16])
+def test_packed_rfft_irfft(rng, n):
+    x = rng.standard_normal(n)
+    _close(W.rfft(x), fp.rfft(x), label="rfft")
+    _close(W.irfft(fp.rfft(x)), x, label="irfft-roundtrip")
+    _close(W.irfft(W.rfft(x)), x, label="own-roundtrip")
+
+
+def test_packed_rfft_axis_and_n(rng):
+    x = rng.standard_normal((10, 3))
+    _close(W.rfft(x, axis=0), fp.rfft(x, axis=0), label="axis0")
+    _close(W.irfft(fp.rfft(x, axis=0), axis=0), x, label="iaxis0")
+    y = rng.standard_normal((3, 10))
+    _close(W.rfft(y, n=6), fp.rfft(y, n=6), label="crop")
+    _close(W.rfft(y, n=14), fp.rfft(y, n=14), label="pad")
+
+
+def test_packed_rfftfreq():
+    _close(W.rfftfreq(7, 0.5), fp.rfftfreq(7, 0.5))
+    _close(W.rfftfreq(8, 2.0), fp.rfftfreq(8, 2.0))
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_legacy_trig_scaling(rng, type):
+    """fftpack's norm=None idct/idst are UNNORMALIZED inverses."""
+    x = rng.standard_normal(9)
+    _close(W.dct(x, type=type), fp.dct(x, type=type), label="dct")
+    _close(W.idct(x, type=type), fp.idct(x, type=type), label="idct")
+    _close(W.dst(x, type=type), fp.dst(x, type=type), label="dst")
+    _close(W.idst(x, type=type), fp.idst(x, type=type), label="idst")
+    _close(W.idct(x, type=type, norm="ortho"),
+           fp.idct(x, type=type, norm="ortho"), label="idct-ortho")
+
+
+def test_nd_shape_param(rng):
+    v = rng.standard_normal((4, 6))
+    got = np.asarray(W.fftn(v, shape=(4, 4)))
+    want = fp.fftn(v, shape=(4, 4))
+    _close(got[..., 0] + 1j * got[..., 1], want, label="fftn-shape")
+    _close(W.idctn(v), fp.idctn(v), label="idctn")
+    _close(W.dstn(v, shape=(4, 4)), fp.dstn(v, shape=(4, 4)), label="dstn")
+
+
+@pytest.mark.parametrize("n", [15, 16])
+def test_pseudo_diff_family(rng, n):
+    x = rng.standard_normal(n)
+    x -= x.mean()
+    for order in (1, 2, 3, 4):
+        _close(W.diff(x, order), fp.diff(x, order), label=f"diff{order}")
+        _close(W.diff(x, order, period=3.7), fp.diff(x, order, period=3.7),
+               label=f"diff{order}-p")
+    _close(W.hilbert(x), fp.hilbert(x), label="hilbert")
+    _close(W.ihilbert(x), fp.ihilbert(x), label="ihilbert")
+    _close(W.tilbert(x, 0.9), fp.tilbert(x, 0.9), label="tilbert")
+    _close(W.itilbert(x, 0.9), fp.itilbert(x, 0.9), label="itilbert")
+    _close(W.sc_diff(x, 0.5, 1.1), fp.sc_diff(x, 0.5, 1.1), label="sc")
+    _close(W.cs_diff(x, 0.5, 1.1), fp.cs_diff(x, 0.5, 1.1), label="cs")
+    _close(W.cc_diff(x, 0.5, 1.1), fp.cc_diff(x, 0.5, 1.1), label="cc")
+    _close(W.ss_diff(x, 0.5, 1.1), fp.ss_diff(x, 0.5, 1.1), label="ss")
+    for a in (0.6, 1.3):
+        _close(W.shift(x, a), fp.shift(x, a), label=f"shift{a}")
+        _close(W.shift(x, a, period=5.0), fp.shift(x, a, period=5.0),
+               label=f"shift{a}-p")
+
+
+def test_pseudo_diff_inverses(rng):
+    # odd length: even n loses the Nyquist bin through these operators
+    # (exactly as scipy.fftpack's do), so identity only holds for odd n
+    x = rng.standard_normal(15)
+    x -= x.mean()
+    _close(W.itilbert(W.tilbert(x, 1.1), 1.1), x, tol=1e-4, label="tilbert-inv")
+    _close(W.ihilbert(W.hilbert(x)), x - x.mean(), tol=1e-4,
+           label="hilbert-inv")
+    _close(W.diff(W.diff(x, 1), -1), x, tol=1e-4, label="antideriv")
+
+
+def test_surface_complete():
+    for name in fp.__all__:
+        if name in ("convolve",):
+            continue
+        assert hasattr(W, name), f"fftpack.{name} missing"
