@@ -98,6 +98,52 @@ def test_pseudo_diff_inverses(rng):
     _close(W.diff(W.diff(x, 1), -1), x, tol=1e-4, label="antideriv")
 
 
+def test_legacy_shape_minus_one_and_rank_mismatch(rng):
+    """Review regressions: -1 shape entries keep the axis length; a
+    shape/axes rank mismatch raises like legacy scipy (scipy.fft would
+    silently take the last len(shape) axes)."""
+    v = rng.standard_normal((3, 4, 6))
+    got = np.asarray(W.fftn(v, shape=(-1, 4, 6)))
+    want = fp.fftn(v, shape=(-1, 4, 6))
+    _close(got[..., 0] + 1j * got[..., 1], want, label="shape-minus1")
+    with pytest.raises(ValueError, match="same length"):
+        W.fftn(v, shape=(4, 4))
+    with pytest.raises(ValueError, match="same length"):
+        fp.fftn(v, shape=(4, 4))          # oracle agrees
+    with pytest.raises(ValueError, match="same length"):
+        W.dctn(v, shape=(4, 4))
+    _close(W.dctn(v, shape=(-1, 4), axes=(0, 2)),
+           fp.dctn(v, shape=(-1, 4), axes=(0, 2)), label="dctn-minus1")
+
+
+def test_packed_irfft_n_crop_pad(rng):
+    """Legacy irfft n= crops/pads the packed spectrum."""
+    x = rng.standard_normal(10)
+    _close(W.irfft(x, n=6), fp.irfft(x, n=6), label="crop")
+    _close(W.irfft(x, n=13), fp.irfft(x, n=13), label="pad")
+    v = rng.standard_normal((3, 10))
+    _close(W.irfft(v, n=6, axis=1), fp.irfft(v, n=6, axis=1), label="crop-ax")
+
+
+def test_rfftfreq_validation():
+    with pytest.raises(TypeError):
+        W.rfftfreq(7.5)
+    with pytest.raises(ValueError):
+        W.rfftfreq(-3)
+
+
+def test_multiplier_tables_are_cached(rng):
+    from webgpufft_tpu import fftpack as WP
+    WP._MULT_CACHE.clear()
+    x = rng.standard_normal(12)
+    WP.tilbert(x, 0.7)
+    assert len(WP._MULT_CACHE) == 1
+    WP.tilbert(rng.standard_normal(12), 0.7)   # same key: no new entry
+    assert len(WP._MULT_CACHE) == 1
+    WP.tilbert(x, 0.8)
+    assert len(WP._MULT_CACHE) == 2
+
+
 def test_surface_complete():
     for name in fp.__all__:
         if name in ("convolve",):

@@ -30,7 +30,6 @@ from typing import Optional
 import numpy as np
 
 from . import fftapi
-from .spec import PlanError
 
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
@@ -57,20 +56,49 @@ def ifft(x, n: Optional[int] = None, axis: int = -1, overwrite_x: bool = False):
     return fftapi.ifft(x, n=n, axis=axis)
 
 
+def _legacy_shape(x, shape, axes):
+    """Legacy shape=/axes= semantics: -1 entries keep the axis length, and
+    a shape/axes rank mismatch is an error (scipy.fft instead interprets a
+    short s= as 'the last len(s) axes' — legacy code relies on the raise)."""
+    if shape is None:
+        return None, axes
+    shape = tuple(int(s) for s in np.atleast_1d(shape))
+    nd = np.ndim(x)
+    if axes is None:
+        if len(shape) != nd:
+            raise ValueError(
+                "when given, axes and shape arguments have to be of the "
+                "same length")
+        axes = tuple(range(nd))
+    else:
+        axes = tuple(int(a) for a in np.atleast_1d(axes))
+        if len(shape) != len(axes):
+            raise ValueError(
+                "when given, axes and shape arguments have to be of the "
+                "same length")
+    resolved = tuple(np.shape(x)[a] if s == -1 else s
+                     for s, a in zip(shape, axes))
+    return resolved, axes
+
+
 def fft2(x, shape=None, axes=(-2, -1), overwrite_x: bool = False):
-    return fftapi.fft2(x, s=shape, axes=axes)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.fft2(x, s=s, axes=axes2)
 
 
 def ifft2(x, shape=None, axes=(-2, -1), overwrite_x: bool = False):
-    return fftapi.ifft2(x, s=shape, axes=axes)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.ifft2(x, s=s, axes=axes2)
 
 
 def fftn(x, shape=None, axes=None, overwrite_x: bool = False):
-    return fftapi.fftn(x, s=shape, axes=axes)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.fftn(x, s=s, axes=axes2)
 
 
 def ifftn(x, shape=None, axes=None, overwrite_x: bool = False):
-    return fftapi.ifftn(x, s=shape, axes=axes)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.ifftn(x, s=s, axes=axes2)
 
 
 # ------------------------------------------------------- packed real fft
@@ -94,8 +122,11 @@ def irfft(x, n: Optional[int] = None, axis: int = -1,
     import jax.numpy as jnp
     x = jnp.moveaxis(jnp.asarray(x, jnp.float32), axis, -1)
     m = int(n if n is not None else x.shape[-1])
-    if x.shape[-1] != m:
-        raise PlanError("fftpack.irfft: n must equal the packed length")
+    if x.shape[-1] > m:          # legacy n=: crop/pad the PACKED spectrum
+        x = x[..., :m]
+    elif x.shape[-1] < m:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (m - x.shape[-1],), x.dtype)], -1)
     nh = m // 2 + 1
     body = x[..., 1:]
     if m % 2 == 0:
@@ -111,6 +142,11 @@ def irfft(x, n: Optional[int] = None, axis: int = -1,
 
 def rfftfreq(n: int, d: float = 1.0):
     """Packed-order frequencies: [0, 1, 1, 2, 2, ...] / (n*d) — n entries."""
+    if not isinstance(n, (int, np.integer)):
+        raise TypeError(f"n should be an integer, got {type(n).__name__}")
+    if n < 0:
+        raise ValueError(f"n = {n} is not valid. "
+                         "n must be a nonnegative integer.")
     j = np.arange(n)
     return np.ceil(j / 2.0) / (n * d)
 
@@ -142,32 +178,63 @@ def idst(x, type: int = 2, n: Optional[int] = None, axis: int = -1,
 
 def dctn(x, type: int = 2, shape=None, axes=None,
          norm: Optional[str] = None, overwrite_x: bool = False):
-    return fftapi.dctn(x, type=type, s=shape, axes=axes, norm=norm)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.dctn(x, type=type, s=s, axes=axes2, norm=norm)
 
 
 def idctn(x, type: int = 2, shape=None, axes=None,
           norm: Optional[str] = None, overwrite_x: bool = False):
-    return fftapi.idctn(x, type=type, s=shape, axes=axes,
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.idctn(x, type=type, s=s, axes=axes2,
                         norm="forward" if norm is None else norm)
 
 
 def dstn(x, type: int = 2, shape=None, axes=None,
          norm: Optional[str] = None, overwrite_x: bool = False):
-    return fftapi.dstn(x, type=type, s=shape, axes=axes, norm=norm)
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.dstn(x, type=type, s=s, axes=axes2, norm=norm)
 
 
 def idstn(x, type: int = 2, shape=None, axes=None,
           norm: Optional[str] = None, overwrite_x: bool = False):
-    return fftapi.idstn(x, type=type, s=shape, axes=axes,
+    s, axes2 = _legacy_shape(x, shape, axes)
+    return fftapi.idstn(x, type=type, s=s, axes=axes2,
                         norm="forward" if norm is None else norm)
 
 
 # ----------------------------------------- pseudo-differential operators
 
-def _multiplier_apply(x, mfun, dc, nyquist: str = "real"):
+# multiplier tables cached per (n, operator, params) — scipy's fftpack
+# caches its convolution kernels the same way (its _cache dicts)
+_MULT_CACHE: dict = {}
+_MULT_CACHE_MAX = 256
+_APPLY_JIT = None
+
+
+def _apply_fn():
+    """One jitted rfft -> complex multiply -> irfft pipeline (per input
+    shape/dtype via jit's own cache) so the multiply fuses into the
+    transform passes instead of running as eager per-op dispatches."""
+    global _APPLY_JIT
+    if _APPLY_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def apply(x, mr, mi):
+            half = fftapi.rfft(x)                  # (..., n//2+1, 2)
+            yr = half[..., 0] * mr - half[..., 1] * mi
+            yi = half[..., 0] * mi + half[..., 1] * mr
+            return fftapi.irfft(jnp.stack([yr, yi], -1), n=x.shape[-1])
+
+        _APPLY_JIT = jax.jit(apply)
+    return _APPLY_JIT
+
+
+def _multiplier_apply(x, key, mfun, dc, nyquist: str = "real"):
     """y = irfft(m(w) * rfft(x)) for a periodic sequence along the last
     axis; ``mfun(w)`` maps positive angular harmonics w = 2*pi*k/period
-    to complex multipliers (host f64 tables), ``dc`` is the k=0 value.
+    to complex multipliers (host f64 tables cached under ``key``),
+    ``dc`` is the k=0 value.
 
     ``nyquist`` reproduces fftpack's per-kernel zero_nyquist flags for
     even n (probed empirically, tests/test_fftpack.py): "real" keeps
@@ -177,22 +244,24 @@ def _multiplier_apply(x, mfun, dc, nyquist: str = "real"):
     import jax.numpy as jnp
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[-1]
-    half = fftapi.rfft(x)                          # (..., n//2+1, 2)
-    k = np.arange(1, n // 2 + 1, dtype=np.float64)
-    m = np.asarray(mfun(k), np.complex128)
-    m = np.concatenate([[complex(dc)], m])
-    if n % 2 == 0:
-        if nyquist == "zero":
-            m[-1] = 0.0
-        elif nyquist == "sum":
-            m[-1] = m[-1].real + m[-1].imag
-        else:
-            m[-1] = m[-1].real
-    mr = jnp.asarray(m.real, jnp.float32)
-    mi = jnp.asarray(m.imag, jnp.float32)
-    yr = half[..., 0] * mr - half[..., 1] * mi
-    yi = half[..., 0] * mi + half[..., 1] * mr
-    return fftapi.irfft(jnp.stack([yr, yi], -1), n=n)
+    ck = (n, nyquist) + key
+    tab = _MULT_CACHE.get(ck)
+    if tab is None:
+        k = np.arange(1, n // 2 + 1, dtype=np.float64)
+        m = np.asarray(mfun(k), np.complex128)
+        m = np.concatenate([[complex(dc)], m])
+        if n % 2 == 0:
+            if nyquist == "zero":
+                m[-1] = 0.0
+            elif nyquist == "sum":
+                m[-1] = m[-1].real + m[-1].imag
+            else:
+                m[-1] = m[-1].real
+        if len(_MULT_CACHE) >= _MULT_CACHE_MAX:
+            _MULT_CACHE.clear()
+        tab = (np.asarray(m.real, np.float32), np.asarray(m.imag, np.float32))
+        _MULT_CACHE[ck] = tab
+    return _apply_fn()(x, jnp.asarray(tab[0]), jnp.asarray(tab[1]))
 
 
 def _w(period: Optional[float]):
@@ -206,63 +275,73 @@ def diff(x, order: int = 1, period: Optional[float] = None):
         import jax.numpy as jnp
         return jnp.asarray(x, jnp.float32)
     c = _w(period)
-    return _multiplier_apply(x, lambda k: (1j * c * k) ** order, 0.0,
+    return _multiplier_apply(x, ("diff", order, c),
+                             lambda k: (1j * c * k) ** order, 0.0,
                              nyquist="zero")
 
 
 def tilbert(x, h: float, period: Optional[float] = None):
     """y_k = i*coth(k*h*2pi/period) x_k (k=0 -> 0)."""
     c = _w(period) * float(h)
-    return _multiplier_apply(x, lambda k: 1j / np.tanh(c * k), 0.0)
+    return _multiplier_apply(x, ("tilbert", c),
+                             lambda k: 1j / np.tanh(c * k), 0.0)
 
 
 def itilbert(x, h: float, period: Optional[float] = None):
     """y_k = -i*tanh(k*h*2pi/period) x_k (the inverse of tilbert)."""
     c = _w(period) * float(h)
-    return _multiplier_apply(x, lambda k: -1j * np.tanh(c * k), 0.0)
+    return _multiplier_apply(x, ("itilbert", c),
+                             lambda k: -1j * np.tanh(c * k), 0.0)
 
 
 def hilbert(x, _cache=None):
     """y_k = i*sign(k) x_k (fftpack's sign convention; k=0 -> 0)."""
-    return _multiplier_apply(x, lambda k: np.full(k.shape, 1j), 0.0)
+    return _multiplier_apply(x, ("hilbert",),
+                             lambda k: np.full(k.shape, 1j), 0.0)
 
 
 def ihilbert(x):
     """y_k = -i*sign(k) x_k."""
-    return _multiplier_apply(x, lambda k: np.full(k.shape, -1j), 0.0)
+    return _multiplier_apply(x, ("ihilbert",),
+                             lambda k: np.full(k.shape, -1j), 0.0)
 
 
 def sc_diff(x, a: float, b: float, period: Optional[float] = None):
     """y_k = i*sinh(k*a*c)/cosh(k*b*c) x_k (k=0 -> 0)."""
     c = _w(period)
     return _multiplier_apply(
-        x, lambda k: 1j * np.sinh(a * c * k) / np.cosh(b * c * k), 0.0)
+        x, ("sc", a, b, c),
+        lambda k: 1j * np.sinh(a * c * k) / np.cosh(b * c * k), 0.0)
 
 
 def cs_diff(x, a: float, b: float, period: Optional[float] = None):
     """y_k = -i*cosh(k*a*c)/sinh(k*b*c) x_k (k=0 -> 0)."""
     c = _w(period)
     return _multiplier_apply(
-        x, lambda k: -1j * np.cosh(a * c * k) / np.sinh(b * c * k), 0.0)
+        x, ("cs", a, b, c),
+        lambda k: -1j * np.cosh(a * c * k) / np.sinh(b * c * k), 0.0)
 
 
 def cc_diff(x, a: float, b: float, period: Optional[float] = None):
     """y_k = cosh(k*a*c)/cosh(k*b*c) x_k (k=0 -> x_0)."""
     c = _w(period)
     return _multiplier_apply(
-        x, lambda k: np.cosh(a * c * k) / np.cosh(b * c * k), 1.0)
+        x, ("cc", a, b, c),
+        lambda k: np.cosh(a * c * k) / np.cosh(b * c * k), 1.0)
 
 
 def ss_diff(x, a: float, b: float, period: Optional[float] = None):
     """y_k = sinh(k*a*c)/sinh(k*b*c) x_k (k=0 -> (a/b) x_0)."""
     c = _w(period)
     return _multiplier_apply(
-        x, lambda k: np.sinh(a * c * k) / np.sinh(b * c * k),
+        x, ("ss", a, b, c),
+        lambda k: np.sinh(a * c * k) / np.sinh(b * c * k),
         float(a) / float(b))
 
 
 def shift(x, a: float, period: Optional[float] = None):
     """y(t) = x(t + a) for a periodic sequence: y_k = exp(i*k*a*c) x_k."""
     c = _w(period) * float(a)
-    return _multiplier_apply(x, lambda k: np.exp(1j * c * k), 1.0,
+    return _multiplier_apply(x, ("shift", c),
+                             lambda k: np.exp(1j * c * k), 1.0,
                              nyquist="sum")
