@@ -64,8 +64,8 @@ def test_fftn_axes(rng):
     _close(F.fftn(z, axes=(1, 3)), np.fft.fftn(z, axes=(1, 3)))
     _close(F.fftn(z, axes=(3, 1)), np.fft.fftn(z, axes=(3, 1)))
     _close(F.ifft2(z, s=(16, 8)), np.fft.ifft2(z, s=(16, 8)))
-    with pytest.raises(PlanError, match="duplicate"):
-        F.fftn(z, axes=(1, 1))
+    # repeated axes follow numpy (transform per occurrence) — see
+    # test_fftn_numpy_edge_conventions; mismatched s/axes still raise
     with pytest.raises(PlanError, match="entries"):
         F.fftn(z, s=(4,), axes=(1, 2))
 
@@ -171,6 +171,32 @@ def test_trig_nd(rng, kind, norm):
            sp_f(x, type=3, axes=(1, 2), norm=norm))
     _close(ours_f(x.astype(np.float32), s=(8, 16)),
            sp_f(x, s=(8, 16), axes=(-2, -1)))
+
+
+def test_fftn_numpy_edge_conventions(rng):
+    """numpy-only conventions: repeated axes (transform per occurrence, in
+    numpy's reversed _raw_fftnd order) and s entries of -1 (keep the axis
+    length, incl. irfftn's packed last axis); scalar n=-1 still raises."""
+    z = rng.standard_normal((4, 6, 8)) + 1j * rng.standard_normal((4, 6, 8))
+    _close(F.fftn(z, axes=(1, 1)), np.fft.fftn(z, axes=(1, 1)))
+    _close(F.fftn(z, axes=(2, 2, 1), norm="ortho"),
+           np.fft.fftn(z, axes=(2, 2, 1), norm="ortho"))
+    _close(F.fftn(z, s=(4, 6), axes=(1, 1)),
+           np.fft.fftn(z, s=(4, 6), axes=(1, 1)))
+    _close(F.ifftn(z, axes=(0, 0)), np.fft.ifftn(z, axes=(0, 0)))
+    _close(F.fftn(z, s=(-1, 4), axes=(0, 2)),
+           np.fft.fftn(z, s=(-1, 4), axes=(0, 2)))
+    _close(F.rfftn(z.real, s=(-1, 4), axes=(-2, -1)),
+           np.fft.rfftn(z.real, s=(-1, 4), axes=(-2, -1)))
+    zp = np.fft.rfftn(z.real)
+    _close(F.irfftn(zp, s=(-1, -1), axes=(1, 2)),
+           np.fft.irfftn(zp, s=(-1, -1), axes=(1, 2)))
+    _close(F.irfftn(zp, s=(6, -1), axes=(1, 2)),
+           np.fft.irfftn(zp, s=(6, -1), axes=(1, 2)))
+    with pytest.raises(PlanError, match="data points"):
+        F.fft(z[0, 0], n=-1)
+    with pytest.raises(PlanError, match="data points"):
+        F.fft(z[0, 0], n=0)
 
 
 def test_facade_composes_under_user_jit(rng):

@@ -147,8 +147,18 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
     return tuple(out)
 
 
+def _resolve_s(x, sizes, axes):
+    """numpy s= semantics: an entry of -1 keeps the current axis length
+    (scalar n= does NOT accept -1 — numpy raises there, and so do we via
+    _crop_or_pad's validation)."""
+    return tuple(x.shape[a] if m == -1 else m for m, a in zip(sizes, axes))
+
+
 def _crop_or_pad(x, n: int, axis: int):
     """numpy n=/s= semantics: crop or zero-pad ``axis`` to length n."""
+    n = int(n)
+    if n < 1:
+        raise PlanError(f"invalid number of FFT data points ({n})")
     cur = x.shape[axis]
     if n == cur:
         return x
@@ -200,9 +210,22 @@ def _c2c(x, n, axes, norm, inverse: bool, default_all_axes: bool,
     x = asinterleaved(x, interleaved)
     nd = x.ndim - 1
     s = None if (n is None or isinstance(n, int)) else tuple(n)
+    if (axes is not None and not isinstance(axes, int)
+            and len(set(a + nd if a < 0 else a for a in axes)) != len(tuple(axes))):
+        # numpy permits repeated axes in fftn/ifftn: the transform runs
+        # once per occurrence (normalization per pass), applied in
+        # numpy's _raw_fftnd order — REVERSED over the axes list (only
+        # observable with duplicates + s)
+        sizes = (None,) * len(tuple(axes)) if s is None else s
+        if len(sizes) != len(tuple(axes)):
+            raise PlanError(f"n/s has {len(sizes)} entries for "
+                            f"{len(tuple(axes))} axes")
+        for a, m in zip(reversed(tuple(axes)), reversed(tuple(sizes))):
+            x = _c2c(x, m, (a,), norm, inverse, False, True)
+        return x
     axes = _axes_list(nd, axes, default_all_axes, s=s)
     if n is not None:
-        sizes = (n,) if isinstance(n, int) else tuple(n)
+        sizes = (n,) if isinstance(n, int) else _resolve_s(x, tuple(n), axes)
         if len(sizes) != len(axes):
             raise PlanError(f"n/s has {len(sizes)} entries for {len(axes)} axes")
         for a, m in zip(axes, sizes):
@@ -299,7 +322,7 @@ def rfftn(x, s=None, axes=None, norm: Optional[str] = None):
     x = _real_f32(x)
     axes = _axes_list(x.ndim, axes, True, s=s)
     if s is not None:
-        s = tuple(s)
+        s = _resolve_s(x, tuple(s), axes)
         if len(s) != len(axes):
             raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
         for a, m in zip(axes, s):
@@ -320,8 +343,8 @@ def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
     others, last = _split_last(axes)
     n_last = None
     if s is not None:
-        s = tuple(s)
-        if len(s) != len(axes):
+        s = _resolve_s(x, tuple(s), axes)   # -1 keeps the axis length,
+        if len(s) != len(axes):             # incl. the packed last axis
             raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
         for a, m in zip(others, s[:-1]):
             x = _crop_or_pad(x, m, a)
