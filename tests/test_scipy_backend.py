@@ -89,6 +89,15 @@ def test_foreign_plan_falls_back(backend, rng):
             sf.fft(z, plan=object())
 
 
+def test_duplicate_axes_keep_scipy_semantics(backend, rng):
+    """The facade follows numpy for repeated axes; through scipy's
+    dispatch the backend declines them so scipy's own error surfaces."""
+    x = rng.standard_normal((4, 6))
+    with sf.set_backend(backend):
+        with pytest.raises(ValueError):
+            sf.fftn(x, axes=(1, 1))
+
+
 def test_planerror_degrades_to_notimplemented(backend):
     """A facade PlanError must surface as uarray NotImplemented (fallback),
     never as an exception through scipy's dispatch."""

@@ -114,6 +114,14 @@ class ScipyFftBackend:
             return NotImplemented          # precomputed foreign plan
         for k in _IGNORED:
             params.pop(k, None)
+        axes = params.get("axes")
+        if axes is not None and not isinstance(axes, int):
+            t = tuple(axes)
+            if len(set(t)) != len(t):
+                # scipy raises on duplicate axes; the facade follows
+                # numpy (transform per occurrence) — decline so scipy's
+                # own validation surfaces
+                return NotImplemented
         try:
             out = fn(**params)
         except PlanError:
