@@ -418,6 +418,12 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="c2c", shape=[64],
                                 ioView={"input": {"shape": [32]}},
                                 mesh=mesh24, seq_axis="sp")
+    # unsplittable fftconv lengths surface as PlanError (the documented
+    # single-exception contract), not a bare ValueError from the builder
+    with pytest.raises(PlanError, match="cannot split"):
+        create_distributed_plan(type="fftconv", shape=[12],
+                                fftConv={"boundary": "circular"},
+                                mesh=mesh8, seq_axis="sp")
     # linear boundaries are supported (padded-circular route) and short
     # circular kernels ride the halo route; a LONG partial circular kernel
     # (halo-ineligible) still requires full length on the spectrum route

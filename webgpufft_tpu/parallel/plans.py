@@ -392,13 +392,15 @@ def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
     fc = spec.fft_conv
     if _halo_conv_eligible(spec, mesh, seq_axis):
         if spec.rank == 1:
-            inner = sharded.build_distributed_fftconv_halo_1d(
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_fftconv_halo_1d,
                 spec.shape[0], fc.kernel_shape[0], spec.batch, mesh,
                 seq_axis, fc.boundary, batch_axis, tuning=spec.tuning,
                 overlap_save=fc.overlap_save,
                 overlap_block=fc.overlap_block)
         else:
-            inner = sharded.build_distributed_fftconv_halo_nd(
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_fftconv_halo_nd,
                 spec.shape, fc.kernel_shape, spec.batch, mesh, seq_axis,
                 fc.boundary, batch_axis, tuning=spec.tuning)
 
@@ -415,10 +417,12 @@ def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
             "distributed circular fftconv requires kernelShape == shape "
             "(circular kernels are full-length)")
     if spec.rank == 1:
-        inner = sharded.build_distributed_fftconv_1d(
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_1d,
             spec.shape[0], mesh, seq_axis, fc.mode, batch_axis)
     else:
-        inner = sharded.build_distributed_fftconv_nd(
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_nd,
             spec.shape, mesh, seq_axis, fc.mode, batch_axis)
     wrapped = _wrap_kernel_layout(inner, fc, spec.shape)
     return wrapped, wrapped.split
@@ -445,10 +449,12 @@ def _build_seq_fftconv_linear(spec: PlanSpec, mesh: Mesh, batch_axis,
     work = (_smooth_distributed_len(need[0], mesh, seq_axis),
             *(factors.next_smooth_at_least(v) for v in need[1:]))
     if spec.rank == 1:
-        inner = sharded.build_distributed_fftconv_1d(
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_1d,
             work[0], mesh, seq_axis, fc.mode, batch_axis)
     else:
-        inner = sharded.build_distributed_fftconv_nd(
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_nd,
             work, mesh, seq_axis, fc.mode, batch_axis)
     rank = spec.rank
 
