@@ -49,6 +49,25 @@ def test_aot_fftconv_with_kernel(rng, assert_close, tmp_path):
     assert_close(y.imag, refs.imag, label="aot-conv.im")
 
 
+def test_aot_fftconv_bare_kernel_coerces(rng, assert_close):
+    """kernelCount==1 artifacts accept a bare (*kshape, 2) kernel exactly
+    like plan.exec does (review regression: the artifact used to demand
+    the canonical leading kernel-count dim)."""
+    n, batch = 12, 2
+    plan = W.create_plan(type="fftconv", shape=[n], batch=batch,
+                         fftConv={"boundary": "linear-full"},
+                         cache=W.PlanCache())
+    ep = W.load_exported_plan(W.export_plan(plan))
+    z = rand_c(rng, (batch, n))
+    k = rand_c(rng, (n,))
+    ki = interleave(k).astype(np.float32)
+    want = np.asarray(plan.exec(interleave(z).astype(np.float32), kernel=ki))
+    got_bare = np.asarray(ep(interleave(z).astype(np.float32), ki))
+    got_canon = np.asarray(ep(interleave(z).astype(np.float32), ki[None]))
+    assert np.max(np.abs(got_bare - want)) < 1e-4
+    assert np.max(np.abs(got_canon - want)) < 1e-4
+
+
 def test_aot_flat_layout_needs_length(rng):
     plan = W.create_plan(type="c2c", shape=[8], batch=2,
                         layout={"inputStrides": [1]})

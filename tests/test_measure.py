@@ -147,6 +147,17 @@ def test_rigor_validation():
                        "tuning": {"rigor": "exhaustive"}})
 
 
+def test_measured_plan_exports(rng, tmp_path):
+    """A measured winner is a plain concrete plan: AOT export/load works."""
+    cache = W.PlanCache()
+    p = W.create_plan(_opts(), cache=cache)
+    blob = W.export_plan(p)
+    q = W.load_exported_plan(blob)
+    x = rng.standard_normal((4, 512, 2)).astype(np.float32)
+    err = np.max(np.abs(np.asarray(q(x)) - np.asarray(p.exec(x))))
+    assert err < 1e-6, err
+
+
 def test_shape_changing_plan_measures(rng):
     """r2c output shape differs from input: the hetero chain path."""
     cache = W.PlanCache()

@@ -195,6 +195,16 @@ class ExportedPlan:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def __call__(self, x, kernel=None, *, mesh=None):
+        if kernel is not None:
+            # match the live plan's ergonomics: a bare (*kshape, 2) kernel
+            # gains the leading kernel-count dim the artifact was traced
+            # with (kernelCount == 1 plans accept both forms at exec)
+            import jax.numpy as jnp
+            kernel = jnp.asarray(kernel)
+            want = self.shapes.get("kernel")
+            if (want and kernel.ndim == len(want) - 1
+                    and int(want[0]) == 1):
+                kernel = kernel[None]
         if mesh is not None:
             if self.distributed is None:
                 raise PlanError(
