@@ -147,6 +147,28 @@ def test_rigor_validation():
                        "tuning": {"rigor": "exhaustive"}})
 
 
+def test_facade_plan_tuning_context(rng):
+    """fftapi.plan_tuning threads tuning (incl. measured rigor) into every
+    plan the facade builds; nesting merges and restores."""
+    import scipy.fft as sf
+    from webgpufft_tpu import fftapi as F
+    from webgpufft_tpu.runtime.cache import default_cache
+
+    x = rng.standard_normal(600).astype(np.float32)
+    before = len(default_cache().measured)
+    with F.plan_tuning(rigor="measure"):
+        y = F.dct(x)
+    assert len(default_cache().measured) > before
+    assert np.allclose(np.asarray(y), sf.dct(np.float64(x)), atol=1e-3)
+    with F.plan_tuning(maxSubLength=8):
+        assert F._DEFAULT_TUNING == {"maxSubLength": 8}
+        with F.plan_tuning(rigor="measure"):
+            assert F._DEFAULT_TUNING == {"maxSubLength": 8,
+                                         "rigor": "measure"}
+        assert F._DEFAULT_TUNING == {"maxSubLength": 8}
+    assert F._DEFAULT_TUNING == {}
+
+
 def test_measured_plan_exports(rng, tmp_path):
     """A measured winner is a plain concrete plan: AOT export/load works."""
     cache = W.PlanCache()

@@ -170,6 +170,45 @@ def _crop_or_pad(x, n: int, axis: int):
     return jnp.pad(x, pad)
 
 
+# process-global tuning applied to every plan the facade builds (see
+# plan_tuning); empty by default so facade plans keep their default specs
+_DEFAULT_TUNING: dict = {}
+
+
+def plan_tuning(**tuning):
+    """Context manager: apply plan tuning knobs to every transform the
+    facade (and therefore the scipy/torch/fftpack bridges) builds inside
+    the block — e.g. measured route selection::
+
+        with wfft.plan_tuning(rigor="measure"):
+            Y = wfft.fftn(x)          # candidates timed on first build
+
+    Knobs are the create_plan tuning surface (docs/API.md): rigor,
+    maxSubLength, largeRoute, impl, matmulPrecision, ...  Process-global
+    (not thread-scoped); plans built inside the block cache under their
+    tuned spec, so repeated calls reuse them.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        saved = dict(_DEFAULT_TUNING)
+        _DEFAULT_TUNING.clear()
+        _DEFAULT_TUNING.update(saved)
+        _DEFAULT_TUNING.update(tuning)
+        try:
+            yield
+        finally:
+            _DEFAULT_TUNING.clear()
+            _DEFAULT_TUNING.update(saved)
+
+    return ctx()
+
+
+def _plan_tuning_kw() -> dict:
+    return {"tuning": dict(_DEFAULT_TUNING)} if _DEFAULT_TUNING else {}
+
+
 def _exec_nd(x, plan_type: str, shape: Sequence[int], direction: str,
              normalize: str, interleaved_in: bool):
     """Collapse leading dims to batch, run the plan, restore leading dims."""
@@ -179,7 +218,8 @@ def _exec_nd(x, plan_type: str, shape: Sequence[int], direction: str,
     batch = int(np.prod(lead)) if lead else 1
     xin = x.reshape(batch, *x.shape[len(lead):])
     plan = create_plan(type=plan_type, shape=list(shape), batch=batch,
-                       direction=direction, normalize=normalize)
+                       direction=direction, normalize=normalize,
+                       **_plan_tuning_kw())
     y = plan(xin)
     out_shape = y.shape[1:]
     return y.reshape(*lead, *out_shape)
@@ -622,7 +662,8 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
         plan = create_plan(type="fftconv", shape=list(shape), batch=1,
                            fftConv={"boundary": boundary,
                                     "kernelShape": list(kshape),
-                                    "kernelCount": kc})
+                                    "kernelCount": kc},
+                           **_plan_tuning_kw())
         y = plan.exec(x.reshape(1, *shape, 2),
                       kernel=k.reshape(kc, *kshape, 2))
         y = y.reshape(*klead, *y.shape[2:])   # kernel-major -> lead dims
@@ -637,7 +678,8 @@ def fftconvolve(in1, in2, mode: str = "full", axes=None, *,
         batch = int(np.prod(lead)) if lead else 1
         plan = create_plan(type="fftconv", shape=list(shape), batch=batch,
                            fftConv={"boundary": boundary,
-                                    "kernelShape": list(kshape)})
+                                    "kernelShape": list(kshape)},
+                           **_plan_tuning_kw())
         y = plan.exec(x.reshape(batch, *shape, 2),
                       kernel=k.reshape(*kshape, 2))
         y = y.reshape(*lead, *y.shape[1:])
