@@ -224,6 +224,17 @@ class TestSos:
         _close(FL.sosfiltfilt(sos, x), ss.sosfiltfilt(sos, x),
                label="sosfiltfilt", tol=5e-4)
 
+    @pytest.mark.parametrize("order", [3, 5, 7])
+    def test_sosfiltfilt_odd_order_padlen(self, rng, order):
+        # Odd-order designs carry a first-order section with a trailing
+        # zero tap; scipy's default padlen discounts those sections
+        # (3 * (2*ns + 1 - min(#b2==0, #a2==0))) and the transient
+        # genuinely depends on the extension length.
+        sos = ss.butter(order, 0.23, output="sos")
+        x = rng.standard_normal(300)
+        _close(FL.sosfiltfilt(sos, x), ss.sosfiltfilt(sos, x),
+               label=f"sosfiltfilt order={order}", tol=5e-5)
+
 
 # --------------------------------------------------------- Savitzky-Golay
 

@@ -569,7 +569,12 @@ def sosfiltfilt(sos, x, axis: int = -1, padtype: Optional[str] = "odd",
                 padlen: Optional[int] = None):
     """Zero-phase SOS filtering (scipy.signal.sosfiltfilt semantics)."""
     sos = _validate_sos(sos)
+    # scipy's default padlen discounts sections with a trailing zero tap
+    # (odd-order designs): 3 * (2*ns + 1 - min(#b2==0, #a2==0)).  The
+    # result genuinely depends on this (the zi*x0 transient interacts
+    # with the extension length) — pinned by test_filtering.
     ntaps = 2 * sos.shape[0] + 1
+    ntaps -= min(int((sos[:, 2] == 0).sum()), int((sos[:, 5] == 0).sum()))
     if padtype is not None and padtype not in _EXTENSIONS:
         raise PlanError("padtype must be 'odd', 'even', 'constant' or None")
     edge = (ntaps * 3 if padlen is None else int(padlen)) \
