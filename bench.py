@@ -28,8 +28,17 @@ def main():
     import webgpufft_tpu as W
     from webgpufft_tpu.runtime import profile
 
-    backend = jax.default_backend()
-    dev = jax.devices()[0]
+    try:
+        backend = jax.default_backend()
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        # Tunnel down: backend init raised UNAVAILABLE.  Emit the one JSON
+        # line the driver expects rather than a traceback, so the round
+        # artifact records *why* there is no datapoint.
+        print(json.dumps({"metric": "c2c1024_pct_hbm_roofline", "value": 0.0,
+                          "unit": "percent", "vs_baseline": 0.0,
+                          "error": f"backend unavailable: {str(e)[:160]}"}))
+        return
     print(f"# backend={backend} device={getattr(dev, 'device_kind', dev)}",
           file=sys.stderr)
     on_tpu = backend == "tpu"
