@@ -199,6 +199,43 @@ def test_fftn_numpy_edge_conventions(rng):
         F.fft(z[0, 0], n=0)
 
 
+def test_fftn_numpy_edge_conventions_more(rng):
+    """Review-batch regressions: over-long s raises (not silently
+    truncated); s=-1 composes with repeated axes (resolved against the
+    ORIGINAL shape, numpy's _cook_nd_args order); bare-int s raises for
+    the ND entry points; rfftn/irfftn accept repeated axes like numpy
+    (rfft on the last entry, explicit resizes per pass)."""
+    x = rng.standard_normal((4, 6, 8))
+    z = x + 1j * rng.standard_normal((4, 6, 8))
+    for fn, arr in ((F.fftn, z), (F.rfftn, x)):
+        with pytest.raises(PlanError, match="entries"):
+            fn(arr, s=(4, 5, 6), axes=(0, 1))
+        with pytest.raises(PlanError, match="bare int"):
+            fn(arr, s=4)
+    with pytest.raises(PlanError, match="entries"):
+        F.irfftn(z, s=(4, 5, 6), axes=(1, 2))
+    _close(F.fftn(z, s=(4, -1), axes=(1, 1)),
+           np.fft.fftn(z, s=(4, -1), axes=(1, 1)))
+    _close(F.rfftn(x, axes=(1, 1)), np.fft.rfftn(x, axes=(1, 1)))
+    _close(F.rfftn(x, s=(3, 5), axes=(1, 1)),
+           np.fft.rfftn(x, s=(3, 5), axes=(1, 1)))
+    _close(F.rfftn(x, s=(-1, 5), axes=(1, 1)),
+           np.fft.rfftn(x, s=(-1, 5), axes=(1, 1)))
+    _close(F.rfftn(x, axes=(1, 1, 2), norm="ortho"),
+           np.fft.rfftn(x, axes=(1, 1, 2), norm="ortho"))
+    _close(F.rfftn(x, axes=(1, -2)), np.fft.rfftn(x, axes=(1, -2)))
+    _close(F.irfftn(z, axes=(1, 1)), np.fft.irfftn(z, axes=(1, 1)))
+    _close(F.irfftn(z, s=(3, 10), axes=(1, 1)),
+           np.fft.irfftn(z, s=(3, 10), axes=(1, 1)))
+    _close(F.irfftn(z, s=(3, -1), axes=(1, 1)),
+           np.fft.irfftn(z, s=(3, -1), axes=(1, 1)))
+    _close(F.irfftn(z, axes=(0, 0, 1)), np.fft.irfftn(z, axes=(0, 0, 1)))
+    # numpy integer scalars accepted wherever python ints are
+    _close(F.fft(z[0], n=np.int64(12)), np.fft.fft(z[0], n=np.int64(12)))
+    _close(F.fftn(z, s=(np.int64(4), np.int64(5))),
+           np.fft.fftn(z, s=(4, 5)))
+
+
 def test_facade_composes_under_user_jit(rng):
     """fftapi calls work inside a caller's jax.jit (shapes are static under
     tracing, plan exec nests)."""

@@ -96,6 +96,14 @@ def test_duplicate_axes_keep_scipy_semantics(backend, rng):
     with sf.set_backend(backend):
         with pytest.raises(ValueError):
             sf.fftn(x, axes=(1, 1))
+        # mixed-sign duplicates must be caught too (normalize before
+        # the set comparison): (1, -1) on a 2-D input is the same axis
+        with pytest.raises(ValueError):
+            sf.fftn(x, axes=(1, -1))
+        # ...while distinct mixed-sign axes still dispatch to the facade
+        y = sf.fftn(x, axes=(0, -1))
+        np.testing.assert_allclose(y, np.fft.fftn(x, axes=(0, 1)),
+                                   atol=1e-4)
 
 
 def test_planerror_degrades_to_notimplemented(backend):

@@ -65,6 +65,23 @@ def test_nd_dims_and_s():
            label="ifftn-ortho")
 
 
+def test_duplicate_dims_rejected_like_torch():
+    """torch raises 'FFT dims must be unique' (the facade underneath
+    follows numpy instead); mixed-sign duplicates count."""
+    from webgpufft_tpu.spec import PlanError
+
+    g = torch.Generator().manual_seed(3)
+    zc = torch.randn(4, 6, generator=g, dtype=torch.complex64)
+    v = torch.randn(4, 6, generator=g)
+    for fn, arr in ((tf.fftn, zc), (tf.rfftn, v), (tf.irfftn, zc)):
+        for dims in ((1, 1), (1, -1)):
+            with pytest.raises(PlanError, match="unique"):
+                fn(arr, dim=dims)
+    # distinct mixed-sign dims still dispatch
+    _close(tf.fftn(zc, dim=(0, -1)), tref.fftn(zc, dim=(0, -1)),
+           label="fftn mixed-sign distinct")
+
+
 def test_helpers_match_torch():
     _close(tf.fftfreq(7, 0.5), tref.fftfreq(7, 0.5), label="fftfreq")
     _close(tf.rfftfreq(8, 2.0), tref.rfftfreq(8, 2.0), label="rfftfreq")

@@ -29,6 +29,7 @@ DCT/DST ``norm`` in {None, "ortho"} matches ``scipy.fft`` conventions
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -124,8 +125,14 @@ def _norm_modes(norm: Optional[str], inverse: bool) -> Tuple[str, float]:
                     f"got {norm!r}")
 
 
+def _is_int(v) -> bool:
+    """True for python and numpy integer scalars (numpy accepts both
+    for n=/s=/axes= everywhere)."""
+    return isinstance(v, (int, np.integer))
+
+
 def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
-               s=None) -> Tuple[int, ...]:
+               s=None, allow_duplicates: bool = False) -> Tuple[int, ...]:
     """Normalize an axes argument against the COMPLEX rank (component dim
     excluded).  numpy semantics for the s-without-axes form: ``s`` given
     with ``axes=None`` applies to the LAST len(s) axes."""
@@ -134,7 +141,7 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
             axes = tuple(range(x_cplx_ndim - len(tuple(s)), x_cplx_ndim))
         else:
             axes = tuple(range(x_cplx_ndim)) if default_all else (-1,)
-    elif isinstance(axes, int):
+    elif _is_int(axes):
         axes = (axes,)
     out = []
     for a in axes:
@@ -142,7 +149,7 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
         if not 0 <= a < x_cplx_ndim:
             raise PlanError(f"axis {a} out of range for rank {x_cplx_ndim}")
         out.append(a)
-    if len(set(out)) != len(out):
+    if not allow_duplicates and len(set(out)) != len(out):
         raise PlanError(f"duplicate axes in {tuple(axes)}")
     return tuple(out)
 
@@ -150,7 +157,11 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
 def _resolve_s(x, sizes, axes):
     """numpy s= semantics: an entry of -1 keeps the current axis length
     (scalar n= does NOT accept -1 — numpy raises there, and so do we via
-    _crop_or_pad's validation)."""
+    _crop_or_pad's validation).  Checks the length BEFORE zipping so a
+    too-long s raises like numpy instead of being silently truncated."""
+    sizes = tuple(sizes)
+    if len(sizes) != len(axes):
+        raise PlanError(f"s has {len(sizes)} entries for {len(axes)} axes")
     return tuple(x.shape[a] if m == -1 else m for m, a in zip(sizes, axes))
 
 
@@ -175,6 +186,7 @@ def _crop_or_pad(x, n: int, axis: int):
 _DEFAULT_TUNING: dict = {}
 
 
+@_contextlib.contextmanager
 def plan_tuning(**tuning):
     """Context manager: apply plan tuning knobs to every transform the
     facade (and therefore the scipy/torch/fftpack bridges) builds inside
@@ -186,23 +198,16 @@ def plan_tuning(**tuning):
     Knobs are the create_plan tuning surface (docs/API.md): rigor,
     maxSubLength, largeRoute, impl, matmulPrecision, ...  Process-global
     (not thread-scoped); plans built inside the block cache under their
-    tuned spec, so repeated calls reuse them.
+    tuned spec, so repeated calls reuse them.  Nests: an inner block
+    layers its knobs over the outer block's and restores them on exit.
     """
-    import contextlib
-
-    @contextlib.contextmanager
-    def ctx():
-        saved = dict(_DEFAULT_TUNING)
+    saved = dict(_DEFAULT_TUNING)
+    _DEFAULT_TUNING.update(tuning)
+    try:
+        yield
+    finally:
         _DEFAULT_TUNING.clear()
         _DEFAULT_TUNING.update(saved)
-        _DEFAULT_TUNING.update(tuning)
-        try:
-            yield
-        finally:
-            _DEFAULT_TUNING.clear()
-            _DEFAULT_TUNING.update(saved)
-
-    return ctx()
 
 
 def _plan_tuning_kw() -> dict:
@@ -249,25 +254,28 @@ def _c2c(x, n, axes, norm, inverse: bool, default_all_axes: bool,
          interleaved):
     x = asinterleaved(x, interleaved)
     nd = x.ndim - 1
-    s = None if (n is None or isinstance(n, int)) else tuple(n)
-    if (axes is not None and not isinstance(axes, int)
+    if default_all_axes and _is_int(n):
+        # numpy: fftn/fft2 require a sequence s (TypeError there)
+        raise PlanError("s must be a sequence of integers, not a bare int")
+    s = None if (n is None or _is_int(n)) else tuple(n)
+    if (axes is not None and not _is_int(axes)
             and len(set(a + nd if a < 0 else a for a in axes)) != len(tuple(axes))):
         # numpy permits repeated axes in fftn/ifftn: the transform runs
         # once per occurrence (normalization per pass), applied in
-        # numpy's _raw_fftnd order — REVERSED over the axes list (only
-        # observable with duplicates + s)
-        sizes = (None,) * len(tuple(axes)) if s is None else s
-        if len(sizes) != len(tuple(axes)):
-            raise PlanError(f"n/s has {len(sizes)} entries for "
-                            f"{len(tuple(axes))} axes")
-        for a, m in zip(reversed(tuple(axes)), reversed(tuple(sizes))):
+        # numpy's _raw_fftnd order — REVERSED over the axes list — with
+        # s entries (-1 included) resolved against the ORIGINAL shape
+        # before any pass runs (only observable with duplicates + s)
+        ax = tuple(a + nd if a < 0 else a for a in axes)
+        for a in ax:
+            if not 0 <= a < nd:
+                raise PlanError(f"axis {a} out of range for rank {nd}")
+        sizes = (None,) * len(ax) if s is None else _resolve_s(x, s, ax)
+        for a, m in zip(reversed(ax), reversed(sizes)):
             x = _c2c(x, m, (a,), norm, inverse, False, True)
         return x
     axes = _axes_list(nd, axes, default_all_axes, s=s)
     if n is not None:
-        sizes = (n,) if isinstance(n, int) else _resolve_s(x, tuple(n), axes)
-        if len(sizes) != len(axes):
-            raise PlanError(f"n/s has {len(sizes)} entries for {len(axes)} axes")
+        sizes = (n,) if _is_int(n) else _resolve_s(x, tuple(n), axes)
         for a, m in zip(axes, sizes):
             x = _crop_or_pad(x, m, a)
     normalize, scale_exp = _norm_modes(norm, inverse)
@@ -360,11 +368,23 @@ def rfftn(x, s=None, axes=None, norm: Optional[str] = None):
     the remaining axes of the packed spectrum (numpy.fft.rfftn semantics:
     the LAST axis in ``axes`` is the packed one)."""
     x = _real_f32(x)
-    axes = _axes_list(x.ndim, axes, True, s=s)
+    if _is_int(s):
+        raise PlanError("s must be a sequence of integers, not a bare int")
+    axes = _axes_list(x.ndim, axes, True, s=s, allow_duplicates=True)
+    if len(set(axes)) != len(axes):
+        # numpy permits repeated axes here too: s defaults to the
+        # ORIGINAL axis lengths (so later passes explicitly resize —
+        # observable: rfftn(x, axes=(1,1)) re-pads the packed axis back
+        # to x.shape[1]), rfft runs on the LAST entry, then plain ffts
+        # over the rest in FORWARD order (numpy applies them 0..n-2)
+        sizes = (tuple(x.shape[a] for a in axes) if s is None
+                 else _resolve_s(x, tuple(s), axes))
+        y = rfft(x, n=int(sizes[-1]), axis=axes[-1], norm=norm)
+        for a, m in zip(axes[:-1], sizes[:-1]):
+            y = _c2c(y, int(m), (a,), norm, False, False, True)
+        return y
     if s is not None:
         s = _resolve_s(x, tuple(s), axes)
-        if len(s) != len(axes):
-            raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
         for a, m in zip(axes, s):
             x = _crop_or_pad(x, m, a)
     others, last = _split_last(axes)
@@ -379,14 +399,29 @@ def irfftn(x, s=None, axes=None, norm: Optional[str] = None, *,
     """ND inverse real FFT (numpy.fft.irfftn semantics)."""
     x = asinterleaved(x, interleaved)
     nd = x.ndim - 1
-    axes = _axes_list(nd, axes, True, s=s)
+    if _is_int(s):
+        raise PlanError("s must be a sequence of integers, not a bare int")
+    axes = _axes_list(nd, axes, True, s=s, allow_duplicates=True)
+    if len(set(axes)) != len(axes):
+        # numpy permits repeated axes: ifft per leading occurrence in
+        # FORWARD order with explicit resizes (s defaults to the current
+        # axis lengths), then irfft on the LAST entry (default output
+        # length 2*(n_last - 1); an explicit -1 keeps the ORIGINAL axis
+        # length instead, like every other -1 entry)
+        if s is None:
+            sizes = tuple(x.shape[a] for a in axes[:-1]) + (None,)
+        else:
+            sizes = _resolve_s(x, tuple(s), axes)
+        y = x
+        for a, m in zip(axes[:-1], sizes[:-1]):
+            y = _c2c(y, int(m), (a,), norm, True, False, True)
+        n_last = None if sizes[-1] is None else int(sizes[-1])
+        return irfft(y, n=n_last, axis=axes[-1], norm=norm)
     others, last = _split_last(axes)
     n_last = None
     if s is not None:
         s = _resolve_s(x, tuple(s), axes)   # -1 keeps the axis length,
-        if len(s) != len(axes):             # incl. the packed last axis
-            raise PlanError(f"s has {len(s)} entries for {len(axes)} axes")
-        for a, m in zip(others, s[:-1]):
+        for a, m in zip(others, s[:-1]):    # incl. the packed last axis
             x = _crop_or_pad(x, m, a)
         n_last = s[-1]
     if others:

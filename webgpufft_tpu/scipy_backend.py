@@ -115,8 +115,14 @@ class ScipyFftBackend:
         for k in _IGNORED:
             params.pop(k, None)
         axes = params.get("axes")
-        if axes is not None and not isinstance(axes, int):
-            t = tuple(axes)
+        if axes is not None and not isinstance(axes, (int, np.integer)):
+            # normalize negatives against the array rank first so
+            # mixed-sign duplicates like (1, -1) on a 2-D input are
+            # caught too
+            ndim = getattr(params.get("x"), "ndim", None)
+            t = tuple(a + ndim
+                      if (ndim and isinstance(a, (int, np.integer)) and a < 0)
+                      else a for a in axes)
             if len(set(t)) != len(t):
                 # scipy raises on duplicate axes; the facade follows
                 # numpy (transform per occurrence) — decline so scipy's

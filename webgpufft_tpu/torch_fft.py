@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from . import fftapi
+from .spec import PlanError
 
 __all__ = [
     "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
@@ -83,7 +84,14 @@ def _wrapn(name: str, default_dim):
 
     def f(input, s: Optional[Sequence[int]] = None, dim=default_dim,
           norm: Optional[str] = None):
-        return _to_torch(fn(_to_numpy(input), s=s, axes=dim, norm=norm), name)
+        x = _to_numpy(input)
+        if dim is not None and not isinstance(dim, int):
+            # torch rejects repeated dims ("FFT dims must be unique")
+            # where the facade follows numpy (transform per occurrence)
+            t = tuple(d + x.ndim if d < 0 else d for d in dim)
+            if len(set(t)) != len(t):
+                raise PlanError("FFT dims must be unique")
+        return _to_torch(fn(x, s=s, axes=dim, norm=norm), name)
 
     f.__name__ = name
     f.__qualname__ = name
