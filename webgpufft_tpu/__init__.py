@@ -83,7 +83,7 @@ __all__ = [
     "fft", "fftapi", "ndimage", "filtering", "iirdesign", "waveforms",
     "peaks", "ltisys", "splines", "windows", "ShortTimeFFT",
     "ScipyFftBackend", "scipy_fft_backend", "install_scipy_fft_backend",
-    "uninstall_scipy_fft_backend", "torch_fft", "fftpack",
+    "uninstall_scipy_fft_backend", "torch_fft", "fftpack", "pyfftw",
 ]
 
 
@@ -267,4 +267,5 @@ from .scipy_backend import (ScipyFftBackend, scipy_fft_backend,  # noqa: E402
                             uninstall_scipy_fft_backend)
 from . import torch_fft  # noqa: E402  (torch itself imports lazily)
 from . import fftpack  # noqa: E402  (legacy scipy.fftpack surface)
+from . import pyfftw  # noqa: E402  (pyfftw-compatible bridge)
 fft = fftapi
