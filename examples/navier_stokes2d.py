@@ -130,13 +130,17 @@ def make_stepper(n: int, nu: float, dt: float, *, mesh=None, seq_axis="sp"):
     return step, to_spectral, to_physical
 
 
-def run(w0, n: int, nu: float, dt: float, steps: int, *, mesh=None):
+def run(w0, n: int, nu: float, dt: float, steps: int, *, mesh=None,
+        seq_axis="sp"):
     """Advance ``w0`` (physical vorticity, n x n) ``steps`` steps; returns
-    the final physical vorticity as numpy.  jit + lax.scan over steps."""
+    the final physical vorticity as numpy.  jit + lax.scan over steps.
+    ``seq_axis`` may be one mesh axis name or a PAIR for the pencil
+    decomposition (both grid axes sharded, each on its own ICI ring)."""
     import jax
     import jax.numpy as jnp
 
-    step, to_spectral, to_physical = make_stepper(n, nu, dt, mesh=mesh)
+    step, to_spectral, to_physical = make_stepper(n, nu, dt, mesh=mesh,
+                                                  seq_axis=seq_axis)
     w_hat0 = to_spectral(w0)
 
     @jax.jit
@@ -200,6 +204,15 @@ def main():
         print(f"distributed ({ndev} devices, sp): |dist - single| "
               f"rel {derr:.2e}")
         assert derr < 1e-4
+    if ndev >= 4:
+        # pencil decomposition: BOTH grid axes sharded, each on its own
+        # ICI ring (heFFTe/P3DFFT-style)
+        pmesh = sharded.make_mesh({"sp1": 2, "sp2": ndev // 2})
+        w_pen = run(taylor_green(n, 0.0, nu), n, nu, dt, steps,
+                    mesh=pmesh, seq_axis=("sp1", "sp2"))
+        perr = np.max(np.abs(w_pen - w_num)) / np.max(np.abs(w_num))
+        print(f"pencil (2x{ndev // 2}): |pencil - single| rel {perr:.2e}")
+        assert perr < 1e-4
 
     # --- decaying random turbulence: physics sanity ---
     rng = np.random.default_rng(7)

@@ -47,6 +47,24 @@ def test_distributed_matches_single_chip(ns):
     assert err < 1e-4, err
 
 
+def test_pencil_matches_single_chip(ns):
+    import jax
+    from webgpufft_tpu.parallel import sharded
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    n, nu, dt, steps = 32, 5e-3, 5e-3, 8
+    rng = np.random.default_rng(5)
+    w0 = rng.standard_normal((n, n)).astype(np.float32)
+    w0 -= w0.mean()
+    single = ns.run(w0, n, nu, dt, steps)
+    pmesh = sharded.make_mesh({"sp1": 2, "sp2": jax.device_count() // 2})
+    pencil = ns.run(w0, n, nu, dt, steps, mesh=pmesh,
+                    seq_axis=("sp1", "sp2"))
+    err = np.max(np.abs(pencil - single)) / np.max(np.abs(single))
+    assert err < 1e-4, err
+
+
 def test_turbulence_decays(ns):
     n = 32
     rng = np.random.default_rng(11)

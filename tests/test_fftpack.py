@@ -116,6 +116,23 @@ def test_legacy_shape_minus_one_and_rank_mismatch(rng):
            fp.dctn(v, shape=(-1, 4), axes=(0, 2)), label="dctn-minus1")
 
 
+def test_duplicate_axes_raise_like_scipy(rng):
+    """scipy.fftpack raises 'all axes must be unique' (the facade
+    underneath follows numpy's transform-per-occurrence); mixed-sign
+    duplicates count."""
+    v = rng.standard_normal((3, 4)) + 1j * rng.standard_normal((3, 4))
+    for axes in ((1, 1), (1, -1)):
+        with pytest.raises(ValueError, match="unique"):
+            W.fftn(v, axes=axes)
+        with pytest.raises(ValueError, match="unique"):
+            fp.fftn(v, axes=axes)         # oracle agrees
+        with pytest.raises(ValueError, match="unique"):
+            W.dctn(v.real, axes=axes)
+    got = np.asarray(W.fftn(v, axes=(0, -1)))   # distinct mixed-sign fine
+    _close(got[..., 0] + 1j * got[..., 1], fp.fftn(v, axes=(0, -1)),
+           label="mixed-sign distinct")
+
+
 def test_packed_irfft_n_crop_pad(rng):
     """Legacy irfft n= crops/pads the packed spectrum."""
     x = rng.standard_normal(10)

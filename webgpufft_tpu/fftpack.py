@@ -59,7 +59,15 @@ def ifft(x, n: Optional[int] = None, axis: int = -1, overwrite_x: bool = False):
 def _legacy_shape(x, shape, axes):
     """Legacy shape=/axes= semantics: -1 entries keep the axis length, and
     a shape/axes rank mismatch is an error (scipy.fft instead interprets a
-    short s= as 'the last len(s) axes' — legacy code relies on the raise)."""
+    short s= as 'the last len(s) axes' — legacy code relies on the raise).
+    Duplicate axes raise like scipy.fftpack (the facade underneath follows
+    numpy's transform-per-occurrence instead)."""
+    if axes is not None and np.ndim(axes) > 0:
+        nd = np.ndim(x)
+        t = tuple(int(a) + nd if int(a) < 0 else int(a)
+                  for a in np.atleast_1d(axes))
+        if len(set(t)) != len(t):
+            raise ValueError("all axes must be unique")
     if shape is None:
         return None, axes
     shape = tuple(int(s) for s in np.atleast_1d(shape))
