@@ -234,6 +234,13 @@ def test_fftn_numpy_edge_conventions_more(rng):
     _close(F.fft(z[0], n=np.int64(12)), np.fft.fft(z[0], n=np.int64(12)))
     _close(F.fftn(z, s=(np.int64(4), np.int64(5))),
            np.fft.fftn(z, s=(4, 5)))
+    # review regression: s longer than the RANK with axes=None must
+    # raise (numpy: AxisError) — the implied last-len(s)-axes range
+    # would wrap around and alias real axes under allow_duplicates
+    for fn, arr in ((F.fftn, z[:, :, 0]), (F.rfftn, x[:, :, 0]),
+                    (F.irfftn, z[:, :, 0])):
+        with pytest.raises(PlanError, match="rank"):
+            fn(arr, s=(2, 3, 4))
 
 
 def test_facade_composes_under_user_jit(rng):

@@ -131,6 +131,15 @@ def test_duplicate_axes_raise_like_scipy(rng):
     got = np.asarray(W.fftn(v, axes=(0, -1)))   # distinct mixed-sign fine
     _close(got[..., 0] + 1j * got[..., 1], fp.fftn(v, axes=(0, -1)),
            label="mixed-sign distinct")
+    # review regression: the guard must normalize against the COMPLEX
+    # rank for interleaved (..., 2) inputs — (1, -2) is the distinct
+    # (1, 0) there, while (1, -1) is a true duplicate
+    zi = np.stack([v.real, v.imag], -1).astype(np.float32)
+    got = np.asarray(W.fft2(zi, axes=(1, -2)))
+    _close(got[..., 0] + 1j * got[..., 1],
+           fp.fft2(v, axes=(1, -2)), label="interleaved mixed-sign")
+    with pytest.raises(ValueError, match="unique"):
+        W.fft2(zi, axes=(1, -1))
 
 
 def test_packed_irfft_n_crop_pad(rng):

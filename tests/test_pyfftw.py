@@ -243,6 +243,20 @@ class TestBuilders:
         assert "overwrite_input" in obj.ignored_options
         assert "avoid_copy" in obj.ignored_options
 
+    def test_real_array_through_c2c_builder_call(self, rng):
+        # review regression: the canonical pyfftw idiom builds a c2c plan
+        # FROM a real array, then calls it with that same array — the
+        # call path must widen same-kind dtypes like pyfftw, not reject
+        x = rng.standard_normal(16)
+        obj = pf.builders.fft(x, planner_effort="FFTW_ESTIMATE")
+        np.testing.assert_allclose(obj(x), np.fft.fft(x),
+                                   atol=1e-4, rtol=1e-4)
+        # ...but a scheme-LOSING cast (complex into an r2c plan) rejects
+        xr = rng.standard_normal(10).astype(np.float32)
+        r2c = pf.FFTW(xr, np.zeros(6, np.complex64))
+        with pytest.raises(ValueError, match="scheme"):
+            r2c(input_array=xr.astype(np.complex64))
+
 
 # -------------------------------------------------------------- interfaces
 
@@ -283,6 +297,14 @@ class TestInterfaces:
         with pytest.raises(ValueError, match="planner_effort"):
             pf.interfaces.numpy_fft.fft(_cplx(rng, 8),
                                         planner_effort="FFTW_TURBO")
+
+    def test_planning_timelimit_accepted(self, rng):
+        # review regression: every pyfftw interfaces function takes
+        # planning_timelimit — accepted-and-inert here
+        z = _cplx(rng, 16)
+        np.testing.assert_allclose(
+            pf.interfaces.numpy_fft.fft(z, planning_timelimit=2.0),
+            np.fft.fft(z), atol=1e-4, rtol=1e-4)
 
     def test_cache_namespace(self):
         c = pf.interfaces.cache

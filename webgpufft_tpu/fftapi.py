@@ -138,6 +138,11 @@ def _axes_list(x_cplx_ndim: int, axes, default_all: bool,
     with ``axes=None`` applies to the LAST len(s) axes."""
     if axes is None:
         if s is not None:
+            if len(tuple(s)) > x_cplx_ndim:
+                # must raise HERE: with allow_duplicates the wrapped-
+                # around negative range below would alias real axes
+                raise PlanError(f"s has {len(tuple(s))} entries for "
+                                f"rank {x_cplx_ndim}")
             axes = tuple(range(x_cplx_ndim - len(tuple(s)), x_cplx_ndim))
         else:
             axes = tuple(range(x_cplx_ndim)) if default_all else (-1,)

@@ -64,6 +64,8 @@ def _legacy_shape(x, shape, axes):
     numpy's transform-per-occurrence instead)."""
     if axes is not None and np.ndim(axes) > 0:
         nd = np.ndim(x)
+        if not np.iscomplexobj(x) and nd >= 2 and np.shape(x)[-1] == 2:
+            nd -= 1   # the facade treats trailing-2 reals as interleaved
         t = tuple(int(a) + nd if int(a) < 0 else int(a)
                   for a in np.atleast_1d(axes))
         if len(set(t)) != len(t):

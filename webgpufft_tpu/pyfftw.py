@@ -335,8 +335,18 @@ class FFTW:
             raise ValueError(
                 "Invalid option: normalise_idft and ortho are both True")
         if input_array is not None or output_array is not None:
+            new_in = (self._input_array if input_array is None
+                      else np.asarray(input_array))
+            # pyfftw's __call__ casts safe/same-kind dtypes into the
+            # planned array (e.g. the real array a c2c builder was built
+            # from widens to complex); only scheme-LOSING casts reject
+            if (new_in.dtype != self._input_array.dtype
+                    and new_in.shape == self._input_array.shape
+                    and np.can_cast(new_in.dtype, self._input_array.dtype,
+                                    casting="same_kind")):
+                new_in = new_in.astype(self._input_array.dtype)
             self.update_arrays(
-                self._input_array if input_array is None else input_array,
+                new_in,
                 self._output_array if output_array is None else output_array)
         self.execute()
         out = self._output_array
@@ -518,7 +528,8 @@ builders = SimpleNamespace(
 # ------------------------------------------------------------ interfaces
 
 _IFACE_INERT = ("overwrite_input", "overwrite_x", "threads",
-                "auto_align_input", "auto_contiguous", "workers")
+                "auto_align_input", "auto_contiguous", "workers",
+                "planning_timelimit")
 
 
 def _iface(fn, default_effort: str = "FFTW_ESTIMATE",
