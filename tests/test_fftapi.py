@@ -984,6 +984,33 @@ class TestHermitianNd:
         back = np.asarray(F.hfft2(spec, s=x.shape))
         assert np.max(np.abs(back - x)) < 1e-4
 
+    def test_edge_conventions_match_scipy(self, rng):
+        """Fuzz-caught: duplicate axes raise (scipy rejects them where
+        the c2c facade follows numpy), s=-1 entries resolve against the
+        input (ihfftn's norm divisor used the raw -1 before), and
+        mixed-sign duplicates are caught after normalization."""
+        import scipy.fft as sf
+        x = rng.standard_normal((6, 7))
+        z = rng.standard_normal((4, 5)) + 1j * rng.standard_normal((4, 5))
+        for axes in ((1, 1), (1, -1)):
+            for fn, arr in ((F.ihfftn, x), (F.hfftn, z)):
+                with pytest.raises(PlanError, match="duplicate"):
+                    fn(arr, axes=axes)
+        for kw in [{"s": (-1, -1)}, {"s": (-1, 4), "axes": (0, 1)},
+                   {"s": (4, -1), "norm": "ortho"}]:
+            got = F.ascomplex(np.asarray(F.ihfftn(x, **kw)))
+            want = sf.ihfftn(x, **kw)
+            assert got.shape == want.shape, kw
+            assert np.max(np.abs(got - want)) / max(
+                np.max(np.abs(want)), 1e-30) < 3e-5, kw
+            got2 = np.asarray(F.hfftn(z, **kw))
+            want2 = sf.hfftn(z, **kw)
+            assert got2.shape == want2.shape, kw
+            assert np.max(np.abs(got2 - want2)) / max(
+                np.max(np.abs(want2)), 1e-30) < 3e-5, kw
+        with pytest.raises(PlanError, match="rank"):
+            F.ihfftn(x, s=(2, 3, 4))
+
     def test_prev_fast_len(self):
         for n in (1, 12, 13, 17, 100, 1000, 4097):
             p = F.prev_fast_len(n)

@@ -2273,17 +2273,14 @@ def hfftn(x, s=None, axes=None, norm=None, *,
     complex signal (scipy.fft.hfftn semantics) — irfftn of the
     conjugate, scaled by the norm-mode factor."""
     z = asinterleaved(x, interleaved)
+    # scipy rejects duplicate axes for the hermitian family (irfftn
+    # underneath would follow numpy's transform-per-occurrence instead);
+    # this also validates the range and the s-vs-rank length
+    ax_list = _axes_list(z.ndim - 1, axes, True, s=s)
     zc = z.at[..., 1].multiply(-1.0) if hasattr(z, "at") \
         else jnp.concatenate([z[..., :1], -z[..., 1:]], axis=-1)
-    y = irfftn(zc, s=s, axes=axes, norm="backward")
-    nd = y.ndim
+    y = irfftn(zc, s=s, axes=ax_list, norm="backward")
     # total length along the transformed axes of the OUTPUT
-    if axes is None:
-        ax_list = list(range(nd)) if s is None else \
-            list(range(nd - len(s), nd))
-    else:
-        ax_list = [a % nd for a in (axes if isinstance(axes, (tuple, list))
-                                    else (axes,))]
     N = 1
     for a in ax_list:
         N *= y.shape[a]
@@ -2301,22 +2298,15 @@ def ihfftn(x, s=None, axes=None, norm=None):
     conj(rfftn(x)) with the inverse norm factor.  Returns interleaved
     (..., 2)."""
     xr = jnp.asarray(x, jnp.float32)
-    Y = rfftn(xr, s=s, axes=axes, norm="backward")
-    nd = xr.ndim
-    if axes is None:
-        ax_list = list(range(nd)) if s is None else \
-            list(range(nd - len(s), nd))
-    else:
-        ax_list = [a % nd for a in (axes if isinstance(axes, (tuple, list))
-                                    else (axes,))]
+    # scipy rejects duplicate axes here (rfftn underneath follows numpy);
+    # resolve -1 entries in s against the input BEFORE the norm divisor
+    ax_list = _axes_list(xr.ndim, axes, True, s=s)
     if s is not None:
-        N = 1
-        for v in s:
-            N *= int(v)
-    else:
-        N = 1
-        for a in ax_list:
-            N *= xr.shape[a]
+        s = _resolve_s(xr, tuple(s), ax_list)
+    Y = rfftn(xr, s=s, axes=ax_list, norm="backward")
+    N = 1
+    for pos, a in enumerate(ax_list):
+        N *= int(s[pos]) if s is not None else xr.shape[a]
     if norm in (None, "backward"):
         fac = 1.0 / N
     elif norm == "ortho":
