@@ -78,6 +78,29 @@ def test_turbulence_decays(ns):
     assert np.all(np.isfinite(w1))
 
 
+def test_solver_exports_as_aot_artifact(ns):
+    """The FULL nonlinear multi-step solver serializes through the
+    generic pipeline AOT export and the loaded artifact reproduces the
+    direct run bit-exactly (serve-a-solver story)."""
+    import jax
+    from webgpufft_tpu.runtime import aot
+
+    n, nu, dt, steps = 32, 1e-2, 1e-2, 5
+    step, to_s, to_p = ns.make_stepper(n, nu, dt)
+    w_hat = np.asarray(to_s(ns.taylor_green(n, 0.0, nu)))
+
+    def advance(v):
+        def body(c, _):
+            return step(c), ()
+        out, _ = jax.lax.scan(body, v, None, length=steps)
+        return out
+
+    art = aot.load_exported_pipeline(aot.export_pipeline(advance, w_hat))
+    got = np.asarray(to_p(art(w_hat)))
+    ref = ns.run(ns.taylor_green(n, 0.0, nu), n, nu, dt, steps)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_spectral_grids_conventions(ns):
     for packed_axis, shape in ((1, (16, 9)), (0, (9, 16))):
         kx, ky, inv_k2, mask = ns.spectral_grids(16, packed_axis)
