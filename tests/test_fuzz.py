@@ -497,3 +497,71 @@ def test_fuzz_distributed_spectral(seed, _dmeshes):
         _, Pr = wfft.welch(x, nperseg=W, noverlap=W - H)
         Pr = np.asarray(Pr)
         assert np.max(np.abs(Pd - Pr)) / np.max(Pr) < 2e-5
+
+
+# --------------------------------------------- facade ND s=/axes= edges
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_facade_nd_s_axes(seed):
+    """Seeded lane of the session-8 one-off sweep that caught the
+    hermitian-family divergences: random s/axes combos (negatives,
+    duplicates, -1 entries, over-long) through fftn/ifftn/rfftn/irfftn/
+    ihfftn/dctn must agree with numpy/scipy in VALUE and in KIND of
+    outcome (both compute or both raise)."""
+    import scipy.fft as sf
+    from webgpufft_tpu import fftapi as F
+    from webgpufft_tpu.spec import PlanError
+
+    rng = np.random.default_rng(777000 + seed)
+    nd = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(3, 12)) for _ in range(nd))
+    x = rng.standard_normal(shape)
+    z = x + 1j * rng.standard_normal(shape)
+    r = rng.random()
+    if r < 0.25:
+        axes = None
+    else:
+        k = int(rng.integers(1, nd + 2))
+        axes = tuple(int(rng.integers(-nd, nd)) for _ in range(k))
+    if rng.random() < 0.45:
+        s = None
+    else:
+        base = len(axes) if axes is not None else nd
+        slen = base if rng.random() < 0.8 else base + 1
+        s = tuple(int(rng.choice([-1, 3, 4, 5])) for _ in range(slen))
+    norm = [None, "ortho", "forward"][int(rng.integers(0, 3))]
+    cases = [
+        ("fftn", lambda: F.fftn(z, s=s, axes=axes, norm=norm),
+         lambda: np.fft.fftn(z, s=s, axes=axes, norm=norm), True),
+        ("rfftn", lambda: F.rfftn(x, s=s, axes=axes, norm=norm),
+         lambda: np.fft.rfftn(x, s=s, axes=axes, norm=norm), True),
+        ("ihfftn", lambda: F.ihfftn(x, s=s, axes=axes, norm=norm),
+         lambda: sf.ihfftn(x, s=s, axes=axes, norm=norm), True),
+        ("dctn", lambda: F.dctn(
+            x, s=None if s is None else tuple(abs(m) + 2 for m in s),
+            axes=axes, norm=norm),
+         lambda: sf.dctn(
+            x, s=None if s is None else tuple(abs(m) + 2 for m in s),
+            axes=axes, norm=norm), False),
+    ]
+    for name, ours, ref, cplx in cases:
+        try:
+            want = ref()
+            want_exc = False
+        except Exception:  # noqa: BLE001
+            want, want_exc = None, True
+        try:
+            got = np.asarray(ours())
+            got_exc = False
+        except PlanError:
+            got, got_exc = None, True
+        assert got_exc == want_exc, \
+            (name, shape, axes, s, norm, "outcome-kind mismatch")
+        if want_exc:
+            continue
+        if cplx and np.iscomplexobj(want):
+            got = got[..., 0] + 1j * got[..., 1]
+        assert got.shape == np.shape(want), (name, shape, axes, s, norm)
+        scale = max(1.0, float(np.max(np.abs(want))))
+        assert float(np.max(np.abs(got - want))) / scale < 5e-3, \
+            (name, shape, axes, s, norm)
