@@ -204,9 +204,10 @@ def main():
         print(f"distributed ({ndev} devices, sp): |dist - single| "
               f"rel {derr:.2e}")
         assert derr < 1e-4
-    if ndev >= 4:
+    if ndev >= 4 and ndev % 2 == 0 and n % (ndev // 2) == 0:
         # pencil decomposition: BOTH grid axes sharded, each on its own
-        # ICI ring (heFFTe/P3DFFT-style)
+        # ICI ring (heFFTe/P3DFFT-style); both mesh factors must divide
+        # the grid (ndev=6 would put 3 pencils over a 128-point axis)
         pmesh = sharded.make_mesh({"sp1": 2, "sp2": ndev // 2})
         w_pen = run(taylor_green(n, 0.0, nu), n, nu, dt, steps,
                     mesh=pmesh, seq_axis=("sp1", "sp2"))

@@ -87,10 +87,11 @@ def main():
     print(f"solution error vs manufactured u*: {err:.2e}")
     assert res < 1e-4 and err < 1e-4
 
-    if ndev >= 4:
+    if ndev >= 4 and ndev % 2 == 0 and n % (ndev // 2) == 0:
         # pencil decomposition: grid axes 0 and 1 each sharded on their
         # own ICI ring (heFFTe/P3DFFT-style); same packed-axis-0 layout,
-        # so the spectral symbol is unchanged
+        # so the spectral symbol is unchanged.  Both mesh factors must
+        # divide the grid (ndev=6 would put 3 pencils over 64 points)
         pmesh = sharded.make_mesh({"sp1": 2, "sp2": ndev // 2})
         pf = wft.create_distributed_plan(
             type="r2c", shape=list(shape), batch=1, direction="forward",

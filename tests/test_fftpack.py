@@ -140,6 +140,15 @@ def test_duplicate_axes_raise_like_scipy(rng):
            fp.fft2(v, axes=(1, -2)), label="interleaved mixed-sign")
     with pytest.raises(ValueError, match="unique"):
         W.fft2(zi, axes=(1, -1))
+    # second review pass: shape= length-validation and -1 resolution
+    # must also use the COMPLEX rank for interleaved inputs
+    got = np.asarray(W.fftn(zi, shape=(3, 4)))
+    _close(got[..., 0] + 1j * got[..., 1], fp.fftn(v, shape=(3, 4)),
+           label="interleaved shape=")
+    got = np.asarray(W.fft2(zi, shape=(-1, -1), axes=(-2, -1)))
+    _close(got[..., 0] + 1j * got[..., 1],
+           fp.fft2(v, shape=(-1, -1), axes=(-2, -1)),
+           label="interleaved shape=-1")
 
 
 def test_packed_irfft_n_crop_pad(rng):

@@ -61,11 +61,15 @@ def _legacy_shape(x, shape, axes):
     a shape/axes rank mismatch is an error (scipy.fft instead interprets a
     short s= as 'the last len(s) axes' — legacy code relies on the raise).
     Duplicate axes raise like scipy.fftpack (the facade underneath follows
-    numpy's transform-per-occurrence instead)."""
+    numpy's transform-per-occurrence instead).  ALL rank logic here uses
+    the COMPLEX rank: interleaved (..., 2) real inputs exclude the
+    component dim (matching what the facade transforms)."""
+    nd = np.ndim(x)
+    xshape = np.shape(x)
+    if not np.iscomplexobj(x) and nd >= 2 and xshape[-1] == 2:
+        nd -= 1       # the facade treats trailing-2 reals as interleaved
+        xshape = xshape[:-1]
     if axes is not None and np.ndim(axes) > 0:
-        nd = np.ndim(x)
-        if not np.iscomplexobj(x) and nd >= 2 and np.shape(x)[-1] == 2:
-            nd -= 1   # the facade treats trailing-2 reals as interleaved
         t = tuple(int(a) + nd if int(a) < 0 else int(a)
                   for a in np.atleast_1d(axes))
         if len(set(t)) != len(t):
@@ -73,7 +77,6 @@ def _legacy_shape(x, shape, axes):
     if shape is None:
         return None, axes
     shape = tuple(int(s) for s in np.atleast_1d(shape))
-    nd = np.ndim(x)
     if axes is None:
         if len(shape) != nd:
             raise ValueError(
@@ -86,7 +89,7 @@ def _legacy_shape(x, shape, axes):
             raise ValueError(
                 "when given, axes and shape arguments have to be of the "
                 "same length")
-    resolved = tuple(np.shape(x)[a] if s == -1 else s
+    resolved = tuple(xshape[a] if s == -1 else s
                      for s, a in zip(shape, axes))
     return resolved, axes
 
