@@ -1,0 +1,206 @@
+"""NUFFT (webgpufft_tpu/nufft.py) vs the exact direct-NDFT oracle.
+
+The oracle is the O(N*M) f64 matrix evaluation of the defining sums, so
+these tests pin the MATH, not another library.  The device computes in
+f32, flooring achievable accuracy at ~1e-6 relative; tolerances reflect
+that (the f64 sandbox derivation reaches 3e-8 at Msp=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from webgpufft_tpu import nufft as NU
+from webgpufft_tpu.fftapi import ascomplex
+from webgpufft_tpu.spec import PlanError
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2026)
+
+
+def direct1(x, c, n, isign=1):
+    k = np.arange(-(n // 2), (n + 1) // 2)
+    return (c[None, :].astype(np.complex128)
+            * np.exp(isign * 1j * k[:, None] * x[None, :])).sum(1)
+
+
+def direct2(x, f, isign=-1):
+    n = len(f)
+    k = np.arange(-(n // 2), (n + 1) // 2)
+    return (f[None, :].astype(np.complex128)
+            * np.exp(isign * 1j * x[:, None] * k[None, :])).sum(1)
+
+
+def _cplx(rng, *shape):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+def _rel(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
+
+
+class Test1D:
+    @pytest.mark.parametrize("n", [16, 31, 50])
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_type1_matches_direct(self, rng, n, isign):
+        m = 120
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        got = ascomplex(np.asarray(NU.nufft1d1(x, c, n, isign=isign)))
+        assert _rel(got, direct1(x, c, n, isign)) < 2e-5
+
+    @pytest.mark.parametrize("n", [16, 31])
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_type2_matches_direct(self, rng, n, isign):
+        m = 90
+        x = rng.uniform(0, 2 * np.pi, m)
+        f = _cplx(rng, n)
+        got = ascomplex(np.asarray(NU.nufft1d2(x, f, isign=isign)))
+        assert _rel(got, direct2(x, f, isign)) < 2e-5
+
+    def test_eps_controls_accuracy(self, rng):
+        # coarser eps -> coarser (but bounded) result; f32 floors ~1e-6
+        m, n = 200, 40
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        ref = direct1(x, c, n)
+        loose = _rel(ascomplex(np.asarray(
+            NU.nufft1d1(x, c, n, eps=1e-2))), ref)
+        tight = _rel(ascomplex(np.asarray(
+            NU.nufft1d1(x, c, n, eps=1e-6))), ref)
+        assert tight < 2e-5
+        assert loose < 1e-2
+        assert tight <= loose
+
+    def test_points_wrap_mod_2pi(self, rng):
+        m, n = 60, 24
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        a = np.asarray(NU.nufft1d1(x, c, n))
+        b = np.asarray(NU.nufft1d1(x + 2 * np.pi, c, n))
+        d = np.asarray(NU.nufft1d1(x - 4 * np.pi, c, n))
+        assert np.max(np.abs(a - b)) < 1e-4
+        assert np.max(np.abs(a - d)) < 1e-4
+
+    def test_type2_is_transpose_of_type1(self, rng):
+        # f_k = sum_j A_kj c_j and c_j = sum_k A_kj f_k with the SAME
+        # isign share the matrix A = e^{isign i k x_j}: materialize both
+        # on unit vectors and compare
+        m, n = 7, 6
+        x = rng.uniform(0, 2 * np.pi, m)
+        A1 = np.zeros((n, m), np.complex128)
+        for j in range(m):
+            e = np.zeros(m, np.complex64)
+            e[j] = 1.0
+            A1[:, j] = ascomplex(np.asarray(
+                NU.nufft1d1(x, e, n, isign=1)))
+        A2 = np.zeros((m, n), np.complex128)
+        for k in range(n):
+            e = np.zeros(n, np.complex64)
+            e[k] = 1.0
+            A2[:, k] = ascomplex(np.asarray(
+                NU.nufft1d2(x, e, isign=1)))
+        assert np.max(np.abs(A1 - A2.T)) < 1e-4
+
+    def test_batch_leading_dims(self, rng):
+        m, n = 80, 20
+        x = rng.uniform(0, 2 * np.pi, m)
+        cb = _cplx(rng, 2, 3, m)
+        out = np.asarray(NU.nufft1d1(x, cb, n))
+        assert out.shape == (2, 3, n, 2)
+        got = ascomplex(out[1, 2])
+        assert _rel(got, direct1(x, cb[1, 2], n)) < 2e-5
+
+    def test_jit_and_grads(self, rng):
+        m, n = 40, 16
+        x = jnp.asarray(rng.uniform(0, 2 * np.pi, m).astype(np.float32))
+        ci = jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32))
+
+        fn = jax.jit(lambda pts, c: jnp.sum(NU.nufft1d1(pts, c, n) ** 2))
+        gx, gc = jax.grad(fn, argnums=(0, 1))(x, ci)
+        assert np.all(np.isfinite(np.asarray(gx)))
+        assert np.all(np.isfinite(np.asarray(gc)))
+        # grad wrt a point location against the analytic derivative of
+        # the direct transform: d f_k / d x_j = isign i k c_j e^{i k x_j}
+        eps = 1e-3
+        xp = np.asarray(x, np.float64).copy()
+        cc = np.asarray(ci[..., 0] + 1j * ci[..., 1], np.complex128)
+
+        def loss_direct(xv):
+            f = direct1(xv, cc, n)
+            return float(np.sum(f.real ** 2 + f.imag ** 2))
+
+        j = 7
+        xp1 = xp.copy()
+        xp1[j] += eps
+        xp2 = xp.copy()
+        xp2[j] -= eps
+        fd = (loss_direct(xp1) - loss_direct(xp2)) / (2 * eps)
+        assert abs(float(gx[j]) - fd) / max(abs(fd), 1e-6) < 1e-2
+
+    def test_validation(self, rng):
+        x = rng.uniform(0, 2 * np.pi, 10)
+        c = _cplx(rng, 10)
+        with pytest.raises(PlanError, match="eps"):
+            NU.nufft1d1(x, c, 16, eps=2.0)
+        with pytest.raises(PlanError, match="n_modes"):
+            NU.nufft1d1(x, c, 1)
+        with pytest.raises(PlanError, match="trailing"):
+            NU.nufft1d1(x, _cplx(rng, 11), 16)
+        with pytest.raises(PlanError, match="1-D"):
+            NU.nufft1d1(x.reshape(2, 5), c, 16)
+
+
+class Test2D:
+    @pytest.mark.parametrize("n_modes", [(12, 18), (9, 9)])
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_type1_matches_direct(self, rng, n_modes, isign):
+        m = 100
+        n1, n2 = n_modes
+        x = rng.uniform(0, 2 * np.pi, m)
+        y = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+        k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+        ref = np.einsum(
+            "j,kj,lj->kl", c.astype(np.complex128),
+            np.exp(isign * 1j * k1[:, None] * x[None, :]),
+            np.exp(isign * 1j * k2[:, None] * y[None, :]))
+        got = ascomplex(np.asarray(
+            NU.nufft2d1(x, y, c, n_modes, isign=isign)))
+        assert _rel(got, ref) < 2e-5
+
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_type2_matches_direct(self, rng, isign):
+        m, n1, n2 = 80, 10, 14
+        x = rng.uniform(0, 2 * np.pi, m)
+        y = rng.uniform(0, 2 * np.pi, m)
+        f = _cplx(rng, n1, n2)
+        k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+        k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+        ref = np.einsum(
+            "kl,jk,jl->j", f.astype(np.complex128),
+            np.exp(isign * 1j * x[:, None] * k1[None, :]),
+            np.exp(isign * 1j * y[:, None] * k2[None, :]))
+        got = ascomplex(np.asarray(NU.nufft2d2(x, y, f, isign=isign)))
+        assert _rel(got, ref) < 2e-5
+
+    def test_roundtrip_uniform_points_recover_fft(self, rng):
+        # uniform points = plain DFT: type 1 over x_j = 2 pi j / M with
+        # M == N and unit strengths must reproduce the FFT of c
+        n = 16
+        x = 2 * np.pi * np.arange(n) / n
+        c = _cplx(rng, n)
+        got = ascomplex(np.asarray(NU.nufft1d1(x, c, n)))
+        # e^{+2pi i k j / N} summed over j is N * ifft, CMCL = fftshift
+        ref = np.fft.fftshift(np.fft.ifft(c.astype(np.complex128)) * n)
+        assert _rel(got, direct1(x, c, n)) < 2e-5
+        assert _rel(got, ref) < 2e-5
+
+    def test_mismatched_points_raise(self, rng):
+        with pytest.raises(PlanError, match="same number"):
+            NU.nufft2d1(np.zeros(5), np.zeros(6), _cplx(rng, 5), (8, 8))
