@@ -204,3 +204,50 @@ class Test2D:
     def test_mismatched_points_raise(self, rng):
         with pytest.raises(PlanError, match="same number"):
             NU.nufft2d1(np.zeros(5), np.zeros(6), _cplx(rng, 5), (8, 8))
+
+    def test_small_mode_counts_stay_accurate(self, rng):
+        # regression: the tap floor raises Mr above sigma*N at small N;
+        # tau must follow the EFFECTIVE oversampling (was 1e-4, now
+        # f32-floored ~1e-6)
+        m, n = 80, 6
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        got = ascomplex(np.asarray(NU.nufft1d1(x, c, n)))
+        assert _rel(got, direct1(x, c, n)) < 1e-5
+
+
+class Test3D:
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_type1_and_type2_match_direct(self, rng, isign):
+        m, n1, n2, n3 = 60, 8, 10, 6
+        x, y, z = (rng.uniform(0, 2 * np.pi, m) for _ in range(3))
+        c = _cplx(rng, m)
+        k1 = np.arange(-(n1 // 2), (n1 + 1) // 2)
+        k2 = np.arange(-(n2 // 2), (n2 + 1) // 2)
+        k3 = np.arange(-(n3 // 2), (n3 + 1) // 2)
+        ref = np.einsum(
+            "j,kj,lj,mj->klm", c.astype(np.complex128),
+            np.exp(isign * 1j * k1[:, None] * x[None, :]),
+            np.exp(isign * 1j * k2[:, None] * y[None, :]),
+            np.exp(isign * 1j * k3[:, None] * z[None, :]))
+        got = ascomplex(np.asarray(
+            NU.nufft3d1(x, y, z, c, (n1, n2, n3), isign=isign)))
+        assert _rel(got, ref) < 2e-5
+        f = _cplx(rng, n1, n2, n3)
+        ref2 = np.einsum(
+            "klm,jk,jl,jm->j", f.astype(np.complex128),
+            np.exp(-isign * 1j * x[:, None] * k1[None, :]),
+            np.exp(-isign * 1j * y[:, None] * k2[None, :]),
+            np.exp(-isign * 1j * z[:, None] * k3[None, :]))
+        got2 = ascomplex(np.asarray(
+            NU.nufft3d2(x, y, z, f, isign=-isign)))
+        assert _rel(got2, ref2) < 2e-5
+
+    def test_jit_composes(self, rng):
+        m, n = 30, 6
+        x, y, z = (jnp.asarray(rng.uniform(0, 2 * np.pi, m)
+                               .astype(np.float32)) for _ in range(3))
+        ci = jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32))
+        fn = jax.jit(lambda c: NU.nufft3d1(x, y, z, c, (n, n, n)))
+        out = np.asarray(fn(ci))
+        assert out.shape == (n, n, n, 2) and np.all(np.isfinite(out))

@@ -2,8 +2,8 @@
 
 The uniform-grid ecosystem stops where sampling stops being equispaced;
 MRI/radio-astronomy/particle codes reach for finufft/pyNFFT there.  This
-module provides types 1 and 2 in one and two dimensions with Gaussian
-gridding (Dutt-Rokhlin; parameters per Greengard & Lee 2004):
+module provides types 1 and 2 in one, two and three dimensions with
+Gaussian gridding (Dutt-Rokhlin; parameters per Greengard & Lee 2004):
 
 - type 1 (nonuniform -> uniform):  f_k     = sum_j c_j e^{isign i k x_j}
 - type 2 (uniform -> nonuniform):  c_j     = sum_k f_k e^{isign i k x_j}
@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from . import fftapi
 from .spec import PlanError
 
-__all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2"]
+__all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2",
+           "nufft3d1", "nufft3d2"]
 
 _SIGMA = 2          # fine-grid oversampling factor
 
@@ -69,7 +70,11 @@ def _grid_params(n: int, msp: int) -> Tuple[int, float, float]:
         raise PlanError(f"n_modes must be >= 2, got {n}")
     mr = fftapi.next_fast_len(max(_SIGMA * n, 2 * msp + 2))
     h = 2.0 * math.pi / mr
-    tau = math.pi * msp / (n * n) / (_SIGMA * (_SIGMA - 0.5))
+    # tau from the EFFECTIVE oversampling mr/n — when the tap floor or
+    # next_fast_len raises mr above sigma*n, the nominal-sigma tau loses
+    # 5+ digits at small n (measured: n=6, Msp=8: 1e-4 -> 6e-10)
+    sig = mr / n
+    tau = math.pi * msp / (n * n) / (sig * (sig - 0.5))
     return mr, h, tau
 
 
@@ -247,6 +252,92 @@ def nufft2d2(x, y, f, *, eps: float = 1e-6, isign: int = -1):
         vals = gb[i1[:, :, None], i2[:, None, :]]          # (M,2T,2T,2)
         return jnp.float32(h1 * h2) * jnp.sum(
             vals * wprod[..., None], axis=(1, 2))
+
+    out = jax.vmap(interp)(grid)
+    return out.reshape((*lead, x.shape[0], 2))
+
+
+# ------------------------------------------------------------------ 3-D
+
+def _points3(x, y, z):
+    x, y, z = _as_points(x), _as_points(y), _as_points(z)
+    if not (x.shape == y.shape == z.shape):
+        raise PlanError("x, y and z must have the same number of points")
+    return x, y, z
+
+
+def nufft3d1(x, y, z, c, n_modes, *, eps: float = 1e-6, isign: int = 1):
+    """Type-1 3-D NUFFT onto an (N1, N2, N3) mode grid (CMCL order per
+    axis): f_{k1,k2,k3} = sum_j c_j e^{isign i (k1 x_j + k2 y_j + k3 z_j)}.
+    Each point spreads (2*Msp)^3 separable Gaussian taps (the MRI /
+    particle-mesh workhorse; budget-minded callers lower eps)."""
+    x, y, z = _points3(x, y, z)
+    n1, n2, n3 = (int(n_modes[0]), int(n_modes[1]), int(n_modes[2]))
+    msp = _msp_for(eps)
+    mr1, h1, t1 = _grid_params(n1, msp)
+    mr2, h2, t2 = _grid_params(n2, msp)
+    mr3, h3, t3 = _grid_params(n3, msp)
+    ci, lead = _as_strengths(c, x.shape[0])
+    i1, w1 = _taps(x, h1, t1, msp, mr1)
+    i2, w2 = _taps(y, h2, t2, msp, mr2)
+    i3, w3 = _taps(z, h3, t3, msp, mr3)
+    lin = ((i1[:, :, None, None] * mr2 + i2[:, None, :, None]) * mr3
+           + i3[:, None, None, :]).reshape(-1)
+    wout = (w1[:, :, None, None] * w2[:, None, :, None]
+            * w3[:, None, None, :])[..., None]
+
+    def spread(cb):
+        vals = cb[:, None, None, None, :] * wout
+        flat = jnp.zeros((mr1 * mr2 * mr3, 2), jnp.float32).at[lin].add(
+            vals.reshape(-1, 2))
+        return flat.reshape(mr1, mr2, mr3, 2)
+
+    grid = jax.vmap(spread)(ci)
+    spec = _fine_dft(grid, isign, False, axes=(1, 2, 3))
+    s1, s2, s3 = (_mode_slice(mr1, n1), _mode_slice(mr2, n2),
+                  _mode_slice(mr3, n3))
+    out = spec[:, s1[:, None, None], s2[None, :, None],
+               s3[None, None, :], :]
+    dec = (_deconv_1d(n1, h1, t1)[:, None, None]
+           * _deconv_1d(n2, h2, t2)[None, :, None]
+           * _deconv_1d(n3, h3, t3)[None, None, :])
+    out = out * jnp.asarray(dec)[None, ..., None]
+    return out.reshape((*lead, n1, n2, n3, 2))
+
+
+def nufft3d2(x, y, z, f, *, eps: float = 1e-6, isign: int = -1):
+    """Type-2 3-D NUFFT: values at the points of the (..., N1, N2, N3)
+    uniform-mode array ``f``."""
+    x, y, z = _points3(x, y, z)
+    fi = fftapi.asinterleaved(f)
+    n1, n2, n3 = int(fi.shape[-4]), int(fi.shape[-3]), int(fi.shape[-2])
+    msp = _msp_for(eps)
+    mr1, h1, t1 = _grid_params(n1, msp)
+    mr2, h2, t2 = _grid_params(n2, msp)
+    mr3, h3, t3 = _grid_params(n3, msp)
+    lead = fi.shape[:-4]
+    fb = fi.reshape((-1, n1, n2, n3, 2))
+    s1, s2, s3 = (_mode_slice(mr1, n1), _mode_slice(mr2, n2),
+                  _mode_slice(mr3, n3))
+    dec = (_deconv_1d(n1, h1, t1)[:, None, None] / np.float32(h1)
+           * _deconv_1d(n2, h2, t2)[None, :, None] / np.float32(h2)
+           * _deconv_1d(n3, h3, t3)[None, None, :] / np.float32(h3))
+    fine = jnp.zeros((fb.shape[0], mr1, mr2, mr3, 2), jnp.float32)
+    fine = fine.at[:, s1[:, None, None], s2[None, :, None],
+                   s3[None, None, :], :].set(
+        fb * jnp.asarray(dec)[None, ..., None])
+    grid = _fine_dft(fine, isign, True, axes=(1, 2, 3))
+    i1, w1 = _taps(x, h1, t1, msp, mr1)
+    i2, w2 = _taps(y, h2, t2, msp, mr2)
+    i3, w3 = _taps(z, h3, t3, msp, mr3)
+    wprod = (w1[:, :, None, None] * w2[:, None, :, None]
+             * w3[:, None, None, :])
+
+    def interp(gb):
+        vals = gb[i1[:, :, None, None], i2[:, None, :, None],
+                  i3[:, None, None, :]]
+        return jnp.float32(h1 * h2 * h3) * jnp.sum(
+            vals * wprod[..., None], axis=(1, 2, 3))
 
     out = jax.vmap(interp)(grid)
     return out.reshape((*lead, x.shape[0], 2))
