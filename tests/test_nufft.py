@@ -205,6 +205,14 @@ class Test2D:
         with pytest.raises(PlanError, match="same number"):
             NU.nufft2d1(np.zeros(5), np.zeros(6), _cplx(rng, 5), (8, 8))
 
+    def test_n_modes_validation(self, rng):
+        x = rng.uniform(0, 2 * np.pi, 10)
+        c = _cplx(rng, 10)
+        with pytest.raises(PlanError, match="sequence of 2"):
+            NU.nufft2d1(x, x, c, 8)
+        with pytest.raises(PlanError, match="2 entries"):
+            NU.nufft2d1(x, x, c, (8, 8, 8))
+
     def test_small_mode_counts_stay_accurate(self, rng):
         # regression: the tap floor raises Mr above sigma*N at small N;
         # tau must follow the EFFECTIVE oversampling (was 1e-4, now
@@ -251,3 +259,135 @@ class Test3D:
         fn = jax.jit(lambda c: NU.nufft3d1(x, y, z, c, (n, n, n)))
         out = np.asarray(fn(ci))
         assert out.shape == (n, n, n, 2) and np.all(np.isfinite(out))
+
+    def test_point_chunking_matches_unchunked(self, rng, monkeypatch):
+        # force several point chunks and check the scatter/gather paths
+        # produce the same result as one chunk (up to f32 add order)
+        m, n = 150, 8
+        x, y, z = (rng.uniform(0, 2 * np.pi, m) for _ in range(3))
+        c = _cplx(rng, m)
+        f = _cplx(rng, n, n, n)
+        ref1 = np.asarray(NU.nufft3d1(x, y, z, c, (n, n, n)))
+        ref2 = np.asarray(NU.nufft3d2(x, y, z, f))
+        monkeypatch.setattr(NU, "_CHUNK_TAP_ELEMS", 1 << 12)
+        got1 = np.asarray(NU.nufft3d1(x, y, z, c, (n, n, n)))
+        got2 = np.asarray(NU.nufft3d2(x, y, z, f))
+        assert _rel(got1, ref1) < 1e-5
+        assert _rel(got2, ref2) < 1e-5
+
+    def test_chunk_count_stays_bounded(self):
+        # the unrolled chunk count under jit is capped at _MAX_CHUNKS
+        step = NU._point_step(1, 10_000_000, 4096)
+        assert -(-10_000_000 // step) <= NU._MAX_CHUNKS
+
+
+def direct3(x, c, s, isign=1):
+    return (c[None, :].astype(np.complex128)
+            * np.exp(isign * 1j * s[:, None] * x[None, :])).sum(1)
+
+
+class TestType3:
+    @pytest.mark.parametrize("isign", [1, -1])
+    def test_1d_matches_direct(self, rng, isign):
+        m, k = 120, 90
+        x = rng.uniform(-3.0, 7.0, m)
+        s = rng.uniform(-40.0, 25.0, k)
+        c = _cplx(rng, m)
+        got = ascomplex(np.asarray(NU.nufft1d3(x, c, s, isign=isign)))
+        assert _rel(got, direct3(x, c, s, isign)) < 1e-5
+
+    def test_2d_and_3d_match_direct(self, rng):
+        m, k = 80, 60
+        x, y, z = (rng.uniform(-2, 5, m) for _ in range(3))
+        s, t, u = (rng.uniform(-15, 10, k) for _ in range(3))
+        c = _cplx(rng, m)
+        ref2 = (c[None, :].astype(np.complex128)
+                * np.exp(1j * (s[:, None] * x[None, :]
+                               + t[:, None] * y[None, :]))).sum(1)
+        got2 = ascomplex(np.asarray(NU.nufft2d3(x, y, c, s, t)))
+        assert _rel(got2, ref2) < 1e-5
+        ref3 = (c[None, :].astype(np.complex128)
+                * np.exp(1j * (s[:, None] * x[None, :]
+                               + t[:, None] * y[None, :]
+                               + u[:, None] * z[None, :]))).sum(1)
+        got3 = ascomplex(np.asarray(NU.nufft3d3(x, y, z, c, s, t, u)))
+        assert _rel(got3, ref3) < 1e-5
+
+    def test_integer_targets_match_type1(self, rng):
+        # type 3 at s = CMCL integer modes must reproduce type 1
+        m, n = 70, 24
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        ks = np.arange(-(n // 2), (n + 1) // 2).astype(np.float64)
+        t3 = ascomplex(np.asarray(NU.nufft1d3(x, c, ks)))
+        t1 = ascomplex(np.asarray(NU.nufft1d1(x, c, n)))
+        assert _rel(t3, t1) < 1e-5
+
+    def test_degenerate_extents(self, rng):
+        # all-equal sources / targets must not divide by a zero extent
+        m, k = 40, 30
+        c = _cplx(rng, m)
+        x0 = np.full(m, 2.7)
+        s = rng.uniform(-30, 30, k)
+        got = ascomplex(np.asarray(NU.nufft1d3(x0, c, s)))
+        assert _rel(got, direct3(x0, c, s)) < 1e-5
+        x = rng.uniform(-2, 2, m)
+        s0 = np.full(k, -4.2)
+        got = ascomplex(np.asarray(NU.nufft1d3(x, c, s0)))
+        assert _rel(got, direct3(x, c, s0)) < 1e-5
+        got = ascomplex(np.asarray(NU.nufft1d3(x[:1], c[:1], s[:1])))
+        assert _rel(got, direct3(x[:1], c[:1], s[:1])) < 1e-5
+
+    def test_eps_controls_accuracy(self, rng):
+        m, k = 100, 50
+        x = rng.uniform(-2, 2, m)
+        s = rng.uniform(-20, 20, k)
+        c = _cplx(rng, m)
+        ref = direct3(x, c, s)
+        loose = _rel(ascomplex(np.asarray(
+            NU.nufft1d3(x, c, s, eps=1e-2))), ref)
+        tight = _rel(ascomplex(np.asarray(
+            NU.nufft1d3(x, c, s, eps=1e-6))), ref)
+        assert tight < 1e-5
+        assert loose < 1e-1
+        assert tight <= loose
+
+    def test_batch_and_jit_in_strengths(self, rng):
+        m, k = 60, 40
+        x = rng.uniform(-1, 1, m)
+        s = rng.uniform(-10, 10, k)
+        cb = _cplx(rng, 2, 3, m)
+        out = np.asarray(NU.nufft1d3(x, cb, s))
+        assert out.shape == (2, 3, k, 2)
+        assert _rel(ascomplex(out[1, 2]), direct3(x, cb[1, 2], s)) < 1e-5
+        ci = jnp.asarray(np.stack([cb[0, 0].real, cb[0, 0].imag], -1))
+        fn = jax.jit(lambda c: NU.nufft1d3(x, c, s))
+        got = ascomplex(np.asarray(fn(ci)))
+        assert _rel(got, direct3(x, cb[0, 0], s)) < 1e-5
+        # grads flow through the (linear) strengths
+        g = jax.grad(lambda c: jnp.sum(NU.nufft1d3(x, c, s) ** 2))(ci)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_traced_coordinates_rejected(self, rng):
+        m, k = 20, 10
+        x = rng.uniform(-1, 1, m)
+        s = rng.uniform(-5, 5, k)
+        ci = jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32))
+        with pytest.raises(Exception, match="concrete"):
+            jax.jit(lambda xv: NU.nufft1d3(xv, ci, s))(jnp.asarray(x))
+        with pytest.raises(PlanError, match="same length"):
+            NU.nufft2d3(x, np.zeros(m + 1), ci, s, s)
+        with pytest.raises(PlanError, match="non-empty"):
+            NU.nufft1d3(np.zeros(0), np.zeros((0, 2)), s)
+
+
+class TestAccuracyFloor:
+    def test_host_points_stay_accurate_at_large_n(self, rng):
+        # concrete (host) points compute taps in f64: position accuracy
+        # must not degrade with N the way an f32 x-representation would
+        # (f32 phase error ~ N * 6e-8 would be ~2.4e-4 at N=4096)
+        m, n = 300, 4096
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        got = ascomplex(np.asarray(NU.nufft1d1(x, c, n)))
+        assert _rel(got, direct1(x, c, n)) < 3e-5

@@ -2,35 +2,53 @@
 
 The uniform-grid ecosystem stops where sampling stops being equispaced;
 MRI/radio-astronomy/particle codes reach for finufft/pyNFFT there.  This
-module provides types 1 and 2 in one, two and three dimensions with
+module provides types 1, 2 and 3 in one, two and three dimensions with
 Gaussian gridding (Dutt-Rokhlin; parameters per Greengard & Lee 2004):
 
 - type 1 (nonuniform -> uniform):  f_k     = sum_j c_j e^{isign i k x_j}
 - type 2 (uniform -> nonuniform):  c_j     = sum_k f_k e^{isign i k x_j}
+- type 3 (nonuniform -> nonuniform): f_k   = sum_j c_j e^{isign i s_k x_j}
 
 with modes k = -(N//2) .. (N-1)//2 (CMCL/finufft mode ordering) and
-points x in radians (any real values; wrapped into [0, 2pi)).  Default
-isign follows finufft: +1 for type 1, -1 for type 2.
+points x in radians (any real values; wrapped into [0, 2pi)).  Type 3
+takes arbitrary real source locations x_j AND target frequencies s_k
+(no wrapping, no grid).  Default isign follows finufft: +1 for types 1
+and 3, -1 for type 2.
 
 Algorithm (type 1): spread each point onto a 2x-oversampled fine grid
 through a truncated periodized Gaussian e^{-t^2/(4 tau)} (2*Msp taps per
 dim), run the fine-grid FFT THROUGH THE PLAN LAYER (facade fft/ifft with
 the unscaled norm), then deconvolve by the Gaussian's transform
 (h/(2 sqrt(pi tau)) e^{k^2 tau}).  Type 2 is the transpose: deconvolve,
-fine-grid inverse, Gaussian interpolation at the points.  tau =
-pi*Msp / (N^2 sigma (sigma - 1/2)) with sigma = 2; Msp from eps via the
-measured convergence (~0.9 decades per tap-pair, validated against the
-direct NDFT oracle in tests/test_nufft.py: Msp=8 -> ~3e-8 in f64).
+fine-grid inverse, Gaussian interpolation at the points.  Type 3
+(Lee & Greengard 2005) reduces to type 2: center/rescale sources into
+the fine grid's interior (an Msp-tap margin so no kernel tail wraps —
+e^{i omega u} is not periodic at real omega), spread, evaluate the
+grid's trig sum at the rescaled targets via the type-2 core, deconvolve
+at the REAL target frequencies, restore the centering phases.  tau =
+pi*Msp / (N^2 sigma (sigma - 1/2)) with sigma the EFFECTIVE oversampling
+Mr/N; Msp from eps via the measured convergence (~0.9 decades per
+tap-pair, validated against the direct NDFT oracle in
+tests/test_nufft.py: Msp=8 -> ~3e-8 in f64).
 
 TPU notes: spreading/interpolation are data-dependent scatter-add /
-gather over 2*Msp offsets per point — the one op class with no dense
-reformulation (the indices depend on runtime data).  Everything else
-(fine FFT, deconvolution) rides the framework's transform kernels.  The
-device computes in f32, so accuracy floors at ~1e-6 relative regardless
-of eps; pass float64 host arrays to the ORACLE in tests for the math
-bar.  All functions are jittable and differentiable — in c (linear) AND
-in the point locations x (through the Gaussian taps), so inverse-NUFFT /
-pointwise-calibration problems can run under jax.grad.
+gather over (2*Msp)^d offsets per point — the one op class with no dense
+reformulation (the indices depend on runtime data).  The tap tensor is
+chunked over the point axis so its footprint stays bounded (a 3-D
+eps=1e-6 call is 32 KB/point unchunked).  Everything else (fine FFT,
+deconvolution) rides the framework's transform kernels.
+
+Accuracy: the device computes in f32.  For CONCRETE point arrays
+(numpy / non-traced — the usual case: sample positions are data) the
+Gaussian taps are computed on the host in float64, so position
+information survives to f64 and the overall error floats near the f32
+spectrum floor (~1e-6 relative) independent of N.  For TRACED points
+(inside jit/grad over x) taps are computed on device in f32, where the
+f32 representation of x itself limits phase accuracy to ~N * 6e-8
+relative — at N in the thousands expect ~1e-4, not 1e-6.  All functions
+are jittable and differentiable — in c (linear) AND in the point
+locations x (through the Gaussian taps; grads over x use the traced
+path).
 
 The reference has no NUFFT analog; this extends the framework's
 beyond-parity surface (docs/PARITY.md).
@@ -39,19 +57,22 @@ beyond-parity surface (docs/PARITY.md).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import fftapi
+from .core import cplx
 from .spec import PlanError
 
 __all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2",
-           "nufft3d1", "nufft3d2"]
+           "nufft3d1", "nufft3d2", "nufft1d3", "nufft2d3", "nufft3d3"]
 
 _SIGMA = 2          # fine-grid oversampling factor
+_CHUNK_TAP_ELEMS = 1 << 22   # bound on B * m_chunk * taps elements
+_MAX_CHUNKS = 32             # bound on unrolled chunk count under jit
 
 
 def _msp_for(eps: float) -> int:
@@ -78,11 +99,31 @@ def _grid_params(n: int, msp: int) -> Tuple[int, float, float]:
     return mr, h, tau
 
 
-def _as_points(x) -> jnp.ndarray:
-    x = jnp.asarray(x, jnp.float32)
-    if x.ndim != 1:
-        raise PlanError(f"points must be a 1-D array, got shape {x.shape}")
-    return jnp.mod(x, 2.0 * math.pi)
+def _n_modes_tuple(n_modes, rank: int) -> Tuple[int, ...]:
+    if np.ndim(n_modes) == 0 and rank > 1:
+        raise PlanError(
+            f"n_modes must be a sequence of {rank} ints, got {n_modes!r}")
+    ns = (int(n_modes),) if rank == 1 else tuple(int(v) for v in n_modes)
+    if len(ns) != rank:
+        raise PlanError(
+            f"n_modes must have {rank} entries, got {len(ns)}")
+    return ns
+
+
+def _as_points(x):
+    """1-D point array wrapped into [0, 2pi).  Concrete inputs stay on
+    the host in float64 (the wrap and later the taps keep full position
+    information); traced inputs wrap in their own dtype before any
+    downcast."""
+    if isinstance(x, jax.core.Tracer):
+        if x.ndim != 1:
+            raise PlanError(
+                f"points must be a 1-D array, got shape {x.shape}")
+        return jnp.mod(x, 2.0 * math.pi).astype(jnp.float32)
+    xn = np.asarray(x, np.float64)
+    if xn.ndim != 1:
+        raise PlanError(f"points must be a 1-D array, got shape {xn.shape}")
+    return np.mod(xn, 2.0 * math.pi)
 
 
 def _as_strengths(c, m: int) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
@@ -97,16 +138,92 @@ def _as_strengths(c, m: int) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
         f"shape {tuple(np.shape(c))}")
 
 
-def _taps(x: jnp.ndarray, h: float, tau: float, msp: int, mr: int):
+def _as_modes(f, rank: int):
+    """Interleaved (B, n1..nd, 2) uniform modes from (..., n1..nd)
+    complex/interleaved input; returns (array, mode dims, lead shape)."""
+    fi = fftapi.asinterleaved(f)
+    if fi.ndim < rank + 1:
+        raise PlanError(
+            f"uniform modes must have at least {rank} mode axes; got "
+            f"shape {tuple(np.shape(f))}")
+    ns = tuple(int(d) for d in fi.shape[-rank - 1:-1])
+    lead = fi.shape[:-rank - 1]
+    return fi.reshape((-1, *ns, 2)), ns, lead
+
+
+def _taps(x, h: float, tau: float, msp: int, mr: int):
     """(indices, weights) of the 2*Msp periodized Gaussian taps per
-    point: idx (M, 2*Msp) int32 mod Mr, w (M, 2*Msp) f32."""
-    xi = x / h
+    point: idx (M, 2*Msp) int32 mod Mr, w (M, 2*Msp) f32.  Host inputs
+    (np.float64) compute in f64 — position accuracy then survives the
+    final f32 rounding of the WEIGHTS, so the error floor is N-independent;
+    traced inputs compute on device in f32."""
+    if isinstance(x, np.ndarray):
+        xi = x / h
+        m0 = np.floor(xi).astype(np.int64)
+        offs = np.arange(-msp + 1, msp + 1, dtype=np.int64)
+        m = m0[:, None] + offs[None, :]
+        t = h * m - x[:, None]
+        w = np.exp(-(t * t) / (4.0 * tau)).astype(np.float32)
+        return (jnp.asarray(np.mod(m, mr).astype(np.int32)),
+                jnp.asarray(w))
+    xi = x / jnp.float32(h)
     m0 = jnp.floor(xi).astype(jnp.int32)
     offs = jnp.arange(-msp + 1, msp + 1, dtype=jnp.int32)
     m = m0[:, None] + offs[None, :]
-    t = h * m.astype(jnp.float32) - x[:, None]
+    t = jnp.float32(h) * m.astype(jnp.float32) - x[:, None]
     w = jnp.exp(-(t * t) / jnp.float32(4.0 * tau))
     return jnp.mod(m, mr), w
+
+
+def _sep_taps(points: Sequence, hs, taus, msp: int, mrs):
+    """Flattened separable taps over all axes: linear fine-grid indices
+    (M, T) with T = (2*Msp)^rank into the row-major (mr1*..*mrd) grid,
+    and the matching weight products (M, T) f32."""
+    lin, w = _taps(points[0], hs[0], taus[0], msp, mrs[0])
+    for p, h, tau, mr in zip(points[1:], hs[1:], taus[1:], mrs[1:]):
+        i2, w2 = _taps(p, h, tau, msp, mr)
+        m = lin.shape[0]
+        lin = (lin[:, :, None] * mr + i2[:, None, :]).reshape(m, -1)
+        w = (w[:, :, None] * w2[:, None, :]).reshape(m, -1)
+    return lin, w
+
+
+def _point_step(b: int, m: int, t: int) -> int:
+    """Point-axis chunk length bounding the (B, step, T) tap tensor to
+    ~_CHUNK_TAP_ELEMS elements while keeping the unrolled chunk count
+    under _MAX_CHUNKS."""
+    step = max(1, _CHUNK_TAP_ELEMS // max(1, b * t))
+    min_step = -(-m // _MAX_CHUNKS)
+    return min(m, max(step, min_step))
+
+
+def _spread(ci: jnp.ndarray, lin, w, total: int) -> jnp.ndarray:
+    """Scatter-add strengths onto the flat fine grid: (B, M, 2) with
+    taps (M, T) -> (B, total, 2), chunked over points."""
+    b, m, _ = ci.shape
+    t = w.shape[1]
+    step = _point_step(b, m, t)
+    grid = jnp.zeros((b, total, 2), jnp.float32)
+    for s in range(0, m, step):
+        e = min(m, s + step)
+        vals = ci[:, s:e, None, :] * w[None, s:e, :, None]
+        grid = grid.at[:, lin[s:e].reshape(-1)].add(
+            vals.reshape(b, -1, 2))
+    return grid
+
+
+def _interp(grid_flat: jnp.ndarray, lin, w) -> jnp.ndarray:
+    """Gather-and-sum fine-grid values at the points: (B, total, 2) with
+    taps (M, T) -> (B, M, 2), chunked over points."""
+    b = grid_flat.shape[0]
+    m, t = w.shape
+    step = _point_step(b, m, t)
+    outs = []
+    for s in range(0, m, step):
+        e = min(m, s + step)
+        vals = grid_flat[:, lin[s:e]]            # (B, mc, T, 2)
+        outs.append(jnp.sum(vals * w[None, s:e, :, None], axis=2))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _mode_slice(mr: int, n: int) -> np.ndarray:
@@ -121,8 +238,7 @@ def _deconv_1d(n: int, h: float, tau: float) -> np.ndarray:
             * np.exp(k * k * tau)).astype(np.float32)
 
 
-def _fine_dft(grid_i: jnp.ndarray, isign: int, inverse_to_points: bool,
-              axes=None):
+def _fine_dft(grid_i: jnp.ndarray, isign: int, axes=None):
     """Unscaled fine-grid DFT with the e^{isign * i k h m} convention:
     facade ifft (norm='forward', unscaled) realizes e^{+...}, fft
     (norm=None, unscaled) e^{-...}; rank > 1 via the ND entry points."""
@@ -134,56 +250,204 @@ def _fine_dft(grid_i: jnp.ndarray, isign: int, inverse_to_points: bool,
     return neg(grid_i, **kw)
 
 
+# ------------------------------------------------------------ generic ND
+
+def _type1(points, c, ns, eps: float, isign: int):
+    msp = _msp_for(eps)
+    params = [_grid_params(n, msp) for n in ns]
+    mrs = [p[0] for p in params]
+    hs = [p[1] for p in params]
+    taus = [p[2] for p in params]
+    ci, lead = _as_strengths(c, points[0].shape[0])
+    lin, w = _sep_taps(points, hs, taus, msp, mrs)
+    grid = _spread(ci, lin, w, int(np.prod(mrs)))
+    grid = grid.reshape((ci.shape[0], *mrs, 2))
+    spec = _fine_dft(grid, isign, axes=tuple(range(1, len(ns) + 1))
+                     if len(ns) > 1 else None)
+    sels = [_mode_slice(mr, n) for mr, n in zip(mrs, ns)]
+    rank = len(ns)
+    ix = tuple(s.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+               for i, s in enumerate(sels))
+    out = spec[(slice(None), *ix, slice(None))]
+    dec = np.float32(1.0)
+    for i, (n, h, tau) in enumerate(zip(ns, hs, taus)):
+        d = _deconv_1d(n, h, tau)
+        dec = dec * d.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+    out = out * jnp.asarray(dec)[None, ..., None]
+    return out.reshape((*lead, *ns, 2))
+
+
+def _type2(points, f, rank: int, eps: float, isign: int):
+    fb, ns, lead = _as_modes(f, rank)
+    msp = _msp_for(eps)
+    params = [_grid_params(n, msp) for n in ns]
+    mrs = [p[0] for p in params]
+    hs = [p[1] for p in params]
+    taus = [p[2] for p in params]
+    sels = [_mode_slice(mr, n) for mr, n in zip(mrs, ns)]
+    ix = tuple(s.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+               for i, s in enumerate(sels))
+    dec = np.float32(1.0)
+    for i, (n, h, tau) in enumerate(zip(ns, hs, taus)):
+        d = _deconv_1d(n, h, tau)
+        dec = dec * d.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+    fine = jnp.zeros((fb.shape[0], *mrs, 2), jnp.float32)
+    fine = fine.at[(slice(None), *ix, slice(None))].set(
+        fb * jnp.asarray(dec)[None, ..., None])
+    grid = _fine_dft(fine, isign, axes=tuple(range(1, rank + 1))
+                     if rank > 1 else None)
+    lin, w = _sep_taps(points, hs, taus, msp, mrs)
+    out = _interp(grid.reshape((fb.shape[0], -1, 2)), lin, w)
+    return out.reshape((*lead, points[0].shape[0], 2)), ns
+
+
+def _points_nd(*coords):
+    pts = [_as_points(p) for p in coords]
+    if not all(p.shape == pts[0].shape for p in pts[1:]):
+        raise PlanError(
+            "point coordinate arrays must have the same number of points")
+    return pts
+
+
+# -------------------------------------------------------------- type 3
+
+def _free_coords(coords, what: str):
+    """Host-f64 1-D coordinate arrays for type 3 (no wrapping — source
+    locations and target frequencies are free reals).  Type-3 geometry
+    (grid sizes) depends on the coordinate RANGES, so traced coordinates
+    cannot be supported; strengths may still be traced."""
+    out = []
+    for p in coords:
+        if isinstance(p, jax.core.Tracer):
+            raise PlanError(
+                f"type-3 {what} must be concrete (the fine-grid geometry "
+                "depends on their numeric range); only the strengths may "
+                "be traced")
+        pn = np.asarray(p, np.float64)
+        if pn.ndim != 1:
+            raise PlanError(
+                f"{what} must be 1-D arrays, got shape {pn.shape}")
+        out.append(pn)
+    if not all(p.shape == out[0].shape for p in out[1:]):
+        raise PlanError(
+            f"{what} coordinate arrays must have the same length")
+    if out[0].size == 0:
+        raise PlanError(f"{what} must be non-empty")
+    return out
+
+
+def _phase_rot(angle: np.ndarray, factor=1.0) -> jnp.ndarray:
+    """(..., 2, 2) rotation tensor for cmul_t4: multiply interleaved data
+    by factor * e^{i angle} (host-f64 trig, f32 storage)."""
+    return jnp.asarray(cplx.to_t4(np.asarray(factor, np.float64)
+                                  * np.exp(1j * np.asarray(angle))))
+
+
+def _type3(xs, c, ss, eps: float, isign: int):
+    """Generic ND type 3 (Lee & Greengard 2005, reduction to type 2):
+    center and rescale sources into [0, 2pi) and targets into fine-grid
+    'point' coordinates, Gaussian-spread the (pre-phased) strengths onto
+    a fine grid, evaluate the grid's trig sum at the scaled targets via
+    the type-2 core, then deconvolve by the spreading Gaussian at the
+    REAL target frequencies and restore the centering phases."""
+    if isign not in (1, -1):
+        raise PlanError(f"isign must be +1 or -1, got {isign}")
+    rank = len(xs)
+    msp = _msp_for(eps)
+    ci, lead = _as_strengths(c, xs[0].shape[0])
+
+    nfs, hs, taus = [], [], []
+    us, thetas, omegas = [], [], []
+    pre_angle = np.zeros(xs[0].shape[0], np.float64)
+    post_angle = np.zeros(ss[0].shape[0], np.float64)
+    deconv = np.ones(ss[0].shape[0], np.float64)
+    for x, s in zip(xs, ss):
+        xc = (x.max() + x.min()) / 2.0
+        sc = (s.max() + s.min()) / 2.0
+        hx = max(np.abs(x - xc).max(), 1e-9)    # source half-extent X
+        sx = max(np.abs(s - sc).max(), 1e-9)    # target half-extent S
+        # e^{i omega u} is NOT 2pi-periodic in u for real omega, so the
+        # spread must never wrap: sources map into [pi - A, pi + A] with
+        # an Msp-tap margin A = pi - msp*h on each side.  A depends on h
+        # which depends on nf which depends on A — two fixed-point
+        # passes settle it (nf only grows through next_fast_len).
+        amp = math.pi
+        for _ in range(3):
+            wband = max(sx * hx / amp, 1.0)     # inner bandwidth W
+            n_band = max(int(math.ceil(2.0 * wband)) + 1, 2)
+            nf = fftapi.next_fast_len(max(_SIGMA * n_band, 4 * msp + 2))
+            h = 2.0 * math.pi / nf
+            amp = max(math.pi - msp * h, math.pi / 2.0)
+        gam = amp / hx                          # x' -> u scale
+        omega = (s - sc) / gam                  # scaled target freqs
+        sig = nf / n_band
+        tau = math.pi * msp / (n_band * n_band) / (sig * (sig - 0.5))
+        nfs.append(nf)
+        hs.append(h)
+        taus.append(tau)
+        us.append((x - xc) * gam + math.pi)     # in [pi-A, pi+A]
+        omegas.append(omega)
+        thetas.append(np.mod(omega * h, 2.0 * math.pi))
+        pre_angle += sc * (x - xc)
+        # e^{isign i theta*c0} (natural->CMCL index shift of the inner
+        # type 2) and e^{-isign i pi*omega} (source center shift) —
+        # they cancel exactly when nf is even
+        post_angle += omega * (h * (nf // 2) - math.pi) + s * xc
+        deconv *= (h / (2.0 * math.sqrt(math.pi * tau))
+                   * np.exp(omega * omega * tau))
+
+    cc = cplx.cmul_t4(ci, _phase_rot(isign * pre_angle))
+    lin, w = _sep_taps(us, hs, taus, msp, nfs)
+    grid = _spread(cc, lin, w, int(np.prod(nfs)))
+    # the natural-order fine grid read as CMCL modes represents
+    # coefficients of e^{isign i (m - nf//2) theta}; the index shift is
+    # folded into post_angle above
+    grid = grid.reshape((cc.shape[0], *nfs, 2))
+    inner, _ = _type2(thetas, grid, rank, eps, isign)
+    out = cplx.cmul_t4(inner, _phase_rot(isign * post_angle, deconv))
+    return out.reshape((*lead, ss[0].shape[0], 2))
+
+
+def nufft1d3(x, c, s, *, eps: float = 1e-6, isign: int = 1):
+    """Type-3 1-D NUFFT: f_k = sum_j c_j e^{isign i s_k x_j} at arbitrary
+    real target frequencies ``s`` from arbitrary real source locations
+    ``x`` (M,) with strengths ``c`` (..., M) complex or interleaved.
+    Returns interleaved (..., K, 2).  Coordinates must be concrete
+    (the fine-grid geometry depends on their ranges)."""
+    return _type3(_free_coords([x], "source locations"), c,
+                  _free_coords([s], "target frequencies"), eps, isign)
+
+
+def nufft2d3(x, y, c, s, t, *, eps: float = 1e-6, isign: int = 1):
+    """Type-3 2-D NUFFT: f_k = sum_j c_j e^{isign i (s_k x_j + t_k y_j)}
+    at K arbitrary target frequency pairs (s, t)."""
+    return _type3(_free_coords([x, y], "source locations"), c,
+                  _free_coords([s, t], "target frequencies"), eps, isign)
+
+
+def nufft3d3(x, y, z, c, s, t, u, *, eps: float = 1e-6, isign: int = 1):
+    """Type-3 3-D NUFFT: f_k = sum_j c_j e^{isign i (s_k x_j + t_k y_j +
+    u_k z_j)} at K arbitrary target frequency triples (s, t, u)."""
+    return _type3(_free_coords([x, y, z], "source locations"), c,
+                  _free_coords([s, t, u], "target frequencies"), eps, isign)
+
+
 # ------------------------------------------------------------------ 1-D
 
 def nufft1d1(x, c, n_modes: int, *, eps: float = 1e-6, isign: int = 1):
     """Type-1 1-D NUFFT: f_k = sum_j c_j e^{isign i k x_j} for
     k = -(N//2)..(N-1)//2.  ``x`` (M,) radians; ``c`` (..., M) complex or
     interleaved.  Returns interleaved (..., N, 2)."""
-    x = _as_points(x)
-    msp = _msp_for(eps)
-    mr, h, tau = _grid_params(int(n_modes), msp)
-    ci, lead = _as_strengths(c, x.shape[0])
-    idx, w = _taps(x, h, tau, msp, mr)
-    flat_idx = idx.reshape(-1)
-
-    def spread(cb):                       # (M, 2) -> (Mr, 2)
-        vals = cb[:, None, :] * w[..., None]
-        return jnp.zeros((mr, 2), jnp.float32).at[flat_idx].add(
-            vals.reshape(-1, 2))
-
-    grid = jax.vmap(spread)(ci)           # (B, Mr, 2)
-    spec = _fine_dft(grid, isign, False)
-    sel = _mode_slice(mr, int(n_modes))
-    out = spec[:, sel, :] * jnp.asarray(
-        _deconv_1d(int(n_modes), h, tau))[None, :, None]
-    return out.reshape((*lead, int(n_modes), 2))
+    return _type1(_points_nd(x), c, _n_modes_tuple(n_modes, 1),
+                  eps, isign)
 
 
 def nufft1d2(x, f, *, eps: float = 1e-6, isign: int = -1):
     """Type-2 1-D NUFFT: c_j = sum_k f_k e^{isign i k x_j}.  ``f``
     (..., N) complex/interleaved uniform modes in CMCL order; returns
     interleaved (..., M, 2) values at the M points ``x``."""
-    x = _as_points(x)
-    fi = fftapi.asinterleaved(f)
-    n = int(fi.shape[-2])
-    msp = _msp_for(eps)
-    mr, h, tau = _grid_params(n, msp)
-    lead = fi.shape[:-2]
-    fb = fi.reshape((-1, n, 2))
-    sel = _mode_slice(mr, n)
-    dec = jnp.asarray(_deconv_1d(n, h, tau) / np.float32(h))
-    fine = jnp.zeros((fb.shape[0], mr, 2), jnp.float32)
-    fine = fine.at[:, sel, :].set(fb * dec[None, :, None])
-    grid = _fine_dft(fine, isign, True)   # (B, Mr, 2) fine-grid field
-    idx, w = _taps(x, h, tau, msp, mr)
-
-    def interp(gb):                       # (Mr, 2) -> (M, 2)
-        vals = gb[idx]                    # (M, 2*Msp, 2) gather
-        return jnp.float32(h) * jnp.sum(vals * w[..., None], axis=1)
-
-    out = jax.vmap(interp)(grid)
-    return out.reshape((*lead, x.shape[0], 2))
+    out, _ = _type2(_points_nd(x), f, 1, eps, isign)
+    return out
 
 
 # ------------------------------------------------------------------ 2-D
@@ -191,153 +455,31 @@ def nufft1d2(x, f, *, eps: float = 1e-6, isign: int = -1):
 def nufft2d1(x, y, c, n_modes, *, eps: float = 1e-6, isign: int = 1):
     """Type-1 2-D NUFFT onto an (N1, N2) mode grid (CMCL order per
     axis): f_{k1,k2} = sum_j c_j e^{isign i (k1 x_j + k2 y_j)}."""
-    x = _as_points(x)
-    y = _as_points(y)
-    if x.shape != y.shape:
-        raise PlanError("x and y must have the same number of points")
-    n1, n2 = (int(n_modes[0]), int(n_modes[1]))
-    msp = _msp_for(eps)
-    mr1, h1, t1 = _grid_params(n1, msp)
-    mr2, h2, t2 = _grid_params(n2, msp)
-    ci, lead = _as_strengths(c, x.shape[0])
-    i1, w1 = _taps(x, h1, t1, msp, mr1)
-    i2, w2 = _taps(y, h2, t2, msp, mr2)
-    lin = (i1[:, :, None] * mr2 + i2[:, None, :]).reshape(-1)
-    wout = (w1[:, :, None] * w2[:, None, :])[..., None]   # (M, 2T, 2T, 1)
-
-    def spread(cb):
-        vals = cb[:, None, None, :] * wout
-        flat = jnp.zeros((mr1 * mr2, 2), jnp.float32).at[lin].add(
-            vals.reshape(-1, 2))
-        return flat.reshape(mr1, mr2, 2)
-
-    grid = jax.vmap(spread)(ci)
-    spec = _fine_dft(grid, isign, False, axes=(1, 2))
-    s1 = _mode_slice(mr1, n1)
-    s2 = _mode_slice(mr2, n2)
-    out = spec[:, s1[:, None], s2[None, :], :]
-    dec = (_deconv_1d(n1, h1, t1)[:, None]
-           * _deconv_1d(n2, h2, t2)[None, :])
-    out = out * jnp.asarray(dec)[None, :, :, None]
-    return out.reshape((*lead, n1, n2, 2))
+    return _type1(_points_nd(x, y), c, _n_modes_tuple(n_modes, 2),
+                  eps, isign)
 
 
 def nufft2d2(x, y, f, *, eps: float = 1e-6, isign: int = -1):
     """Type-2 2-D NUFFT: values at (x_j, y_j) of the (..., N1, N2)
     uniform-mode array ``f``: c_j = sum_{k1,k2} f e^{isign i (k1 x + k2 y)}."""
-    x = _as_points(x)
-    y = _as_points(y)
-    if x.shape != y.shape:
-        raise PlanError("x and y must have the same number of points")
-    fi = fftapi.asinterleaved(f)
-    n1, n2 = int(fi.shape[-3]), int(fi.shape[-2])
-    msp = _msp_for(eps)
-    mr1, h1, t1 = _grid_params(n1, msp)
-    mr2, h2, t2 = _grid_params(n2, msp)
-    lead = fi.shape[:-3]
-    fb = fi.reshape((-1, n1, n2, 2))
-    s1 = _mode_slice(mr1, n1)
-    s2 = _mode_slice(mr2, n2)
-    dec = (_deconv_1d(n1, h1, t1)[:, None] / np.float32(h1)
-           * _deconv_1d(n2, h2, t2)[None, :] / np.float32(h2))
-    fine = jnp.zeros((fb.shape[0], mr1, mr2, 2), jnp.float32)
-    fine = fine.at[:, s1[:, None], s2[None, :], :].set(
-        fb * jnp.asarray(dec)[None, :, :, None])
-    grid = _fine_dft(fine, isign, True, axes=(1, 2))
-    i1, w1 = _taps(x, h1, t1, msp, mr1)
-    i2, w2 = _taps(y, h2, t2, msp, mr2)
-    wprod = w1[:, :, None] * w2[:, None, :]               # (M, 2T, 2T)
-
-    def interp(gb):
-        vals = gb[i1[:, :, None], i2[:, None, :]]          # (M,2T,2T,2)
-        return jnp.float32(h1 * h2) * jnp.sum(
-            vals * wprod[..., None], axis=(1, 2))
-
-    out = jax.vmap(interp)(grid)
-    return out.reshape((*lead, x.shape[0], 2))
+    out, _ = _type2(_points_nd(x, y), f, 2, eps, isign)
+    return out
 
 
 # ------------------------------------------------------------------ 3-D
 
-def _points3(x, y, z):
-    x, y, z = _as_points(x), _as_points(y), _as_points(z)
-    if not (x.shape == y.shape == z.shape):
-        raise PlanError("x, y and z must have the same number of points")
-    return x, y, z
-
-
 def nufft3d1(x, y, z, c, n_modes, *, eps: float = 1e-6, isign: int = 1):
     """Type-1 3-D NUFFT onto an (N1, N2, N3) mode grid (CMCL order per
     axis): f_{k1,k2,k3} = sum_j c_j e^{isign i (k1 x_j + k2 y_j + k3 z_j)}.
-    Each point spreads (2*Msp)^3 separable Gaussian taps (the MRI /
-    particle-mesh workhorse; budget-minded callers lower eps)."""
-    x, y, z = _points3(x, y, z)
-    n1, n2, n3 = (int(n_modes[0]), int(n_modes[1]), int(n_modes[2]))
-    msp = _msp_for(eps)
-    mr1, h1, t1 = _grid_params(n1, msp)
-    mr2, h2, t2 = _grid_params(n2, msp)
-    mr3, h3, t3 = _grid_params(n3, msp)
-    ci, lead = _as_strengths(c, x.shape[0])
-    i1, w1 = _taps(x, h1, t1, msp, mr1)
-    i2, w2 = _taps(y, h2, t2, msp, mr2)
-    i3, w3 = _taps(z, h3, t3, msp, mr3)
-    lin = ((i1[:, :, None, None] * mr2 + i2[:, None, :, None]) * mr3
-           + i3[:, None, None, :]).reshape(-1)
-    wout = (w1[:, :, None, None] * w2[:, None, :, None]
-            * w3[:, None, None, :])[..., None]
-
-    def spread(cb):
-        vals = cb[:, None, None, None, :] * wout
-        flat = jnp.zeros((mr1 * mr2 * mr3, 2), jnp.float32).at[lin].add(
-            vals.reshape(-1, 2))
-        return flat.reshape(mr1, mr2, mr3, 2)
-
-    grid = jax.vmap(spread)(ci)
-    spec = _fine_dft(grid, isign, False, axes=(1, 2, 3))
-    s1, s2, s3 = (_mode_slice(mr1, n1), _mode_slice(mr2, n2),
-                  _mode_slice(mr3, n3))
-    out = spec[:, s1[:, None, None], s2[None, :, None],
-               s3[None, None, :], :]
-    dec = (_deconv_1d(n1, h1, t1)[:, None, None]
-           * _deconv_1d(n2, h2, t2)[None, :, None]
-           * _deconv_1d(n3, h3, t3)[None, None, :])
-    out = out * jnp.asarray(dec)[None, ..., None]
-    return out.reshape((*lead, n1, n2, n3, 2))
+    Each point spreads (2*Msp)^3 separable Gaussian taps, chunked over
+    points so the tap tensor stays within the framework's operand bound
+    (the MRI / particle-mesh workhorse; budget-minded callers lower eps)."""
+    return _type1(_points_nd(x, y, z), c, _n_modes_tuple(n_modes, 3),
+                  eps, isign)
 
 
 def nufft3d2(x, y, z, f, *, eps: float = 1e-6, isign: int = -1):
     """Type-2 3-D NUFFT: values at the points of the (..., N1, N2, N3)
     uniform-mode array ``f``."""
-    x, y, z = _points3(x, y, z)
-    fi = fftapi.asinterleaved(f)
-    n1, n2, n3 = int(fi.shape[-4]), int(fi.shape[-3]), int(fi.shape[-2])
-    msp = _msp_for(eps)
-    mr1, h1, t1 = _grid_params(n1, msp)
-    mr2, h2, t2 = _grid_params(n2, msp)
-    mr3, h3, t3 = _grid_params(n3, msp)
-    lead = fi.shape[:-4]
-    fb = fi.reshape((-1, n1, n2, n3, 2))
-    s1, s2, s3 = (_mode_slice(mr1, n1), _mode_slice(mr2, n2),
-                  _mode_slice(mr3, n3))
-    dec = (_deconv_1d(n1, h1, t1)[:, None, None] / np.float32(h1)
-           * _deconv_1d(n2, h2, t2)[None, :, None] / np.float32(h2)
-           * _deconv_1d(n3, h3, t3)[None, None, :] / np.float32(h3))
-    fine = jnp.zeros((fb.shape[0], mr1, mr2, mr3, 2), jnp.float32)
-    fine = fine.at[:, s1[:, None, None], s2[None, :, None],
-                   s3[None, None, :], :].set(
-        fb * jnp.asarray(dec)[None, ..., None])
-    grid = _fine_dft(fine, isign, True, axes=(1, 2, 3))
-    i1, w1 = _taps(x, h1, t1, msp, mr1)
-    i2, w2 = _taps(y, h2, t2, msp, mr2)
-    i3, w3 = _taps(z, h3, t3, msp, mr3)
-    wprod = (w1[:, :, None, None] * w2[:, None, :, None]
-             * w3[:, None, None, :])
-
-    def interp(gb):
-        vals = gb[i1[:, :, None, None], i2[:, None, :, None],
-                  i3[:, None, None, :]]
-        return jnp.float32(h1 * h2 * h3) * jnp.sum(
-            vals * wprod[..., None], axis=(1, 2, 3))
-
-    out = jax.vmap(interp)(grid)
-    return out.reshape((*lead, x.shape[0], 2))
+    out, _ = _type2(_points_nd(x, y, z), f, 3, eps, isign)
+    return out
