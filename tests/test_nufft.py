@@ -391,3 +391,65 @@ class TestAccuracyFloor:
         c = _cplx(rng, m)
         got = ascomplex(np.asarray(NU.nufft1d1(x, c, n)))
         assert _rel(got, direct1(x, c, n)) < 3e-5
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 session-9 review findings."""
+
+    def test_zero_points_type1_gives_zero_modes(self):
+        out = ascomplex(np.asarray(
+            NU.nufft1d1(np.zeros(0), np.zeros((0, 2), np.float32), 8)))
+        assert out.shape == (8,)
+        assert np.all(out == 0)
+
+    def test_zero_points_type2_gives_empty_values(self, rng):
+        f = _cplx(rng, 8)
+        out = np.asarray(NU.nufft1d2(np.zeros(0), f))
+        assert out.shape == (0, 2)
+        out2 = np.asarray(NU.nufft2d2(np.zeros(0), np.zeros(0),
+                                      _cplx(rng, 8, 6)))
+        assert out2.shape == (0, 2)
+
+    def test_zero_points_batched(self, rng):
+        out = np.asarray(NU.nufft1d1(
+            np.zeros(0), np.zeros((3, 0, 2), np.float32), 8))
+        assert out.shape == (3, 8, 2)
+        assert np.all(out == 0)
+
+    @pytest.mark.parametrize("bad", [0, 2, -3])
+    def test_isign_validated_types_1_and_2(self, rng, bad):
+        x = rng.uniform(0, 2 * np.pi, 10)
+        c = _cplx(rng, 10)
+        with pytest.raises(PlanError, match="isign"):
+            NU.nufft1d1(x, c, 8, isign=bad)
+        with pytest.raises(PlanError, match="isign"):
+            NU.nufft1d2(x, _cplx(rng, 8), isign=bad)
+
+    def test_length1_tuple_n_modes_in_1d(self, rng):
+        x = rng.uniform(0, 2 * np.pi, 30)
+        c = _cplx(rng, 30)
+        a = ascomplex(np.asarray(NU.nufft1d1(x, c, 16)))
+        b = ascomplex(np.asarray(NU.nufft1d1(x, c, (16,))))
+        assert np.array_equal(a, b)
+        with pytest.raises(PlanError, match="1 entries"):
+            NU.nufft1d1(x, c, (16, 16))
+
+    def test_fine_grid_int32_overflow_rejected(self, rng):
+        x = rng.uniform(0, 2 * np.pi, 4)
+        c = _cplx(rng, 4)
+        with pytest.raises(PlanError, match="int32"):
+            NU.nufft3d1(x, x, x, c, (700, 700, 700))
+
+    def test_chunked_taps_match_single_chunk(self, rng, monkeypatch):
+        # force tiny point-chunks; results must be identical to one chunk
+        m, n = 64, 24
+        x = rng.uniform(0, 2 * np.pi, m)
+        c = _cplx(rng, m)
+        f = _cplx(rng, n)
+        ref1 = np.asarray(NU.nufft1d1(x, c, n))
+        ref2 = np.asarray(NU.nufft1d2(x, f))
+        monkeypatch.setattr(NU, "_CHUNK_TAP_ELEMS", 64)
+        got1 = np.asarray(NU.nufft1d1(x, c, n))
+        got2 = np.asarray(NU.nufft1d2(x, f))
+        np.testing.assert_allclose(got1, ref1, rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(got2, ref2, rtol=2e-6, atol=2e-6)

@@ -65,13 +65,14 @@ import jax.numpy as jnp
 
 from . import fftapi
 from .core import cplx
+from .plans.transforms import CHUNK_ELEMS
 from .spec import PlanError
 
 __all__ = ["nufft1d1", "nufft1d2", "nufft2d1", "nufft2d2",
            "nufft3d1", "nufft3d2", "nufft1d3", "nufft2d3", "nufft3d3"]
 
 _SIGMA = 2          # fine-grid oversampling factor
-_CHUNK_TAP_ELEMS = 1 << 22   # bound on B * m_chunk * taps elements
+_CHUNK_TAP_ELEMS = CHUNK_ELEMS  # bound on B * m_chunk * taps elements
 _MAX_CHUNKS = 32             # bound on unrolled chunk count under jit
 
 
@@ -100,14 +101,35 @@ def _grid_params(n: int, msp: int) -> Tuple[int, float, float]:
 
 
 def _n_modes_tuple(n_modes, rank: int) -> Tuple[int, ...]:
-    if np.ndim(n_modes) == 0 and rank > 1:
-        raise PlanError(
-            f"n_modes must be a sequence of {rank} ints, got {n_modes!r}")
-    ns = (int(n_modes),) if rank == 1 else tuple(int(v) for v in n_modes)
+    if np.ndim(n_modes) == 0:
+        if rank > 1:
+            raise PlanError(
+                f"n_modes must be a sequence of {rank} ints, got {n_modes!r}")
+        ns = (int(n_modes),)
+    else:
+        ns = tuple(int(v) for v in n_modes)
     if len(ns) != rank:
         raise PlanError(
             f"n_modes must have {rank} entries, got {len(ns)}")
     return ns
+
+
+def _check_isign(isign: int) -> int:
+    if isign not in (1, -1):
+        raise PlanError(f"isign must be +1 or -1, got {isign!r}")
+    return isign
+
+
+def _check_grid(mrs) -> int:
+    """Total fine-grid cells, validated against the int32 index space the
+    flat scatter/gather indices live in."""
+    total = int(np.prod([int(m) for m in mrs], dtype=np.int64))
+    if total >= 2 ** 31:
+        raise PlanError(
+            f"fine grid of {total} cells exceeds the int32 index space; "
+            "reduce n_modes (the 2x-oversampled grid must stay below 2^31 "
+            "cells)")
+    return total
 
 
 def _as_points(x):
@@ -132,7 +154,8 @@ def _as_strengths(c, m: int) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
     ci = fftapi.asinterleaved(c)
     if ci.shape[-2:] == (m, 2):
         lead = ci.shape[:-2]
-        return ci.reshape((-1, m, 2)), lead
+        b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        return ci.reshape((b, m, 2)), lead
     raise PlanError(
         f"strengths must have trailing length {m} (one per point); got "
         f"shape {tuple(np.shape(c))}")
@@ -175,13 +198,15 @@ def _taps(x, h: float, tau: float, msp: int, mr: int):
     return jnp.mod(m, mr), w
 
 
-def _sep_taps(points: Sequence, hs, taus, msp: int, mrs):
-    """Flattened separable taps over all axes: linear fine-grid indices
-    (M, T) with T = (2*Msp)^rank into the row-major (mr1*..*mrd) grid,
-    and the matching weight products (M, T) f32."""
-    lin, w = _taps(points[0], hs[0], taus[0], msp, mrs[0])
+def _sep_taps(points: Sequence, hs, taus, msp: int, mrs, s=0, e=None):
+    """Flattened separable taps for the point slice [s:e): linear
+    fine-grid indices (mc, T) with T = (2*Msp)^rank into the row-major
+    (mr1*..*mrd) grid, and the matching weight products (mc, T) f32.
+    Called per point-chunk so the O(M*T) tap tensor never materializes
+    whole (review fix: a 3-D eps=1e-6 call at M=1e6 is ~32 GB unsliced)."""
+    lin, w = _taps(points[0][s:e], hs[0], taus[0], msp, mrs[0])
     for p, h, tau, mr in zip(points[1:], hs[1:], taus[1:], mrs[1:]):
-        i2, w2 = _taps(p, h, tau, msp, mr)
+        i2, w2 = _taps(p[s:e], h, tau, msp, mr)
         m = lin.shape[0]
         lin = (lin[:, :, None] * mr + i2[:, None, :]).reshape(m, -1)
         w = (w[:, :, None] * w2[:, None, :]).reshape(m, -1)
@@ -193,36 +218,43 @@ def _point_step(b: int, m: int, t: int) -> int:
     ~_CHUNK_TAP_ELEMS elements while keeping the unrolled chunk count
     under _MAX_CHUNKS."""
     step = max(1, _CHUNK_TAP_ELEMS // max(1, b * t))
-    min_step = -(-m // _MAX_CHUNKS)
-    return min(m, max(step, min_step))
+    min_step = -(-m // _MAX_CHUNKS) if m else 1
+    return max(1, min(m, max(step, min_step))) if m else 1
 
 
-def _spread(ci: jnp.ndarray, lin, w, total: int) -> jnp.ndarray:
-    """Scatter-add strengths onto the flat fine grid: (B, M, 2) with
-    taps (M, T) -> (B, total, 2), chunked over points."""
+def _spread(ci: jnp.ndarray, points, hs, taus, msp: int, mrs,
+            total: int) -> jnp.ndarray:
+    """Scatter-add strengths onto the flat fine grid: (B, M, 2) ->
+    (B, total, 2).  Taps are computed per point-chunk (host f64 for
+    concrete points) so the footprint stays bounded at any M."""
     b, m, _ = ci.shape
-    t = w.shape[1]
+    t = (2 * msp) ** len(mrs)
     step = _point_step(b, m, t)
     grid = jnp.zeros((b, total, 2), jnp.float32)
     for s in range(0, m, step):
         e = min(m, s + step)
-        vals = ci[:, s:e, None, :] * w[None, s:e, :, None]
-        grid = grid.at[:, lin[s:e].reshape(-1)].add(
-            vals.reshape(b, -1, 2))
+        lin, w = _sep_taps(points, hs, taus, msp, mrs, s, e)
+        vals = ci[:, s:e, None, :] * w[None, :, :, None]
+        grid = grid.at[:, lin.reshape(-1)].add(vals.reshape(b, -1, 2))
     return grid
 
 
-def _interp(grid_flat: jnp.ndarray, lin, w) -> jnp.ndarray:
-    """Gather-and-sum fine-grid values at the points: (B, total, 2) with
-    taps (M, T) -> (B, M, 2), chunked over points."""
+def _interp(grid_flat: jnp.ndarray, points, hs, taus, msp: int,
+            mrs) -> jnp.ndarray:
+    """Gather-and-sum fine-grid values at the points: (B, total, 2) ->
+    (B, M, 2), taps computed per point-chunk."""
     b = grid_flat.shape[0]
-    m, t = w.shape
+    m = points[0].shape[0]
+    t = (2 * msp) ** len(mrs)
     step = _point_step(b, m, t)
     outs = []
     for s in range(0, m, step):
         e = min(m, s + step)
-        vals = grid_flat[:, lin[s:e]]            # (B, mc, T, 2)
-        outs.append(jnp.sum(vals * w[None, s:e, :, None], axis=2))
+        lin, w = _sep_taps(points, hs, taus, msp, mrs, s, e)
+        vals = grid_flat[:, lin]                 # (B, mc, T, 2)
+        outs.append(jnp.sum(vals * w[None, :, :, None], axis=2))
+    if not outs:
+        return jnp.zeros((b, 0, 2), jnp.float32)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
@@ -252,52 +284,75 @@ def _fine_dft(grid_i: jnp.ndarray, isign: int, axes=None):
 
 # ------------------------------------------------------------ generic ND
 
-def _type1(points, c, ns, eps: float, isign: int):
+def _mode_ix(ns, mrs):
+    """Broadcastable per-axis fine-grid selectors of the CMCL modes."""
+    rank = len(ns)
+    sels = [_mode_slice(mr, n) for mr, n in zip(mrs, ns)]
+    return tuple(s.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+                 for i, s in enumerate(sels))
+
+
+def _deconv_nd(ns, hs, taus) -> np.ndarray:
+    """Separable Gaussian deconvolution weights, broadcast to (*ns,)."""
+    rank = len(ns)
+    dec = np.float32(1.0)
+    for i, (n, h, tau) in enumerate(zip(ns, hs, taus)):
+        d = _deconv_1d(n, h, tau)
+        dec = dec * d.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
+    return dec
+
+
+def _modes_from_grid(grid, ns, mrs, hs, taus, isign: int):
+    """Flat fine grid (B, total, 2) -> deconvolved CMCL modes
+    (B, *ns, 2): fine-grid DFT, mode extraction, Gaussian deconvolution
+    (the type-1 tail after spreading; shared with the distributed layer)."""
+    b = grid.shape[0]
+    rank = len(ns)
+    grid = grid.reshape((b, *mrs, 2))
+    spec = _fine_dft(grid, isign, axes=tuple(range(1, rank + 1))
+                     if rank > 1 else None)
+    out = spec[(slice(None), *_mode_ix(ns, mrs), slice(None))]
+    return out * jnp.asarray(_deconv_nd(ns, hs, taus))[None, ..., None]
+
+
+def _grid_from_modes(fb, ns, mrs, hs, taus, isign: int):
+    """Deconvolved CMCL modes (B, *ns, 2) -> flat fine grid (B, total, 2)
+    (the type-2 head before interpolation; shared with the distributed
+    layer)."""
+    rank = len(ns)
+    fine = jnp.zeros((fb.shape[0], *mrs, 2), jnp.float32)
+    fine = fine.at[(slice(None), *_mode_ix(ns, mrs), slice(None))].set(
+        fb * jnp.asarray(_deconv_nd(ns, hs, taus))[None, ..., None])
+    grid = _fine_dft(fine, isign, axes=tuple(range(1, rank + 1))
+                     if rank > 1 else None)
+    return grid.reshape((fb.shape[0], -1, 2))
+
+
+def _geometry(ns, eps: float):
+    """(msp, mrs, hs, taus, total) for a mode-grid geometry."""
     msp = _msp_for(eps)
     params = [_grid_params(n, msp) for n in ns]
     mrs = [p[0] for p in params]
     hs = [p[1] for p in params]
     taus = [p[2] for p in params]
+    return msp, mrs, hs, taus, _check_grid(mrs)
+
+
+def _type1(points, c, ns, eps: float, isign: int):
+    _check_isign(isign)
+    msp, mrs, hs, taus, total = _geometry(ns, eps)
     ci, lead = _as_strengths(c, points[0].shape[0])
-    lin, w = _sep_taps(points, hs, taus, msp, mrs)
-    grid = _spread(ci, lin, w, int(np.prod(mrs)))
-    grid = grid.reshape((ci.shape[0], *mrs, 2))
-    spec = _fine_dft(grid, isign, axes=tuple(range(1, len(ns) + 1))
-                     if len(ns) > 1 else None)
-    sels = [_mode_slice(mr, n) for mr, n in zip(mrs, ns)]
-    rank = len(ns)
-    ix = tuple(s.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
-               for i, s in enumerate(sels))
-    out = spec[(slice(None), *ix, slice(None))]
-    dec = np.float32(1.0)
-    for i, (n, h, tau) in enumerate(zip(ns, hs, taus)):
-        d = _deconv_1d(n, h, tau)
-        dec = dec * d.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
-    out = out * jnp.asarray(dec)[None, ..., None]
+    grid = _spread(ci, points, hs, taus, msp, mrs, total)
+    out = _modes_from_grid(grid, ns, mrs, hs, taus, isign)
     return out.reshape((*lead, *ns, 2))
 
 
 def _type2(points, f, rank: int, eps: float, isign: int):
+    _check_isign(isign)
     fb, ns, lead = _as_modes(f, rank)
-    msp = _msp_for(eps)
-    params = [_grid_params(n, msp) for n in ns]
-    mrs = [p[0] for p in params]
-    hs = [p[1] for p in params]
-    taus = [p[2] for p in params]
-    sels = [_mode_slice(mr, n) for mr, n in zip(mrs, ns)]
-    ix = tuple(s.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
-               for i, s in enumerate(sels))
-    dec = np.float32(1.0)
-    for i, (n, h, tau) in enumerate(zip(ns, hs, taus)):
-        d = _deconv_1d(n, h, tau)
-        dec = dec * d.reshape((1,) * i + (-1,) + (1,) * (rank - 1 - i))
-    fine = jnp.zeros((fb.shape[0], *mrs, 2), jnp.float32)
-    fine = fine.at[(slice(None), *ix, slice(None))].set(
-        fb * jnp.asarray(dec)[None, ..., None])
-    grid = _fine_dft(fine, isign, axes=tuple(range(1, rank + 1))
-                     if rank > 1 else None)
-    lin, w = _sep_taps(points, hs, taus, msp, mrs)
-    out = _interp(grid.reshape((fb.shape[0], -1, 2)), lin, w)
+    msp, mrs, hs, taus, _ = _geometry(ns, eps)
+    grid = _grid_from_modes(fb, ns, mrs, hs, taus, isign)
+    out = _interp(grid, points, hs, taus, msp, mrs)
     return out.reshape((*lead, points[0].shape[0], 2)), ns
 
 
@@ -350,8 +405,7 @@ def _type3(xs, c, ss, eps: float, isign: int):
     a fine grid, evaluate the grid's trig sum at the scaled targets via
     the type-2 core, then deconvolve by the spreading Gaussian at the
     REAL target frequencies and restore the centering phases."""
-    if isign not in (1, -1):
-        raise PlanError(f"isign must be +1 or -1, got {isign}")
+    _check_isign(isign)
     rank = len(xs)
     msp = _msp_for(eps)
     ci, lead = _as_strengths(c, xs[0].shape[0])
@@ -397,8 +451,7 @@ def _type3(xs, c, ss, eps: float, isign: int):
                    * np.exp(omega * omega * tau))
 
     cc = cplx.cmul_t4(ci, _phase_rot(isign * pre_angle))
-    lin, w = _sep_taps(us, hs, taus, msp, nfs)
-    grid = _spread(cc, lin, w, int(np.prod(nfs)))
+    grid = _spread(cc, us, hs, taus, msp, nfs, _check_grid(nfs))
     # the natural-order fine grid read as CMCL modes represents
     # coefficients of e^{isign i (m - nf//2) theta}; the index shift is
     # folded into post_angle above
