@@ -73,6 +73,11 @@ __all__ = [
 def asinterleaved(x, interleaved: Optional[bool] = None):
     """Coerce ``x`` to an interleaved complex array (..., 2) float32."""
     if np.iscomplexobj(x):
+        if isinstance(x, jax.core.Tracer):
+            # traced complex (CPU-lane jit composition): stay traced
+            xc = jnp.asarray(x)
+            return jnp.stack([jnp.real(xc).astype(jnp.float32),
+                              jnp.imag(xc).astype(jnp.float32)], axis=-1)
         return jnp.asarray(_np_interleave(np.asarray(x)))
     x = jnp.asarray(x)
     if interleaved is None:

@@ -1,0 +1,259 @@
+"""Distributed NUFFT: nonuniform points sharded over an ICI mesh axis.
+
+The single-chip module (webgpufft_tpu.nufft) is compute-bound in the
+spreading/interpolation stage — (2*Msp)^d Gaussian taps per nonuniform
+point — while the uniform fine grid is comparatively small.  That is
+exactly the shape that distributes by POINTS, not by grid:
+
+- **Type 1** (nonuniform -> uniform): each device spreads its local
+  point shard onto a full local fine grid; spreading is linear, so ONE
+  ``psum`` over the mesh axis merges the partial grids; the fine-grid
+  FFT, mode extraction and Gaussian deconvolution then run replicated.
+  Comm volume: one all-reduce of the (B, Mr^d, 2) fine grid,
+  independent of M — the right trade when M >> N (MRI k-space,
+  particle-mesh deposits).
+- **Type 2** (uniform -> nonuniform): the deconvolve + fine-grid FFT
+  run replicated (the modes are replicated input); each device then
+  interpolates only its local point shard.  Zero collectives.
+
+Point-position accuracy without host tap tensors: the builders take
+CONCRETE points and precompute, per axis, the integer fine-grid base
+index m0 = floor(x/h) (int32) and the RESIDUAL r = x - h*m0 in f64,
+stored f32.  Device taps are rebuilt per point-chunk from (m0, r):
+the residual is O(h), so its f32 rounding costs ~6e-8*h absolute
+position error — N-independent, matching the host-f64 tap path of the
+single-chip module — while the per-axis footprint is just two (M,)
+vectors instead of the (M, taps) tap tensor.
+
+Batch composes with data-parallel sharding (``batch_axis_name``) the
+same way as the other distributed builders.  Strengths may be traced
+(jit/grad through c flows normally); the POINTS are builder-time
+constants, mirroring how a plan is specialized to its geometry.
+
+The reference is single-device (SURVEY.md §2.9) and has no NUFFT; this
+extends the framework's beyond-parity distributed surface.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import fftapi
+from ..nufft import (_as_points, _check_isign, _geometry, _grid_from_modes,
+                     _modes_from_grid, _n_modes_tuple, _point_step)
+from ..spec import PlanError
+
+__all__ = ["build_distributed_nufft_type1", "build_distributed_nufft_type2"]
+
+
+def _host_base_residual(points: Sequence[np.ndarray], hs):
+    """Per-axis (m0, r): int32 base fine-grid index floor(x/h) and f32
+    residual x - h*m0 computed in f64 (position accuracy survives the
+    f32 store because r is O(h))."""
+    m0s, rs = [], []
+    for x, h in zip(points, hs):
+        xi = x / h
+        m0 = np.floor(xi).astype(np.int64)
+        r = (x - h * m0).astype(np.float32)
+        m0s.append(m0.astype(np.int32))
+        rs.append(r)
+    return m0s, rs
+
+
+def _pad_points(arrs, m: int, mp: int):
+    return [np.concatenate([a, np.zeros(mp - m, a.dtype)]) if mp > m else a
+            for a in arrs]
+
+
+def _dev_sep_taps(m0s, rs, hs, taus, msp: int, mrs, s: int, e: int):
+    """Separable taps for the local point slice [s:e) from (m0, r):
+    linear fine-grid indices (mc, T) and weight products (mc, T) f32,
+    T = (2*Msp)^rank.  Runs traced inside shard_map."""
+    offs = jnp.arange(-msp + 1, msp + 1, dtype=jnp.int32)
+    lin = w = None
+    for m0, r, h, tau, mr in zip(m0s, rs, hs, taus, mrs):
+        m = m0[s:e, None] + offs[None, :]
+        t = jnp.float32(h) * offs.astype(jnp.float32)[None, :] - r[s:e, None]
+        wa = jnp.exp(-(t * t) / jnp.float32(4.0 * tau))
+        ia = jnp.mod(m, mr)
+        if lin is None:
+            lin, w = ia, wa
+        else:
+            mc = lin.shape[0]
+            lin = (lin[:, :, None] * mr + ia[:, None, :]).reshape(mc, -1)
+            w = (w[:, :, None] * wa[:, None, :]).reshape(mc, -1)
+    return lin, w
+
+
+def _local_spread(c_loc, pr, hs, taus, msp: int, mrs, total: int):
+    """Scatter-add the local strengths onto a full local fine grid,
+    chunked over the local points (pr = per-axis m0s then rs)."""
+    rank = len(mrs)
+    m0s, rs = pr[:rank], pr[rank:]
+    b, mloc, _ = c_loc.shape
+    t = (2 * msp) ** rank
+    step = _point_step(b, mloc, t)
+    grid = jnp.zeros((b, total, 2), jnp.float32)
+    for s in range(0, mloc, step):
+        e = min(mloc, s + step)
+        lin, w = _dev_sep_taps(m0s, rs, hs, taus, msp, mrs, s, e)
+        vals = c_loc[:, s:e, None, :] * w[None, :, :, None]
+        grid = grid.at[:, lin.reshape(-1)].add(vals.reshape(b, -1, 2))
+    return grid
+
+
+def _local_interp(grid_flat, pr, hs, taus, msp: int, mrs):
+    """Gather-and-sum the replicated fine grid at the local points."""
+    rank = len(mrs)
+    m0s, rs = pr[:rank], pr[rank:]
+    b = grid_flat.shape[0]
+    mloc = m0s[0].shape[0]
+    t = (2 * msp) ** rank
+    step = _point_step(b, mloc, t)
+    outs = []
+    for s in range(0, mloc, step):
+        e = min(mloc, s + step)
+        lin, w = _dev_sep_taps(m0s, rs, hs, taus, msp, mrs, s, e)
+        vals = grid_flat[:, lin]
+        outs.append(jnp.sum(vals * w[None, :, :, None], axis=2))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _prep(points, n_modes, mesh: Mesh, axis_name: str, eps: float,
+          isign: int, batch_axis_name):
+    """Shared builder-time geometry: wrapped points, grid parameters,
+    padded per-axis (m0, r) host constants, mesh validation."""
+    _check_isign(isign)
+    if axis_name not in mesh.axis_names:
+        raise PlanError(f"mesh has no axis {axis_name!r} "
+                        f"(axes: {mesh.axis_names})")
+    if batch_axis_name is not None and batch_axis_name not in mesh.axis_names:
+        raise PlanError(f"mesh has no batch axis {batch_axis_name!r} "
+                        f"(axes: {mesh.axis_names})")
+    if not isinstance(points, (list, tuple)):
+        points = (points,)
+    rank = len(points)
+    if rank not in (1, 2, 3):
+        raise PlanError(f"points must be 1-3 coordinate arrays, got {rank}")
+    pts = []
+    for p in points:
+        if isinstance(p, jax.core.Tracer):
+            raise PlanError(
+                "distributed NUFFT points must be concrete (they are "
+                "builder-time constants; only the strengths/modes may be "
+                "traced)")
+        pts.append(_as_points(np.asarray(p, np.float64)))
+    if not all(p.shape == pts[0].shape for p in pts[1:]):
+        raise PlanError(
+            "point coordinate arrays must have the same number of points")
+    m = pts[0].shape[0]
+    if m == 0:
+        raise PlanError("distributed NUFFT needs at least one point")
+    ns = _n_modes_tuple(n_modes, rank)
+    msp, mrs, hs, taus, total = _geometry(ns, eps)
+    ndev = mesh.shape[axis_name]
+    mp = -(-m // ndev) * ndev
+    m0s, rs = _host_base_residual(pts, hs)
+    m0s = [jnp.asarray(a) for a in _pad_points(m0s, m, mp)]
+    rs = [jnp.asarray(a) for a in _pad_points(rs, m, mp)]
+    return (rank, m, mp, ns, msp, mrs, hs, taus, total, m0s, rs)
+
+
+def _lead_to_batch(arr, trailing: int):
+    """Flatten leading dims before the last ``trailing`` axes to one
+    batch dim; returns (reshaped, lead_shape)."""
+    lead = arr.shape[:arr.ndim - trailing]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    return arr.reshape((b, *arr.shape[arr.ndim - trailing:])), lead
+
+
+def build_distributed_nufft_type1(points, n_modes, mesh: Mesh,
+                                  axis_name: str = "sp", *,
+                                  eps: float = 1e-6, isign: int = 1,
+                                  batch_axis_name: Optional[str] = None):
+    """Build fn(c) -> (..., *n_modes, 2): type-1 NUFFT with the
+    nonuniform points sharded over mesh axis ``axis_name``.
+
+    ``points``: 1-3 concrete coordinate arrays (M,) in radians (any
+    reals; wrapped mod 2pi).  ``c``: (..., M) complex or (..., M, 2)
+    interleaved strengths; leading dims are batch (shard them over
+    ``batch_axis_name`` by passing dp-placed data).  Output modes are
+    replicated over ``axis_name``.
+
+    Comm profile: ONE psum of the (B, Mr^d, 2) fine grid (spreading is
+    linear); the fine FFT runs replicated.  See the module docstring
+    for when this is the right trade.
+    """
+    (rank, m, mp, ns, msp, mrs, hs, taus, total,
+     m0s, rs) = _prep(points, n_modes, mesh, axis_name, eps, isign,
+                      batch_axis_name)
+
+    def local_fn(c_loc, *pr):
+        grid = _local_spread(c_loc, pr, hs, taus, msp, mrs, total)
+        return jax.lax.psum(grid, axis_name)
+
+    smap = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(batch_axis_name, axis_name, None),)
+        + (P(axis_name),) * (2 * rank),
+        out_specs=P(batch_axis_name, None, None))
+
+    def fn(c):
+        ci = fftapi.asinterleaved(c)
+        if ci.shape[-2:] != (m, 2):
+            raise PlanError(
+                f"strengths must have trailing length {m} (one per "
+                f"point); got shape {tuple(np.shape(c))}")
+        ci, lead = _lead_to_batch(ci, 2)
+        if mp > m:
+            ci = jnp.pad(ci, ((0, 0), (0, mp - m), (0, 0)))
+        grid = smap(ci, *m0s, *rs)
+        out = _modes_from_grid(grid, ns, mrs, hs, taus, isign)
+        return out.reshape((*lead, *ns, 2))
+
+    fn.n_modes = ns
+    fn.n_points = m
+    return fn
+
+
+def build_distributed_nufft_type2(points, n_modes, mesh: Mesh,
+                                  axis_name: str = "sp", *,
+                                  eps: float = 1e-6, isign: int = -1,
+                                  batch_axis_name: Optional[str] = None):
+    """Build fn(f) -> (..., M, 2): type-2 NUFFT evaluating the uniform
+    CMCL modes ``f`` (..., *n_modes) at the points, which are sharded
+    over mesh axis ``axis_name`` (each device interpolates only its
+    shard; zero collectives — the mode input is replicated)."""
+    (rank, m, mp, ns, msp, mrs, hs, taus, total,
+     m0s, rs) = _prep(points, n_modes, mesh, axis_name, eps, isign,
+                      batch_axis_name)
+
+    def local_fn(grid, *pr):
+        return _local_interp(grid, pr, hs, taus, msp, mrs)
+
+    smap = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(batch_axis_name, None, None),)
+        + (P(axis_name),) * (2 * rank),
+        out_specs=P(batch_axis_name, axis_name, None))
+
+    def fn(f):
+        fb = fftapi.asinterleaved(f)
+        if fb.shape[-rank - 1:] != (*ns, 2):
+            raise PlanError(
+                f"uniform modes must have trailing shape {(*ns, 2)} "
+                f"(interleaved); got {tuple(np.shape(f))}")
+        fb, lead = _lead_to_batch(fb, rank + 1)
+        grid = _grid_from_modes(fb, ns, mrs, hs, taus, isign)
+        vals = smap(grid, *m0s, *rs)
+        return vals[:, :m].reshape((*lead, m, 2))
+
+    fn.n_modes = ns
+    fn.n_points = m
+    return fn
