@@ -219,3 +219,72 @@ class TestValidation:
         x = rng.uniform(0, 2 * np.pi, 8)
         with pytest.raises(PlanError, match="isign"):
             DN.build_distributed_nufft_type1(x, 16, mesh_sp, isign=0)
+
+
+def direct3(x, c, s, isign=1):
+    return (c[..., None, :].astype(np.complex128)
+            * np.exp(isign * 1j * s[:, None] * x[None, :])).sum(-1)
+
+
+class TestType3:
+    @pytest.mark.parametrize("m,k", [(157, 93), (64, 64), (6, 3)])
+    def test_1d_vs_oracle_and_single_chip(self, rng, mesh_sp, m, k):
+        x = rng.uniform(-4, 7, m)
+        s = rng.uniform(-30, 20, k)
+        c = _cplx(rng, 2, m)
+        fn = DN.build_distributed_nufft_type3(x, s, mesh_sp)
+        got = ascomplex(np.asarray(jax.jit(fn)(c)))
+        assert _rel(got, direct3(x, c, s)) < 2e-5
+        single = ascomplex(np.asarray(NU.nufft1d3(x, c, s)))
+        assert _rel(got, single) < 5e-6
+
+    def test_2d_vs_oracle(self, rng, mesh_sp):
+        m, k = 84, 41
+        x, y = rng.uniform(-2, 2, m), rng.uniform(0, 5, m)
+        s, t = rng.uniform(-8, 8, k), rng.uniform(-6, 3, k)
+        c = _cplx(rng, m)
+        fn = DN.build_distributed_nufft_type3((x, y), (s, t), mesh_sp)
+        got = ascomplex(np.asarray(jax.jit(fn)(c)))
+        ref = np.einsum("m,km->k", c.astype(np.complex128),
+                        np.exp(1j * (np.outer(s, x) + np.outer(t, y))))
+        assert _rel(got, ref) < 2e-5
+
+    def test_isign_minus_one(self, rng, mesh_sp):
+        m, k = 60, 50
+        x = rng.uniform(-1, 1, m)
+        s = rng.uniform(-12, 12, k)
+        c = _cplx(rng, m)
+        fn = DN.build_distributed_nufft_type3(x, s, mesh_sp, isign=-1)
+        got = ascomplex(np.asarray(jax.jit(fn)(c)))
+        assert _rel(got, direct3(x, c, s, isign=-1)) < 2e-5
+
+    def test_dp_x_sp(self, rng, mesh_dpsp):
+        m, k, b = 90, 70, 4
+        x = rng.uniform(0, 3, m)
+        s = rng.uniform(-15, 5, k)
+        c = _cplx(rng, b, m)
+        fn = DN.build_distributed_nufft_type3(
+            x, s, mesh_dpsp, batch_axis_name="dp")
+        got = ascomplex(np.asarray(jax.jit(fn)(c)))
+        assert _rel(got, direct3(x, c, s)) < 2e-5
+
+    def test_comm_profile(self, rng, mesh_sp):
+        m, k = 64, 32
+        x = rng.uniform(-1, 1, m)
+        s = rng.uniform(-9, 9, k)
+        c = asinterleaved(_cplx(rng, m))
+        fn = DN.build_distributed_nufft_type3(x, s, mesh_sp)
+        hlo = jax.jit(fn).lower(c).compile().as_text()
+        assert "all-reduce" in hlo
+        assert "all-to-all" not in hlo
+
+    def test_rank_mismatch_rejected(self, rng, mesh_sp):
+        x = rng.uniform(-1, 1, 8)
+        with pytest.raises(PlanError, match="same rank"):
+            DN.build_distributed_nufft_type3((x, x), x, mesh_sp)
+
+    def test_traced_coords_rejected(self, rng, mesh_sp):
+        x = rng.uniform(-1, 1, 8)
+        with pytest.raises(Exception, match="concrete"):
+            jax.jit(lambda xv: DN.build_distributed_nufft_type3(
+                xv, x, mesh_sp))(jnp.asarray(x))

@@ -398,20 +398,15 @@ def _phase_rot(angle: np.ndarray, factor=1.0) -> jnp.ndarray:
                                   * np.exp(1j * np.asarray(angle))))
 
 
-def _type3(xs, c, ss, eps: float, isign: int):
-    """Generic ND type 3 (Lee & Greengard 2005, reduction to type 2):
-    center and rescale sources into [0, 2pi) and targets into fine-grid
-    'point' coordinates, Gaussian-spread the (pre-phased) strengths onto
-    a fine grid, evaluate the grid's trig sum at the scaled targets via
-    the type-2 core, then deconvolve by the spreading Gaussian at the
-    REAL target frequencies and restore the centering phases."""
-    _check_isign(isign)
-    rank = len(xs)
+def _type3_setup(xs, ss, eps: float):
+    """Host-side type-3 geometry (isign-independent): per-axis fine-grid
+    params (nfs, hs, taus), rescaled source coordinates ``us``, inner
+    type-2 point coordinates ``thetas``, and the phase/deconvolution
+    vectors (multiplied by isign at application).  Shared by the
+    single-chip path and the distributed builder."""
     msp = _msp_for(eps)
-    ci, lead = _as_strengths(c, xs[0].shape[0])
-
     nfs, hs, taus = [], [], []
-    us, thetas, omegas = [], [], []
+    us, thetas = [], []
     pre_angle = np.zeros(xs[0].shape[0], np.float64)
     post_angle = np.zeros(ss[0].shape[0], np.float64)
     deconv = np.ones(ss[0].shape[0], np.float64)
@@ -440,7 +435,6 @@ def _type3(xs, c, ss, eps: float, isign: int):
         hs.append(h)
         taus.append(tau)
         us.append((x - xc) * gam + math.pi)     # in [pi-A, pi+A]
-        omegas.append(omega)
         thetas.append(np.mod(omega * h, 2.0 * math.pi))
         pre_angle += sc * (x - xc)
         # e^{isign i theta*c0} (natural->CMCL index shift of the inner
@@ -449,6 +443,21 @@ def _type3(xs, c, ss, eps: float, isign: int):
         post_angle += omega * (h * (nf // 2) - math.pi) + s * xc
         deconv *= (h / (2.0 * math.sqrt(math.pi * tau))
                    * np.exp(omega * omega * tau))
+    return (msp, nfs, hs, taus, us, thetas, pre_angle, post_angle, deconv)
+
+
+def _type3(xs, c, ss, eps: float, isign: int):
+    """Generic ND type 3 (Lee & Greengard 2005, reduction to type 2):
+    center and rescale sources into [0, 2pi) and targets into fine-grid
+    'point' coordinates, Gaussian-spread the (pre-phased) strengths onto
+    a fine grid, evaluate the grid's trig sum at the scaled targets via
+    the type-2 core, then deconvolve by the spreading Gaussian at the
+    REAL target frequencies and restore the centering phases."""
+    _check_isign(isign)
+    rank = len(xs)
+    ci, lead = _as_strengths(c, xs[0].shape[0])
+    (msp, nfs, hs, taus, us, thetas,
+     pre_angle, post_angle, deconv) = _type3_setup(xs, ss, eps)
 
     cc = cplx.cmul_t4(ci, _phase_rot(isign * pre_angle))
     grid = _spread(cc, us, hs, taus, msp, nfs, _check_grid(nfs))

@@ -6,6 +6,7 @@ from .plans import DistributedPlan, create_distributed_plan
 from .nufft import (
     build_distributed_nufft_type1,
     build_distributed_nufft_type2,
+    build_distributed_nufft_type3,
 )
 from .sharded import (
     build_distributed_c2r_1d,
@@ -26,6 +27,7 @@ from .sharded import (
 __all__ = [
     "DistributedPlan", "create_distributed_plan",
     "build_distributed_nufft_type1", "build_distributed_nufft_type2",
+    "build_distributed_nufft_type3",
     "build_distributed_c2r_1d", "build_distributed_fft_1d",
     "build_distributed_fft_axis0", "build_distributed_fftconv_1d",
     "build_distributed_fftconv_nd", "build_distributed_r2c_1d",

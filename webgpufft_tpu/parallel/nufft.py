@@ -45,11 +45,14 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import fftapi
-from ..nufft import (_as_points, _check_isign, _geometry, _grid_from_modes,
-                     _modes_from_grid, _n_modes_tuple, _point_step)
+from ..core import cplx
+from ..nufft import (_as_points, _check_grid, _check_isign, _free_coords,
+                     _geometry, _grid_from_modes, _modes_from_grid,
+                     _n_modes_tuple, _phase_rot, _point_step, _type3_setup)
 from ..spec import PlanError
 
-__all__ = ["build_distributed_nufft_type1", "build_distributed_nufft_type2"]
+__all__ = ["build_distributed_nufft_type1", "build_distributed_nufft_type2",
+           "build_distributed_nufft_type3"]
 
 
 def _host_base_residual(points: Sequence[np.ndarray], hs):
@@ -125,17 +128,58 @@ def _local_interp(grid_flat, pr, hs, taus, msp: int, mrs):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _prep(points, n_modes, mesh: Mesh, axis_name: str, eps: float,
-          isign: int, batch_axis_name):
-    """Shared builder-time geometry: wrapped points, grid parameters,
-    padded per-axis (m0, r) host constants, mesh validation."""
-    _check_isign(isign)
+def _check_mesh_axes(mesh: Mesh, axis_name: str, batch_axis_name):
     if axis_name not in mesh.axis_names:
         raise PlanError(f"mesh has no axis {axis_name!r} "
                         f"(axes: {mesh.axis_names})")
     if batch_axis_name is not None and batch_axis_name not in mesh.axis_names:
         raise PlanError(f"mesh has no batch axis {batch_axis_name!r} "
                         f"(axes: {mesh.axis_names})")
+
+
+def _point_consts(points, hs, mesh: Mesh, axis_name: str):
+    """(m, mp, m0s, rs): point count, padded count, and the per-axis
+    padded (base-index, residual) device constants."""
+    m = points[0].shape[0]
+    ndev = mesh.shape[axis_name]
+    mp = -(-m // ndev) * ndev
+    m0s, rs = _host_base_residual(points, hs)
+    m0s = [jnp.asarray(a) for a in _pad_points(m0s, m, mp)]
+    rs = [jnp.asarray(a) for a in _pad_points(rs, m, mp)]
+    return m, mp, m0s, rs
+
+
+def _build_point_spread(points, hs, taus, msp: int, mrs, total: int,
+                        mesh: Mesh, axis_name: str, batch_axis_name):
+    """apply(ci (B, m, 2)) -> (B, total, 2) replicated flat fine grid:
+    per-device spread of the local point shard merged by one psum.
+    ``points`` are host-f64 coordinates already inside [0, 2pi)."""
+    rank = len(mrs)
+    m, mp, m0s, rs = _point_consts(points, hs, mesh, axis_name)
+
+    def local_fn(c_loc, *pr):
+        grid = _local_spread(c_loc, pr, hs, taus, msp, mrs, total)
+        return jax.lax.psum(grid, axis_name)
+
+    smap = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(batch_axis_name, axis_name, None),)
+        + (P(axis_name),) * (2 * rank),
+        out_specs=P(batch_axis_name, None, None))
+
+    def apply(ci):
+        if mp > m:
+            ci = jnp.pad(ci, ((0, 0), (0, mp - m), (0, 0)))
+        return smap(ci, *m0s, *rs)
+    return apply
+
+
+def _prep(points, n_modes, mesh: Mesh, axis_name: str, eps: float,
+          isign: int, batch_axis_name):
+    """Shared builder-time geometry: wrapped points, grid parameters,
+    padded per-axis (m0, r) host constants, mesh validation."""
+    _check_isign(isign)
+    _check_mesh_axes(mesh, axis_name, batch_axis_name)
     if not isinstance(points, (list, tuple)):
         points = (points,)
     rank = len(points)
@@ -157,12 +201,7 @@ def _prep(points, n_modes, mesh: Mesh, axis_name: str, eps: float,
         raise PlanError("distributed NUFFT needs at least one point")
     ns = _n_modes_tuple(n_modes, rank)
     msp, mrs, hs, taus, total = _geometry(ns, eps)
-    ndev = mesh.shape[axis_name]
-    mp = -(-m // ndev) * ndev
-    m0s, rs = _host_base_residual(pts, hs)
-    m0s = [jnp.asarray(a) for a in _pad_points(m0s, m, mp)]
-    rs = [jnp.asarray(a) for a in _pad_points(rs, m, mp)]
-    return (rank, m, mp, ns, msp, mrs, hs, taus, total, m0s, rs)
+    return (rank, m, ns, msp, mrs, hs, taus, total, pts)
 
 
 def _lead_to_batch(arr, trailing: int):
@@ -190,19 +229,11 @@ def build_distributed_nufft_type1(points, n_modes, mesh: Mesh,
     linear); the fine FFT runs replicated.  See the module docstring
     for when this is the right trade.
     """
-    (rank, m, mp, ns, msp, mrs, hs, taus, total,
-     m0s, rs) = _prep(points, n_modes, mesh, axis_name, eps, isign,
-                      batch_axis_name)
-
-    def local_fn(c_loc, *pr):
-        grid = _local_spread(c_loc, pr, hs, taus, msp, mrs, total)
-        return jax.lax.psum(grid, axis_name)
-
-    smap = jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(batch_axis_name, axis_name, None),)
-        + (P(axis_name),) * (2 * rank),
-        out_specs=P(batch_axis_name, None, None))
+    (rank, m, ns, msp, mrs, hs, taus, total,
+     pts) = _prep(points, n_modes, mesh, axis_name, eps, isign,
+                  batch_axis_name)
+    spread = _build_point_spread(pts, hs, taus, msp, mrs, total,
+                                 mesh, axis_name, batch_axis_name)
 
     def fn(c):
         ci = fftapi.asinterleaved(c)
@@ -211,9 +242,7 @@ def build_distributed_nufft_type1(points, n_modes, mesh: Mesh,
                 f"strengths must have trailing length {m} (one per "
                 f"point); got shape {tuple(np.shape(c))}")
         ci, lead = _lead_to_batch(ci, 2)
-        if mp > m:
-            ci = jnp.pad(ci, ((0, 0), (0, mp - m), (0, 0)))
-        grid = smap(ci, *m0s, *rs)
+        grid = spread(ci)
         out = _modes_from_grid(grid, ns, mrs, hs, taus, isign)
         return out.reshape((*lead, *ns, 2))
 
@@ -230,9 +259,10 @@ def build_distributed_nufft_type2(points, n_modes, mesh: Mesh,
     CMCL modes ``f`` (..., *n_modes) at the points, which are sharded
     over mesh axis ``axis_name`` (each device interpolates only its
     shard; zero collectives — the mode input is replicated)."""
-    (rank, m, mp, ns, msp, mrs, hs, taus, total,
-     m0s, rs) = _prep(points, n_modes, mesh, axis_name, eps, isign,
-                      batch_axis_name)
+    (rank, m, ns, msp, mrs, hs, taus, total,
+     pts) = _prep(points, n_modes, mesh, axis_name, eps, isign,
+                  batch_axis_name)
+    _, mp, m0s, rs = _point_consts(pts, hs, mesh, axis_name)
 
     def local_fn(grid, *pr):
         return _local_interp(grid, pr, hs, taus, msp, mrs)
@@ -256,4 +286,65 @@ def build_distributed_nufft_type2(points, n_modes, mesh: Mesh,
 
     fn.n_modes = ns
     fn.n_points = m
+    return fn
+
+
+def build_distributed_nufft_type3(sources, targets, mesh: Mesh,
+                                  axis_name: str = "sp", *,
+                                  eps: float = 1e-6, isign: int = 1,
+                                  batch_axis_name: Optional[str] = None):
+    """Build fn(c) -> (..., K, 2): type-3 NUFFT (arbitrary real source
+    locations -> arbitrary real target frequencies) with BOTH point sets
+    sharded over mesh axis ``axis_name``.
+
+    Same Lee-Greengard reduction as the single-chip path
+    (webgpufft_tpu.nufft._type3): pre-phase, spread the source shard
+    onto the fine grid (one psum), inner distributed type 2 at the
+    rescaled target coordinates (collective-free interpolation of the
+    target shard), post-phase + Gaussian deconvolution at the real
+    target frequencies.  Total comm: ONE all-reduce of the fine grid —
+    the inner type-2 stage (deconvolved embed + replicated fine FFT +
+    local interpolation) adds no collectives."""
+    _check_isign(isign)
+    _check_mesh_axes(mesh, axis_name, batch_axis_name)
+    if not isinstance(sources, (list, tuple)):
+        sources = (sources,)
+    if not isinstance(targets, (list, tuple)):
+        targets = (targets,)
+    if len(sources) != len(targets):
+        raise PlanError(
+            f"sources and targets must have the same rank, got "
+            f"{len(sources)} vs {len(targets)}")
+    rank = len(sources)
+    if rank not in (1, 2, 3):
+        raise PlanError(f"points must be 1-3 coordinate arrays, got {rank}")
+    xs = _free_coords(sources, "source locations")
+    ss = _free_coords(targets, "target frequencies")
+    m, k = xs[0].shape[0], ss[0].shape[0]
+    (msp, nfs, hs, taus, us, thetas,
+     pre_angle, post_angle, deconv) = _type3_setup(xs, ss, eps)
+    total = _check_grid(nfs)
+    spread = _build_point_spread(us, hs, taus, msp, nfs, total,
+                                 mesh, axis_name, batch_axis_name)
+    inner = build_distributed_nufft_type2(
+        thetas, tuple(nfs), mesh, axis_name, eps=eps, isign=isign,
+        batch_axis_name=batch_axis_name)
+    pre_rot = _phase_rot(isign * pre_angle)
+    post_rot = _phase_rot(isign * post_angle, deconv)
+
+    def fn(c):
+        ci = fftapi.asinterleaved(c)
+        if ci.shape[-2:] != (m, 2):
+            raise PlanError(
+                f"strengths must have trailing length {m} (one per "
+                f"source); got shape {tuple(np.shape(c))}")
+        ci, lead = _lead_to_batch(ci, 2)
+        cc = cplx.cmul_t4(ci, pre_rot)
+        grid = spread(cc).reshape((ci.shape[0], *nfs, 2))
+        vals = inner(grid)
+        out = cplx.cmul_t4(vals, post_rot)
+        return out.reshape((*lead, k, 2))
+
+    fn.n_points = m
+    fn.n_targets = k
     return fn
