@@ -84,7 +84,7 @@ __all__ = [
     "peaks", "ltisys", "splines", "windows", "ShortTimeFFT",
     "ScipyFftBackend", "scipy_fft_backend", "install_scipy_fft_backend",
     "uninstall_scipy_fft_backend", "torch_fft", "fftpack", "pyfftw",
-    "nufft",
+    "nufft", "linalg",
 ]
 
 
@@ -270,4 +270,5 @@ from . import torch_fft  # noqa: E402  (torch itself imports lazily)
 from . import fftpack  # noqa: E402  (legacy scipy.fftpack surface)
 from . import pyfftw  # noqa: E402  (pyfftw-compatible bridge)
 from . import nufft  # noqa: E402  (non-uniform FFT, finufft-style)
+from . import linalg  # noqa: E402  (FFT-based scipy.linalg surface)
 fft = fftapi
