@@ -40,15 +40,18 @@ deconvolution) rides the framework's transform kernels.
 
 Accuracy: the device computes in f32.  For CONCRETE point arrays
 (numpy / non-traced — the usual case: sample positions are data) the
-Gaussian taps are computed on the host in float64, so position
-information survives to f64 and the overall error floats near the f32
-spectrum floor (~1e-6 relative) independent of N.  For TRACED points
-(inside jit/grad over x) taps are computed on device in f32, where the
-f32 representation of x itself limits phase accuracy to ~N * 6e-8
-relative — at N in the thousands expect ~1e-4, not 1e-6.  All functions
-are jittable and differentiable — in c (linear) AND in the point
-locations x (through the Gaussian taps; grads over x use the traced
-path).
+host computes, per axis, the integer fine-grid base index floor(x/h)
+and the O(h) residual in float64; taps are rebuilt on device from that
+pair, so position information survives the f32 store (residual rounding
+costs ~6e-8*h absolute) and the overall error floats near the f32
+spectrum floor (~1e-6 relative) independent of N — while the baked
+constants stay at two (M,) vectors per axis instead of an O(M * taps)
+tensor.  For TRACED points (inside jit/grad over x) the base/residual
+split happens on device in f32, where the f32 representation of x
+itself limits phase accuracy to ~N * 6e-8 relative — at N in the
+thousands expect ~1e-4, not 1e-6.  All functions are jittable and
+differentiable — in c (linear) AND in the point locations x (through
+the Gaussian taps; grads over x use the traced path).
 
 The reference has no NUFFT analog; this extends the framework's
 beyond-parity surface (docs/PARITY.md).
@@ -174,28 +177,36 @@ def _as_modes(f, rank: int):
     return fi.reshape((-1, *ns, 2)), ns, lead
 
 
-def _taps(x, h: float, tau: float, msp: int, mr: int):
-    """(indices, weights) of the 2*Msp periodized Gaussian taps per
-    point: idx (M, 2*Msp) int32 mod Mr, w (M, 2*Msp) f32.  Host inputs
-    (np.float64) compute in f64 — position accuracy then survives the
-    final f32 rounding of the WEIGHTS, so the error floor is N-independent;
-    traced inputs compute on device in f32."""
+def _base_residual(x, h: float):
+    """Per-point fine-grid base index m0 = floor(x/h) (int32) and
+    residual r = x - h*m0 (f32).  Concrete points compute on the host in
+    f64 — the residual is O(h), so its f32 store costs ~6e-8*h absolute
+    position error, N-independent (the same accuracy as full host-f64
+    taps, but the baked constants are two (M,) vectors instead of the
+    O(M * taps) tensor, which at MRI scale — 3-D eps=1e-6, M=1e6 — was
+    ~32 GB of jaxpr constants).  Traced points compute on device in f32,
+    where x's own f32 representation limits phase accuracy."""
     if isinstance(x, np.ndarray):
-        xi = x / h
-        m0 = np.floor(xi).astype(np.int64)
-        offs = np.arange(-msp + 1, msp + 1, dtype=np.int64)
-        m = m0[:, None] + offs[None, :]
-        t = h * m - x[:, None]
-        w = np.exp(-(t * t) / (4.0 * tau)).astype(np.float32)
-        return (jnp.asarray(np.mod(m, mr).astype(np.int32)),
-                jnp.asarray(w))
-    xi = x / jnp.float32(h)
-    m0 = jnp.floor(xi).astype(jnp.int32)
+        m0 = np.floor(x / h).astype(np.int64)
+        r = (x - h * m0).astype(np.float32)
+        return jnp.asarray(m0.astype(np.int32)), jnp.asarray(r)
+    m0 = jnp.floor(x / jnp.float32(h)).astype(jnp.int32)
+    r = x.astype(jnp.float32) - jnp.float32(h) * m0.astype(jnp.float32)
+    return m0, r
+
+
+def _taps(x, h: float, tau: float, msp: int, mr: int, s=0, e=None):
+    """(indices, weights) of the 2*Msp periodized Gaussian taps for the
+    point slice [s:e): idx (mc, 2*Msp) int32 mod Mr, w (mc, 2*Msp) f32,
+    built ON DEVICE from the base-index/residual pair (t = h*j - r, so
+    every quantity is O(h) and f32-exact to ~1e-7 relative)."""
+    m0, r = _base_residual(x[s:e] if (s, e) != (0, None) else x, h)
     offs = jnp.arange(-msp + 1, msp + 1, dtype=jnp.int32)
-    m = m0[:, None] + offs[None, :]
-    t = jnp.float32(h) * m.astype(jnp.float32) - x[:, None]
+    idx = jnp.mod(m0[:, None] + offs[None, :], mr)
+    t = (jnp.float32(h) * offs.astype(jnp.float32)[None, :]
+         - r[:, None])
     w = jnp.exp(-(t * t) / jnp.float32(4.0 * tau))
-    return jnp.mod(m, mr), w
+    return idx, w
 
 
 def _sep_taps(points: Sequence, hs, taus, msp: int, mrs, s=0, e=None):
@@ -203,10 +214,10 @@ def _sep_taps(points: Sequence, hs, taus, msp: int, mrs, s=0, e=None):
     fine-grid indices (mc, T) with T = (2*Msp)^rank into the row-major
     (mr1*..*mrd) grid, and the matching weight products (mc, T) f32.
     Called per point-chunk so the O(M*T) tap tensor never materializes
-    whole (review fix: a 3-D eps=1e-6 call at M=1e6 is ~32 GB unsliced)."""
-    lin, w = _taps(points[0][s:e], hs[0], taus[0], msp, mrs[0])
+    whole."""
+    lin, w = _taps(points[0], hs[0], taus[0], msp, mrs[0], s, e)
     for p, h, tau, mr in zip(points[1:], hs[1:], taus[1:], mrs[1:]):
-        i2, w2 = _taps(p[s:e], h, tau, msp, mr)
+        i2, w2 = _taps(p, h, tau, msp, mr, s, e)
         m = lin.shape[0]
         lin = (lin[:, :, None] * mr + i2[:, None, :]).reshape(m, -1)
         w = (w[:, :, None] * w2[:, None, :]).reshape(m, -1)
