@@ -58,9 +58,10 @@ def shepp_logan_lite(n: int) -> np.ndarray:
     return img
 
 
-def radial_trajectory(n: int, n_spokes: int, n_read: int):
+def radial_trajectory(n_spokes: int, n_read: int):
     """(kx, ky) in radians for n_spokes equiangular spokes of n_read
-    signed-radius samples covering |k| <= pi (image of n modes)."""
+    signed-radius samples covering |k| <= pi (the mode count only sets
+    how finely the image resolves those frequencies)."""
     r = (np.arange(n_read) - n_read // 2) / (n_read // 2)   # [-1, 1)
     th = np.pi * np.arange(n_spokes) / n_spokes             # [0, pi)
     kx = np.pi * np.outer(np.cos(th), r).ravel()
@@ -84,7 +85,7 @@ def main():
     n = 128
     n_spokes, n_read = 200, 256          # ~pi/2 * n spokes: above Nyquist
     img = shepp_logan_lite(n)
-    kx, ky, absr = radial_trajectory(n, n_spokes, n_read)
+    kx, ky, absr = radial_trajectory(n_spokes, n_read)
     m = kx.size
     print(f"phantom {n}x{n}, {n_spokes} spokes x {n_read} = {m} samples")
 
@@ -117,7 +118,8 @@ def main():
     w = np.pi * absr * drho * dth / (2 * np.pi) ** 2
     w[absr == 0] = np.pi * (drho / 2) ** 2 / n_spokes / (2 * np.pi) ** 2
     wi = jnp.asarray(w.astype(np.float32))[:, None]   # broadcast over re/im
-    recon_grid = ascomplex(np.asarray(adj(jnp.asarray(data) * wi)))
+    grid_dev = adj(jnp.asarray(data) * wi)
+    recon_grid = ascomplex(np.asarray(grid_dev))
     rmse = np.sqrt(np.mean(np.abs(recon_grid.real - img) ** 2))
     print(f"gridding (ramp-compensated adjoint) RMSE: {rmse:.3f}")
     assert rmse < 0.12
@@ -165,7 +167,7 @@ def main():
     ddata = np.asarray(dfwd(fi))
     dgrid = np.asarray(dadj(jnp.asarray(ddata) * wi))
     e1 = np.max(np.abs(ddata - np.asarray(data)))
-    e2 = np.max(np.abs(dgrid - np.asarray(adj(jnp.asarray(data) * wi))))
+    e2 = np.max(np.abs(dgrid - np.asarray(grid_dev)))
     scale = max(float(np.max(np.abs(np.asarray(data)))), 1e-9)
     print(f"distributed forward/adjoint vs single-chip: "
           f"{e1 / scale:.2e} / {e2 / np.max(np.abs(dgrid)):.2e} "

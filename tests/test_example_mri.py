@@ -30,7 +30,7 @@ def mri():
 
 
 def test_trajectory_geometry(mri):
-    kx, ky, absr = mri.radial_trajectory(32, 10, 64)
+    kx, ky, absr = mri.radial_trajectory(10, 64)
     assert kx.shape == ky.shape == absr.shape == (640,)
     r = np.hypot(kx, ky)
     assert r.max() <= np.pi + 1e-12
@@ -46,7 +46,7 @@ def test_phantom_range(mri):
 def test_small_recon_end_to_end(mri):
     n, n_spokes, n_read = 32, 56, 64
     img = mri.shepp_logan_lite(n)
-    kx, ky, absr = mri.radial_trajectory(n, n_spokes, n_read)
+    kx, ky, absr = mri.radial_trajectory(n_spokes, n_read)
     fwd = jax.jit(lambda f: NU.nufft2d2(kx, ky, f, isign=-1))
     adj = jax.jit(lambda s: NU.nufft2d1(kx, ky, s, (n, n), isign=1))
     fi = asinterleaved(img.astype(np.complex64))

@@ -200,3 +200,18 @@ class TestFuzzVsScipy:
         got = ascomplex(np.asarray(got)) if cx else np.asarray(got)
         assert got.shape == ref.shape
         assert _rel(got, ref) < 5e-4
+
+
+def test_solve_circulant_complex_outaxis_out_of_range(rng=None):
+    rng = np.random.default_rng(5)
+    c = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+    b = rng.standard_normal((4, 3))
+    # scipy raises AxisError for an out-of-range outaxis; so do we
+    with pytest.raises(np.exceptions.AxisError):
+        WL.solve_circulant(c, b, outaxis=2)
+    with pytest.raises(np.exceptions.AxisError):
+        WL.solve_circulant(c, b, outaxis=-3)
+    # in-range negative outaxis still matches scipy
+    ref = sla.solve_circulant(c, b, outaxis=-2)
+    got = ascomplex(np.asarray(WL.solve_circulant(c, b, outaxis=-2)))
+    assert got.shape == ref.shape and _rel(got, ref) < 5e-4

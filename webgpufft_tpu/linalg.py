@@ -125,7 +125,10 @@ def solve_circulant(c, b, singular: str = "raise", tol=None,
             x = jnp.moveaxis(x, -1, outaxis)
         return x
     if outaxis != -1:
-        dest = outaxis % (x.ndim - 1)
+        lnd = x.ndim - 1                     # logical rank (sans re/im)
+        dest = outaxis + lnd if outaxis < 0 else outaxis
+        if not 0 <= dest < lnd:
+            raise np.exceptions.AxisError(outaxis, lnd)
         x = jnp.moveaxis(x, -2, dest)
     return x
 

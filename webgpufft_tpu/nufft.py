@@ -195,12 +195,13 @@ def _base_residual(x, h: float):
     return m0, r
 
 
-def _taps(x, h: float, tau: float, msp: int, mr: int, s=0, e=None):
-    """(indices, weights) of the 2*Msp periodized Gaussian taps for the
-    point slice [s:e): idx (mc, 2*Msp) int32 mod Mr, w (mc, 2*Msp) f32,
-    built ON DEVICE from the base-index/residual pair (t = h*j - r, so
-    every quantity is O(h) and f32-exact to ~1e-7 relative)."""
-    m0, r = _base_residual(x[s:e] if (s, e) != (0, None) else x, h)
+def _taps_from_base(m0, r, h: float, tau: float, msp: int, mr: int):
+    """(indices, weights) of the 2*Msp periodized Gaussian taps from a
+    base-index/residual pair: idx (mc, 2*Msp) int32 mod Mr, w
+    (mc, 2*Msp) f32, built ON DEVICE (t = h*j - r, so every quantity is
+    O(h) and f32-exact to ~1e-7 relative).  The single tap-kernel
+    definition — the distributed layer (parallel/nufft.py) feeds it
+    sharded (m0, r) shards."""
     offs = jnp.arange(-msp + 1, msp + 1, dtype=jnp.int32)
     idx = jnp.mod(m0[:, None] + offs[None, :], mr)
     t = (jnp.float32(h) * offs.astype(jnp.float32)[None, :]
@@ -209,19 +210,37 @@ def _taps(x, h: float, tau: float, msp: int, mr: int, s=0, e=None):
     return idx, w
 
 
+def _combine_sep_taps(per_axis, mrs):
+    """Combine per-axis (idx, w) taps into flattened separable taps:
+    linear row-major indices (mc, T) and weight products (mc, T)."""
+    (lin, w) = per_axis[0]
+    for (i2, w2), mr in zip(per_axis[1:], mrs[1:]):
+        m = lin.shape[0]
+        lin = (lin[:, :, None] * mr + i2[:, None, :]).reshape(m, -1)
+        w = (w[:, :, None] * w2[:, None, :]).reshape(m, -1)
+    return lin, w
+
+
 def _sep_taps(points: Sequence, hs, taus, msp: int, mrs, s=0, e=None):
     """Flattened separable taps for the point slice [s:e): linear
     fine-grid indices (mc, T) with T = (2*Msp)^rank into the row-major
     (mr1*..*mrd) grid, and the matching weight products (mc, T) f32.
     Called per point-chunk so the O(M*T) tap tensor never materializes
     whole."""
-    lin, w = _taps(points[0], hs[0], taus[0], msp, mrs[0], s, e)
-    for p, h, tau, mr in zip(points[1:], hs[1:], taus[1:], mrs[1:]):
-        i2, w2 = _taps(p, h, tau, msp, mr, s, e)
-        m = lin.shape[0]
-        lin = (lin[:, :, None] * mr + i2[:, None, :]).reshape(m, -1)
-        w = (w[:, :, None] * w2[:, None, :]).reshape(m, -1)
-    return lin, w
+    per_axis = []
+    for p, h, tau, mr in zip(points, hs, taus, mrs):
+        m0, r = _base_residual(p[s:e], h)
+        per_axis.append(_taps_from_base(m0, r, h, tau, msp, mr))
+    return _combine_sep_taps(per_axis, mrs)
+
+
+def _sep_taps_from_base(m0s, rs, hs, taus, msp: int, mrs, s=0, e=None):
+    """_sep_taps from precomputed per-axis (m0, r) pairs (the
+    distributed layer's device-sharded constants)."""
+    per_axis = [
+        _taps_from_base(m0[s:e], r[s:e], h, tau, msp, mr)
+        for m0, r, h, tau, mr in zip(m0s, rs, hs, taus, mrs)]
+    return _combine_sep_taps(per_axis, mrs)
 
 
 def _point_step(b: int, m: int, t: int) -> int:
@@ -233,40 +252,53 @@ def _point_step(b: int, m: int, t: int) -> int:
     return max(1, min(m, max(step, min_step))) if m else 1
 
 
-def _spread(ci: jnp.ndarray, points, hs, taus, msp: int, mrs,
-            total: int) -> jnp.ndarray:
+def _spread_taps(ci: jnp.ndarray, taps_fn, t: int,
+                 total: int) -> jnp.ndarray:
     """Scatter-add strengths onto the flat fine grid: (B, M, 2) ->
-    (B, total, 2).  Taps are computed per point-chunk (host f64 for
-    concrete points) so the footprint stays bounded at any M."""
+    (B, total, 2), chunked over points with taps built per chunk by
+    ``taps_fn(s, e) -> (lin, w)`` so the footprint stays bounded at
+    any M (shared with the distributed layer)."""
     b, m, _ = ci.shape
-    t = (2 * msp) ** len(mrs)
     step = _point_step(b, m, t)
     grid = jnp.zeros((b, total, 2), jnp.float32)
     for s in range(0, m, step):
         e = min(m, s + step)
-        lin, w = _sep_taps(points, hs, taus, msp, mrs, s, e)
+        lin, w = taps_fn(s, e)
         vals = ci[:, s:e, None, :] * w[None, :, :, None]
         grid = grid.at[:, lin.reshape(-1)].add(vals.reshape(b, -1, 2))
     return grid
 
 
-def _interp(grid_flat: jnp.ndarray, points, hs, taus, msp: int,
-            mrs) -> jnp.ndarray:
+def _interp_taps(grid_flat: jnp.ndarray, taps_fn, m: int,
+                 t: int) -> jnp.ndarray:
     """Gather-and-sum fine-grid values at the points: (B, total, 2) ->
-    (B, M, 2), taps computed per point-chunk."""
+    (B, M, 2), taps built per chunk by ``taps_fn(s, e)``."""
     b = grid_flat.shape[0]
-    m = points[0].shape[0]
-    t = (2 * msp) ** len(mrs)
     step = _point_step(b, m, t)
     outs = []
     for s in range(0, m, step):
         e = min(m, s + step)
-        lin, w = _sep_taps(points, hs, taus, msp, mrs, s, e)
+        lin, w = taps_fn(s, e)
         vals = grid_flat[:, lin]                 # (B, mc, T, 2)
         outs.append(jnp.sum(vals * w[None, :, :, None], axis=2))
     if not outs:
         return jnp.zeros((b, 0, 2), jnp.float32)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _spread(ci: jnp.ndarray, points, hs, taus, msp: int, mrs,
+            total: int) -> jnp.ndarray:
+    return _spread_taps(
+        ci, lambda s, e: _sep_taps(points, hs, taus, msp, mrs, s, e),
+        (2 * msp) ** len(mrs), total)
+
+
+def _interp(grid_flat: jnp.ndarray, points, hs, taus, msp: int,
+            mrs) -> jnp.ndarray:
+    return _interp_taps(
+        grid_flat,
+        lambda s, e: _sep_taps(points, hs, taus, msp, mrs, s, e),
+        points[0].shape[0], (2 * msp) ** len(mrs))
 
 
 def _mode_slice(mr: int, n: int) -> np.ndarray:

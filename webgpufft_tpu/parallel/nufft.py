@@ -46,86 +46,43 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import fftapi
 from ..core import cplx
-from ..nufft import (_as_points, _check_grid, _check_isign, _free_coords,
-                     _geometry, _grid_from_modes, _modes_from_grid,
-                     _n_modes_tuple, _phase_rot, _point_step, _type3_setup)
+from ..nufft import (_as_points, _as_strengths, _base_residual, _check_grid,
+                     _check_isign, _free_coords, _geometry, _grid_from_modes,
+                     _interp_taps, _modes_from_grid, _n_modes_tuple,
+                     _phase_rot, _sep_taps_from_base, _spread_taps,
+                     _type3_setup)
 from ..spec import PlanError
 
 __all__ = ["build_distributed_nufft_type1", "build_distributed_nufft_type2",
            "build_distributed_nufft_type3"]
 
 
-def _host_base_residual(points: Sequence[np.ndarray], hs):
-    """Per-axis (m0, r): int32 base fine-grid index floor(x/h) and f32
-    residual x - h*m0 computed in f64 (position accuracy survives the
-    f32 store because r is O(h))."""
-    m0s, rs = [], []
-    for x, h in zip(points, hs):
-        xi = x / h
-        m0 = np.floor(xi).astype(np.int64)
-        r = (x - h * m0).astype(np.float32)
-        m0s.append(m0.astype(np.int32))
-        rs.append(r)
-    return m0s, rs
-
-
 def _pad_points(arrs, m: int, mp: int):
-    return [np.concatenate([a, np.zeros(mp - m, a.dtype)]) if mp > m else a
+    return [jnp.concatenate([a, jnp.zeros(mp - m, a.dtype)]) if mp > m else a
             for a in arrs]
-
-
-def _dev_sep_taps(m0s, rs, hs, taus, msp: int, mrs, s: int, e: int):
-    """Separable taps for the local point slice [s:e) from (m0, r):
-    linear fine-grid indices (mc, T) and weight products (mc, T) f32,
-    T = (2*Msp)^rank.  Runs traced inside shard_map."""
-    offs = jnp.arange(-msp + 1, msp + 1, dtype=jnp.int32)
-    lin = w = None
-    for m0, r, h, tau, mr in zip(m0s, rs, hs, taus, mrs):
-        m = m0[s:e, None] + offs[None, :]
-        t = jnp.float32(h) * offs.astype(jnp.float32)[None, :] - r[s:e, None]
-        wa = jnp.exp(-(t * t) / jnp.float32(4.0 * tau))
-        ia = jnp.mod(m, mr)
-        if lin is None:
-            lin, w = ia, wa
-        else:
-            mc = lin.shape[0]
-            lin = (lin[:, :, None] * mr + ia[:, None, :]).reshape(mc, -1)
-            w = (w[:, :, None] * wa[:, None, :]).reshape(mc, -1)
-    return lin, w
 
 
 def _local_spread(c_loc, pr, hs, taus, msp: int, mrs, total: int):
     """Scatter-add the local strengths onto a full local fine grid,
-    chunked over the local points (pr = per-axis m0s then rs)."""
+    chunked over the local points (pr = per-axis m0s then rs).  The
+    tap kernel and chunk loop are the single-chip ones
+    (nufft._taps_from_base/_spread_taps)."""
     rank = len(mrs)
     m0s, rs = pr[:rank], pr[rank:]
-    b, mloc, _ = c_loc.shape
-    t = (2 * msp) ** rank
-    step = _point_step(b, mloc, t)
-    grid = jnp.zeros((b, total, 2), jnp.float32)
-    for s in range(0, mloc, step):
-        e = min(mloc, s + step)
-        lin, w = _dev_sep_taps(m0s, rs, hs, taus, msp, mrs, s, e)
-        vals = c_loc[:, s:e, None, :] * w[None, :, :, None]
-        grid = grid.at[:, lin.reshape(-1)].add(vals.reshape(b, -1, 2))
-    return grid
+    return _spread_taps(
+        c_loc,
+        lambda s, e: _sep_taps_from_base(m0s, rs, hs, taus, msp, mrs, s, e),
+        (2 * msp) ** rank, total)
 
 
 def _local_interp(grid_flat, pr, hs, taus, msp: int, mrs):
     """Gather-and-sum the replicated fine grid at the local points."""
     rank = len(mrs)
     m0s, rs = pr[:rank], pr[rank:]
-    b = grid_flat.shape[0]
-    mloc = m0s[0].shape[0]
-    t = (2 * msp) ** rank
-    step = _point_step(b, mloc, t)
-    outs = []
-    for s in range(0, mloc, step):
-        e = min(mloc, s + step)
-        lin, w = _dev_sep_taps(m0s, rs, hs, taus, msp, mrs, s, e)
-        vals = grid_flat[:, lin]
-        outs.append(jnp.sum(vals * w[None, :, :, None], axis=2))
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return _interp_taps(
+        grid_flat,
+        lambda s, e: _sep_taps_from_base(m0s, rs, hs, taus, msp, mrs, s, e),
+        m0s[0].shape[0], (2 * msp) ** rank)
 
 
 def _check_mesh_axes(mesh: Mesh, axis_name: str, batch_axis_name):
@@ -139,13 +96,14 @@ def _check_mesh_axes(mesh: Mesh, axis_name: str, batch_axis_name):
 
 def _point_consts(points, hs, mesh: Mesh, axis_name: str):
     """(m, mp, m0s, rs): point count, padded count, and the per-axis
-    padded (base-index, residual) device constants."""
+    padded (base-index, residual) device constants (host-f64 split,
+    nufft._base_residual)."""
     m = points[0].shape[0]
     ndev = mesh.shape[axis_name]
     mp = -(-m // ndev) * ndev
-    m0s, rs = _host_base_residual(points, hs)
-    m0s = [jnp.asarray(a) for a in _pad_points(m0s, m, mp)]
-    rs = [jnp.asarray(a) for a in _pad_points(rs, m, mp)]
+    pairs = [_base_residual(p, h) for p, h in zip(points, hs)]
+    m0s = _pad_points([p[0] for p in pairs], m, mp)
+    rs = _pad_points([p[1] for p in pairs], m, mp)
     return m, mp, m0s, rs
 
 
@@ -236,12 +194,7 @@ def build_distributed_nufft_type1(points, n_modes, mesh: Mesh,
                                  mesh, axis_name, batch_axis_name)
 
     def fn(c):
-        ci = fftapi.asinterleaved(c)
-        if ci.shape[-2:] != (m, 2):
-            raise PlanError(
-                f"strengths must have trailing length {m} (one per "
-                f"point); got shape {tuple(np.shape(c))}")
-        ci, lead = _lead_to_batch(ci, 2)
+        ci, lead = _as_strengths(c, m)
         grid = spread(ci)
         out = _modes_from_grid(grid, ns, mrs, hs, taus, isign)
         return out.reshape((*lead, *ns, 2))
@@ -333,12 +286,7 @@ def build_distributed_nufft_type3(sources, targets, mesh: Mesh,
     post_rot = _phase_rot(isign * post_angle, deconv)
 
     def fn(c):
-        ci = fftapi.asinterleaved(c)
-        if ci.shape[-2:] != (m, 2):
-            raise PlanError(
-                f"strengths must have trailing length {m} (one per "
-                f"source); got shape {tuple(np.shape(c))}")
-        ci, lead = _lead_to_batch(ci, 2)
+        ci, lead = _as_strengths(c, m)
         cc = cplx.cmul_t4(ci, pre_rot)
         grid = spread(cc).reshape((ci.shape[0], *nfs, 2))
         vals = inner(grid)
