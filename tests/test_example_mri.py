@@ -86,3 +86,25 @@ def test_small_recon_end_to_end(mri):
         rs = rs_new
     cg = ascomplex(np.asarray(x))
     assert np.sqrt(np.mean((cg.real - img) ** 2)) < 0.06
+
+
+def test_aha_exports_through_generic_aot(mri):
+    """The MRI normal operator (type2 -> type1 chain) serves through the
+    generic pipeline AOT path: the exported artifact reproduces the live
+    result bit-exactly."""
+    from webgpufft_tpu.runtime import aot
+
+    rng = np.random.default_rng(1)
+    n, m = 16, 40
+    kx = rng.uniform(0, 2 * np.pi, m)
+    ky = rng.uniform(0, 2 * np.pi, m)
+
+    def aha(f):
+        s = NU.nufft2d2(kx, ky, f, eps=1e-6)
+        return NU.nufft2d1(kx, ky, s, (n, n), eps=1e-6)
+
+    f0 = jnp.asarray(rng.standard_normal((n, n, 2)).astype(np.float32))
+    live = np.asarray(jax.jit(aha)(f0))     # same lowering as the export
+    data = aot.export_pipeline(aha, f0)
+    served = aot.load_exported_pipeline(data)
+    np.testing.assert_array_equal(np.asarray(served(f0)), live)
