@@ -181,6 +181,96 @@ def test_multiplier_tables_are_cached(rng):
 
 def test_surface_complete():
     for name in fp.__all__:
-        if name in ("convolve",):
-            continue
         assert hasattr(W, name), f"fftpack.{name} missing"
+
+
+class TestConvolveModule:
+    """scipy.fftpack.convolve parity (webgpufft_tpu/fftpack_convolve.py):
+    the packed-slot kernel layout, the swap_real_imag pair swap, and the
+    convolve_z sum identity, all vs the live compiled scipy module."""
+
+    def _mods(self):
+        from scipy.fftpack import convolve as scv
+        from webgpufft_tpu.fftpack import convolve as wcv
+        return scv, wcv
+
+    def test_importable_as_submodule(self):
+        import webgpufft_tpu.fftpack.convolve as wcv2
+        _, wcv = self._mods()
+        assert wcv2 is wcv
+        for name in ("init_convolution_kernel", "convolve", "convolve_z",
+                     "destroy_convolve_cache"):
+            assert hasattr(wcv, name)
+
+    @pytest.mark.parametrize("n", [1, 2, 7, 8, 16, 33])
+    @pytest.mark.parametrize("d", [0, 1, 2, 3])
+    def test_init_convolution_kernel(self, n, d):
+        scv, wcv = self._mods()
+        for zn in (None, 0, 1):
+            kw = {} if zn is None else {"zero_nyquist": zn}
+            ref = scv.init_convolution_kernel(
+                n, lambda k: 1.0 / (1.0 + k), d=d, **kw)
+            got = wcv.init_convolution_kernel(
+                n, lambda k: 1.0 / (1.0 + k), d=d, **kw)
+            np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_kernel_func_extra_args(self):
+        scv, wcv = self._mods()
+        ref = scv.init_convolution_kernel(
+            6, lambda k, a: a * (k + 1), kernel_func_extra_args=(2.5,))
+        got = wcv.init_convolution_kernel(
+            6, lambda k, a: a * (k + 1), kernel_func_extra_args=(2.5,))
+        np.testing.assert_allclose(got, ref)
+
+    @pytest.mark.parametrize("n", [4, 7, 8, 17, 32])
+    @pytest.mark.parametrize("swap", [False, True])
+    def test_convolve_vs_scipy(self, rng, n, swap):
+        scv, wcv = self._mods()
+        om = scv.init_convolution_kernel(n, lambda k: np.cos(0.3 * k))
+        x = rng.standard_normal(n)
+        ref = scv.convolve(x.copy(), om, swap_real_imag=swap)
+        got = np.asarray(wcv.convolve(x, om, swap_real_imag=swap))
+        _close(got, ref, label=f"convolve n={n} swap={swap}")
+
+    @pytest.mark.parametrize("n", [4, 9, 16])
+    def test_convolve_z_vs_scipy(self, rng, n):
+        scv, wcv = self._mods()
+        om_r = scv.init_convolution_kernel(n, lambda k: 1.0 / (1.0 + k))
+        om_i = scv.init_convolution_kernel(n, lambda k: float(k), d=1)
+        x = rng.standard_normal(n)
+        ref = scv.convolve_z(x.copy(), om_r, om_i)
+        got = np.asarray(wcv.convolve_z(x, om_r, om_i))
+        _close(got, ref, label=f"convolve_z n={n}")
+
+    def test_diff_via_convolve_matches_diff(self, rng):
+        # the classic usage: first derivative as an odd-d kernel + swap
+        _, wcv = self._mods()
+        n = 16
+        x = rng.standard_normal(n)
+        om = wcv.init_convolution_kernel(n, lambda k: float(k), d=1)
+        got = np.asarray(wcv.convolve(x, om, swap_real_imag=True))
+        _close(got, fp.diff(x), label="diff-identity")
+
+    def test_traced_input(self, rng):
+        import jax
+        import jax.numpy as jnp
+        scv, wcv = self._mods()
+        n = 12
+        om = wcv.init_convolution_kernel(n, lambda k: 1.0 / (1.0 + k))
+        x = rng.standard_normal(n)
+        ref = scv.convolve(x.copy(), om)
+        got = np.asarray(jax.jit(
+            lambda xx: wcv.convolve(xx, om))(jnp.asarray(x)))
+        _close(got, ref, label="traced")
+
+    def test_validation(self):
+        _, wcv = self._mods()
+        with pytest.raises(ValueError, match="same length"):
+            wcv.convolve(np.ones(4), np.ones(5))
+        with pytest.raises(ValueError, match="same length"):
+            wcv.convolve(np.ones((4, 4)), np.ones(4))
+        with pytest.raises(ValueError, match="same length"):
+            wcv.convolve_z(np.ones(4), np.ones(4), np.ones(5))
+        with pytest.raises(ValueError, match="positive"):
+            wcv.init_convolution_kernel(0, lambda k: 1.0)
+        wcv.destroy_convolve_cache()   # parity no-op never raises

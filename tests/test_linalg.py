@@ -168,6 +168,83 @@ class TestMatmulToeplitz:
                                rng.standard_normal(2), check_finite=True)
 
 
+class TestSolveToeplitz:
+    @pytest.mark.parametrize("n", [1, 2, 9, 32])
+    @pytest.mark.parametrize("cx", [False, True])
+    def test_tuple_form_vs_scipy(self, rng, n, cx):
+        c, r = _mk(rng, (n,), cx), _mk(rng, (n,), cx)
+        c[0] += n + 2                      # keep the minors well-conditioned
+        for b in (_mk(rng, (n,), cx), _mk(rng, (n, 3), cx)):
+            ref = sla.solve_toeplitz((c, r), b)
+            got = WL.solve_toeplitz((c, r), b)
+            got = ascomplex(np.asarray(got)) if cx else np.asarray(got)
+            assert got.shape == ref.shape
+            assert _rel(got, ref) < 5e-4
+
+    @pytest.mark.parametrize("cx", [False, True])
+    def test_bare_c_implies_hermitian(self, rng, cx):
+        n = 11
+        c = _mk(rng, (n,), cx)
+        c[0] += n + 2
+        b = _mk(rng, (n, 2), cx)
+        ref = sla.solve_toeplitz(c, b)
+        got = WL.solve_toeplitz(c, b)
+        got = ascomplex(np.asarray(got)) if cx else np.asarray(got)
+        assert got.shape == ref.shape and _rel(got, ref) < 5e-4
+
+    def test_mixed_complex_b_real_op(self, rng):
+        n = 10
+        c, r = _mk(rng, (n,), False), _mk(rng, (n,), False)
+        c[0] += n
+        b = _mk(rng, (n,), True)
+        ref = sla.solve_toeplitz((c, r), b)
+        got = ascomplex(np.asarray(WL.solve_toeplitz((c, r), b)))
+        assert got.shape == ref.shape and _rel(got, ref) < 5e-4
+
+    def test_solves_the_system(self, rng):
+        n = 16
+        c, r = rng.standard_normal(n), rng.standard_normal(n)
+        c[0] += n
+        b = rng.standard_normal(n)
+        x = np.asarray(WL.solve_toeplitz((c, r), b))
+        r2 = r.copy()
+        r2[0] = c[0]
+        assert _rel(sla.toeplitz(c, r2) @ x, b) < 1e-4
+
+    def test_traced_b_jit_and_grad(self, rng):
+        n = 8
+        c = rng.standard_normal(n)
+        c[0] += n
+        b = rng.standard_normal(n).astype(np.float32)
+        ref = np.asarray(WL.solve_toeplitz(c, b))
+        got = np.asarray(jax.jit(
+            lambda bb: WL.solve_toeplitz(c, bb))(jnp.asarray(b)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        g = jax.grad(lambda bb: jnp.sum(
+            WL.solve_toeplitz(c, bb) ** 2))(jnp.asarray(b))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_validation(self, rng):
+        # scipy's exact messages: dimensions / singular minor / finiteness
+        with pytest.raises(ValueError, match="Incompatible dimensions"):
+            WL.solve_toeplitz((np.ones(3), np.ones(4)), np.ones(3))
+        with pytest.raises(ValueError, match="Incompatible dimensions"):
+            WL.solve_toeplitz(np.ones(3), np.ones(4))
+        with pytest.raises(ValueError, match="Incompatible dimensions"):
+            WL.solve_toeplitz(np.ones(3), np.ones((3, 1, 1)))
+        with pytest.raises(np.linalg.LinAlgError, match="principal minor"):
+            WL.solve_toeplitz(np.array([0.0, 1.0]), np.ones(2))
+        with pytest.raises(np.linalg.LinAlgError, match="principal minor"):
+            # T invertible but a leading minor singular: scipy raises too
+            WL.solve_toeplitz((np.array([0.0, 1.0]), np.array([5.0, 2.0])),
+                              np.ones(2))
+        with pytest.raises(ValueError, match="infs or NaNs"):
+            WL.solve_toeplitz(np.array([np.nan, 1.0]), np.ones(2))
+        with pytest.raises(PlanError, match="concrete"):
+            jax.jit(lambda cc: WL.solve_toeplitz(cc, np.ones(4)))(
+                jnp.ones(4))
+
+
 class TestFuzzVsScipy:
     """Seeded grid mirroring the one-off 120-config pin sweep."""
 
@@ -184,6 +261,22 @@ class TestFuzzVsScipy:
         got = WL.solve_circulant(c, b, outaxis=outaxis)
         got = (ascomplex(np.asarray(got)) if (cx_c or cx_b)
                else np.asarray(got))
+        assert got.shape == ref.shape
+        assert _rel(got, ref) < 5e-4
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_solve_toeplitz_random(self, seed):
+        rng = np.random.default_rng(3000 + seed)
+        n = int(rng.integers(1, 40))
+        cx = rng.random() < 0.4
+        c = _mk(rng, (n,), cx)
+        c[0] += n + 2
+        op = c if rng.random() < 0.4 else (c, _mk(rng, (n,), cx))
+        b = (_mk(rng, (n,), cx) if rng.random() < 0.5
+             else _mk(rng, (n, int(rng.integers(1, 5))), cx))
+        ref = sla.solve_toeplitz(op, b)
+        got = WL.solve_toeplitz(op, b)
+        got = ascomplex(np.asarray(got)) if cx else np.asarray(got)
         assert got.shape == ref.shape
         assert _rel(got, ref) < 5e-4
 

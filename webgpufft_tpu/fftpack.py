@@ -15,6 +15,10 @@ tests/test_fftpack.py):
   ``cc_diff``/``ss_diff``, ``shift``) — periodic-sequence Fourier
   multipliers, computed here on the half spectrum via the plan layer's
   rfft/irfft with host-f64 multiplier tables.
+- The ``convolve`` submodule (``init_convolution_kernel``/``convolve``/
+  ``convolve_z``/``destroy_convolve_cache``) with scipy's packed-slot
+  kernel conventions — see fftpack_convolve.py; importable as
+  ``webgpufft_tpu.fftpack.convolve`` like scipy's.
 
 ``overwrite_x`` is accepted and ignored everywhere (the plan layer never
 mutates inputs).  ``next_fast_len`` returns the FRAMEWORK's plan-fast
@@ -38,12 +42,21 @@ __all__ = [
     "diff", "tilbert", "itilbert", "hilbert", "ihilbert",
     "sc_diff", "cs_diff", "cc_diff", "ss_diff", "shift",
     "fftfreq", "fftshift", "ifftshift", "next_fast_len",
+    "convolve",
 ]
 
 fftfreq = fftapi.fftfreq
 fftshift = fftapi.fftshift
 ifftshift = fftapi.ifftshift
 next_fast_len = fftapi.next_fast_len
+
+# scipy.fftpack.convolve is a submodule; mirror both access forms
+# (attribute and `import webgpufft_tpu.fftpack.convolve`)
+from . import fftpack_convolve as convolve  # noqa: E402
+
+import sys as _sys  # noqa: E402
+
+_sys.modules[__name__ + ".convolve"] = convolve
 
 
 # ------------------------------------------------------------- complex fft

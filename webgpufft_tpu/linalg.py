@@ -1,10 +1,16 @@
-"""FFT-based linear algebra (scipy.linalg parity): circulant solves and
-Toeplitz matvecs on the plan layer.
+"""FFT-based linear algebra (scipy.linalg parity): circulant solves,
+Toeplitz matvecs and Toeplitz solves on the plan layer.
 
 scipy.linalg has exactly two FFT-backed operations — ``solve_circulant``
 (diagonalize the circulant in Fourier space, scipy _basic.py) and
 ``matmul_toeplitz`` (circulant embedding of the Toeplitz operator) —
-and both are pinned here against scipy itself (tests/test_linalg.py).
+plus the Levinson-backed ``solve_toeplitz``; all three are pinned here
+against scipy itself (tests/test_linalg.py).  ``solve_toeplitz`` keeps
+scipy's semantics but swaps the O(n^2) per-solve Levinson application
+for a Gohberg-Semencul factorization: Levinson runs ONCE on the host
+(f64, operator data only) to produce the two inverse generators, and
+every subsequent right-hand side is applied as four triangular-Toeplitz
+convolutions = six length-p FFTs on device, batched over columns.
 
 Design split, following the framework-wide pattern: the OPERATOR data
 (circulant kernel c, Toeplitz column/row) is usually concrete — its
@@ -29,7 +35,7 @@ import jax.numpy as jnp
 from . import fftapi
 from .spec import PlanError
 
-__all__ = ["solve_circulant", "matmul_toeplitz"]
+__all__ = ["solve_circulant", "matmul_toeplitz", "solve_toeplitz"]
 
 
 def _is_traced(x) -> bool:
@@ -215,3 +221,130 @@ def matmul_toeplitz(c_or_cr, x, check_finite: bool = False, workers=None):
         y = y[..., 0]
         return y if one_d else jnp.moveaxis(y, -1, 0)
     return y if one_d else jnp.moveaxis(y, -2, 0)
+
+
+def _levinson_generators(c: np.ndarray, r: np.ndarray):
+    """General (nonsymmetric) Levinson recursion on the host in
+    f64/c128: returns ``u`` solving T u = e_1 and ``g`` solving
+    T g = e_n for the Toeplitz matrix with first column ``c`` and first
+    row ``r`` (r[0] taken from c[0]).  Raises
+    ``numpy.linalg.LinAlgError('Singular principal minor')`` exactly
+    where scipy's Levinson does (every leading principal minor must be
+    nonsingular)."""
+    n = c.shape[0]
+    if c[0] == 0:
+        raise np.linalg.LinAlgError("Singular principal minor")
+    dt = np.complex128 if (np.iscomplexobj(c) or np.iscomplexobj(r)) \
+        else np.float64
+    c = c.astype(dt)
+    r = r.astype(dt)
+    f = np.zeros(n, dtype=dt)
+    g = np.zeros(n, dtype=dt)
+    f[0] = g[0] = 1.0 / c[0]
+    for k in range(1, n):
+        ef = c[1:k + 1][::-1] @ f[:k]        # new-last-row residual of [f;0]
+        eb = r[1:k + 1] @ g[:k]              # new-first-row residual of [0;g]
+        denom = 1.0 - ef * eb
+        if denom == 0:
+            raise np.linalg.LinAlgError("Singular principal minor")
+        fk = f[:k + 1].copy()                # old [f; 0], length k+1
+        f[1:k + 1] -= ef * g[:k]
+        f[:k + 1] /= denom
+        g[1:k + 1] = (g[:k] - eb * fk[1:]) / denom
+        g[0] = -eb * fk[0] / denom
+    return f, g
+
+
+def solve_toeplitz(c_or_cr, b, check_finite: bool = True):
+    """Solve T x = b for Toeplitz T (scipy.linalg.solve_toeplitz
+    semantics: ``c_or_cr`` is the first column c or the tuple (c, r),
+    bare c implies r = conj(c), r[0] is ignored in favor of c[0], b is
+    (n,) or (n, m), LinAlgError('Singular principal minor') when any
+    leading principal minor is singular — scipy _basic.py /
+    _solve_toeplitz.pyx).
+
+    The operator must be concrete: the Levinson recursion producing the
+    Gohberg-Semencul generators is data-dependent and runs on the host
+    in f64.  ``b`` may be traced/batched; the application is
+        T^{-1} b = (1/u_0) [ L(u) U(g~) - L(g^) U(u^) ] b
+    (u = T^{-1}e_1, g = T^{-1}e_n), evaluated as two rounds of circulant
+    embedding with host-f64 spectra — six length-p device FFTs total,
+    batched over b's columns.  Real in, real out (f32); any complex
+    input returns interleaved (..., 2)."""
+    if isinstance(c_or_cr, tuple):
+        c, r = c_or_cr
+        if _is_traced(c) or _is_traced(r):
+            raise PlanError(
+                "solve_toeplitz needs a concrete operator (the Levinson "
+                "generators are data-dependent); only b may be traced")
+        c = np.atleast_1d(np.asarray(c))
+        r = np.atleast_1d(np.asarray(r))
+    else:
+        if _is_traced(c_or_cr):
+            raise PlanError(
+                "solve_toeplitz needs a concrete operator (the Levinson "
+                "generators are data-dependent); only b may be traced")
+        c = np.atleast_1d(np.asarray(c_or_cr))
+        r = np.conjugate(c)
+    b_traced = _is_traced(b)
+    if not b_traced:
+        b = np.atleast_1d(np.asarray(b))
+    if c.ndim != 1 or r.ndim != 1 or c.shape[0] != r.shape[0] \
+            or b.shape[0] != c.shape[0] or b.ndim not in (1, 2):
+        raise ValueError("Incompatible dimensions.")
+    if check_finite:
+        if not (np.isfinite(c).all() and np.isfinite(r).all()):
+            raise ValueError("array must not contain infs or NaNs")
+        if not b_traced and not np.isfinite(b).all():
+            raise ValueError("array must not contain infs or NaNs")
+    n = int(c.shape[0])
+    complex_op = bool(np.iscomplexobj(c) or np.iscomplexobj(r))
+    complex_b = bool(np.iscomplexobj(b))
+    complex_out = complex_op or complex_b
+
+    u, g = _levinson_generators(c, r)
+    p = fftapi.next_fast_len(2 * n - 1)
+
+    def _tri_spectrum(col, row):
+        """Host-f64 length-p spectrum of the circulant embedding of the
+        triangular Toeplitz with first column ``col`` / first row
+        ``row`` (matmul_toeplitz's concat(c, r[-1:0:-1]) convention)."""
+        emb = np.zeros(p, dtype=np.complex128)
+        emb[:n] = col
+        if n > 1:
+            emb[p - (n - 1):] = row[-1:0:-1]
+        return np.fft.fft(emb)
+
+    zeros = np.zeros(n)
+    inv_u0 = 1.0 / u[0]
+    f1 = _tri_spectrum(u, np.r_[u[0], zeros[1:]]) * inv_u0   # L(u)/u0
+    f2 = _tri_spectrum(np.r_[g[-1], zeros[1:]], g[::-1])     # U(g~)
+    f3 = _tri_spectrum(np.r_[0.0, g[:-1]], zeros) * inv_u0   # L(g^)/u0
+    f4 = _tri_spectrum(zeros, np.r_[0.0, u[:0:-1]])          # U(u^)
+
+    # data path: solve axis last, interleaved (..., p, 2) throughout
+    one_d = b.ndim == 1
+    if b_traced and complex_b:
+        bi = fftapi.asinterleaved(b)
+        fb = fftapi.fft(jnp.moveaxis(bi, 0, -2), n=p, interleaved=True)
+    elif b_traced:
+        fb = fftapi.fft(jnp.moveaxis(jnp.asarray(b), 0, -1), n=p,
+                        interleaved=False)
+    else:
+        fb = fftapi.fft(np.moveaxis(b, 0, -1), n=p,
+                        interleaved=False if not complex_b else None)
+    z1 = fftapi.ifft(_cmul_table(fb, f2), interleaved=True)
+    z2 = fftapi.ifft(_cmul_table(fb, f4), interleaved=True)
+    # truncate to the n valid rows, then the outer triangular pass
+    mask = jnp.asarray(
+        np.concatenate([np.ones(n, np.float32),
+                        np.zeros(p - n, np.float32)]))[..., None]
+    fz1 = fftapi.fft(z1 * mask, interleaved=True)
+    fz2 = fftapi.fft(z2 * mask, interleaved=True)
+    spec = _cmul_table(fz1, f1) - _cmul_table(fz2, f3)
+    x = fftapi.ifft(spec, interleaved=True)[..., :n, :]
+
+    if not complex_out:
+        x = x[..., 0]
+        return x if one_d else jnp.moveaxis(x, -1, 0)
+    return x if one_d else jnp.moveaxis(x, -2, 0)
