@@ -214,6 +214,26 @@ class TestConvolveModule:
                 n, lambda k: 1.0 / (1.0 + k), d=d, **kw)
             np.testing.assert_allclose(got, ref, atol=1e-12)
 
+    @pytest.mark.parametrize("n", [7, 8])
+    @pytest.mark.parametrize("d", [-1, -2, -3, -4])
+    def test_negative_d_matches_scipy(self, n, d):
+        # integration kernels: scipy accepts negative d (fftpack.diff
+        # order < 0 route); Python floor semantics reproduce its signs
+        scv, wcv = self._mods()
+        ref = scv.init_convolution_kernel(n, lambda k: 1.0 + k, d=d)
+        got = wcv.init_convolution_kernel(n, lambda k: 1.0 + k, d=d)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_device_array_input_stays_on_device(self, rng):
+        # a concrete jax array must not round-trip through host f64
+        import jax.numpy as jnp
+        scv, wcv = self._mods()
+        n = 16
+        om = wcv.init_convolution_kernel(n, lambda k: 1.0 / (1.0 + k))
+        x = rng.standard_normal(n)
+        got = np.asarray(wcv.convolve(jnp.asarray(x, jnp.float32), om))
+        _close(got, scv.convolve(x.copy(), om), label="device-array")
+
     def test_kernel_func_extra_args(self):
         scv, wcv = self._mods()
         ref = scv.init_convolution_kernel(

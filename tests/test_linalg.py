@@ -224,6 +224,18 @@ class TestSolveToeplitz:
             WL.solve_toeplitz(c, bb) ** 2))(jnp.asarray(b))
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_empty_system_and_empty_rhs(self, rng):
+        # scipy returns empty solutions for n=0 and for (n, 0) RHS sets
+        got = np.asarray(WL.solve_toeplitz(np.ones(0), np.ones(0)))
+        assert got.shape == sla.solve_toeplitz(np.ones(0), np.ones(0)).shape
+        c = np.r_[5.0, rng.standard_normal(4)]
+        got = np.asarray(WL.solve_toeplitz(c, np.ones((5, 0))))
+        ref = sla.solve_toeplitz(c, np.ones((5, 0)))
+        assert got.shape == ref.shape
+        cx = c + 1j * rng.standard_normal(5)
+        got = np.asarray(WL.solve_toeplitz(cx, np.ones((5, 0))))
+        assert got.shape == (5, 0, 2)      # interleaved empty
+
     def test_validation(self, rng):
         # scipy's exact messages: dimensions / singular minor / finiteness
         with pytest.raises(ValueError, match="Incompatible dimensions"):

@@ -82,8 +82,9 @@ def init_convolution_kernel(n: int, kernel_func: Callable, d: int = 0,
     if n < 1:
         raise ValueError("n must be a positive integer")
     d = int(d)
-    if d < 0:
-        raise ValueError("d must be nonnegative")
+    # negative d is a real scipy path (integration kernels); Python's
+    # floor division makes the sign formulas below match scipy there
+    # too (probed d in [-4, 4], tests/test_fftpack.py)
     zn = (d % 2) if zero_nyquist is None else int(zero_nyquist)
     kmax = n // 2 if n % 2 == 0 else (n - 1) // 2
     f = np.array([float(kernel_func(k, *kernel_func_extra_args))
@@ -138,8 +139,8 @@ def _bilinear(x, p, q, r, s):
 def _as_signal(x):
     import jax
     import jax.numpy as jnp
-    if isinstance(x, jax.core.Tracer):
-        return jnp.asarray(x, jnp.float32)
+    if isinstance(x, (jax.core.Tracer, jax.Array)):
+        return jnp.asarray(x, jnp.float32)   # stays on device
     return jnp.asarray(np.asarray(x, dtype=np.float64).astype(np.float32))
 
 

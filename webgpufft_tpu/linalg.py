@@ -10,7 +10,8 @@ scipy's semantics but swaps the O(n^2) per-solve Levinson application
 for a Gohberg-Semencul factorization: Levinson runs ONCE on the host
 (f64, operator data only) to produce the two inverse generators, and
 every subsequent right-hand side is applied as four triangular-Toeplitz
-convolutions = six length-p FFTs on device, batched over columns.
+convolutions = four batch-fused length-p FFT dispatches on device,
+batched over columns.
 
 Design split, following the framework-wide pattern: the OPERATOR data
 (circulant kernel c, Toeplitz column/row) is usually concrete — its
@@ -268,9 +269,10 @@ def solve_toeplitz(c_or_cr, b, check_finite: bool = True):
     in f64.  ``b`` may be traced/batched; the application is
         T^{-1} b = (1/u_0) [ L(u) U(g~) - L(g^) U(u^) ] b
     (u = T^{-1}e_1, g = T^{-1}e_n), evaluated as two rounds of circulant
-    embedding with host-f64 spectra — six length-p device FFTs total,
-    batched over b's columns.  Real in, real out (f32); any complex
-    input returns interleaved (..., 2)."""
+    embedding with host-f64 spectra — four length-p device dispatches
+    (the two triangular factors of each round share ONE batch-2
+    transform), batched over b's columns.  Real in, real out (f32); any
+    complex input returns interleaved (..., 2)."""
     if isinstance(c_or_cr, tuple):
         c, r = c_or_cr
         if _is_traced(c) or _is_traced(r):
@@ -301,6 +303,12 @@ def solve_toeplitz(c_or_cr, b, check_finite: bool = True):
     complex_op = bool(np.iscomplexobj(c) or np.iscomplexobj(r))
     complex_b = bool(np.iscomplexobj(b))
     complex_out = complex_op or complex_b
+    one_d = b.ndim == 1
+
+    if n == 0 or (not one_d and b.shape[1] == 0):
+        # scipy returns the empty solution for empty systems / RHS sets
+        shape = tuple(b.shape) + ((2,) if complex_out else ())
+        return jnp.zeros(shape, jnp.float32)
 
     u, g = _levinson_generators(c, r)
     p = fftapi.next_fast_len(2 * n - 1)
@@ -323,7 +331,6 @@ def solve_toeplitz(c_or_cr, b, check_finite: bool = True):
     f4 = _tri_spectrum(zeros, np.r_[0.0, u[:0:-1]])          # U(u^)
 
     # data path: solve axis last, interleaved (..., p, 2) throughout
-    one_d = b.ndim == 1
     if b_traced and complex_b:
         bi = fftapi.asinterleaved(b)
         fb = fftapi.fft(jnp.moveaxis(bi, 0, -2), n=p, interleaved=True)
@@ -333,15 +340,22 @@ def solve_toeplitz(c_or_cr, b, check_finite: bool = True):
     else:
         fb = fftapi.fft(np.moveaxis(b, 0, -1), n=p,
                         interleaved=False if not complex_b else None)
-    z1 = fftapi.ifft(_cmul_table(fb, f2), interleaved=True)
-    z2 = fftapi.ifft(_cmul_table(fb, f4), interleaved=True)
+    # both pairs ride ONE batch-2 transform each (a leading pair axis):
+    # 4 device dispatches total instead of 6 (per-dispatch tunnel
+    # overhead dominates at small n — CLAUDE.md)
+    nd = fb.ndim - 2                     # extra batch dims beyond (p, 2)
+
+    def _pair(ta, tb):
+        return np.stack([ta, tb]).reshape((2,) + (1,) * nd + (p,))
+
+    z = fftapi.ifft(_cmul_table(fb[None], _pair(f2, f4)),
+                    interleaved=True)
     # truncate to the n valid rows, then the outer triangular pass
     mask = jnp.asarray(
         np.concatenate([np.ones(n, np.float32),
                         np.zeros(p - n, np.float32)]))[..., None]
-    fz1 = fftapi.fft(z1 * mask, interleaved=True)
-    fz2 = fftapi.fft(z2 * mask, interleaved=True)
-    spec = _cmul_table(fz1, f1) - _cmul_table(fz2, f3)
+    fz = fftapi.fft(z * mask, interleaved=True)
+    spec = jnp.sum(_cmul_table(fz, _pair(f1, -f3)), axis=0)
     x = fftapi.ifft(spec, interleaved=True)[..., :n, :]
 
     if not complex_out:
