@@ -67,6 +67,29 @@ def test_slab_matches_single_chip(ns3):
     assert err < 1e-4, err
 
 
+def test_solver_exports_as_aot_artifact(ns3):
+    """The FULL 3-D nonlinear multi-step solver serializes through the
+    generic pipeline AOT export and the loaded artifact reproduces the
+    direct run bit-exactly (serve-a-solver story, like NS2D's)."""
+    import jax
+    from webgpufft_tpu.runtime import aot
+
+    n, nu, dt, steps = 16, 2e-2, 1e-2, 3
+    step, to_s, to_p = ns3.make_stepper3(n, nu, dt)
+    u_hat = np.asarray(to_s(ns3.taylor_green_embedded(n, 0.0, nu)))
+
+    def advance(v):
+        def body(c, _):
+            return step(c), ()
+        out, _ = jax.lax.scan(body, v, None, length=steps)
+        return out
+
+    art = aot.load_exported_pipeline(aot.export_pipeline(advance, u_hat))
+    got = np.asarray(to_p(art(u_hat)))
+    ref = ns3.run3(ns3.taylor_green_embedded(n, 0.0, nu), n, nu, dt, steps)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pencil_matches_single_chip(ns3):
     import jax
     from webgpufft_tpu.parallel import sharded
