@@ -46,3 +46,25 @@ def test_pyfftw_interfaces_cover_their_namespaces():
                       (pf.interfaces.scipy_fft, pf._SCIPY_FFT_NAMES)):
         missing = [n for n in names if not hasattr(ns, n)]
         assert not missing, missing
+
+
+def test_oracle_control_kwargs_accepted():
+    """Mechanically migrated scipy.fft / numpy.fft call sites pass
+    overwrite_x/workers (ignored) and plan/out (scipy's own
+    NotImplementedError; out cannot alias a device buffer) — fftapi's
+    _oracle_kwargs shim, applied to every transform family."""
+    import numpy as np
+
+    x = np.arange(8.0)
+    for fn, args in ((F.fft, ()), (F.rfft, ()), (F.hfft, ()),
+                     (F.dct, ()), (F.dstn, ()), (F.irfftn, ())):
+        arg = x if fn is not F.irfftn else np.ones((5, 2))
+        fn(arg, *args, overwrite_x=True, workers=4)   # accepted, ignored
+    with pytest.raises(NotImplementedError, match="precomputed plan"):
+        F.fft(x, plan=object())
+    with pytest.raises(NotImplementedError, match="out="):
+        F.ifft(x, out=np.zeros(8, complex))
+    # results are unchanged by the ignored kwargs
+    a = np.asarray(F.fft(x, workers=2))
+    b = np.asarray(F.fft(x))
+    np.testing.assert_array_equal(a, b)

@@ -2369,3 +2369,42 @@ def set_global_backend(backend, coerce=False, only=False,
 
 def register_backend(backend):
     """scipy.fft.register_backend analog — accepted and ignored."""
+
+
+# ------------------------- oracle signature compatibility (kwargs shims)
+
+def _oracle_kwargs(fn):
+    """Widen a transform's signature with the oracle libraries' control
+    kwargs so mechanically migrated scipy.fft / numpy.fft call sites run
+    unmodified: ``overwrite_x`` and ``workers`` are accepted and ignored
+    (the plan layer never mutates inputs and XLA owns threading — same
+    policy as the uarray backend, scipy_backend.py), a non-None ``plan``
+    raises scipy.fft's own NotImplementedError, and a non-None ``out``
+    raises NotImplementedError (device outputs cannot alias a caller
+    buffer; numpy.fft's out= contract cannot be honored silently)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, overwrite_x: bool = False, workers=None,
+                plan=None, out=None, **kwargs):
+        if plan is not None:
+            raise NotImplementedError(
+                "Passing a precomputed plan is not yet supported by "
+                "scipy.fft functions")
+        if out is not None:
+            raise NotImplementedError(
+                "out= is not supported: transform outputs are device "
+                "arrays and cannot alias a caller-provided buffer")
+        del overwrite_x, workers
+        return fn(*args, **kwargs)
+
+    return wrapper
+
+
+for _name in ("fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+              "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+              "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
+              "dct", "idct", "dst", "idst",
+              "dctn", "idctn", "dstn", "idstn"):
+    globals()[_name] = _oracle_kwargs(globals()[_name])
+del _name
