@@ -22,13 +22,16 @@ import sys
 
 def _last_onchip_headline():
     """Most recent backend=tpu row for the headline config from the
-    benches results logs (newest log line wins), or None."""
+    benches results logs, or None.  Files scan oldest-mtime-first and
+    later in-file lines win, so the newest recorded row survives
+    (lexicographic glob order would put results_r10 before results_r2)."""
     import glob
     import os
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
     for path in sorted(glob.glob(os.path.join(here, "benches",
-                                              "results_r*.jsonl"))):
+                                              "results_r*.jsonl")),
+                       key=os.path.getmtime):
         try:
             with open(path) as f:
                 for line in f:

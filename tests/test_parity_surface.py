@@ -68,3 +68,10 @@ def test_oracle_control_kwargs_accepted():
     a = np.asarray(F.fft(x, workers=2))
     b = np.asarray(F.fft(x))
     np.testing.assert_array_equal(a, b)
+    # scipy.fft also allows overwrite_x/workers POSITIONALLY
+    np.testing.assert_array_equal(
+        np.asarray(F.fft(x, None, -1, None, True, 4)), b)
+    c = np.asarray(F.dct(x, 2, None, -1, None, True, 4))
+    np.testing.assert_array_equal(c, np.asarray(F.dct(x)))
+    with pytest.raises(TypeError, match="positional"):
+        F.fft(x, None, -1, None, True, 4, "extra")

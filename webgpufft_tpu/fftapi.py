@@ -2373,20 +2373,33 @@ def register_backend(backend):
 
 # ------------------------- oracle signature compatibility (kwargs shims)
 
-def _oracle_kwargs(fn):
+def _oracle_kwargs(fn, npos: int):
     """Widen a transform's signature with the oracle libraries' control
     kwargs so mechanically migrated scipy.fft / numpy.fft call sites run
     unmodified: ``overwrite_x`` and ``workers`` are accepted and ignored
     (the plan layer never mutates inputs and XLA owns threading — same
-    policy as the uarray backend, scipy_backend.py), a non-None ``plan``
-    raises scipy.fft's own NotImplementedError, and a non-None ``out``
-    raises NotImplementedError (device outputs cannot alias a caller
-    buffer; numpy.fft's out= contract cannot be honored silently)."""
+    policy as the uarray backend, scipy_backend.py) — positionally too,
+    in scipy.fft's layout, where they sit right after the ``npos``
+    leading params (x/n-or-s/axis-or-axes/norm, plus type for the trig
+    family).  A non-None ``plan`` raises scipy.fft's own
+    NotImplementedError; a non-None ``out`` raises NotImplementedError
+    (device outputs cannot alias a caller buffer; numpy.fft's out=
+    contract cannot be honored silently)."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(*args, overwrite_x: bool = False, workers=None,
                 plan=None, out=None, **kwargs):
+        if len(args) > npos:
+            extra = args[npos:]
+            if len(extra) > 2:
+                raise TypeError(
+                    f"{fn.__name__}() takes at most {npos + 2} "
+                    f"positional arguments but {len(args)} were given")
+            overwrite_x = extra[0]          # scipy.fft positional layout
+            if len(extra) == 2:
+                workers = extra[1]
+            args = args[:npos]
         if plan is not None:
             raise NotImplementedError(
                 "Passing a precomputed plan is not yet supported by "
@@ -2403,8 +2416,9 @@ def _oracle_kwargs(fn):
 
 for _name in ("fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
               "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
-              "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn",
-              "dct", "idct", "dst", "idst",
+              "hfft", "ihfft", "hfft2", "ihfft2", "hfftn", "ihfftn"):
+    globals()[_name] = _oracle_kwargs(globals()[_name], npos=4)
+for _name in ("dct", "idct", "dst", "idst",
               "dctn", "idctn", "dstn", "idstn"):
-    globals()[_name] = _oracle_kwargs(globals()[_name])
+    globals()[_name] = _oracle_kwargs(globals()[_name], npos=5)
 del _name
