@@ -79,6 +79,16 @@ def test_dsp_golden_corpus_replays():
     assert blob["schema"] == "webgpufft-tpu-golden-dsp"
     rng = np.random.default_rng(blob["seed"])
     x64 = rng.standard_normal(64)
+    # draws continue the recorded stream in this exact order
+    c16 = rng.standard_normal(16)
+    c16[0] += 8.0
+    r16 = rng.standard_normal(16)
+    b16 = rng.standard_normal(16)
+
+    from webgpufft_tpu import linalg as LA
+    from webgpufft_tpu.fftpack import convolve as CV
+
+    om24 = CV.init_convolution_kernel(24, lambda k: 1.0 / (1.0 + k), d=1)
 
     A = W.ShortTimeFFT(WIN.gaussian(8, 2), hop=3, fs=10)
     num, den, _ = L.cont2discrete(D.butter(3, 5, analog=True), 0.01,
@@ -109,6 +119,10 @@ def test_dsp_golden_corpus_replays():
         "envelope": np.asarray(wfft.envelope(x64.astype(np.float32))),
         "shorttime_stft": np.asarray(A.stft(x64.astype(np.float32))),
         "dual_win_gauss8_hop3": A.dual_win,
+        "solve_toeplitz_16": np.asarray(LA.solve_toeplitz((c16, r16),
+                                                          b16)),
+        "fftpack_convolve_24": np.asarray(CV.convolve(
+            x64[:24], om24, swap_real_imag=True)),
     }
     for art in blob["artifacts"]:
         want = np.frombuffer(
