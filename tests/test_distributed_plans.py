@@ -112,6 +112,50 @@ def test_fftconv_nd_seq_correlation(mesh8, rng, assert_close):
     assert_close(y.imag, ref.imag, label="dseq ndcorr.im")
 
 
+@pytest.mark.parametrize("n,kc", [(100, 1), (101, 2), (13, 1)])
+def test_fftconv_seq_circular_unsplittable(mesh24, rng, assert_close, n,
+                                           kc):
+    """Circular fftconv at lengths with NO mesh-divisible digit split
+    (100/101/13 on sp=4) takes the chirp-Z fallback — any length
+    distributes, like plain distributed c2c (deep-fuzz regression)."""
+    batch = 4
+    z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    ks = rng.standard_normal((kc, n)) + 1j * rng.standard_normal((kc, n))
+    plan = create_distributed_plan(
+        type="fftconv", shape=[n], batch=batch,
+        fftConv={"mode": "correlation", "kernelCount": kc},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    kin = (np.stack([ks.real, ks.imag], -1).astype(np.float32)
+           if kc > 1 else interleave(ks[0]))
+    y = np.asarray(plan(interleave(z), kernel=kin))
+    if kc == 1:
+        y = y[None]
+    for i in range(kc):
+        ref = R.fftconv(z, ks[i], [n], batch=batch, boundary="circular",
+                        mode="correlation")
+        assert_close(y[i, ..., 0], ref.real, atol_scale=5e-5,
+                     label=f"bluestein conv n={n} #{i}.re")
+        assert_close(y[i, ..., 1], ref.imag, atol_scale=5e-5,
+                     label=f"bluestein conv n={n} #{i}.im")
+
+
+def test_fftconv_nd_seq_circular_unsplittable_axis0(mesh8, rng,
+                                                    assert_close):
+    """ND circular fftconv with an unsplittable axis 0 (n0=15 on sp=8)
+    routes axis 0 through the Bluestein embedding, local rest axes."""
+    shape, batch = [15, 6], 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    k = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    plan = create_distributed_plan(type="fftconv", shape=shape, batch=batch,
+                                   mesh=mesh8, seq_axis="sp")
+    y = uninterleave(np.asarray(plan(interleave(z), kernel=interleave(k))))
+    y = y.reshape(batch, *shape)
+    ref = R.fftconv(z, k, shape, batch=batch, boundary="circular")
+    assert_close(y.real, ref.real, atol_scale=5e-5, label="bs ndconv.re")
+    assert_close(y.imag, ref.imag, atol_scale=5e-5, label="bs ndconv.im")
+
+
 @pytest.mark.parametrize("boundary", ["linear-full", "linear-same",
                                       "linear-valid"])
 def test_fftconv_seq_linear_1d(mesh24, rng, assert_close, boundary):
@@ -418,12 +462,20 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="c2c", shape=[64],
                                 ioView={"input": {"shape": [32]}},
                                 mesh=mesh24, seq_axis="sp")
-    # unsplittable fftconv lengths surface as PlanError (the documented
-    # single-exception contract), not a bare ValueError from the builder
-    with pytest.raises(PlanError, match="cannot split"):
-        create_distributed_plan(type="fftconv", shape=[12],
-                                fftConv={"boundary": "circular"},
-                                mesh=mesh8, seq_axis="sp")
+    # unsplittable circular fftconv lengths no longer decline: the
+    # chirp-Z fallback distributes any length (n=12 has no two smooth
+    # factors divisible by 8)
+    p12 = create_distributed_plan(type="fftconv", shape=[12],
+                                  fftConv={"boundary": "circular"},
+                                  mesh=mesh8, seq_axis="sp")
+    rng12 = np.random.default_rng(0)
+    z12 = (rng12.standard_normal((1, 12))
+           + 1j * rng12.standard_normal((1, 12)))
+    k12 = rng12.standard_normal(12) + 1j * rng12.standard_normal(12)
+    got12 = uninterleave(np.asarray(
+        p12(interleave(z12), kernel=interleave(k12)))).reshape(1, 12)
+    ref12 = R.fftconv(z12, k12, [12], batch=1, boundary="circular")
+    assert np.max(np.abs(got12 - ref12)) / np.max(np.abs(ref12)) < 5e-5
     # linear boundaries are supported (padded-circular route) and short
     # circular kernels ride the halo route; a LONG partial circular kernel
     # (halo-ineligible) still requires full length on the spectrum route

@@ -1134,6 +1134,37 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     """
     if mode not in ("convolution", "correlation"):
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
+    if choose_distributed_split(n, mesh.shape[axis_name]) is None:
+        # unsplittable n (odd/prime/etc. on this mesh): no digit grid to
+        # share — compose the chirp-Z distributed transforms in the flat
+        # natural-order domain instead (ANY length distributes; two extra
+        # collectives vs the grid form, mirroring _build_seq_c2c's
+        # fallback)
+        fwd = build_distributed_bluestein_1d(n, mesh, axis_name, "forward",
+                                             "none", batch_axis_name)
+        inv = build_distributed_bluestein_1d(n, mesh, axis_name, "inverse",
+                                             "backward", batch_axis_name)
+        kfwd = build_distributed_bluestein_1d(n, mesh, axis_name, "forward",
+                                              "none")
+
+        def fn_any(x, kernel):
+            kernel = jnp.asarray(kernel)
+            if kernel.ndim == 2:
+                kernel = kernel[None]
+            kc, b = kernel.shape[0], x.shape[0]
+            kf = kfwd(kernel)                         # (kc, n, 2)
+            if mode == "correlation":
+                kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
+            xf = fwd(x)[None]                         # (1, b, n, 2)
+            kf = kf[:, None]                          # (kc, 1, n, 2)
+            yr = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
+            yi = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
+            y = jnp.concatenate([yr, yi], axis=-1)
+            z = inv(y.reshape(kc * b, n, 2)).reshape(kc, b, n, 2)
+            return z[0] if kc == 1 else z             # kernel-major
+
+        fn_any.split = fwd.split
+        return fn_any
     fwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
                                    batch_axis_name)
     n1, n2 = fwd.split
@@ -1385,15 +1416,31 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
     shape = tuple(shape)
     rest = shape[1:]
-    fwd0 = build_distributed_fft_axis0(shape, mesh, axis_name, "forward",
-                                       batch_axis_name=batch_axis_name)
-    n1, n2 = fwd0.split
-    inv0 = build_distributed_fft_axis0(shape, mesh, axis_name, "inverse",
-                                       "backward",
-                                       batch_axis_name=batch_axis_name,
-                                       split=(n2, n1))
-    kfwd0 = build_distributed_fft_axis0(shape, mesh, axis_name, "forward",
-                                        split=(n1, n2))
+    grid_form = choose_distributed_split(shape[0],
+                                         mesh.shape[axis_name]) is not None
+    if grid_form:
+        fwd0 = build_distributed_fft_axis0(shape, mesh, axis_name,
+                                           "forward",
+                                           batch_axis_name=batch_axis_name)
+        n1, n2 = fwd0.split
+        inv0 = build_distributed_fft_axis0(shape, mesh, axis_name,
+                                           "inverse", "backward",
+                                           batch_axis_name=batch_axis_name,
+                                           split=(n2, n1))
+        kfwd0 = build_distributed_fft_axis0(shape, mesh, axis_name,
+                                            "forward", split=(n1, n2))
+        lead = 3                                  # (kc|b, k2, k1, *rest, 2)
+    else:
+        # unsplittable n0: chirp-Z axis-0 embedding, flat natural order
+        # (mirrors _build_seq_c2c's ND fallback)
+        fwd0 = build_distributed_bluestein_axis0(
+            shape, mesh, axis_name, "forward", "none", batch_axis_name)
+        inv0 = build_distributed_bluestein_axis0(
+            shape, mesh, axis_name, "inverse", "backward", batch_axis_name)
+        kfwd0 = build_distributed_bluestein_axis0(
+            shape, mesh, axis_name, "forward", "none")
+        n1, n2 = fwd0.split
+        lead = 2                                  # (kc|b, n0, *rest, 2)
     # local plans for the non-distributed axes (forward + unnormalized
     # inverse; the 1/prod(rest) rides inv0's per-axis0 backward 1/n0... no:
     # normalize="backward" on inv0 scales by 1/n0 only, so fold 1/prod(rest)
@@ -1430,11 +1477,13 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
             kernel = kernel[None]
         kc = kernel.shape[0]
         b = x.shape[0]
-        # forward: distributed axis 0, then local rest axes
-        kf = local_axes(kfwd0(kernel), fplans, 3)     # (kc, k2, k1, *rest, 2)
+        # forward: distributed axis 0, then local rest axes (the digit
+        # form keeps the (k2, k1) grid, lead 3; the Bluestein fallback is
+        # flat natural order, lead 2)
+        kf = local_axes(kfwd0(kernel), fplans, lead)
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
-        xf = local_axes(fwd0(x), fplans, 3)           # (b, k2, k1, *rest, 2)
+        xf = local_axes(fwd0(x), fplans, lead)
         xf = xf[None]                                 # (1, b, ...)
         kf = kf[:, None]                              # (kc, 1, ...)
         yr = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
@@ -1442,10 +1491,11 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         y = jnp.concatenate([yr, yi], axis=-1)        # (kc, b, grid..., 2)
         y = y.reshape(kc * b, *y.shape[2:])
         # inverse: local rest axes (scale folded), then distributed axis 0.
-        y = local_axes(y, iplans, 3)
+        y = local_axes(y, iplans, lead)
         if rest_scale != 1.0:
             y = y * jnp.asarray(rest_scale, y.dtype)
-        y = y.reshape(kc * b, n1 * n2, *rest, 2)      # grid -> flat k order
+        if grid_form:
+            y = y.reshape(kc * b, n1 * n2, *rest, 2)  # grid -> flat k order
         z = inv0(y)                                   # (kc*b, k1', k2', ...)
         z = z.reshape(kc, b, *shape, 2)
         return z[0] if kc == 1 else z                 # kernel-major
