@@ -142,18 +142,46 @@ def test_fftconv_seq_circular_unsplittable(mesh24, rng, assert_close, n,
 def test_fftconv_nd_seq_circular_unsplittable_axis0(mesh8, rng,
                                                     assert_close):
     """ND circular fftconv with an unsplittable axis 0 (n0=15 on sp=8)
-    routes axis 0 through the Bluestein embedding, local rest axes."""
+    runs the grid pipeline at the smooth padded work length and folds
+    back mod n0; the route records the padding."""
     shape, batch = [15, 6], 2
     z = (rng.standard_normal((batch, *shape))
          + 1j * rng.standard_normal((batch, *shape)))
     k = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     plan = create_distributed_plan(type="fftconv", shape=shape, batch=batch,
                                    mesh=mesh8, seq_axis="sp")
+    assert any(r.startswith("fftconv-padded-circular:")
+               for r in plan.route.reasons), plan.route.reasons
     y = uninterleave(np.asarray(plan(interleave(z), kernel=interleave(k))))
     y = y.reshape(batch, *shape)
     ref = R.fftconv(z, k, shape, batch=batch, boundary="circular")
     assert_close(y.real, ref.real, atol_scale=5e-5, label="bs ndconv.re")
     assert_close(y.imag, ref.imag, atol_scale=5e-5, label="bs ndconv.im")
+
+
+def test_fftconv_nd_seq_circular_unsplittable_dp_multikernel(
+        mesh24, rng, assert_close):
+    """The padded ND route composes with a batch axis AND kernelCount > 1
+    (the (kc, b) reshape through the dp-sharded inverse)."""
+    shape, batch, kc = [15, 4], 4, 2
+    z = (rng.standard_normal((batch, *shape))
+         + 1j * rng.standard_normal((batch, *shape)))
+    ks = (rng.standard_normal((kc, *shape))
+          + 1j * rng.standard_normal((kc, *shape)))
+    plan = create_distributed_plan(
+        type="fftconv", shape=shape, batch=batch,
+        fftConv={"mode": "correlation", "kernelCount": kc},
+        mesh=mesh24, batch_axis="dp", seq_axis="sp")
+    kin = np.stack([ks.real, ks.imag], -1).astype(np.float32)
+    y = np.asarray(plan(interleave(z), kernel=kin))
+    for i in range(kc):
+        ref = R.fftconv(z, ks[i], shape, batch=batch, boundary="circular",
+                        mode="correlation")
+        got = uninterleave(y[i]).reshape(batch, *shape)
+        assert_close(got.real, ref.real, atol_scale=5e-5,
+                     label=f"padded nd dp kc #{i}.re")
+        assert_close(got.imag, ref.imag, atol_scale=5e-5,
+                     label=f"padded nd dp kc #{i}.im")
 
 
 @pytest.mark.parametrize("boundary", ["linear-full", "linear-same",

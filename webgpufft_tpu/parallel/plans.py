@@ -291,6 +291,8 @@ def _wrap_kernel_layout(inner, fc, kshape):
         return y
 
     fn.split = inner.split
+    if hasattr(inner, "padded_work_len"):
+        fn.padded_work_len = inner.padded_work_len
     return fn
 
 
@@ -353,6 +355,8 @@ def _wrap_channel_lanes(inner, spec: PlanSpec, out_shape):
     fn.split = inner.split
     if hasattr(inner, "halo"):
         fn.halo = inner.halo
+    if hasattr(inner, "padded_work_len"):
+        fn.padded_work_len = inner.padded_work_len
     return fn
 
 
@@ -622,6 +626,11 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
             f"shard-split:{split}", f"fftconv-halo({fn.halo})")
     else:
         route.reasons = route.reasons + (f"digit-split:{split}",)
+        if hasattr(fn, "padded_work_len"):
+            # the digits factor the PADDED circular work length, not the
+            # logical shape (unsplittable length folded back mod n)
+            route.reasons = route.reasons + (
+                f"fftconv-padded-circular:{fn.padded_work_len}",)
     return DistributedPlan(
         spec, mesh, route, fn, needs_kernel=needs_kernel,
         batch_axis=batch_axis, seq_axis=seq_axis)

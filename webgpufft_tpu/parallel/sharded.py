@@ -1134,46 +1134,27 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     """
     if mode not in ("convolution", "correlation"):
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
-    if choose_distributed_split(n, mesh.shape[axis_name]) is None:
-        # unsplittable n (odd/prime/etc. on this mesh): no digit grid to
-        # share — compose the chirp-Z distributed transforms in the flat
-        # natural-order domain instead (ANY length distributes; two extra
-        # collectives vs the grid form, mirroring _build_seq_c2c's
-        # fallback)
-        fwd = build_distributed_bluestein_1d(n, mesh, axis_name, "forward",
-                                             "none", batch_axis_name)
-        inv = build_distributed_bluestein_1d(n, mesh, axis_name, "inverse",
-                                             "backward", batch_axis_name)
-        kfwd = build_distributed_bluestein_1d(n, mesh, axis_name, "forward",
-                                              "none")
-
-        def fn_any(x, kernel):
-            kernel = jnp.asarray(kernel)
-            if kernel.ndim == 2:
-                kernel = kernel[None]
-            kc, b = kernel.shape[0], x.shape[0]
-            kf = kfwd(kernel)                         # (kc, n, 2)
-            if mode == "correlation":
-                kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
-            xf = fwd(x)[None]                         # (1, b, n, 2)
-            kf = kf[:, None]                          # (kc, 1, n, 2)
-            yr = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
-            yi = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
-            y = jnp.concatenate([yr, yi], axis=-1)
-            z = inv(y.reshape(kc * b, n, 2)).reshape(kc, b, n, 2)
-            return z[0] if kc == 1 else z             # kernel-major
-
-        fn_any.split = fwd.split
-        return fn_any
-    fwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
+    ndev = mesh.shape[axis_name]
+    # lengths with no mesh-divisible digit split run the SAME grid
+    # pipeline at a smooth padded length >= 2n-1 and fold the linear
+    # result back mod n afterwards — any length distributes with the
+    # same 2-all_to_all cost as the native-length form (the chirp-Z
+    # alternative costs 3x two M-FFTs; the fold is one add)
+    work = (n if choose_distributed_split(n, ndev) is not None
+            else smooth_distributed_len_at_least(max(2 * n - 1,
+                                                     ndev * ndev), ndev))
+    fwd = build_distributed_fft_1d(work, mesh, axis_name, "forward", "none",
                                    batch_axis_name)
     n1, n2 = fwd.split
-    inv = build_distributed_fft_1d(n, mesh, axis_name, "inverse", "backward",
-                                   batch_axis_name, split=(n2, n1))
+    inv = build_distributed_fft_1d(work, mesh, axis_name, "inverse",
+                                   "backward", batch_axis_name,
+                                   split=(n2, n1))
     # the kernel's batch of kcount cannot shard over the batch axis: run
-    # its forward replicated over dp (same split, so the grids align)
-    kfwd = build_distributed_fft_1d(n, mesh, axis_name, "forward", "none",
-                                    split=(n1, n2))
+    # its forward replicated over dp (same split, so the grids align);
+    # with no batch axis that plan IS fwd — share it
+    kfwd = (fwd if batch_axis_name is None
+            else build_distributed_fft_1d(work, mesh, axis_name, "forward",
+                                          "none", split=(n1, n2)))
 
     def fn(x, kernel):
         kernel = jnp.asarray(kernel)
@@ -1181,6 +1162,9 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
             kernel = kernel[None]
         kc = kernel.shape[0]
         b = x.shape[0]
+        if work != n:
+            x = jnp.pad(x, ((0, 0), (0, work - n), (0, 0)))
+            kernel = jnp.pad(kernel, ((0, 0), (0, work - n), (0, 0)))
         kf = kfwd(kernel)                             # (kc, k2, k1, 2)
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
@@ -1189,12 +1173,35 @@ def build_distributed_fftconv_1d(n: int, mesh: Mesh, axis_name: str = "sp",
         yf = xf[..., :1] * kf[..., :1] - xf[..., 1:] * kf[..., 1:]
         yg = xf[..., :1] * kf[..., 1:] + xf[..., 1:] * kf[..., :1]
         y = jnp.concatenate([yf, yg], axis=-1)        # (kc, b, k2, k1, 2)
-        z = inv(y.reshape(kc * b, *y.shape[2:]))      # (kc*b, k1', k2', 2)
-        z = z.reshape(kc, b, n, 2)
+        z = inv(y.reshape(kc * b, *y.shape[2:]))      # flat (kc*b, work, 2)
+        z = z.reshape(kc, b, work, 2)
+        if work != n:
+            z = _circular_fold(z, 2, n, work, mode)
         return z[0] if kc == 1 else z                 # kernel-major
 
     fn.split = (n1, n2)
+    if work != n:
+        fn.padded_work_len = work
     return fn
+
+
+def _circular_fold(y, axis: int, n: int, m: int, mode: str):
+    """Fold a length-m padded-circular convolution/correlation result
+    back to circular length n (m >= 2n-1, so every aliased lag appears
+    exactly once): convolution support [0, 2n-2] folds tail [n, 2n-1)
+    onto [0, n-1); correlation's negative lags sit at the END of m and
+    fold onto [1, n)."""
+    import jax
+
+    head = jax.lax.slice_in_dim(y, 0, n, axis=axis)
+    pad = [(0, 0)] * y.ndim
+    if mode == "convolution":
+        tail = jax.lax.slice_in_dim(y, n, 2 * n - 1, axis=axis)
+        pad[axis] = (0, 1)
+    else:
+        tail = jax.lax.slice_in_dim(y, m - n + 1, m, axis=axis)
+        pad[axis] = (1, 0)
+    return head + jnp.pad(tail, pad)
 
 
 def halo_conv_geometry(n: int, k: int, ndev: int,
@@ -1416,31 +1423,25 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         raise ValueError(f"mode must be convolution|correlation, got {mode}")
     shape = tuple(shape)
     rest = shape[1:]
-    grid_form = choose_distributed_split(shape[0],
-                                         mesh.shape[axis_name]) is not None
-    if grid_form:
-        fwd0 = build_distributed_fft_axis0(shape, mesh, axis_name,
-                                           "forward",
-                                           batch_axis_name=batch_axis_name)
-        n1, n2 = fwd0.split
-        inv0 = build_distributed_fft_axis0(shape, mesh, axis_name,
-                                           "inverse", "backward",
-                                           batch_axis_name=batch_axis_name,
-                                           split=(n2, n1))
-        kfwd0 = build_distributed_fft_axis0(shape, mesh, axis_name,
-                                            "forward", split=(n1, n2))
-        lead = 3                                  # (kc|b, k2, k1, *rest, 2)
-    else:
-        # unsplittable n0: chirp-Z axis-0 embedding, flat natural order
-        # (mirrors _build_seq_c2c's ND fallback)
-        fwd0 = build_distributed_bluestein_axis0(
-            shape, mesh, axis_name, "forward", "none", batch_axis_name)
-        inv0 = build_distributed_bluestein_axis0(
-            shape, mesh, axis_name, "inverse", "backward", batch_axis_name)
-        kfwd0 = build_distributed_bluestein_axis0(
-            shape, mesh, axis_name, "forward", "none")
-        n1, n2 = fwd0.split
-        lead = 2                                  # (kc|b, n0, *rest, 2)
+    ndev = mesh.shape[axis_name]
+    n0 = shape[0]
+    # unsplittable axis-0 lengths run the same grid pipeline at a smooth
+    # padded work length and fold back mod n0 (see the 1-D builder)
+    work0 = (n0 if choose_distributed_split(n0, ndev) is not None
+             else smooth_distributed_len_at_least(max(2 * n0 - 1,
+                                                      ndev * ndev), ndev))
+    wshape = (work0, *rest)
+    fwd0 = build_distributed_fft_axis0(wshape, mesh, axis_name, "forward",
+                                       batch_axis_name=batch_axis_name)
+    n1, n2 = fwd0.split
+    inv0 = build_distributed_fft_axis0(wshape, mesh, axis_name, "inverse",
+                                       "backward",
+                                       batch_axis_name=batch_axis_name,
+                                       split=(n2, n1))
+    kfwd0 = (fwd0 if batch_axis_name is None
+             else build_distributed_fft_axis0(wshape, mesh, axis_name,
+                                              "forward", split=(n1, n2)))
+    lead = 3                                      # (kc|b, k2, k1, *rest, 2)
     # local plans for the non-distributed axes (forward + unnormalized
     # inverse; the 1/prod(rest) rides inv0's per-axis0 backward 1/n0... no:
     # normalize="backward" on inv0 scales by 1/n0 only, so fold 1/prod(rest)
@@ -1477,9 +1478,12 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
             kernel = kernel[None]
         kc = kernel.shape[0]
         b = x.shape[0]
-        # forward: distributed axis 0, then local rest axes (the digit
-        # form keeps the (k2, k1) grid, lead 3; the Bluestein fallback is
-        # flat natural order, lead 2)
+        if work0 != n0:
+            grow = ((0, 0), (0, work0 - n0)) + ((0, 0),) * (len(rest) + 1)
+            x = jnp.pad(x.reshape(b, *shape, 2), grow)
+            kernel = jnp.pad(kernel, grow)
+        # forward: distributed axis 0 in the (k2, k1) grid, then local
+        # rest axes
         kf = local_axes(kfwd0(kernel), fplans, lead)
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
@@ -1494,13 +1498,16 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         y = local_axes(y, iplans, lead)
         if rest_scale != 1.0:
             y = y * jnp.asarray(rest_scale, y.dtype)
-        if grid_form:
-            y = y.reshape(kc * b, n1 * n2, *rest, 2)  # grid -> flat k order
-        z = inv0(y)                                   # (kc*b, k1', k2', ...)
-        z = z.reshape(kc, b, *shape, 2)
+        y = y.reshape(kc * b, n1 * n2, *rest, 2)      # grid -> flat k order
+        z = inv0(y)                                   # (kc*b, work0, *rest, 2)
+        z = z.reshape(kc, b, work0, *rest, 2)
+        if work0 != n0:
+            z = _circular_fold(z, 2, n0, work0, mode)
         return z[0] if kc == 1 else z                 # kernel-major
 
     fn.split = (n1, n2)
+    if work0 != n0:
+        fn.padded_work_len = work0
     return fn
 
 
