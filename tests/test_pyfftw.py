@@ -125,11 +125,79 @@ class TestFFTW:
     def test_r2r_logical_N(self, rng):
         x = rng.standard_normal(12).astype(np.float32)
         # FFTW logical sizes: REDFT00 -> 2(n-1), RODFT00 -> 2(n+1),
-        # everything else -> 2n
+        # everything else -> 2n; halfcomplex/DHT kinds -> n
         for kind, n in (("FFTW_REDFT00", 22), ("FFTW_RODFT00", 26),
-                        ("FFTW_REDFT10", 24)):
+                        ("FFTW_REDFT10", 24), ("FFTW_R2HC", 12),
+                        ("FFTW_HC2R", 12), ("FFTW_DHT", 12)):
             obj = pf.FFTW(x, np.zeros_like(x), direction=(kind,))
             assert obj.N == n, kind
+
+    @staticmethod
+    def _r2hc_ref(x, axis=-1):
+        # FFTW halfcomplex layout: r0..r_{n/2}, i_{ceil(n/2)-1}..i_1
+        n = x.shape[axis]
+        X = np.fft.rfft(x, axis=axis)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(1, (n + 1) // 2)
+        tail = np.flip(X.imag[tuple(sl)], axis=axis)
+        return np.concatenate([X.real, tail], axis=axis)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 12, 13])
+    def test_r2hc_matches_rfft_layout(self, rng, n):
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        obj = pf.FFTW(x, np.zeros_like(x), axes=(-1,),
+                      direction=("FFTW_R2HC",))
+        obj.execute()
+        np.testing.assert_allclose(obj.output_array, self._r2hc_ref(x),
+                                   atol=1e-3, rtol=1e-4)
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 12, 13])
+    def test_hc2r_inverts_r2hc_times_n(self, rng, n):
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        hc = self._r2hc_ref(x).astype(np.float32)
+        obj = pf.FFTW(hc, np.zeros_like(hc), axes=(-1,),
+                      direction=("FFTW_HC2R",))
+        obj.execute()                      # FFTW HC2R is unnormalized
+        np.testing.assert_allclose(obj.output_array, n * x,
+                                   atol=1e-3 * n, rtol=1e-4)
+
+    @pytest.mark.parametrize("n", [2, 3, 12, 13])
+    def test_dht_matches_definition(self, rng, n):
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        X = np.fft.fft(x, axis=-1)
+        ref = X.real - X.imag              # H[k] = sum x (cos + sin)
+        obj = pf.FFTW(x, np.zeros_like(x), axes=(-1,),
+                      direction=("FFTW_DHT",))
+        obj.execute()
+        np.testing.assert_allclose(obj.output_array, ref,
+                                   atol=1e-3, rtol=1e-4)
+        # DHT is an involution up to n: DHT(DHT(x)) = n * x
+        twice = pf.FFTW(obj.output_array.copy(), np.zeros_like(x),
+                        axes=(-1,), direction=("FFTW_DHT",))
+        twice.execute()
+        np.testing.assert_allclose(twice.output_array, n * x,
+                                   atol=1e-3 * n, rtol=1e-4)
+
+    def test_hc_kinds_compose_per_axis(self, rng):
+        # mixed kinds: R2HC on axis 0, REDFT10 (dct-2) on axis 1 —
+        # FFTW applies each 1-D r2r kind separably
+        x = rng.standard_normal((10, 8)).astype(np.float32)
+        obj = pf.FFTW(x, np.zeros_like(x), axes=(0, 1),
+                      direction=("FFTW_R2HC", "FFTW_REDFT10"))
+        obj.execute()
+        ref = sf.dct(self._r2hc_ref(x, axis=0), type=2, axis=1)
+        np.testing.assert_allclose(obj.output_array, ref,
+                                   atol=1e-2, rtol=1e-4)
+        assert obj.N == 10 * 16
+
+    def test_dht_nonlast_axis_ortho(self, rng):
+        x = rng.standard_normal((6, 4)).astype(np.float32)
+        obj = pf.FFTW(x, np.zeros_like(x), axes=(0,),
+                      direction=("FFTW_DHT",))
+        X = np.fft.fft(x, axis=0)
+        y = obj(ortho=True, normalise_idft=False)
+        np.testing.assert_allclose(y, (X.real - X.imag) / np.sqrt(6),
+                                   atol=1e-3, rtol=1e-4)
 
     def test_unknown_flags_and_direction_raise(self, rng):
         a = _cplx(rng, 8)

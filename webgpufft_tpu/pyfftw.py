@@ -6,9 +6,10 @@ extends the repo's bridge family — scipy_backend.py, torch_fft.py,
 fftpack.py — to FFTW-shaped code).  It mirrors pyfftw's public API:
 
 - ``FFTW`` — the planned-transform object (c2c / r2c / c2r schemes
-  inferred from the array dtypes and shapes, plus the FFTW real-to-real
-  kinds ``FFTW_REDFT*``/``FFTW_RODFT*`` mapped onto the plan layer's
-  dct/dst types).  FFTW normalization conventions are kept exactly:
+  inferred from the array dtypes and shapes, plus ALL eleven FFTW
+  real-to-real kinds: ``FFTW_REDFT*``/``FFTW_RODFT*`` mapped onto the
+  plan layer's dct/dst types, and ``FFTW_R2HC``/``FFTW_HC2R``/
+  ``FFTW_DHT`` computed from the packed rfft spectrum).  FFTW normalization conventions are kept exactly:
   ``execute()`` is raw/unnormalized in both directions,
   ``__call__(normalise_idft=True)`` scales the backward transform by
   1/N, ``ortho=True`` scales both directions by 1/sqrt(N).
@@ -56,6 +57,7 @@ import json
 from types import SimpleNamespace
 from typing import Optional, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from . import fftapi
@@ -91,12 +93,64 @@ _NONPLANNING_FLAGS = (
 # FFTW real-to-real kinds -> (plan family, type) of the scipy/plan-layer
 # trig transforms.  scipy's norm=None conventions ARE FFTW's (scipy.fft
 # docs state the correspondence; re-pinned empirically in the tests).
+# The halfcomplex and Hartley kinds (FFTW r2r kinds with no scipy trig
+# analog) are computed from the packed rfft spectrum below.
 _R2R_KINDS = {
     "FFTW_REDFT00": ("dct", 1), "FFTW_REDFT10": ("dct", 2),
     "FFTW_REDFT01": ("dct", 3), "FFTW_REDFT11": ("dct", 4),
     "FFTW_RODFT00": ("dst", 1), "FFTW_RODFT10": ("dst", 2),
     "FFTW_RODFT01": ("dst", 3), "FFTW_RODFT11": ("dst", 4),
+    "FFTW_R2HC": ("r2hc", None), "FFTW_HC2R": ("hc2r", None),
+    "FFTW_DHT": ("dht", None),
 }
+
+
+def _axslice(x, axis: int, start: int, stop: int):
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(start, stop)
+    return x[tuple(sl)]
+
+
+def _r2hc_axis(y, a: int):
+    """FFTW R2HC: real -> halfcomplex layout r0..r_{n/2}, i_{..}..i_1
+    (FFTW manual §'The Halfcomplex-format DFT'), via the packed rfft —
+    real parts head, imaginary parts 1..ceil(n/2)-1 reversed tail (the
+    even-n Nyquist imaginary part is identically zero and omitted)."""
+    n = int(y.shape[a])
+    X = fftapi.rfft(y, axis=a)            # interleaved (..., n//2+1, .., 2)
+    re, im = X[..., 0], X[..., 1]
+    tail = jnp.flip(_axslice(im, a, 1, (n + 1) // 2), axis=a)
+    return jnp.concatenate([re, tail], axis=a)
+
+
+def _hc2r_axis(y, a: int):
+    """FFTW HC2R: halfcomplex -> real, unnormalized (roundtrip with R2HC
+    yields n * x, like FFTW).  Rebuilds the packed spectrum and runs the
+    unscaled inverse rfft."""
+    n = int(y.shape[a])
+    y = jnp.asarray(y, jnp.float32)
+    re = _axslice(y, a, 0, n // 2 + 1)
+    n_im = (n + 1) // 2 - 1               # stored imaginary entries
+    mid = jnp.flip(_axslice(y, a, n - n_im, n), axis=a)
+    zero = jnp.zeros_like(_axslice(re, a, 0, 1))
+    parts = [zero, mid] + ([zero] if n % 2 == 0 and n > 1 else [])
+    im = jnp.concatenate(parts, axis=a) if n > 1 else zero
+    X = jnp.stack([re, im], axis=-1)
+    return fftapi.irfft(X, n=n, axis=a, norm="forward")
+
+
+def _dht_axis(y, a: int):
+    """FFTW DHT: H[k] = sum_j x[j] (cos + sin)(2*pi*j*k/n) = Re(X[k]) -
+    Im(X[k]) of the DFT; the k > n/2 half follows from Hermitian symmetry
+    of the rfft spectrum (H[n-k] = Re(X[k]) + Im(X[k]))."""
+    n = int(y.shape[a])
+    X = fftapi.rfft(y, axis=a)
+    re, im = X[..., 0], X[..., 1]
+    tail = jnp.flip(_axslice(re + im, a, 1, (n + 1) // 2), axis=a)
+    return jnp.concatenate([re - im, tail], axis=a)
+
+
+_HC_FNS = {"r2hc": _r2hc_axis, "hc2r": _hc2r_axis, "dht": _dht_axis}
 
 
 def _norm_axes(ndim: int, axes) -> Tuple[int, ...]:
@@ -279,7 +333,9 @@ class FFTW:
             n = shape[a]
             if self._scheme == "r2r":
                 fam, typ = _R2R_KINDS[self._kinds[pos]]
-                if typ == 1:
+                if fam in _HC_FNS:
+                    pass                  # halfcomplex/DHT logical size = n
+                elif typ == 1:
                     n = 2 * (n - 1) if fam == "dct" else 2 * (n + 1)
                 else:
                     n = 2 * n
@@ -307,8 +363,11 @@ class FFTW:
         y = x.astype(np.float32, copy=False)
         for a, kind in zip(ax, self._kinds):
             fam, typ = _R2R_KINDS[kind]
-            fn = fftapi.dct if fam == "dct" else fftapi.dst
-            y = fn(y, type=typ, axis=a, norm=None)
+            if fam in _HC_FNS:
+                y = _HC_FNS[fam](y, a)
+            else:
+                fn = fftapi.dct if fam == "dct" else fftapi.dst
+                y = fn(y, type=typ, axis=a, norm=None)
         return np.asarray(y)
 
     def execute(self) -> None:
