@@ -83,3 +83,59 @@ def test_large_batch_chunk_mode(rng, assert_close):
     ref = np.fft.fft(zfull, axis=-1)
     assert_close(y.real, ref.real, label="chunked.re")
     assert_close(y.imag, ref.imag, label="chunked.im")
+
+class TestChunkElementsKnob:
+    """tuning.chunkElements: per-plan override of the operand/batch chunk
+    bound (default core/axis.OPERAND_CHUNK_ELEMS; benches/r8_chunk_bound.py
+    measures the trade on-chip)."""
+
+    def test_tiny_bound_forces_chunking(self, rng, assert_close):
+        n, batch = 256, 64  # 16K elems: far below the default bound
+        plan = W.create_plan(type="c2c", shape=[n], batch=batch,
+                             tuning={"chunkElements": 1 << 12})
+        assert any("chunk-elems-override(4096)" in r for r in plan.route.reasons)
+        assert any("large-batch-chunk(16)" in r for r in plan.route.reasons)
+        z = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+        y = uninterleave(np.asarray(plan(interleave(z))))
+        ref = np.fft.fft(z, axis=-1)
+        assert_close(y.real, ref.real, label="chunk-knob.re")
+        assert_close(y.imag, ref.imag, label="chunk-knob.im")
+
+    def test_large_bound_removes_chunking(self):
+        n, batch = 4096, 4096  # 16.8M elems: chunked at the default bound
+        plan = W.create_plan(type="c2c", shape=[n], batch=batch,
+                             tuning={"chunkElements": 1 << 25})
+        assert not any("large-batch-chunk" in r for r in plan.route.reasons)
+        assert any("chunk-elems-override" in r for r in plan.route.reasons)
+
+    def test_four_step_uses_custom_bound(self, rng, assert_close):
+        # n=2^16 four-step axis; tiny bound forces internal digit slabs
+        n = 1 << 16
+        plan = W.create_plan(type="c2c", shape=[n], batch=1,
+                             tuning={"chunkElements": 1 << 14})
+        assert plan.route.mode == "four-step-hbm"
+        z = rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+        y = uninterleave(np.asarray(plan(interleave(z))))
+        ref = np.fft.fft(z, axis=-1)
+        assert_close(y.real, ref.real, label="fourstep-chunk.re")
+        assert_close(y.imag, ref.imag, label="fourstep-chunk.im")
+
+    def test_r2c_c2r_respect_knob(self, rng, assert_close):
+        n, batch = 512, 64
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        fwd = W.create_plan(type="r2c", shape=[n], batch=batch,
+                            tuning={"chunkElements": 1 << 13})
+        inv = W.create_plan(type="c2r", shape=[n], batch=batch,
+                            direction="inverse", normalize="backward",
+                            tuning={"chunkElements": 1 << 13})
+        assert any("chunk-elems-override" in r for r in fwd.route.reasons)
+        assert any("large-batch-chunk" in r for r in fwd.route.reasons)
+        y = np.asarray(inv(fwd(x)))
+        assert_close(y, x, label="r2c knob roundtrip")
+
+    def test_validation(self):
+        with pytest.raises(W.PlanError):
+            W.create_plan(type="c2c", shape=[16], tuning={"chunkElements": 7})
+        with pytest.raises(W.PlanError):
+            W.create_plan(type="c2c", shape=[16],
+                          tuning={"chunkElements": 1 << 30})

@@ -192,3 +192,24 @@ def test_shape_changing_plan_measures(rng):
     want = np.fft.rfft(x, axis=-1)
     err = np.max(np.abs((got[..., 0] + 1j * got[..., 1]) - want))
     assert err / np.max(np.abs(want)) < 1e-5
+
+
+def test_chunk_elems_candidate_offered():
+    """Specs past the default operand bound offer a chunkElements=2^25
+    candidate (the validated-max bound; benches/r8_chunk_bound.py)."""
+    from webgpufft_tpu.runtime import measure as M
+    from webgpufft_tpu.spec import normalize_spec
+
+    big = normalize_spec({"type": "c2c", "shape": [4096], "batch": 4096})
+    descs = [d for d, _ in M.candidate_overrides(big)]
+    assert "chunkElements=2^25" in descs
+
+    small = normalize_spec({"type": "c2c", "shape": [256], "batch": 4})
+    descs = [d for d, _ in M.candidate_overrides(small)]
+    assert "chunkElements=2^25" not in descs
+
+    # explicit user choice is respected: no candidate offered
+    forced = normalize_spec({"type": "c2c", "shape": [4096], "batch": 4096,
+                             "tuning": {"chunkElements": 1 << 23}})
+    descs = [d for d, _ in M.candidate_overrides(forced)]
+    assert "chunkElements=2^25" not in descs

@@ -609,9 +609,10 @@ def make_smooth_plan(n: int, direction: str, prefix: str, max_sub: int = 32,
     """MixedAxisPlan, or FourStepAxisPlan when the axis is four-step
     eligible under ``tuning``."""
     prec = mxu_precision(tuning)
-    if n > 1 and four_step_eligible(n, tuning):
+    ce = getattr(tuning, "chunk_elems", None) if tuning is not None else None
+    if n > 1 and four_step_eligible(n, tuning, ce):
         return FourStepAxisPlan(n, direction, prefix, max_sub, out_scale,
-                                prec=prec)
+                                chunk_elems=ce, prec=prec)
     return MixedAxisPlan(n, direction, prefix, max_sub, out_scale, prec=prec)
 
 

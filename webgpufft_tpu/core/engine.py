@@ -29,13 +29,14 @@ def collect_consts(axis_plans: Sequence[AxisPlan]) -> Dict[str, np.ndarray]:
     return out
 
 
-def apply_nd(x, axis_plans: Sequence[AxisPlan], consts, batch_dims: int = 1):
+def apply_nd(x, axis_plans: Sequence[AxisPlan], consts, batch_dims: int = 1,
+             chunk_elems: int = None):
     """Apply per-axis transforms; logical axis d lives at array axis
     batch_dims + d of interleaved x (..., 2)."""
     for d, ap in enumerate(axis_plans):
         if ap.n == 1:
             continue  # length-1 axis is the identity
-        x = slabbed_axis_apply(x, ap, batch_dims + d, consts)
+        x = slabbed_axis_apply(x, ap, batch_dims + d, consts, chunk_elems)
     return x
 
 

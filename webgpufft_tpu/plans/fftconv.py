@@ -64,16 +64,17 @@ def _os_blocks(fc, n: int, k: int) -> int:
     return -(-(out_off[0] + wrap + out_shape[0]) // H)
 
 
-def _os_group_size(fc, n: int, k: int, batch: int):
+def _os_group_size(fc, n: int, k: int, batch: int, bound: int = None):
     """(group, nb): the lax.map group size the builder will pick so each
     (batch * group * B) block-group einsum stays within the validated
     operand size, and the block count."""
     from .transforms import CHUNK_ELEMS
+    bound = bound or CHUNK_ELEMS
     B = _os_block(fc, k)
     nb = _os_blocks(fc, n, k)
-    if batch * nb * B <= CHUNK_ELEMS:
+    if batch * nb * B <= bound:
         return nb, nb
-    cap = max(1, CHUNK_ELEMS // max(1, batch * B))
+    cap = max(1, bound // max(1, batch * B))
     group = 1
     for d in range(1, min(nb, cap) + 1):
         if nb % d == 0:
@@ -81,8 +82,8 @@ def _os_group_size(fc, n: int, k: int, batch: int):
     return group, nb
 
 
-def _os_group_count(fc, n: int, k: int, batch: int) -> int:
-    group, nb = _os_group_size(fc, n, k, batch)
+def _os_group_count(fc, n: int, k: int, batch: int, bound: int = None) -> int:
+    group, nb = _os_group_size(fc, n, k, batch, bound)
     return nb // group
 
 
@@ -114,7 +115,9 @@ def _overlap_save_route(spec: PlanSpec, kshape) -> bool:
     # heavily serialized block groups lose to the standard route
     # (measured 2.5x, benches/r3e); a few groups still win (2.74x at 3
     # groups, r4_os_gate) — auto takes overlap-save up to OS_MAX_GROUPS
-    return _os_group_count(fc, n, k, spec.batch) <= OS_MAX_GROUPS
+    from .transforms import plan_chunk_elems
+    return (_os_group_count(fc, n, k, spec.batch, plan_chunk_elems(spec))
+            <= OS_MAX_GROUPS)
 
 
 def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
@@ -169,7 +172,8 @@ def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
 
     # bound einsum operands: process block groups through lax.map so each
     # group's (batch * group * B) stays within the validated size
-    group, _ = _os_group_size(fc, n, k, batch)
+    from .transforms import plan_chunk_elems
+    group, _ = _os_group_size(fc, n, k, batch, plan_chunk_elems(spec))
     if group != nb:
         route.reasons = route.reasons + (f"os-block-chunk({group})",)
 
@@ -269,10 +273,13 @@ def build_fftconv(spec: PlanSpec) -> Plan:
     # Large-batch chunk mode (see plans/transforms.CHUNK_ELEMS): the data-side
     # FFT/pointwise/inverse carry a kcount factor, so chunk the batch such
     # that kcount*chunk_b*nf stays within the validated einsum-operand size.
-    from .transforms import CHUNK_ELEMS
+    from .transforms import plan_chunk_elems
+    bound_ = plan_chunk_elems(spec)
+    if spec.tuning.chunk_elems is not None:
+        route.reasons = route.reasons + (f"chunk-elems-override({bound_})",)
     chunk_b = batch
-    if kcount * batch * nf > CHUNK_ELEMS:
-        cap = max(1, CHUNK_ELEMS // max(1, kcount * nf))
+    if kcount * batch * nf > bound_:
+        cap = max(1, bound_ // max(1, kcount * nf))
         chunk_b = 1
         for d_ in range(1, min(batch, cap) + 1):
             if batch % d_ == 0:

@@ -39,11 +39,20 @@ def _scale_mul(y, scale: float):
 CHUNK_ELEMS = OPERAND_CHUNK_ELEMS
 
 
-def chunked_batch(batch: int, items_elems: int):
+def plan_chunk_elems(spec_or_tuning) -> int:
+    """The plan's effective operand/batch-chunk bound: the per-plan
+    tuning.chunkElements override when set, the validated global otherwise."""
+    tun = getattr(spec_or_tuning, "tuning", spec_or_tuning)
+    ce = getattr(tun, "chunk_elems", None) if tun is not None else None
+    return ce or CHUNK_ELEMS
+
+
+def chunked_batch(batch: int, items_elems: int, bound: int = None):
     """Per-chunk batch size (== batch when no chunking needed)."""
-    if batch * items_elems <= CHUNK_ELEMS:
+    bound = bound or CHUNK_ELEMS
+    if batch * items_elems <= bound:
         return batch
-    cap = max(1, CHUNK_ELEMS // max(items_elems, 1))
+    cap = max(1, bound // max(items_elems, 1))
     chunk = 1
     for d in range(1, min(batch, cap) + 1):
         if batch % d == 0:
@@ -51,10 +60,12 @@ def chunked_batch(batch: int, items_elems: int):
     return chunk
 
 
-def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo):
+def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo,
+                     bound: int = None):
     """Wrap ``core(x, c)`` to run per batch-slice via lax.map when the total
-    size exceeds CHUNK_ELEMS.  Records the chunk size in route reasons."""
-    chunk = chunked_batch(batch, items_elems)
+    size exceeds the chunk bound (tuning.chunkElements or CHUNK_ELEMS).
+    Records the chunk size in route reasons."""
+    chunk = chunked_batch(batch, items_elems, bound)
     if chunk == batch:
         return core
     route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
@@ -123,7 +134,10 @@ def build_c2c(spec: PlanSpec) -> Plan:
 
     # Large-batch chunk mode (the TPU reading of the reference's
     # large-batch chunking, c2c.js large-chunk routes); see CHUNK_ELEMS.
-    chunk_b = chunked_batch(batch, spec.n_total)
+    bound = plan_chunk_elems(spec)
+    if tun.chunk_elems is not None:
+        route.reasons = route.reasons + (f"chunk-elems-override({bound})",)
+    chunk_b = chunked_batch(batch, spec.n_total, bound)
     eff_batch = chunk_b
 
     # A single item past the operand budget needs within-transform chunking
@@ -131,7 +145,7 @@ def build_c2c(spec: PlanSpec) -> Plan:
     # the analog of the reference's out-of-core routes.  Validate
     # feasibility at build time with the ACTUAL axis plans, mirroring
     # slabbed_axis_apply's decision exactly.
-    giant = eff_batch * spec.n_total > CHUNK_ELEMS
+    giant = eff_batch * spec.n_total > bound
     if giant:
         allow_pallas = False
 
@@ -144,14 +158,14 @@ def build_c2c(spec: PlanSpec) -> Plan:
         for d in range(rank):
             if shape[d] == 1:
                 continue
-            if not slab_apply_feasible(arr_shape, 1 + d, axis_plans[d]):
+            if not slab_apply_feasible(arr_shape, 1 + d, axis_plans[d], bound):
                 raise PlanError(
                     f"c2c axis {d} (n={shape[d]}): a single transform of "
                     f"{spec.n_total} complex elements exceeds the validated "
-                    f"einsum operand size ({CHUNK_ELEMS}) and cannot be "
+                    f"einsum operand size ({bound}) and cannot be "
                     "chunked (no four-step split, no divisible complementary "
                     "axis)", axis=d, n=shape[d], n_total=spec.n_total,
-                    chunk_elems=CHUNK_ELEMS)
+                    chunk_elems=bound)
         route.reasons = route.reasons + ("single-item-exceeds-chunk",)
     for d in range(rank):
         n = shape[d]
@@ -248,12 +262,12 @@ def build_c2c(spec: PlanSpec) -> Plan:
                 y = obj(y.reshape(pre, n, lanes), c).reshape(
                     eff_batch, *shape, 2)
             else:
-                y = slabbed_axis_apply(y, obj, 1 + d, c)
+                y = slabbed_axis_apply(y, obj, 1 + d, c, bound)
         if not scale_in_kernel:
             y = _scale_mul(y, scale)
         return y
 
-    core = maybe_chunk_core(core_chunk, batch, spec.n_total, route)
+    core = maybe_chunk_core(core_chunk, batch, spec.n_total, route, bound)
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)
@@ -304,6 +318,9 @@ def _half_trick_consts(n0: int, inverse: bool) -> Dict[str, np.ndarray]:
 def build_r2c(spec: PlanSpec) -> Plan:
     scale = engine.plan_scale(spec.normalize, "forward", spec.n_total)
     route = _route_for(spec)
+    bound = plan_chunk_elems(spec)
+    if spec.tuning.chunk_elems is not None:
+        route.reasons = route.reasons + (f"chunk-elems-override({bound})",)
     n0 = spec.shape[0]
     p0 = n0 // 2 + 1
     rank = spec.rank
@@ -327,7 +344,7 @@ def build_r2c(spec: PlanSpec) -> Plan:
             # v[m] = x[2m] + i*x[2m+1]
             v = x.reshape(b, n0 // 2, 2, *spec.shape[1:])
             v = jnp.moveaxis(v, 2, -1)                  # (b, n0/2, rest, 2)
-            z = slabbed_axis_apply(v, axis_plans[0], 1, c)  # FFT axis 0 only
+            z = slabbed_axis_apply(v, axis_plans[0], 1, c, bound)  # FFT axis 0
             # untangle to the packed half-spectrum (k = n0/2 reads Z[0])
             zf = jnp.take(z, c["rc/flip"], axis=1)
             zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
@@ -337,14 +354,14 @@ def build_r2c(spec: PlanSpec) -> Plan:
                 zpad - zf, c["rc/ca"].reshape(cshape), c["rc/cb"].reshape(cshape))
             # remaining axes: complex FFT on the (half-size) packed domain
             for d in range(1, rank):
-                y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c)
+                y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
         else:
             xi = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
-            y = engine.apply_nd(xi, axis_plans, c)
+            y = engine.apply_nd(xi, axis_plans, c, chunk_elems=bound)
             y = y[:, :p0, ...]  # pack non-negative bins of axis 0
         return _scale_mul(y, scale)
 
-    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route, bound)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, spec.shape, packed_shape(spec.shape), False, True)
     ws = 3 * spec.batch * spec.n_total * 8
@@ -358,6 +375,9 @@ def build_r2c(spec: PlanSpec) -> Plan:
 def build_c2r(spec: PlanSpec) -> Plan:
     scale = engine.plan_scale(spec.normalize, "inverse", spec.n_total)
     route = _route_for(spec)
+    bound = plan_chunk_elems(spec)
+    if spec.tuning.chunk_elems is not None:
+        route.reasons = route.reasons + (f"chunk-elems-override({bound})",)
     n0 = spec.shape[0]
     rank = spec.rank
     k_max_mirror = n0 // 2 - 1 if n0 % 2 == 0 else n0 // 2
@@ -377,7 +397,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         # inverse FFT the non-packed axes first (on the packed domain)
         y = xp
         for d in range(1, rank):
-            y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c)
+            y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
         # After the rest-axes inverse, each axis-0 line is the spectrum of a
         # real line, so bins 0 and n0/2 are self-conjugate: discard any
         # residual imag there (reference zeroes self-conjugate bins in the
@@ -395,7 +415,7 @@ def build_c2r(spec: PlanSpec) -> Plan:
         cshape = (1, h) + (1,) * (rank - 1) + (2,)
         z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
                                    c["cr/cb"].reshape(cshape))
-        z = slabbed_axis_apply(z, axis_plans[0], 1, c)       # inverse FFT axis 0
+        z = slabbed_axis_apply(z, axis_plans[0], 1, c, bound)  # inverse axis 0
         z = jnp.moveaxis(z, -1, 2)                          # (b, h, 2, rest)
         out = z.reshape(b, n0, *spec.shape[1:])
         return _scale_mul(out, scale)
@@ -415,10 +435,10 @@ def build_c2r(spec: PlanSpec) -> Plan:
             full = jnp.concatenate([xp, mirror], axis=1)
         else:
             full = xp
-        y = engine.apply_nd(full, axis_plans, c)
+        y = engine.apply_nd(full, axis_plans, c, chunk_elems=bound)
         return _scale_mul(y[..., 0], scale)  # real part
 
-    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route, bound)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, packed_shape(spec.shape), spec.shape, True, False)
     ws = 3 * spec.batch * spec.n_total * 8
@@ -592,7 +612,10 @@ def build_dct(spec: PlanSpec) -> Plan:
                 y = v.reshape(y.shape)
         return _scale_mul(y, scale)
 
-    core = maybe_chunk_core(core, spec.batch, spec.n_total, route)
+    bound = plan_chunk_elems(spec)
+    if spec.tuning.chunk_elems is not None:
+        route.reasons = route.reasons + (f"chunk-elems-override({bound})",)
+    core = maybe_chunk_core(core, spec.batch, spec.n_total, route, bound)
     fn, in_shape, out_shape, _, _ = build_staged_fn(
         spec, core, spec.shape, spec.shape, False, False)
     ws = 2 * spec.batch * spec.n_total * 4

@@ -106,6 +106,14 @@ def candidate_overrides(spec: PlanSpec) -> List[Tuple[str, Dict[str, Any]]]:
         for sub in (16, 32, 64):
             if sub != t.max_sub_length:
                 cands.append((f"maxSubLength={sub}", {"max_sub_length": sub}))
+    # chunk-bound flip: plans past the default operand bound serialize
+    # batches/slabs through lax.map; the 2^25 bound was re-validated correct
+    # on-chip (benches/r2_operand_bound_probe.py) and trades serialization
+    # for larger dispatches (benches/r8_chunk_bound.py)
+    if t.chunk_elems is None:
+        from ..plans.transforms import CHUNK_ELEMS
+        if spec.batch * spec.n_total > CHUNK_ELEMS:
+            cands.append(("chunkElements=2^25", {"chunk_elems": 1 << 25}))
     return cands
 
 
@@ -210,7 +218,8 @@ def run_measure(spec: PlanSpec, cache):
                 p = _build_plan(_replace_tuning(base, **ov))
             except Exception:
                 continue                 # ineligible candidate: skip
-        sig = (p.route.mode, p.spec.tuning.max_sub_length)
+        sig = (p.route.mode, p.spec.tuning.max_sub_length,
+               p.spec.tuning.chunk_elems)
         if desc != "as-requested" and not ov.get("max_sub_length") \
                 and sig in seen_modes:
             continue                     # toggle was a no-op for this spec

@@ -187,6 +187,15 @@ class TuningSpec:
     # times a small candidate set on the live device at plan build and
     # returns the fastest (runtime/measure.py), cached + snapshot-persisted.
     rigor: str = "estimate"                    # estimate|measure
+    # Einsum-operand / batch-chunk bound override (complex elements).  The
+    # default (core/axis.OPERAND_CHUNK_ELEMS = 2^22) bounds every einsum
+    # operand at the validated-correct size AND serializes large batches
+    # through lax.map; values up to 2^25 were re-validated correct on-chip
+    # (benches/r2_operand_bound_probe.py) and larger volumes may trade the
+    # serialization cost for bigger dispatches (benches/r8_chunk_bound.py).
+    # Values above 2^25 exceed the validated bound — outputs should be
+    # checksum-compared against the default route before trusting them.
+    chunk_elems: Optional[int] = None
     # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
     # reference-style options dict runs unmodified (VERDICT r1 #8); each key
     # shows up as route reason "ignored-webgpu-knob:<key>"
@@ -382,6 +391,7 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         "disableOutOfCoreFourStep": "disable_four_step",
         "matmulPrecision": "matmul_precision",
         "dctFftMinN": "dct_fft_min_n",
+        "chunkElements": "chunk_elems",
     }
     ignored = []
     for k, v in t.items():
@@ -404,6 +414,10 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
            "tuning.matmulPrecision must be auto|highest|high|default")
     _check(ts.rigor in ("estimate", "measure"),
            "tuning.rigor must be estimate|measure")
+    if ts.chunk_elems is not None:
+        _check(isinstance(ts.chunk_elems, int) and not isinstance(ts.chunk_elems, bool)
+               and (1 << 12) <= ts.chunk_elems <= (1 << 28),
+               "tuning.chunkElements must be an int in [2^12, 2^28]")
     return ts
 
 
