@@ -194,6 +194,55 @@ def test_shape_changing_plan_measures(rng):
     assert err / np.max(np.abs(want)) < 1e-5
 
 
+def test_diverging_candidate_rejected_by_numeric_gate(monkeypatch):
+    """A candidate whose output disagrees with the baseline plan must never
+    win on timing alone (silent-miscompile protection; ADVICE r3 high)."""
+    cache = W.PlanCache()
+    real_sample = M._output_sample
+
+    def corrupting_sample(plan, x):
+        got = real_sample(plan, x)
+        # poison every non-baseline candidate's fingerprint
+        if plan.spec.tuning.max_sub_length != 32 or \
+                plan.spec.tuning.chunk_elems is not None or \
+                plan.spec.tuning.disable_four_step or \
+                plan.spec.tuning.large_route != "auto":
+            return got + 1.0
+        return got
+
+    monkeypatch.setattr(M, "_output_sample", corrupting_sample)
+    p = W.create_plan(_opts(), cache=cache)
+    assert any(r == "measure-all-candidates-diverged"
+               for r in p.route.reasons), p.route.reasons
+    (rec,) = cache.measured.values()
+    assert rec["winner"] == "as-requested" and rec["rejected"]
+    # and the returned plan is the numerically-correct baseline
+    x = np.random.default_rng(0).standard_normal((4, 512, 2)).astype(np.float32)
+    pe = W.create_plan({**_opts(), "tuning": {}}, cache=W.PlanCache())
+    err = np.max(np.abs(np.asarray(p.exec(x)) - np.asarray(pe.exec(x))))
+    assert err < 1e-5, err
+
+
+def test_partial_divergence_still_measures(monkeypatch):
+    """Only diverging candidates drop; agreeing ones still race on time."""
+    cache = W.PlanCache()
+    real_sample = M._output_sample
+
+    def corrupt_sub16(plan, x):
+        got = real_sample(plan, x)
+        if plan.spec.tuning.max_sub_length == 16:
+            return got + 1.0
+        return got
+
+    monkeypatch.setattr(M, "_output_sample", corrupt_sub16)
+    p = W.create_plan(_opts(), cache=cache)
+    assert any(r.startswith("measured-winner:") or
+               r.startswith("measured-cached:") for r in p.route.reasons)
+    (rec,) = cache.measured.values()
+    assert rec.get("rejected") == ["maxSubLength=16"]
+    assert "maxSubLength=16" not in rec["trials_ms"]
+
+
 def test_chunk_elems_candidate_offered():
     """Specs past the default operand bound offer a chunkElements=2^25
     candidate (the validated-max bound; benches/r8_chunk_bound.py)."""

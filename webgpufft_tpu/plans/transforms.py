@@ -41,7 +41,14 @@ CHUNK_ELEMS = OPERAND_CHUNK_ELEMS
 
 def plan_chunk_elems(spec_or_tuning) -> int:
     """The plan's effective operand/batch-chunk bound: the per-plan
-    tuning.chunkElements override when set, the validated global otherwise."""
+    tuning.chunkElements override when set, the validated global otherwise.
+
+    Scope: honored by single-chip transform plans (c2c/r2c/c2r/dct/fftconv
+    and their internal four-step/slab routes).  Distributed plans
+    (parallel/sharded.py, parallel/plans.py) and NUFFT tap chunking keep
+    the validated global — their shard-local operands are already bounded
+    by the mesh split, so the per-plan knob is intentionally not plumbed
+    through (documented in spec.TuningSpec.chunk_elems)."""
     tun = getattr(spec_or_tuning, "tuning", spec_or_tuning)
     ce = getattr(tun, "chunk_elems", None) if tun is not None else None
     return ce or CHUNK_ELEMS

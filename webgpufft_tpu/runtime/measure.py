@@ -107,9 +107,12 @@ def candidate_overrides(spec: PlanSpec) -> List[Tuple[str, Dict[str, Any]]]:
             if sub != t.max_sub_length:
                 cands.append((f"maxSubLength={sub}", {"max_sub_length": sub}))
     # chunk-bound flip: plans past the default operand bound serialize
-    # batches/slabs through lax.map; the 2^25 bound was re-validated correct
-    # on-chip (benches/r2_operand_bound_probe.py) and trades serialization
-    # for larger dispatches (benches/r8_chunk_bound.py)
+    # batches/slabs through lax.map; the 2^25 bound was validated correct
+    # on 1-D probes (benches/r2_operand_bound_probe.py) — 3-D route
+    # agreement is still under investigation (benches/r8_chunk_bound.py,
+    # r8b_bound_validity.py observed divergence at 256^3), which is why
+    # run_measure numerically cross-checks every candidate against the
+    # baseline plan before letting timing pick it
     if t.chunk_elems is None:
         from ..plans.transforms import CHUNK_ELEMS
         if spec.batch * spec.n_total > CHUNK_ELEMS:
@@ -131,6 +134,36 @@ def _synth_input(plan) -> Optional[Any]:
     rng = np.random.default_rng(0)
     x = rng.standard_normal(tuple(shape)).astype(np.float32)
     return jnp.asarray(x, dtype=stages.expect_dtype(plan.spec.precision))
+
+
+# A route-alternative must numerically agree with the baseline plan before
+# timing may select it (alternatives like chunkElements change the einsum
+# decomposition, and the backend has a history of silent operand-size
+# miscompiles — see benches/r8b_bound_validity.py).  Download is bounded to
+# a strided sample so the check stays cheap through the tunnel.
+AGREE_RTOL = 1e-4
+AGREE_SAMPLES = 4096
+
+
+def _output_sample(plan, x) -> Optional[np.ndarray]:
+    """Bounded strided sample of the plan's output on x (f64 host copy)."""
+    import jax.numpy as jnp
+
+    y = plan._fn(plan._consts, x).ravel()
+    stride = max(1, y.shape[0] // AGREE_SAMPLES)
+    return np.asarray(y[::stride][:AGREE_SAMPLES], dtype=np.float64)
+
+
+def _agrees(ref: np.ndarray, plan, x) -> bool:
+    """True when plan's sampled output matches the baseline sample."""
+    try:
+        got = _output_sample(plan, x)
+    except Exception:
+        return False
+    if got.shape != ref.shape:
+        return False
+    denom = max(float(np.linalg.norm(ref)), 1e-30)
+    return float(np.linalg.norm(got - ref)) / denom <= AGREE_RTOL
 
 
 def _chain_time(plan, x, *, unroll: int, reps: int) -> float:
@@ -229,6 +262,23 @@ def run_measure(spec: PlanSpec, cache):
     if x is None or len(built) < 2:
         return settle("measure-no-candidates")
 
+    # Numeric gate: drop any alternative whose output diverges from the
+    # baseline plan's on the synthetic input.  Timing alone must never pick
+    # between routes that disagree (observed for chunkElements flips at
+    # 256^3, benches/results_r3.jsonl r8_chunk rows with mid_ok:false).
+    try:
+        ref = _output_sample(built[0][2], x)
+    except Exception:
+        return settle("measure-failed")
+    rejected = [d for d, _ov, p in built[1:] if not _agrees(ref, p, x)]
+    if rejected:
+        built = [b for b in built if b[0] not in rejected]
+    if len(built) < 2:
+        cache.measured[key] = {"winner": "as-requested", "overrides": {},
+                               "note": "measure-all-candidates-diverged",
+                               "rejected": rejected}
+        return base, ("measure-all-candidates-diverged",), built[0][2]
+
     times: Dict[str, float] = {}
     try:
         for _ in range(MEASURE_ROUNDS):   # alternating trials, best-of
@@ -245,7 +295,8 @@ def run_measure(spec: PlanSpec, cache):
         win_desc, win_ov, win_plan = "as-requested", {}, built[0][2]
     records = {d: round(times[d] * 1e3, 4) for d in times}
     cache.measured[key] = {"winner": win_desc, "overrides": win_ov,
-                           "trials_ms": records}
+                           "trials_ms": records,
+                           **({"rejected": rejected} if rejected else {})}
     speedup = base_dt / times.get(win_desc, base_dt)
     return (_replace_tuning(base, **win_ov),
             (f"measured-winner:{win_desc}@{speedup:.2f}x",), win_plan)

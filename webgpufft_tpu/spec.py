@@ -190,11 +190,14 @@ class TuningSpec:
     # Einsum-operand / batch-chunk bound override (complex elements).  The
     # default (core/axis.OPERAND_CHUNK_ELEMS = 2^22) bounds every einsum
     # operand at the validated-correct size AND serializes large batches
-    # through lax.map; values up to 2^25 were re-validated correct on-chip
-    # (benches/r2_operand_bound_probe.py) and larger volumes may trade the
+    # through lax.map; values up to 2^25 were validated correct on 1-D
+    # probes (benches/r2_operand_bound_probe.py) and may trade the
     # serialization cost for bigger dispatches (benches/r8_chunk_bound.py).
-    # Values above 2^25 exceed the validated bound — outputs should be
-    # checksum-compared against the default route before trusting them.
+    # Validation rejects values above 2^25 — beyond it operands have
+    # miscompiled SILENTLY on this stack.  Scope: honored by single-chip
+    # c2c/r2c/c2r/dct/fftconv plans only; distributed plans and NUFFT tap
+    # chunking keep the global default (their shard-local operands are
+    # already bounded by the mesh split).
     chunk_elems: Optional[int] = None
     # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
     # reference-style options dict runs unmodified (VERDICT r1 #8); each key
@@ -415,9 +418,16 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     _check(ts.rigor in ("estimate", "measure"),
            "tuning.rigor must be estimate|measure")
     if ts.chunk_elems is not None:
+        # Upper cap is the largest einsum-operand size validated correct on
+        # this stack (benches/r2_operand_bound_probe.py, 1-D probes up to
+        # 2^25; 3-D route agreement tracked in benches/r8b_bound_validity.py).
+        # Operands beyond it have been observed to miscompile SILENTLY, so
+        # values above the validated bound are rejected rather than warned.
         _check(isinstance(ts.chunk_elems, int) and not isinstance(ts.chunk_elems, bool)
-               and (1 << 12) <= ts.chunk_elems <= (1 << 28),
-               "tuning.chunkElements must be an int in [2^12, 2^28]")
+               and (1 << 12) <= ts.chunk_elems <= (1 << 25),
+               "tuning.chunkElements must be an int in [2^12, 2^25] "
+               "(2^25 is the largest operand size validated correct on this "
+               "backend; larger operands have miscompiled silently)")
     return ts
 
 
