@@ -105,7 +105,8 @@ def test_dct_8x8_blocks_shape(rng):
 # FFT route (large axes; forced low threshold to exercise on small shapes)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
+@pytest.mark.parametrize("kind", ["dct1", "dct2", "dct3", "dct4",
+                                  "dst1", "dst2", "dst3", "dst4"])
 @pytest.mark.parametrize("direction", ["forward", "inverse"])
 @pytest.mark.parametrize("shape", [(16,), (12, 8)])
 def test_dct_fft_route(kind, shape, direction, rng, assert_close):
@@ -129,6 +130,60 @@ def test_dct_fft_route_large_default(rng, assert_close):
     y = np.asarray(plan(x))
     ref = R.dct_nd(x, (n,), "dct2", "forward")
     assert_close(y, ref, label="dct2-1024 fft route")
+
+
+@pytest.mark.parametrize("kind", ["dct1", "dct4", "dst1", "dst4"])
+def test_trig14_fft_route_large_default(kind, rng):
+    """Types 1/4 take the FFT embedding by default at large N — no O(N^2)
+    table (VERDICT r3 missing #1; reference work lengths dct_fft.js:10-14).
+    Pinned against scipy in f64 (the dense mathref oracle would itself be
+    the giant table this route exists to avoid)."""
+    import scipy.fft as sf
+
+    n = 4096
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    plan = W.create_plan(type=kind, shape=[n], direction="forward", batch=2)
+    assert "dct-axis0-fft" in plan.route.reasons
+    # consts stay far below a dense N*N table (mixed-radix stage tables
+    # are O(N * maxSubLength), ~2-3M elements here vs 16.8M dense)
+    total = sum(int(np.prod(v.shape)) for v in plan._consts.values())
+    assert total < n * n // 4, total
+    y = np.asarray(plan(x))
+    styp = int(kind[-1])
+    f = sf.dct if kind.startswith("dct") else sf.dst
+    conv = 1.0 if kind == "dct1" else 0.5   # repo trig convention vs scipy
+    ref = f(x.astype(np.float64), type=styp, axis=-1) * conv
+    rel = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-5, rel
+
+
+def test_trig14_self_inverse_roundtrip(rng, assert_close):
+    """direction=inverse on self-inverse kinds via the FFT route."""
+    n = 1024
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    for kind in ("dct1", "dct4", "dst1", "dst4"):
+        fwd = W.create_plan(type=kind, shape=[n], direction="forward", batch=2)
+        inv = W.create_plan(type=kind, shape=[n], direction="inverse", batch=2,
+                            normalize="backward")
+        assert "dct-axis0-fft" in fwd.route.reasons
+        y = np.asarray(inv(fwd(x)))
+        # unnormalized self-inverse factors: dct1 -> 2(N-1); dct4/dst4 ->
+        # N/2; dst1 -> (N+1)/2 under the repo's no-factor-2 trig
+        # convention — with normalize="backward" (1/N) the residual is:
+        resid = {"dct1": 2.0 * (n - 1) / n, "dct4": 0.5,
+                 "dst1": (n + 1) / (2.0 * n), "dst4": 0.5}[kind]
+        assert_close(y, x * resid, label=f"{kind} roundtrip")
+
+
+def test_giant_matmul_table_guarded():
+    """A matmul-route trig table past 2^24 elements raises at build with
+    diagnostics instead of silently materializing GiB of consts."""
+    with pytest.raises(W.PlanError, match="trig table"):
+        W.create_plan({"type": "dct4", "shape": [1 << 15],
+                       "tuning": {"dct_fft_min_n": 1 << 20}})
+    # and the default tuning routes the same spec through the FFT embedding
+    p = W.create_plan({"type": "dct4", "shape": [1 << 15]})
+    assert "dct-axis0-fft" in p.route.reasons
 
 
 def test_dct_matmul_default_small(rng):
