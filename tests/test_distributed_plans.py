@@ -394,10 +394,11 @@ def test_trig_seq_bluestein_length(mesh24, rng, assert_close):
     assert_close(y, ref, label="dseq dct2 bluestein")
 
 
-@pytest.mark.parametrize("kind", ["dct2", "dct3", "dst2", "dst3"])
+@pytest.mark.parametrize("kind", ["dct1", "dct2", "dct3", "dct4",
+                                  "dst1", "dst2", "dst3", "dst4"])
 @pytest.mark.parametrize("direction", ["forward", "inverse"])
 def test_trig_seq(mesh24, rng, assert_close, kind, direction):
-    """Sequence-parallel DCT/DST (FFT-routable kinds) vs the CPU oracle."""
+    """Sequence-parallel DCT/DST, all eight types, vs the CPU oracle."""
     n, batch = 256, 4
     x = rng.standard_normal((batch, n))
     plan = create_distributed_plan(type=kind, shape=[n], batch=batch,
@@ -430,10 +431,38 @@ def test_trig_seq_roundtrip(mesh8, rng, assert_close):
     assert_close(back * 2.0, x, label="dseq dct2 roundtrip to x")
 
 
-def test_trig_seq_rejects_non_fft_kinds(mesh8):
-    with pytest.raises(PlanError, match="no FFT route"):
-        create_distributed_plan(type="dct4", shape=[64], mesh=mesh8,
-                                seq_axis="sp")
+@pytest.mark.parametrize("kind", ["dct1", "dst1", "dct4", "dst4"])
+def test_trig14_seq_nd_matches_single_chip(mesh8, rng, assert_close, kind):
+    """Rank-2 types 1/4 with axis 0 spanning chips: the distributed plan
+    matches the single-chip plan at 1e-5 (VERDICT r3 missing #3 done
+    criterion); riding axis takes the local route."""
+    import webgpufft_tpu as W
+    n, m, batch = 128, 16, 2
+    x = rng.standard_normal((batch, n, m)).astype(np.float32)
+    dplan = create_distributed_plan(type=kind, shape=[n, m], batch=batch,
+                                    normalize="unitary", mesh=mesh8,
+                                    seq_axis="sp")
+    lplan = W.create_plan(type=kind, shape=[n, m], batch=batch,
+                          normalize="unitary")
+    assert_close(np.asarray(dplan(x)), np.asarray(lplan(x)),
+                 label=f"dseq {kind} rank2 vs single-chip")
+    ref = R.dct_nd(x, [n, m], kind, "forward", "unitary")
+    assert_close(np.asarray(dplan(x)), ref, label=f"dseq {kind} rank2")
+
+
+def test_trig14_seq_self_inverse_roundtrip(mesh8, rng, assert_close):
+    """dct4 fwd(none) o inv(backward) on the mesh == N/2-scaled identity,
+    exactly like the local plan pair."""
+    n, batch = 256, 2
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    fwd = create_distributed_plan(type="dct4", shape=[n], batch=batch,
+                                  normalize="none", mesh=mesh8,
+                                  seq_axis="sp")
+    inv = create_distributed_plan(type="dct4", shape=[n], batch=batch,
+                                  direction="inverse", normalize="backward",
+                                  mesh=mesh8, seq_axis="sp")
+    back = np.asarray(inv(np.asarray(fwd(x))))
+    assert_close(back * 2.0, x, label="dseq dct4 roundtrip")
 
 
 def test_fftconv_seq_linear_valid_too_big_kernel(mesh8):

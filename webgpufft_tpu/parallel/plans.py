@@ -20,9 +20,11 @@ Modes:
   locally on the still-sharded grid); r2c/c2r any rank and ANY length
   (axis 0 packed — reference real_complex.js conventions — via the
   half-complex trick on the distributed half-length plan when it wins,
-  complex widening otherwise); dct2/dct3/dst2/dst3 any rank (distributed
-  axis-0 trig wrappers + the local matmul/FFT per-axis routing for the
-  rest); fftconv any rank with every boundary mode (linear =
+  complex widening otherwise); all eight dct/dst types any rank
+  (distributed axis-0 trig wrappers — types 1/4 via their symmetric/odd
+  extension or 2N half-sample embeddings — + the local matmul/FFT
+  per-axis routing for the rest); fftconv any rank with every boundary
+  mode (linear =
   smooth-padded circular + crop) and multi-kernel ``kernelCount`` (data
   spectrum computed once).
 - ``seq_axis=None``: pure batch sharding — the local plan runs on every
@@ -141,12 +143,12 @@ def _reject_unsupported(spec: PlanSpec, seq_axis):
     if spec.in_place:
         raise PlanError("seq-axis plans do not support inPlace")
     if spec.plan_type not in ("c2c", "r2c", "c2r", "fftconv",
-                              "dct2", "dct3", "dst2", "dst3"):
+                              "dct1", "dct2", "dct3", "dct4",
+                              "dst1", "dst2", "dst3", "dst4"):
         raise PlanError(
             f"seq_axis sharding is not supported for type "
             f"{spec.plan_type!r} (batch sharding via batch_axis works for "
-            "every type; dct1/dst1/dct4/dst4 have no FFT route to "
-            "distribute)", plan_type=spec.plan_type)
+            "every type)", plan_type=spec.plan_type)
 
 
 def _validate_axes(mesh: Mesh, batch_axis: Optional[str],
@@ -605,7 +607,8 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
                 sharded.build_distributed_c2r_nd, spec.shape, mesh,
                 seq_axis, spec.normalize, batch_axis, tuning=spec.tuning)
         fn, split = inner, inner.split
-    elif t in ("dct2", "dct3", "dst2", "dst3"):
+    elif t in ("dct1", "dct2", "dct3", "dct4",
+               "dst1", "dst2", "dst3", "dst4"):
         if spec.rank == 1:
             inner = sharded.build_distributed_trig_1d(
                 spec.shape[0], t, mesh, seq_axis, spec.direction,
