@@ -164,15 +164,28 @@ def main():
 
     nbytes = 2 * x.size * 4            # 2-pass byte model (read + write)
     results = {name: [] for name, _ in variants}
+    failed = set()
     ceilings = []
     for t in range(TRIALS):
         ceilings.append(profile.measured_copy_ceiling_gbps(
             x, unroll=4, reps=4))
         print(f"# trial{t} copy={ceilings[-1]:.0f} GB/s", flush=True)
         for name, fn in variants:
-            if rels[name] is None:
+            if rels[name] is None or name in failed:
                 continue
-            dt = profile.unrolled_chain_time(fn, x, unroll=UNROLL, reps=REPS)
+            try:
+                # one compiled program can demand a pathologically tiled
+                # entry layout (observed: f32[6,256,256,256,2] copy at
+                # {0,4,3,2,1:T(2,128)} -> 21x padding -> 16G OOM); a
+                # failed variant must not kill the whole shootout
+                dt = profile.unrolled_chain_time(fn, x, unroll=UNROLL,
+                                                 reps=REPS)
+            except Exception as ex:
+                print(f"#   {name} TIMING FAILED: {ex!r}"[:160], flush=True)
+                failed.add(name)
+                emit({"leg": f"{name}_n{n}_b{b}_oom", "backend": backend,
+                      "error": str(ex)[:120]})
+                continue
             results[name].append(dt)
             print(f"#   {name}: {dt*1e3:.2f} ms", flush=True)
 

@@ -935,3 +935,101 @@ def test_pencil_hlo_collectives_ride_own_axis(mesh_pencil):
         if m:
             group_size = int(m.group(2))
             assert group_size < ndev_total, l
+
+
+# ---------------------------------------------------------------------------
+# Staging composition on seq-axis plans (ioView/zeroPad/layout/bf16 run
+# shard-locally around the distributed core; VERDICT r3 missing #4)
+# ---------------------------------------------------------------------------
+
+def test_seq_c2c_ioview_zeropad_matches_single_chip(mesh24, rng,
+                                                    assert_close):
+    opts = {"type": "c2c", "shape": [64, 16], "batch": 4,
+            "direction": "forward", "normalize": "unitary",
+            "ioView": {"input": {"shape": [48, 12], "placement": "center"},
+                       "output": {"shape": [32, 8]}},
+            "zeroPad": {"read": {"start": [2, 0], "end": [46, 16]}}}
+    x = rng.standard_normal((4, 48, 12, 2)).astype(np.float32)
+    dp = create_distributed_plan(opts, mesh=mesh24, batch_axis="dp",
+                                 seq_axis="sp")
+    assert "distributed-staging" in dp.route.reasons
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(x)), np.asarray(lp.exec(x)),
+                 label="dseq c2c ioView+zeroPad vs single-chip")
+
+
+def test_seq_r2c_layout_strides_matches_single_chip(mesh24, rng,
+                                                    assert_close):
+    opts = {"type": "r2c", "shape": [64, 16], "batch": 2,
+            "direction": "forward", "normalize": "none",
+            "layout": {"inputStrides": [16, 1], "inputOffsetElements": 8,
+                       "inputBatchStrideElements": 1100}}
+    flat = rng.standard_normal((2 * 1100 + 64 * 16,)).astype(np.float32)
+    dp = create_distributed_plan(opts, mesh=mesh24, seq_axis="sp")
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(flat)), np.asarray(lp.exec(flat)),
+                 label="dseq r2c layout vs single-chip")
+
+
+def test_seq_c2r_output_ioview(mesh24, rng, assert_close):
+    opts = {"type": "c2r", "shape": [32, 8], "batch": 2,
+            "direction": "inverse", "normalize": "backward",
+            "ioView": {"output": {"shape": [24, 8]}}}
+    z = np.fft.fftn(rng.standard_normal((2, 32, 8)), axes=(1, 2))
+    x = np.stack([z.real, z.imag], -1).astype(np.float32)[:, :17]
+    dp = create_distributed_plan(opts, mesh=mesh24, seq_axis="sp")
+    lp = W.create_plan(opts)
+    got, want = np.asarray(dp(x)), np.asarray(lp.exec(x))
+    assert got.shape == (2, 24, 8)
+    assert_close(got, want, label="dseq c2r output ioView vs single-chip")
+
+
+def test_seq_bf16_storage(mesh24, rng):
+    opts = {"type": "c2c", "shape": [256], "batch": 4,
+            "precision": "bf16-storage", "normalize": "unitary"}
+    x = jnp.asarray(rng.standard_normal((4, 256, 2)), jnp.bfloat16)
+    dp = create_distributed_plan(opts, mesh=mesh24, seq_axis="sp")
+    lp = W.create_plan(opts)
+    yd = np.asarray(dp(x), dtype=np.float32)
+    yl = np.asarray(lp.exec(x), dtype=np.float32)
+    assert yd.dtype == np.float32 and np.max(np.abs(yd - yl)) == 0.0
+
+
+def test_pencil_staged_ioview(mesh8, rng, assert_close):
+    opts = {"type": "c2c", "shape": [16, 16, 8], "batch": 2,
+            "normalize": "none",
+            "ioView": {"input": {"shape": [12, 16, 8]}}}
+    x = rng.standard_normal((2, 12, 16, 8, 2)).astype(np.float32)
+    mesh = sharded.make_mesh({"sp0": 2, "sp1": 2, "dp": 2})
+    dp = create_distributed_plan(opts, mesh=mesh, batch_axis="dp",
+                                 seq_axis=("sp0", "sp1"))
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(x)), np.asarray(lp.exec(x)),
+                 label="pencil staged ioView vs single-chip")
+
+
+def test_seq_trig_staged_zeropad(mesh24, rng, assert_close):
+    opts = {"type": "dct4", "shape": [64], "batch": 2,
+            "normalize": "unitary",
+            "zeroPad": {"read": {"start": [4], "end": [60]}}}
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    dp = create_distributed_plan(opts, mesh=mesh24, seq_axis="sp")
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(x)), np.asarray(lp.exec(x)),
+                 label="dseq dct4 zeroPad vs single-chip")
+
+
+def test_seq_fftconv_staging_rejected(mesh8):
+    with pytest.raises(PlanError, match="fftconv does not compose"):
+        create_distributed_plan(
+            {"type": "fftconv", "shape": [64],
+             "fftConv": {"boundary": "circular"},
+             "zeroPad": {"read": {"start": [0], "end": [32]}}},
+            mesh=mesh8, seq_axis="sp")
+
+
+def test_seq_inplace_still_rejected(mesh8):
+    with pytest.raises(PlanError, match="inPlace"):
+        create_distributed_plan({"type": "c2c", "shape": [64],
+                                 "inPlace": True},
+                                mesh=mesh8, seq_axis="sp")
