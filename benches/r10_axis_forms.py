@@ -167,8 +167,12 @@ def main():
     failed = set()
     ceilings = []
     for t in range(TRIALS):
-        ceilings.append(profile.measured_copy_ceiling_gbps(
-            x, unroll=4, reps=4))
+        try:
+            ceilings.append(profile.measured_copy_ceiling_gbps(
+                x, unroll=4, reps=4))
+        except Exception as ex:
+            print(f"# ceiling probe failed: {ex!r}"[:160], flush=True)
+            ceilings.append(0.0)
         print(f"# trial{t} copy={ceilings[-1]:.0f} GB/s", flush=True)
         for name, fn in variants:
             if rels[name] is None or name in failed:

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Is the ~130 GB/s Pallas block-pipeline cap fundamental on this stack?
+(VERDICT r3 weak #3 / next #5 — the one untried Mosaic generation.)
+
+Round 2/3 measured pure-VMEM passthrough via the automatic BlockSpec grid
+pipeline at ~130 GB/s while XLA elementwise hits ~420 GB/s on the same
+arrays — gating the fused FFT kernel off.  The untried alternative is the
+MANUAL path: refs left in HBM (pl.ANY), the kernel streaming tiles itself
+with double-buffered `pltpu.make_async_copy` DMA.  This probe measures
+pure streaming bandwidth (copy through VMEM, no compute — the upper bound
+any VMEM-resident fused kernel can reach) under:
+
+  xla_copy      jnp elementwise on the 2-D view (the known ~420 ceiling)
+  block_copy    pallas_call BlockSpec grid pipeline (the ~130 cap witness)
+  dma_copy2     manual double-buffered DMA, 2 slots
+  dma_copy4     manual 4-slot DMA (deeper overlap)
+  dma_chunk     dma_copy2 with 2x chunk rows (DMA-size sensitivity)
+
+If every manual variant also caps near the block pipeline, the cap is the
+stack's (Mosaic DMA issue rate through the tunnel-attached chip), closing
+the question with data; if manual DMA reaches XLA-class bandwidth, the
+fused-kernel fast path should be rebuilt on it.
+
+Appends rows to benches/results_r4.jsonl.  Run to completion:
+  nohup python benches/r12_pallas_dma.py > benches/logs/r12.log 2>&1 &
+"""
+
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benches", "results_r4.jsonl")
+
+R = int(os.environ.get("R12_ROWS", str(16384)))
+C = int(os.environ.get("R12_COLS", str(2048)))     # 16384x2048 f32 = 128 MB
+UNROLL = 2
+REPS = 4
+TRIALS = int(os.environ.get("R12_TRIALS", "2"))
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def make_block_copy(rows_per_block: int):
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 1.000001
+
+    def f(x):
+        grid = (x.shape[0] // rows_per_block,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((rows_per_block, x.shape[1]),
+                                   lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows_per_block, x.shape[1]),
+                                   lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x)
+    return f
+
+
+def make_dma_copy(chunk_rows: int, n_slots: int):
+    """Manual streaming copy HBM -> VMEM -> HBM with n_slots-deep
+    double buffering (pallas_guide.md double-buffering pattern)."""
+    def kernel(nchunks, hbm_in, hbm_out):
+        def body(scratch, in_sems, out_sems):
+            def get_in(slot, i):
+                return pltpu.make_async_copy(
+                    hbm_in.at[pl.ds(i * chunk_rows, chunk_rows), :],
+                    scratch.at[slot], in_sems.at[slot])
+
+            def put_out(slot, i):
+                return pltpu.make_async_copy(
+                    scratch.at[slot],
+                    hbm_out.at[pl.ds(i * chunk_rows, chunk_rows), :],
+                    out_sems.at[slot])
+
+            get_in(0, 0).start()
+
+            def loop(i, _c):
+                cur = i % n_slots
+                get_in(cur, i).wait()
+                put_out(cur, i).start()
+
+                nxt = (i + 1) % n_slots
+
+                @pl.when(i + 1 < nchunks)
+                def _():
+                    @pl.when(i + 1 >= n_slots)
+                    def _():
+                        # slot nxt's previous out-DMA must land first
+                        put_out(nxt, i + 1 - n_slots).wait()
+                    get_in(nxt, i + 1).start()
+                return _c
+
+            jax.lax.fori_loop(0, nchunks, loop, 0)
+            # drain the last n_slots out-DMAs
+            for k in range(n_slots):
+                idx = nchunks - n_slots + k
+
+                @pl.when(idx >= 0)
+                def _():
+                    pltpu.make_async_copy(
+                        scratch.at[idx % n_slots],
+                        hbm_out.at[pl.ds(idx * chunk_rows, chunk_rows), :],
+                        out_sems.at[idx % n_slots]).wait()
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((n_slots, chunk_rows, C), jnp.float32),
+            in_sems=pltpu.SemaphoreType.DMA((n_slots,)),
+            out_sems=pltpu.SemaphoreType.DMA((n_slots,)),
+        )
+
+    def f(x):
+        nchunks = x.shape[0] // chunk_rows
+        return pl.pallas_call(
+            functools.partial(kernel, nchunks),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x)
+    return f
+
+
+def main():
+    from webgpufft_tpu.runtime import profile
+
+    backend = jax.default_backend()
+    print(f"# backend={backend} R={R} C={C}", flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    nbytes = 2 * x.size * 4
+
+    variants = [
+        ("xla_copy", lambda v: v * 1.000001),
+        ("block_copy", make_block_copy(256)),
+        ("dma_copy2", make_dma_copy(256, 2)),
+        ("dma_copy4", make_dma_copy(256, 4)),
+        ("dma_chunk512", make_dma_copy(512, 2)),
+    ]
+
+    # correctness gate first
+    ok = {}
+    want = np.asarray(x) * 1.000001
+    for name, fn in variants:
+        try:
+            got = np.asarray(jax.jit(fn)(x))
+            if name.startswith("dma"):
+                want_d = np.asarray(x)       # dma variants copy verbatim
+            else:
+                want_d = want
+            ok[name] = bool(np.array_equal(got, want_d))
+        except Exception as ex:
+            ok[name] = None
+            print(f"# {name} FAILED: {ex!r}"[:200], flush=True)
+        print(f"# validity {name}: {ok[name]}", flush=True)
+
+    results = {name: [] for name, _ in variants}
+    for t in range(TRIALS):
+        for name, fn in variants:
+            if not ok[name]:
+                continue
+            try:
+                dt = profile.unrolled_chain_time(fn, x, unroll=UNROLL,
+                                                 reps=REPS)
+            except Exception as ex:
+                print(f"# {name} timing failed: {ex!r}"[:160], flush=True)
+                ok[name] = False
+                continue
+            results[name].append(dt)
+            print(f"# trial{t} {name}: {dt*1e3:.2f} ms "
+                  f"({nbytes/dt/1e9:.0f} GB/s)", flush=True)
+
+    for name, _fn in variants:
+        if not results[name]:
+            emit({"bench": f"r12_dma/{name}", "backend": backend,
+                  "error": True})
+            continue
+        dt = min(results[name])
+        emit({"bench": f"r12_dma/{name}", "backend": backend,
+              "avg_ms": round(dt * 1e3, 3),
+              "eff_gbps": round(nbytes / dt / 1e9, 1),
+              "rows": R, "cols": C})
+    print("# done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -515,10 +515,11 @@ def test_validation_errors(mesh24, mesh8):
         create_distributed_plan(type="conv2d", shape=[8, 8],
                                 conv={"kernelSize": 3},
                                 mesh=mesh24, seq_axis="sp")
-    with pytest.raises(PlanError, match="ioView"):
-        create_distributed_plan(type="c2c", shape=[64],
-                                ioView={"input": {"shape": [32]}},
-                                mesh=mesh24, seq_axis="sp")
+    # ioView on seq-axis plans now composes via shard-local staging (r4)
+    pv = create_distributed_plan(type="c2c", shape=[64],
+                                 ioView={"input": {"shape": [32]}},
+                                 mesh=mesh24, seq_axis="sp")
+    assert "distributed-staging" in pv.route.reasons
     # unsplittable circular fftconv lengths no longer decline: the
     # chirp-Z fallback distributes any length (n=12 has no two smooth
     # factors divisible by 8)

@@ -173,9 +173,15 @@ def measured_copy_ceiling_gbps(x, *, unroll: int = 8, reps: int = 8) -> float:
     *attainable* roofline for the current device+runtime, which may sit well
     below the hardware spec through the tunneled runtime.
 
-    The probe flattens x to 2-D (merging any small trailing dims) — a
-    trailing dim of 2 can trigger a 64x-padded (8,128)-tiled layout on TPU
-    that would make the probe report a fraction of real bandwidth."""
-    flat = jnp.reshape(jnp.asarray(x), (x.shape[0], -1))
+    The probe runs on a freshly synthesized 2-D array of x's size — NOT a
+    device reshape of x: a trailing dim of 2 can trigger a 64x-padded
+    (8,128)-tiled layout on TPU that would under-report bandwidth, and the
+    5-D->2-D reshape program itself has been observed to copy its input
+    into a {batch-minor, T(2,128)} layout with 21x padding (16 GB HLO temp
+    for a 768 MB array -> compile OOM; benches/logs/r10_forms2.log)."""
+    x = jnp.asarray(x)
+    rows = max(int(x.shape[0]), 1)
+    cols = max(int(x.size) // rows, 1)
+    flat = jnp.zeros((rows, cols), x.dtype)
     dt = unrolled_chain_time(lambda v: v * 1.000001, flat, unroll=unroll, reps=reps)
     return 2 * flat.size * flat.dtype.itemsize / dt / 1e9
