@@ -169,8 +169,21 @@ def main():
             print(f"# {name} FAILED: {ex!r}"[:200], flush=True)
         print(f"# validity {name}: {ok[name]}", flush=True)
 
+    # The question (is the ~130 GB/s Pallas cap fundamental?) is only
+    # answerable in a window where XLA itself exceeds it: chase healthy
+    # windows like bench.py does, sleeping between degraded trials.
     results = {name: [] for name, _ in variants}
-    for t in range(TRIALS):
+    max_trials = int(os.environ.get("R12_MAX_TRIALS", "10"))
+    t = 0
+    while t < max_trials:
+        if t >= TRIALS:
+            best_xla = min(results.get("xla_copy") or [float("inf")])
+            if nbytes / best_xla / 1e9 >= 300.0:
+                break
+            print(f"# degraded window (xla {nbytes/best_xla/1e9:.0f} GB/s)"
+                  f" — waiting (trial {t}/{max_trials})", flush=True)
+            import time as _time
+            _time.sleep(120)
         for name, fn in variants:
             if not ok[name]:
                 continue
@@ -184,6 +197,7 @@ def main():
             results[name].append(dt)
             print(f"# trial{t} {name}: {dt*1e3:.2f} ms "
                   f"({nbytes/dt/1e9:.0f} GB/s)", flush=True)
+        t += 1
 
     for name, _fn in variants:
         if not results[name]:

@@ -582,6 +582,11 @@ class RaderAxisPlan(AxisPlan):
 # target TPU stack; everything chunks at this validated margin (the
 # canonical knob plans/transforms.CHUNK_ELEMS aliases this).
 OPERAND_CHUNK_ELEMS = 1 << 22
+# Slab counts up to this unroll statically (python loop + concat) instead
+# of serializing through lax.map — 1.32x measured on the 256^3 axis pass
+# (r10).  Past it, HLO size from unrolling outweighs the win; lax.map
+# keeps the program small.
+STATIC_SLAB_MAX = 64
 # tuning.largeRoute == "out-of-core" forces four-step on axes >= this
 FOUR_STEP_FORCE_MIN_N = 4096
 
@@ -726,6 +731,17 @@ def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
             "and no complementary axis divides into small enough slabs")
     s, e = slab
     step = x.shape[e] // s
+    if s <= STATIC_SLAB_MAX:
+        # Static unrolled slabs: XLA sees every slice at trace time, can
+        # overlap/fuse across them, and skips lax.map's loop-carried
+        # stack + moveaxis.  Measured 1.32x over lax.map on the 256^3
+        # axis pass at s=32 (benches/r10_axis_forms.py unroll_mid vs
+        # prod, 604 GB/s-ceiling session, results_r4.jsonl).
+        outs = [apply_along_axis(
+                    jax.lax.slice_in_dim(x, i * step, (i + 1) * step, axis=e),
+                    axis_plan, array_axis, consts)
+                for i in range(s)]
+        return jnp.concatenate(outs, axis=e)
 
     def one(i):
         sl = jax.lax.dynamic_slice_in_dim(x, i * step, step, axis=e)
