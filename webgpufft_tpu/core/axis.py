@@ -321,7 +321,7 @@ class FourStepAxisPlan(AxisPlan):
                 tb = jax.lax.dynamic_slice_in_dim(twb, i * step, step, axis=1)
                 return stage1(sl, ta, tb)
 
-            y = jnp.moveaxis(jax.lax.map(one1, jnp.arange(s1)), 0, ax)
+            y = mapped_slabs(one1, s1, ax)
             y = y.reshape(*lead, n1, n2, 2)
 
         if s2 == 1:
@@ -334,7 +334,7 @@ class FourStepAxisPlan(AxisPlan):
                 sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
                 return self.stage2.apply(sl, consts)
 
-            y = jnp.moveaxis(jax.lax.map(one2, jnp.arange(s2)), 0, ax)
+            y = mapped_slabs(one2, s2, ax)
             y = y.reshape(*lead, n1, n2, 2)
 
         y = jnp.swapaxes(y, -3, -2)                    # (k2, k1): flat k = k1 + n1*k2
@@ -381,7 +381,7 @@ class FourStepAxisPlan(AxisPlan):
                 tb = jax.lax.dynamic_slice_in_dim(twb, i * step, step, axis=1)
                 return stage1(sl, ta, tb)
 
-            y = jnp.moveaxis(jax.lax.map(one1, jnp.arange(s1)), 0, ax)
+            y = mapped_slabs(one1, s1, ax)
             y = y.reshape(*lead, n1, n2, L, 2)
 
         if s2 == 1:
@@ -394,7 +394,7 @@ class FourStepAxisPlan(AxisPlan):
                 sl = jax.lax.dynamic_slice_in_dim(y, i * step, step, axis=ax)
                 return apply_along_axis(sl, self.stage2, sl.ndim - 3, consts)
 
-            y = jnp.moveaxis(jax.lax.map(one2, jnp.arange(s2)), 0, ax)
+            y = mapped_slabs(one2, s2, ax)
             y = y.reshape(*lead, n1, n2, L, 2)
 
         y = jnp.swapaxes(y, -4, -3)                    # (k2, k1) digit order
@@ -705,6 +705,16 @@ def slab_apply_feasible(shape, array_axis: int, axis_plan: AxisPlan,
                           _slab_target(axis_plan, chunk_elems)) is not None
 
 
+def mapped_slabs(one, s: int, out_axis: int):
+    """Map ``one(i)`` over ``s`` slab indices and reassemble along
+    ``out_axis``.  Small slab counts unroll statically (slices visible to
+    XLA at trace time — 1.32x over lax.map on the 256^3 axis pass, r10);
+    large counts keep lax.map so HLO size stays bounded."""
+    if s <= STATIC_SLAB_MAX:
+        return jnp.concatenate([one(i) for i in range(s)], axis=out_axis)
+    return jnp.moveaxis(jax.lax.map(one, jnp.arange(s)), 0, out_axis)
+
+
 def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
                        chunk_elems: int = None):
     """apply_along_axis with einsum operands bounded by chunk_elems.
@@ -731,24 +741,12 @@ def slabbed_axis_apply(x, axis_plan: AxisPlan, array_axis: int, consts,
             "and no complementary axis divides into small enough slabs")
     s, e = slab
     step = x.shape[e] // s
-    if s <= STATIC_SLAB_MAX:
-        # Static unrolled slabs: XLA sees every slice at trace time, can
-        # overlap/fuse across them, and skips lax.map's loop-carried
-        # stack + moveaxis.  Measured 1.32x over lax.map on the 256^3
-        # axis pass at s=32 (benches/r10_axis_forms.py unroll_mid vs
-        # prod, 604 GB/s-ceiling session, results_r4.jsonl).
-        outs = [apply_along_axis(
-                    jax.lax.slice_in_dim(x, i * step, (i + 1) * step, axis=e),
-                    axis_plan, array_axis, consts)
-                for i in range(s)]
-        return jnp.concatenate(outs, axis=e)
 
     def one(i):
         sl = jax.lax.dynamic_slice_in_dim(x, i * step, step, axis=e)
         return apply_along_axis(sl, axis_plan, array_axis, consts)
 
-    y = jnp.moveaxis(jax.lax.map(one, jnp.arange(s)), 0, e)
-    return y.reshape(x.shape)
+    return mapped_slabs(one, s, e).reshape(x.shape)
 
 
 def apply_along_axis(x, axis_plan: AxisPlan, array_axis: int, consts):

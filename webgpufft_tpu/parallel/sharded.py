@@ -68,14 +68,21 @@ def _check_per_device_operands(n_local_elems: int, what: str):
 
 
 def _maybe_batch_slab(body, x_loc, per_item: int):
-    """Run ``body`` per batch-slab via lax.map when the full local batch
-    would push einsum operands past the validated size."""
-    from ..core.axis import OPERAND_CHUNK_ELEMS
+    """Run ``body`` per batch-slab when the full local batch would push
+    einsum operands past the validated size — statically unrolled for
+    small slab counts (1.32x over lax.map, core/axis.mapped_slabs)."""
+    from ..core.axis import OPERAND_CHUNK_ELEMS, STATIC_SLAB_MAX
     b = x_loc.shape[0]
     if b * per_item <= OPERAND_CHUNK_ELEMS:
         return body(x_loc)
     slab = _batch_chunk_divisor(b, per_item, OPERAND_CHUNK_ELEMS)
-    xs = x_loc.reshape(b // slab, slab, *x_loc.shape[1:])
+    groups = b // slab
+    if groups <= STATIC_SLAB_MAX:
+        outs = [body(jax.lax.slice_in_dim(x_loc, g * slab, (g + 1) * slab,
+                                          axis=0))
+                for g in range(groups)]
+        return jnp.concatenate(outs, axis=0)
+    xs = x_loc.reshape(groups, slab, *x_loc.shape[1:])
     ys = jax.lax.map(body, xs)
     return ys.reshape(b, *ys.shape[2:])
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import engine
-from ..core.axis import select_axis_kind
+from ..core.axis import STATIC_SLAB_MAX, select_axis_kind
 from ..spec import PlanError, PlanSpec
 from ..utils.mathref import fftconv_out_shape
 from . import stages
@@ -199,11 +199,18 @@ def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
             yt = inv.apply(yf, consts_)
             return yt[..., pad_k:, :]
 
+        ngroups = nb // group
         if group == nb:
             valid = one(blocks)
+        elif ngroups <= STATIC_SLAB_MAX:
+            # static unroll (1.32x over lax.map on slab programs, r10;
+            # lax.map serialization measured 2.5x on THIS route, r3g)
+            blk5 = blocks.reshape(b, ngroups, group, B, 2)
+            valid = jnp.stack([one(blk5[:, g]) for g in range(ngroups)],
+                              axis=1).reshape(b, nb, H, 2)
         else:
             xs = jnp.moveaxis(
-                blocks.reshape(b, nb // group, group, B, 2), 1, 0)
+                blocks.reshape(b, ngroups, group, B, 2), 1, 0)
             valid = jnp.moveaxis(jax.lax.map(one, xs), 0, 1)
             valid = valid.reshape(b, nb, H, 2)
         y = valid.reshape(b, nb * H, 2)

@@ -76,9 +76,18 @@ def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo,
     if chunk == batch:
         return core
     route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
+    groups = batch // chunk
+
+    from ..core.axis import STATIC_SLAB_MAX
 
     def chunked(x, c):
-        xs = x.reshape(batch // chunk, chunk, *x.shape[1:])
+        if groups <= STATIC_SLAB_MAX:
+            # static unroll: 1.32x over lax.map on slab-class programs (r10)
+            outs = [core(jax.lax.slice_in_dim(x, g * chunk, (g + 1) * chunk,
+                                              axis=0), c)
+                    for g in range(groups)]
+            return jnp.concatenate(outs, axis=0)
+        xs = x.reshape(groups, chunk, *x.shape[1:])
         ys = jax.lax.map(lambda xc: core(xc, c), xs)
         return ys.reshape(batch, *ys.shape[2:])
 
