@@ -154,6 +154,17 @@ def main():
         x = jnp.asarray(rng.standard_normal((ib, 512, 512)).astype(np.float32))
         record(f"{kind}_512sq_b{ib}", plan, x, 2 * ib * 512 * 512 * 4)
 
+    # ---- 3b. types 1/4 at large N: the FFT-embedding route (r4) — a
+    #      dense-table route at this size would be a 4 GiB const
+    b14 = 4 if args.quick else 32
+    n14 = 1 << 15
+    for kind in ("dct4", "dst1"):
+        plan = W.create_plan(type=kind, shape=[n14], direction="forward",
+                            batch=b14, normalize="unitary")
+        x = jnp.asarray(rng.standard_normal((b14, n14)).astype(np.float32))
+        record(f"{kind}_{n14}_b{b14}", plan, x, 2 * b14 * n14 * 4,
+               extra={"route_axis": "fft-embedding"})
+
     # ---- 4. fftconv multi-kernel channel-lane preset (shape 256, batch 4,
     #         64 -> 128 ch) + reference node-bench config 16x8x4.
     # Closed-shape wrapper: feed the first input-length span of the flat
