@@ -288,3 +288,21 @@ def test_pallas_gate_probe_runs(monkeypatch, tmp_path):
     v = pallas_gate.run_gate(configs=((64, 64),), trials=1, write=False)
     assert v["winner"] in ("xla", "pallas")
     assert v["measured"], v
+
+
+def test_option_dict_typos_rejected():
+    """Unknown keys in structured option dicts raise instead of silently
+    doing nothing (r4: a nested layout={'input': {...}} dict parsed to an
+    all-defaults LayoutSpec without a whisper)."""
+    import pytest
+    cases = [
+        {"type": "c2c", "shape": [16], "layout": {"input": {"strides": [1]}}},
+        {"type": "c2c", "shape": [16], "ioView": {"inptu": {"shape": [8]}}},
+        {"type": "c2c", "shape": [16],
+         "zeroPad": {"raed": {"start": [0], "end": [8]}}},
+        {"type": "fftconv", "shape": [16], "fftConv": {"boundry": "circular"}},
+        {"type": "c2c", "shape": [16], "ioView": {"input": {"shpae": [8]}}},
+    ]
+    for opts in cases:
+        with pytest.raises(W.PlanError):
+            W.create_plan(opts)

@@ -239,6 +239,7 @@ def _norm_io_side(side: Optional[Dict[str, Any]], shape: Tuple[int, ...],
     if side is None:
         return None
     _check(isinstance(side, dict), f"{name} must be a dict")
+    _check("shape" in side, f"{name} requires a 'shape' entry")
     vshape = _pos_int_tuple(side["shape"], f"{name}.shape")
     rank = len(shape)
     _check(len(vshape) == rank, f"{name}.shape must have rank {rank}")
@@ -316,6 +317,16 @@ def _norm_layout(layout: Optional[Dict[str, Any]], rank: int) -> LayoutSpec:
     _check(isinstance(layout, dict), "layout must be a dict")
     d = dict(layout)
     d.pop("interleavedComplex", None)  # storage detail of the reference; N/A here
+    _KNOWN = {"strides", "inputStrides", "outputStrides",
+              "offsetElements", "inputOffsetElements", "outputOffsetElements",
+              "batchStrideElements", "inputBatchStrideElements",
+              "outputBatchStrideElements", "whdcn"}
+    unknown = set(d) - _KNOWN
+    _check(not unknown,
+           f"unknown layout key(s) {sorted(unknown)}; layout takes flat "
+           "keys (inputStrides/outputStrides/strides, "
+           "inputOffsetElements/..., batchStrideElements/..., whdcn), "
+           "not nested input/output dicts")
 
     def strides(key_shared, key_side):
         v = d.get(key_side, d.get(key_shared))
@@ -507,6 +518,14 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
     fc_ignored_knobs: list = []
     if plan_type == "fftconv":
         fc = d.get("fftConv", d.get("fft_conv")) or {}
+        _check(isinstance(fc, dict), "fftConv must be a dict")
+        _FC_KNOWN = {"mode", "boundary", "kernelShape", "kernel_shape",
+                     "kernelCount", "kernel_count", "outputLayout",
+                     "output_layout", "channelPolicy", "channel_policy",
+                     "tuning", "outputKernelStrideElements"}
+        fc_unknown = set(fc) - _FC_KNOWN
+        _check(not fc_unknown,
+               f"unknown fftConv key(s) {sorted(fc_unknown)}")
         mode = fc.get("mode", "convolution")
         _check(mode in CONV_MODES, f"fftConv.mode must be one of {CONV_MODES}")
         boundary = fc.get("boundary", "circular")
@@ -584,6 +603,10 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
                           pad=pad, boundary=boundary)
 
     io = d.get("ioView", d.get("io_view")) or {}
+    _check(isinstance(io, dict), "ioView must be a dict")
+    _check(not (set(io) - {"input", "output"}),
+           f"unknown ioView key(s) {sorted(set(io) - {'input', 'output'})}; "
+           "ioView takes {'input': {...}, 'output': {...}}")
     io_view = IoViewSpec(
         input=_norm_io_side(io.get("input"), in_domain, False, "ioView.input"),
         output=_norm_io_side(io.get("output"), out_domain, True, "ioView.output"),
@@ -596,6 +619,10 @@ def normalize_spec(opts: Dict[str, Any]) -> PlanSpec:
                f"{plan_type} does not support ioView")
 
     zp = d.get("zeroPad", d.get("zero_pad")) or {}
+    _check(isinstance(zp, dict), "zeroPad must be a dict")
+    _check(not (set(zp) - {"read", "write"}),
+           f"unknown zeroPad key(s) {sorted(set(zp) - {'read', 'write'})}; "
+           "zeroPad takes {'read': {...}, 'write': {...}}")
     zero_pad = ZeroPadSpec(
         read=_norm_zero_stage(zp.get("read"), in_domain if plan_type != "fftconv" else in_domain,
                               "zeroPad.read"),
