@@ -316,19 +316,22 @@ def _half_trick_consts(n0: int, inverse: bool) -> Dict[str, np.ndarray]:
     the factor 2 folded in):
       Z[k] = (X[k] + conj(X[n0/2 - k]))  +  i w^{-k} (X[k] - conj(X[n0/2 - k]))
     where w = exp(-2*pi*i/n0).
+
+    The Z[-k] / X[n0/2-k] "flip" accesses are spelled as jnp.flip +
+    concat (XLA ``rev``, relayout-speed) rather than an index gather:
+    the gather spelling measured 5.8x off elementwise bandwidth at 256^3
+    (benches/r15_untangle_rev.py / r9_attrib c2r_retangle row).
     """
     h = n0 // 2
     if not inverse:
         k = np.arange(h + 1)
-        flip = ((h - k) % h).astype(np.int32)          # Z[-k] index, len h+1
         w = np.exp(-2j * np.pi * k / n0)
         ca, cb = cplx_const_pair(-0.5j * w)
-        return {"rc/flip": flip, "rc/ca": ca, "rc/cb": cb}
+        return {"rc/ca": ca, "rc/cb": cb}
     k = np.arange(h)
-    flip = (h - k).astype(np.int32)                    # X[n0/2 - k], len h
     w_inv = np.exp(2j * np.pi * k / n0)
     ca, cb = cplx_const_pair(1j * w_inv)
-    return {"cr/flip": flip, "cr/ca": ca, "cr/cb": cb}
+    return {"cr/ca": ca, "cr/cb": cb}
 
 
 def build_r2c(spec: PlanSpec) -> Plan:
@@ -362,7 +365,9 @@ def build_r2c(spec: PlanSpec) -> Plan:
             v = jnp.moveaxis(v, 2, -1)                  # (b, n0/2, rest, 2)
             z = slabbed_axis_apply(v, axis_plans[0], 1, c, bound)  # FFT axis 0
             # untangle to the packed half-spectrum (k = n0/2 reads Z[0])
-            zf = jnp.take(z, c["rc/flip"], axis=1)
+            # Z[-k] for k=0..h as rev+concat (gather measured 5.8x slower)
+            zf = jnp.concatenate(
+                [z[:, :1], jnp.flip(z[:, 1:], axis=1), z[:, :1]], axis=1)
             zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
             zpad = jnp.concatenate([z, z[:, :1, ...]], axis=1)
             cshape = (1, p0) + (1,) * (rank - 1) + (2,)
@@ -426,7 +431,8 @@ def build_c2r(spec: PlanSpec) -> Plan:
         # z_pre = 2*E + 2i*O = 2*Z, and IFFT_unnorm(2Z) = n0 * v, which is
         # exactly the unnormalized-inverse output pairs
         xk = y[:, :h, ...]
-        xf = jnp.take(y, c["cr/flip"], axis=1)
+        # X[n0/2-k] for k=0..h-1 is a pure reversal of bins 1..h
+        xf = jnp.flip(y[:, 1:, ...], axis=1)
         xf = xf * jnp.asarray([1.0, -1.0], dtype=y.dtype)  # conj(X[n0/2-k])
         cshape = (1, h) + (1,) * (rank - 1) + (2,)
         z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
