@@ -167,9 +167,12 @@ def main():
         ceiling = max(ceiling, c)
         for impl, plan in plans.items():
             try:
-                dt = profile.unrolled_chain_time(
+                # HBM-stream protocol: cancels the per-dispatch tunnel
+                # overhead (~26 ms measured, benches/r16_protocol.py) and
+                # forces the 33 MB headline out of VMEM residency
+                dt = profile.hbm_stream_time(
                     lambda v: plan._fn(plan._consts, v), x,
-                    unroll=unroll, reps=reps)
+                    reps=max(4, reps // 2))
                 gb = profile.fft_min_bytes(n, batch) / dt / 1e9
                 print(f"# trial{t} copy={c:.0f}GB/s c2c-1024[{impl}/"
                       f"{plan.route.mode}]: {dt*1e3:.3f} ms/fft, {gb:.0f} GB/s",

@@ -72,9 +72,12 @@ def main():
             time.sleep(WATCH_SLEEP)
             continue
         # healthy window: measure the headline NOW, best of 2 quick trials
+        # (HBM-stream protocol — cancels the ~26 ms per-dispatch tunnel
+        # overhead AND forces the 33 MB subject out of VMEM residency;
+        # benches/r16_protocol.py)
         dts = []
         for _ in range(2):
-            dts.append(profile.unrolled_chain_time(fn, x, unroll=8, reps=8))
+            dts.append(profile.hbm_stream_time(fn, x, reps=4))
         dt = min(dts)
         gb = min_bytes / dt / 1e9
         rec = {"healthy_session": True, "bench": "headline",

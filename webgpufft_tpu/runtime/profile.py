@@ -96,18 +96,30 @@ def bench_transform(fn: Callable, x, n_total: int, batch: int,
 
 
 def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
-                        reps: int = 12) -> float:
+                        reps: int = 12, barrier_steps: bool = True) -> float:
     """Per-application seconds with ``unroll`` applications compiled into ONE
     jitted program (y = fn(..fn(x))) and rep-chained dispatches on top.
 
-    This isolates device time from the per-dispatch overhead of tunneled
-    runtimes (measured ~0.2-0.4 ms/dispatch), which poisons per-call chains.
+    This amortizes the per-dispatch overhead of tunneled runtimes (which
+    poisons per-call chains) across ``unroll``; it does NOT cancel it — use
+    :func:`slope_chain_time` for absolute bandwidth numbers on small arrays
+    (per-call overhead through the tunnel has been measured at ~10 ms,
+    benches/r16_protocol.py).
+
+    ``barrier_steps`` inserts ``lax.optimization_barrier`` between
+    applications.  This is REQUIRED for foldable ``fn`` (an unbarriered
+    8-deep ``v*c`` chain compiles to ONE multiply on both the CPU and TPU
+    backends — r16 HLO audit: every unbarriered copy-probe chain was timing
+    one HBM pass while dividing by ``unroll``) and keeps transform chains
+    honest by stopping cross-application boundary fusion.
     ``fn`` must map an array to a same-shaped array.
     """
     @jax.jit
     def chain(v):
         for _ in range(unroll):
             v = fn(v)
+            if barrier_steps:
+                v = jax.lax.optimization_barrier(v)
         return v
 
     def barrier(v):
@@ -125,6 +137,158 @@ def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
         z = chain(z)
     barrier(z)
     return max((time.perf_counter() - t0) / reps / unroll, 1e-9)
+
+
+def slope_chain_time(fn: Callable, x, *, k1: int = 2, k2: int = 8,
+                     reps: int = 3, barrier_steps: bool = True) -> float:
+    """Per-application seconds via a two-depth unrolled-chain slope fit.
+
+    Times one fully-synced dispatch of a barriered k-deep chain at depths
+    ``k1 < k2`` (min over ``reps`` each) and returns
+    ``(T(k2) - T(k1)) / (k2 - k1)``.  The subtraction CANCELS every
+    per-dispatch fixed cost (tunnel round trip, dispatch, readback) that
+    the divide-by-unroll protocol only amortizes — with the ~10 ms
+    per-call overhead measured through the tunnel
+    (benches/r16_protocol.py), an unroll=8 chain on a 33 MB array
+    under-reports bandwidth ~5x.  Falls back to T(k2)/k2 if tunnel noise
+    makes the slope non-positive.  ``fn`` must map an array to a
+    same-shaped array.
+    """
+    def total(k):
+        @jax.jit
+        def chain(v):
+            for _ in range(k):
+                v = fn(v)
+                if barrier_steps:
+                    v = jax.lax.optimization_barrier(v)
+            return v
+
+        def sync(v):
+            # pure indexing readback — NEVER ravel/reshape (see
+            # unrolled_chain_time barrier note)
+            return float(v[(0,) * v.ndim])
+
+        sync(chain(x))                  # compile + warm
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            sync(chain(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    if k2 <= k1:
+        raise ValueError(f"slope_chain_time needs k2 > k1, got {k1=} {k2=}")
+    t1 = total(k1)
+    t2 = total(k2)
+    if t2 <= t1:                        # noise swamped the added depth
+        return max(t2 / k2, 1e-9)
+    return (t2 - t1) / (k2 - k1)
+
+
+#: Working-set floor for HBM-resident timing.  Subjects smaller than this
+#: are replicated into independent round-robin buffers so the chained
+#: applications cannot stay VMEM-resident between steps (r16 evidence: a
+#: barriered 33 MB copy chain slope-measured 3.6 TB/s — VMEM bandwidth —
+#: while an 811 MB subject in the same minutes measured 478 GB/s).
+HBM_WORKING_SET_BYTES = 512 * 1024 * 1024
+
+
+def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
+                    depth: int = 16, reps: int = 5) -> float:
+    """Per-application seconds for an HBM-streaming application of ``fn``.
+
+    The honest roofline quantity for a memory-bound transform is the time
+    of one application whose input and output live in HBM.  Through the
+    tunnel neither naive protocol measures it (benches/r16_protocol.py):
+
+    - divide-by-unroll absorbs the per-dispatch overhead (~26 ms/dispatch
+      measured) — a 33 MB subject reads 20x low;
+    - a single-buffer barriered chain cancels the overhead via a two-depth
+      slope but lets XLA keep the intermediate in VMEM — the same subject
+      reads 4x HIGH (VMEM bandwidth); and overhead VARIANCE between the
+      two depth measurements produces absurd outliers (an 8 TB/s "FFT",
+      benches/r16b_stream_validate.py first cut).
+
+    Protocol: cycle ``copies`` INDEPENDENT buffers round-robin inside one
+    jitted program, with one ``optimization_barrier`` over the whole tuple
+    per round — breadth-first scheduling, so each round's working set is
+    ``copies * size`` and must stream through HBM.  ``copies`` defaults to
+    whatever brings the working set to ``HBM_WORKING_SET_BYTES``.  Time
+    ``depth`` rounds per dispatch (median over ``reps``), subtract the
+    directly-measured null-dispatch cost (median of an empty jitted
+    readback), divide by ``depth * copies``.  The subtraction removes the
+    tunnel round trip; the deep chain bounds the damage of its variance.
+
+    The rounds run under ``lax.scan`` (one compiled round body, arbitrary
+    depth without compile blow-up), and ``depth`` self-scales from a pilot
+    measurement so the chain's device time is ~TARGET_S — large enough
+    that the overhead's heavy-tailed variance (+-10 ms observed) is a
+    few-percent effect.  (A fixed depth=16 chain on a 400 MB copy is only
+    ~28 ms of device work; overhead variance produced a 109%-of-spec
+    reading — benches/logs/r16c.log.)
+    """
+    TARGET_S = 0.3
+    MAX_DEPTH = 4096
+    x = jnp.asarray(x)
+    nbytes = x.size * x.dtype.itemsize
+    if copies is None:
+        copies = max(1, min(32, -(-HBM_WORKING_SET_BYTES // max(nbytes, 1))))
+    xs = tuple(x + jnp.zeros_like(x) for _ in range(copies))
+
+    def _median(vals):
+        vals = sorted(vals)
+        m = len(vals) // 2
+        return vals[m] if len(vals) % 2 else 0.5 * (vals[m - 1] + vals[m])
+
+    def _timed(call, arg, sync, nreps):
+        sync(call(arg))                 # compile + warm
+        ts = []
+        for _ in range(max(nreps, 1)):
+            t0 = time.perf_counter()
+            sync(call(arg))
+            ts.append(time.perf_counter() - t0)
+        return _median(ts)
+
+    def make_chain(k):
+        @jax.jit
+        def chain(vs):
+            def body(carry, _):
+                out = jax.lax.optimization_barrier(
+                    tuple(fn(v) for v in carry))
+                return out, None
+            vs, _ = jax.lax.scan(body, vs, None, length=k)
+            return vs
+        return chain
+
+    def sync_chain(vs):
+        # readback forcing every chain (pure indexing; never ravel/reshape
+        # — see unrolled_chain_time barrier note)
+        acc = 0.0
+        for v in vs:
+            acc = acc + v[(0,) * v.ndim]
+        return float(acc)
+
+    @jax.jit
+    def null(vs):
+        return vs[0][(0,) * vs[0].ndim]
+
+    t_null = _timed(null, xs, float, reps)
+
+    def measure(k, nreps):
+        t = _timed(make_chain(k), xs, sync_chain, nreps)
+        work = t - t_null
+        return work if work > 0 else t  # noise swamped the device work
+
+    # cheap pilot, then rescale the depth toward TARGET_S of device work
+    # (a heavy pilot costs half a minute on slow subjects; a light final
+    # chain lets overhead variance through — r16d vs r16c logs)
+    k_pilot = max(2, min(4, depth))
+    pilot = measure(k_pilot, 2)
+    est_app = max(pilot / (k_pilot * copies), 1e-9)
+    if est_app * copies * k_pilot >= TARGET_S:   # pilot already at target
+        return est_app
+    k = int(max(4, min(MAX_DEPTH, round(TARGET_S / (est_app * copies)))))
+    return max(measure(k, reps) / (k * copies), 1e-9)
 
 
 @dataclass
@@ -154,7 +318,7 @@ def robust_bench(fn: Callable, x, min_bytes: float, *, unroll: int = 8,
     best_dt = float("inf")
     best_ceil = 0.0
     for _ in range(max(trials, 1)):
-        dt = unrolled_chain_time(fn, x, unroll=unroll, reps=reps)
+        dt = hbm_stream_time(fn, x, reps=max(reps // 2, 2))
         ceil = measured_copy_ceiling_gbps(x, unroll=unroll, reps=max(reps // 2, 2))
         best_dt = min(best_dt, dt)
         best_ceil = max(best_ceil, ceil)
@@ -178,10 +342,20 @@ def measured_copy_ceiling_gbps(x, *, unroll: int = 8, reps: int = 8) -> float:
     (8,128)-tiled layout on TPU that would under-report bandwidth, and the
     5-D->2-D reshape program itself has been observed to copy its input
     into a {batch-minor, T(2,128)} layout with 21x padding (16 GB HLO temp
-    for a 768 MB array -> compile OOM; benches/logs/r10_forms2.log)."""
+    for a 768 MB array -> compile OOM; benches/logs/r10_forms2.log).
+
+    Protocol v2 (benches/r16_protocol.py): the multiply chain is measured
+    with :func:`hbm_stream_time` — barriered (an unbarriered chain folds
+    to ONE multiply: r16 HLO audit showed every earlier ceiling inflated
+    by its unroll factor), slope-differenced (cancels the ~26 ms
+    per-dispatch tunnel overhead that made small-array ceilings read 20x
+    low in the same minutes big arrays read true), and replicated to an
+    HBM-sized working set (a single-buffer chain stays VMEM-resident and
+    reads 3.6 TB/s)."""
     x = jnp.asarray(x)
     rows = max(int(x.shape[0]), 1)
     cols = max(int(x.size) // rows, 1)
     flat = jnp.zeros((rows, cols), x.dtype)
-    dt = unrolled_chain_time(lambda v: v * 1.000001, flat, unroll=unroll, reps=reps)
+    dt = hbm_stream_time(lambda v: v * 1.000001, flat,
+                         reps=max(reps // 2, 2))
     return 2 * flat.size * flat.dtype.itemsize / dt / 1e9
