@@ -73,10 +73,17 @@ def _best_healthy_headline():
                         or (row.get("bench") == "c2c_1d_1024_b4096"
                             and row.get("copy_ceiling_gbps", 0) >= 300)):
                     continue
+                # protocol-v1 rows (pre-r16 errata) are systematically
+                # UNDER-stated for this 33 MB subject (~26 ms dispatch
+                # overhead divided by unroll=8); never let one shadow a
+                # v2 capture
+                if row.get("protocol") != "v2":
+                    continue
                 if best is None or row.get("eff_gbps", 0) > best["eff_gbps"]:
                     best = {k: row[k] for k in
                             ("ts", "eff_gbps", "copy_ceiling_gbps",
-                             "pct_copy_ceiling", "avg_ms", "value")
+                             "pct_copy_ceiling", "avg_ms", "value",
+                             "protocol")
                             if k in row}
     except OSError:
         pass
@@ -238,6 +245,7 @@ def main():
             with open(path, "a") as f:
                 f.write(json.dumps({
                     "healthy_session": True, "bench": "headline",
+                    "protocol": "v2",
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **rec}) + "\n")
             print(f"# healthy tunnel ({ceiling:.0f} GB/s): roofline "
                   f"datapoint recorded to {path}", file=sys.stderr)

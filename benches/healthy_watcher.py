@@ -81,6 +81,7 @@ def main():
         dt = min(dts)
         gb = min_bytes / dt / 1e9
         rec = {"healthy_session": True, "bench": "headline",
+               "protocol": "v2",
                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                "metric": "c2c1024_pct_hbm_roofline",
                "value": round(100 * gb / spec_roof, 2),
