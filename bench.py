@@ -10,9 +10,12 @@ output once).  Two rooflines are reported:
   copy timed with the same methodology) — the honest attainable roofline,
   since the tunneled runtime tops out well below spec even for memcpy.
 
-Methodology: 8 transform applications compiled into one jitted program
-(isolates device time from ~0.3 ms/dispatch tunnel overhead), rep-chained
-dispatches, scalar-readback completion barrier, bounded in-flight work.
+Methodology (protocol v2, round 4 — runtime/profile.hbm_stream_time, see
+docs/PERFORMANCE.md "protocol-v1 errata"): independent round-robin buffers
+sized past VMEM residency, optimization_barrier per scan round (XLA folds
+unbarriered chains), depth self-scaled to ~300 ms of device work, directly
+measured null-dispatch cost (~26 ms through the tunnel) subtracted,
+scalar-readback completion barrier, bounded in-flight work.
 BASELINE.md target: >= 70% of roofline; vs_baseline = value / 70.
 """
 

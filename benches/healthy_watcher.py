@@ -56,8 +56,10 @@ def main():
     spec_roof = profile.device_hbm_gbps()
     min_bytes = profile.fft_min_bytes(n, batch)
 
-    # warm the compile once so healthy windows are spent measuring
-    _ = profile.unrolled_chain_time(fn, x, unroll=2, reps=1)
+    # warm the compile once so healthy windows are spent measuring —
+    # use the SAME fixed-depth stream programs the capture path uses
+    # (a pilot-scaled depth would compile a different chain per call)
+    _ = profile.hbm_stream_time(fn, x, depth=64, reps=1)
 
     hits = 0
     for it in range(WATCH_ITERS):
@@ -77,7 +79,7 @@ def main():
         # benches/r16_protocol.py)
         dts = []
         for _ in range(2):
-            dts.append(profile.hbm_stream_time(fn, x, reps=4))
+            dts.append(profile.hbm_stream_time(fn, x, depth=64, reps=4))
         dt = min(dts)
         gb = min_bytes / dt / 1e9
         rec = {"healthy_session": True, "bench": "headline",

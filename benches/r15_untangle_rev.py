@@ -64,6 +64,11 @@ def main():
     ci = _half_trick_consts(n, inverse=True)
     cf = {k: jnp.asarray(v) for k, v in cf.items()}
     ci = {k: jnp.asarray(v) for k, v in ci.items()}
+    # the gather index tables under test, built locally (the library
+    # dropped them when the rev spelling landed — this probe is the
+    # historical A/B evidence and must stay runnable)
+    cf["rc/flip"] = jnp.asarray(((h - np.arange(h + 1)) % h).astype(np.int32))
+    ci["cr/flip"] = jnp.asarray((h - np.arange(h)).astype(np.int32))
 
     # ---- r2c untangle: halfc (b,h,...) -> packed, cropped back to h -------
     def r2c_take(z):

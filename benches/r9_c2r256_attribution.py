@@ -104,6 +104,10 @@ def main():
     invh = engine.build_axis_plans(half_shape, "inverse", tuning)
     ci = engine.collect_consts(invh)
     ci.update(_half_trick_consts(n, inverse=True))
+    # gather index table built locally: the library dropped cr/flip when
+    # the rev spelling landed (r15); this probe's retangle leg is the
+    # historical gather-cost evidence and must stay runnable
+    ci.setdefault("cr/flip", (h - np.arange(h)).astype(np.int32))
 
     bytes_full = full.size * 4          # one read OR one write of `full`
     bytes_packed = packed.size * 4

@@ -5,11 +5,14 @@
 this suite is the complete roofline-instrumented matrix, the analog of the
 reference's bench/bench.js:474-480 list plus its forced-large matrices.)
 
-Timing methodology (round-2 rework): every config uses the unrolled-chain
-method (K applications compiled into ONE jit, runtime/profile.py) with
-alternating (transform, copy-probe) trials and best-of selection —
-per-dispatch chains with readback subtraction produced 8x session noise
-through the tunnel in round 1 (benches/results_r1.jsonl run B).  The
+Timing methodology (protocol v2, round-4 rework after the r16 errata —
+docs/PERFORMANCE.md): every config uses profile.hbm_stream_time (VMEM-
+exceeding round-robin working set, optimization_barrier per scan round,
+self-scaled depth, null-dispatch subtraction) with alternating
+(transform, copy-probe) trials and best-of selection.  Rows are stamped
+``protocol: v2``; rows without that stamp in older results_r*.jsonl are
+v1 (ceilings inflated by their unroll factor, small subjects depressed
+by ~26 ms/dispatch overhead — relative A/Bs valid, absolutes not).  The
 session-stable comparison metric is ``vs_copy`` = eff_gbps / the copy
 bandwidth measured in the SAME trial loop.
 
@@ -90,7 +93,7 @@ def main():
               "pct_roofline": round(r.pct_roofline, 2),
               "copy_ceiling_gbps": round(r.copy_ceiling_gbps, 1),
               "vs_copy": round(r.vs_copy_ceiling, 3),
-              "trials": r.trials, "unroll": r.unroll,
+              "trials": r.trials, "protocol": "v2",
               **({"route": route} if route else {}),
               "backend": backend, **(extra or {})})
 

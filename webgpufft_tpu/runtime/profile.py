@@ -102,9 +102,8 @@ def unrolled_chain_time(fn: Callable, x, *, unroll: int = 8,
 
     This amortizes the per-dispatch overhead of tunneled runtimes (which
     poisons per-call chains) across ``unroll``; it does NOT cancel it — use
-    :func:`slope_chain_time` for absolute bandwidth numbers on small arrays
-    (per-call overhead through the tunnel has been measured at ~10 ms,
-    benches/r16_protocol.py).
+    :func:`hbm_stream_time` for absolute bandwidth numbers (per-dispatch
+    overhead through the tunnel measured ~26 ms, benches/r16_protocol.py).
 
     ``barrier_steps`` inserts ``lax.optimization_barrier`` between
     applications.  This is REQUIRED for foldable ``fn`` (an unbarriered
@@ -147,10 +146,10 @@ def slope_chain_time(fn: Callable, x, *, k1: int = 2, k2: int = 8,
     ``k1 < k2`` (min over ``reps`` each) and returns
     ``(T(k2) - T(k1)) / (k2 - k1)``.  The subtraction CANCELS every
     per-dispatch fixed cost (tunnel round trip, dispatch, readback) that
-    the divide-by-unroll protocol only amortizes — with the ~10 ms
+    the divide-by-unroll protocol only amortizes — with the ~26 ms
     per-call overhead measured through the tunnel
     (benches/r16_protocol.py), an unroll=8 chain on a 33 MB array
-    under-reports bandwidth ~5x.  Falls back to T(k2)/k2 if tunnel noise
+    under-reports bandwidth ~10x.  Falls back to T(k2)/k2 if tunnel noise
     makes the slope non-positive.  ``fn`` must map an array to a
     same-shaped array.
     """
@@ -194,7 +193,7 @@ HBM_WORKING_SET_BYTES = 512 * 1024 * 1024
 
 
 def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
-                    depth: int = 16, reps: int = 5) -> float:
+                    depth: int | None = None, reps: int = 5) -> float:
     """Per-application seconds for an HBM-streaming application of ``fn``.
 
     The honest roofline quantity for a memory-bound transform is the time
@@ -213,11 +212,14 @@ def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
     jitted program, with one ``optimization_barrier`` over the whole tuple
     per round — breadth-first scheduling, so each round's working set is
     ``copies * size`` and must stream through HBM.  ``copies`` defaults to
-    whatever brings the working set to ``HBM_WORKING_SET_BYTES``.  Time
-    ``depth`` rounds per dispatch (median over ``reps``), subtract the
-    directly-measured null-dispatch cost (median of an empty jitted
-    readback), divide by ``depth * copies``.  The subtraction removes the
-    tunnel round trip; the deep chain bounds the damage of its variance.
+    whatever brings the working set to ``HBM_WORKING_SET_BYTES``.  Rounds
+    per dispatch self-scale toward ~300 ms of device work (``depth``, if
+    given, CAPS them — bounded device work for callers that need it);
+    each dispatch is timed as a median over ``reps``, the directly
+    measured null-dispatch cost (median of an empty jitted readback) is
+    subtracted, and the result divides by ``rounds * copies``.  The
+    subtraction removes the tunnel round trip; the deep chain bounds the
+    damage of its variance.
 
     The rounds run under ``lax.scan`` (one compiled round body, arbitrary
     depth without compile blow-up), and ``depth`` self-scales from a pilot
@@ -228,11 +230,16 @@ def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
     reading — benches/logs/r16c.log.)
     """
     TARGET_S = 0.3
-    MAX_DEPTH = 4096
+    max_depth = 4096 if depth is None else max(int(depth), 2)
     x = jnp.asarray(x)
     nbytes = x.size * x.dtype.itemsize
     if copies is None:
-        copies = max(1, min(32, -(-HBM_WORKING_SET_BYTES // max(nbytes, 1))))
+        # cap the round-robin tuple at 256 buffers (compile size); subjects
+        # under HBM_WORKING_SET_BYTES/256 (~2 MB) cannot be forced out of
+        # VMEM residency this way — their number reports the throughput of
+        # a resident pipeline of tiny ops (latency-bound anyway), not an
+        # HBM stream rate
+        copies = max(1, min(256, -(-HBM_WORKING_SET_BYTES // max(nbytes, 1))))
     xs = tuple(x + jnp.zeros_like(x) for _ in range(copies))
 
     def _median(vals):
@@ -281,13 +288,17 @@ def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
 
     # cheap pilot, then rescale the depth toward TARGET_S of device work
     # (a heavy pilot costs half a minute on slow subjects; a light final
-    # chain lets overhead variance through — r16d vs r16c logs)
-    k_pilot = max(2, min(4, depth))
+    # chain lets overhead variance through — r16d vs r16c logs).  An
+    # explicit ``depth`` caps BOTH pilot and final chain (bounded device
+    # work for callers that need it).
+    k_pilot = max(2, min(4, max_depth))
     pilot = measure(k_pilot, 2)
     est_app = max(pilot / (k_pilot * copies), 1e-9)
     if est_app * copies * k_pilot >= TARGET_S:   # pilot already at target
         return est_app
-    k = int(max(4, min(MAX_DEPTH, round(TARGET_S / (est_app * copies)))))
+    k = int(max(4, min(max_depth, round(TARGET_S / (est_app * copies)))))
+    if k <= k_pilot:
+        return est_app
     return max(measure(k, reps) / (k * copies), 1e-9)
 
 
@@ -305,15 +316,16 @@ class RobustBenchResult:
 def robust_bench(fn: Callable, x, min_bytes: float, *, unroll: int = 8,
                  reps: int = 8, trials: int = 3) -> RobustBenchResult:
     """Session-stable benchmark: ``trials`` alternating (transform, copy
-    probe) measurements with the unrolled-chain methodology, best-of over
-    trials for both.
+    probe) measurements with the protocol-v2 HBM-stream methodology
+    (:func:`hbm_stream_time`), best-of over trials for both.
 
-    Device throughput on the tunneled runtime swings 60-420 GB/s between
-    minutes (docs/PERFORMANCE.md), so per-dispatch timing with readback
-    subtraction is not reproducible; interleaving the copy probe with the
-    transform in every trial makes ``vs_copy_ceiling`` comparable across
-    sessions (both numerator and denominator see the same throughput
-    regime).  ``fn`` must map an array to a same-shaped array.
+    Interleaving the copy probe with the transform in every trial makes
+    ``vs_copy_ceiling`` comparable across sessions (both numerator and
+    denominator see the same device conditions).  ``fn`` must map an
+    array to a same-shaped array.  ``unroll`` is a legacy v1 knob kept
+    for caller compatibility; the v2 protocol self-scales its chain depth
+    and ignores it (it is echoed in the result for provenance of OLD
+    rows only — new rows should record ``protocol`` instead).
     """
     best_dt = float("inf")
     best_ceil = 0.0
