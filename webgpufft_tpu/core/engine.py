@@ -32,8 +32,20 @@ def collect_consts(axis_plans: Sequence[AxisPlan]) -> Dict[str, np.ndarray]:
 def apply_nd(x, axis_plans: Sequence[AxisPlan], consts, batch_dims: int = 1,
              chunk_elems: int = None):
     """Apply per-axis transforms; logical axis d lives at array axis
-    batch_dims + d of interleaved x (..., 2)."""
-    for d, ap in enumerate(axis_plans):
+    batch_dims + d of interleaved x (..., 2).
+
+    Axes are applied in DESCENDING order (last axis first).  The
+    transforms commute, and on TPU the order matters enormously: an
+    early leading-axis (mid-form) pass poisons the layout every later
+    last-axis pass sees — at 256^3 the ascending 3-axis chain ran 83 ms
+    vs 33 ms descending, with pair probes isolating the axis0-then-last
+    combination as the pathology (benches/r17c_triple_barrier.py,
+    r17b/r17c rows in benches/results_r4.jsonl; optimization_barrier
+    between passes does NOT fix it, so it is a layout-assignment effect,
+    not an instruction-fusion one).
+    """
+    for d in range(len(axis_plans) - 1, -1, -1):
+        ap = axis_plans[d]
         if ap.n == 1:
             continue  # length-1 axis is the identity
         x = slabbed_axis_apply(x, ap, batch_dims + d, consts, chunk_elems)

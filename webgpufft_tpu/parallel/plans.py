@@ -243,8 +243,10 @@ def _build_pencil_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, axes):
         b = x.shape[0]
         y = x.reshape(b, *shape, 2)
         # riding axes first: unsharded contractions stay fully local on
-        # the incoming pencil layout (no collectives)
-        for d, ap in enumerate(rest_plans):
+        # the incoming pencil layout (no collectives); descending order
+        # (r17c, see engine.apply_nd)
+        for d in range(len(rest_plans) - 1, -1, -1):
+            ap = rest_plans[d]
             if ap.n > 1:
                 y = slabbed_axis_apply(y, ap, 3 + d, consts)
         y = inner(y)
@@ -296,7 +298,9 @@ def _build_seq_c2c(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
     def fn(x):
         b = x.shape[0]
         y = fft0(x.reshape(b, *shape, 2))
-        for d, ap in enumerate(plans):
+        # descending order (r17c, see engine.apply_nd)
+        for d in range(len(plans) - 1, -1, -1):
+            ap = plans[d]
             if ap.n > 1:
                 y = slabbed_axis_apply(y, ap, rest_base + d, consts)
         if scale != 1.0:

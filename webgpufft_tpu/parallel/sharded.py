@@ -587,7 +587,10 @@ def build_distributed_r2c_nd(shape, mesh: Mesh, axis_name: str = "sp",
     def local_rest(y):
         # y: (b, p, *rest, 2) — locally-transformed rest axis d sits at
         # dim 2+skip+d
-        for d, ap in enumerate(rest_plans):
+        # descending order: a leading-axis pass poisons later last-axis
+        # passes' layout (r17c, see engine.apply_nd)
+        for d in range(len(rest_plans) - 1, -1, -1):
+            ap = rest_plans[d]
             if ap.n > 1:
                 y = slabbed_axis_apply(y, ap, 2 + skip + d, consts)
         return y
@@ -681,7 +684,10 @@ def build_distributed_c2r_nd(shape, mesh: Mesh, axis_name: str = "sp",
     from ..core.axis import slabbed_axis_apply
 
     def local_rest(y):
-        for d, ap in enumerate(rest_plans):
+        # descending order: a leading-axis pass poisons later last-axis
+        # passes' layout (r17c, see engine.apply_nd)
+        for d in range(len(rest_plans) - 1, -1, -1):
+            ap = rest_plans[d]
             if ap.n > 1:
                 y = slabbed_axis_apply(y, ap, 2 + skip + d, consts)
         return y
@@ -1656,7 +1662,9 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
         # y: (lead..., *rest, 2); rest axis d sits at array axis lead + d.
         # slabbed form bounds einsum operands (conservative: global size,
         # though SPMD partitioning divides per-device operands by ndev)
-        for d, ap in enumerate(plans):
+        # descending order (r17c, see engine.apply_nd)
+        for d in range(len(plans) - 1, -1, -1):
+            ap = plans[d]
             if ap.n > 1:
                 y = slabbed_axis_apply(y, ap, lead + d, consts)
         return y

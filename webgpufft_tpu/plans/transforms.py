@@ -264,7 +264,11 @@ def build_c2c(spec: PlanSpec) -> Plan:
 
     def core_chunk(x, c):
         y = x
-        for d, (kind, obj) in enumerate(strategies):
+        # descending axis order: a leading-axis pass poisons the layout
+        # every later last-axis-form pass sees (83 ms vs 33 ms at 256^3;
+        # benches/r17c_triple_barrier.py — see engine.apply_nd)
+        for d in range(len(strategies) - 1, -1, -1):
+            kind, obj = strategies[d]
             n = shape[d]
             if n == 1 and kind.startswith("xla"):
                 continue
@@ -415,9 +419,12 @@ def build_c2r(spec: PlanSpec) -> Plan:
     def core_half(xp, c):
         h = n0 // 2
         b = xp.shape[0]
-        # inverse FFT the non-packed axes first (on the packed domain)
+        # inverse FFT the non-packed axes first (on the packed domain),
+        # last axis first and the axis-0 half-length pass dead last — the
+        # descending order every later pass tolerates (r17c evidence, see
+        # engine.apply_nd)
         y = xp
-        for d in range(1, rank):
+        for d in range(rank - 1, 0, -1):
             y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
         # After the rest-axes inverse, each axis-0 line is the spectrum of a
         # real line, so bins 0 and n0/2 are self-conjugate: discard any
@@ -681,7 +688,9 @@ def build_dct(spec: PlanSpec) -> Plan:
 
     def core(x, c):
         y = x
-        for d in range(spec.rank):
+        # descending axis order (r17c, see engine.apply_nd) — the trig
+        # axes are separable, so order is free
+        for d in range(spec.rank - 1, -1, -1):
             ax = 1 + d
             if axis_mode[d] == "fft":
                 if ax < y.ndim - 1 and getattr(axis_objs[d], "supports_mid",
