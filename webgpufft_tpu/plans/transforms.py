@@ -377,7 +377,15 @@ def build_r2c(spec: PlanSpec) -> Plan:
             cshape = (1, p0) + (1,) * (rank - 1) + (2,)
             y = (zpad + zf) * 0.5 + cmul_const(
                 zpad - zf, c["rc/ca"].reshape(cshape), c["rc/cb"].reshape(cshape))
-            # remaining axes: complex FFT on the (half-size) packed domain
+            # remaining axes: complex FFT on the (half-size) packed domain,
+            # ascending.  NOTE (r18 negative result): running the rest
+            # axes BEFORE axis 0 with a conj-mirror untangle
+            # (FFT(conj u) = conj(mirror(FFT u)), the r17c descending-
+            # order recipe) was implemented and MEASURED WORSE here —
+            # NS-3D step 75.5 -> 85.4 ms, roundtrip 22.3 -> 26.1 ms
+            # (benches/r18_r2c_reorder.py): at this half-array geometry
+            # the axis0-then-last layout tax does not bite, and the
+            # mirror's extra rev/roll passes cost real traffic.
             for d in range(1, rank):
                 y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
         else:
