@@ -45,10 +45,15 @@ def _last_onchip_headline():
                     if (row.get("bench") == "c2c_1d_1024_b4096"
                             and row.get("backend") == "tpu"
                             and "avg_ms" in row):
+                        # protocol-v1 rows under-state this subject
+                        # (r16 errata); never let one shadow a v2 row
+                        if best is not None and best.get("protocol") == "v2" \
+                                and row.get("protocol") != "v2":
+                            continue
                         best = {k: row[k] for k in
                                 ("bench", "avg_ms", "eff_gbps",
                                  "pct_roofline", "copy_ceiling_gbps",
-                                 "vs_copy", "ts") if k in row}
+                                 "vs_copy", "ts", "protocol") if k in row}
         except OSError:
             continue
     return best
