@@ -234,12 +234,14 @@ def hbm_stream_time(fn: Callable, x, *, copies: int | None = None,
     x = jnp.asarray(x)
     nbytes = x.size * x.dtype.itemsize
     if copies is None:
-        # cap the round-robin tuple at 256 buffers (compile size); subjects
-        # under HBM_WORKING_SET_BYTES/256 (~2 MB) cannot be forced out of
-        # VMEM residency this way — their number reports the throughput of
-        # a resident pipeline of tiny ops (latency-bound anyway), not an
-        # HBM stream rate
-        copies = max(1, min(256, -(-HBM_WORKING_SET_BYTES // max(nbytes, 1))))
+        # cap the round-robin tuple at 64 buffers — the scan body inlines
+        # fn once per copy, and a 256-copy body of a plan graph took the
+        # compiler >25 min through the tunnel (suite row 1, r4 session
+        # 12).  Subjects under HBM_WORKING_SET_BYTES/64 (~8 MB) cannot be
+        # fully forced out of VMEM residency this way — their number
+        # reports the throughput of a resident pipeline of small ops
+        # (latency-bound anyway), not an HBM stream rate
+        copies = max(1, min(64, -(-HBM_WORKING_SET_BYTES // max(nbytes, 1))))
     xs = tuple(x + jnp.zeros_like(x) for _ in range(copies))
 
     def _median(vals):
