@@ -368,15 +368,27 @@ def build_r2c(spec: PlanSpec) -> Plan:
             v = x.reshape(b, n0 // 2, 2, *spec.shape[1:])
             v = jnp.moveaxis(v, 2, -1)                  # (b, n0/2, rest, 2)
             z = slabbed_axis_apply(v, axis_plans[0], 1, c, bound)  # FFT axis 0
-            # untangle to the packed half-spectrum (k = n0/2 reads Z[0])
-            # Z[-k] for k=0..h as rev+concat (gather measured 5.8x slower)
+            # untangle to the packed half-spectrum, SPLIT into the h-bin
+            # body and the lone Nyquist bin (k = n0/2 reads Z[0]) so every
+            # rest-axis pass below runs on the 2^k body geometry — an axis
+            # pass on the odd (h+1)-bin array measured 37 GB/s where the
+            # same pass on the body shape runs 100-148 (r9_attrib
+            # c2r_rest_axes vs c2c_axis rows; fix A/B'd in
+            # benches/r21_half_split.py).  Z[-k] for k=0..h-1 is rev+concat
+            # (a gather spelling measured 5.8x slower, r15).
+            h = n0 // 2
             zf = jnp.concatenate(
-                [z[:, :1], jnp.flip(z[:, 1:], axis=1), z[:, :1]], axis=1)
+                [z[:, :1], jnp.flip(z[:, 1:], axis=1)], axis=1)
             zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
-            zpad = jnp.concatenate([z, z[:, :1, ...]], axis=1)
-            cshape = (1, p0) + (1,) * (rank - 1) + (2,)
-            y = (zpad + zf) * 0.5 + cmul_const(
-                zpad - zf, c["rc/ca"].reshape(cshape), c["rc/cb"].reshape(cshape))
+            cshape = (1, h) + (1,) * (rank - 1) + (2,)
+            ca = c["rc/ca"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
+            cb = c["rc/cb"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
+            y = (z + zf) * 0.5 + cmul_const(
+                z - zf, ca[:, :h], cb[:, :h])
+            z0 = z[:, :1]
+            zf0 = z0 * jnp.asarray([1.0, -1.0], dtype=z.dtype)
+            y_nyq = (z0 + zf0) * 0.5 + cmul_const(
+                z0 - zf0, ca[:, h:], cb[:, h:])
             # remaining axes: complex FFT on the (half-size) packed domain,
             # ascending.  NOTE (r18 negative result): running the rest
             # axes BEFORE axis 0 with a conj-mirror untangle
@@ -388,6 +400,9 @@ def build_r2c(spec: PlanSpec) -> Plan:
             # mirror's extra rev/roll passes cost real traffic.
             for d in range(1, rank):
                 y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
+                y_nyq = slabbed_axis_apply(y_nyq, axis_plans[d], 1 + d, c,
+                                           bound)
+            y = jnp.concatenate([y, y_nyq], axis=1)
         else:
             xi = jnp.stack([x, jnp.zeros_like(x)], axis=-1)
             y = engine.apply_nd(xi, axis_plans, c, chunk_elems=bound)
@@ -427,28 +442,34 @@ def build_c2r(spec: PlanSpec) -> Plan:
     def core_half(xp, c):
         h = n0 // 2
         b = xp.shape[0]
-        # inverse FFT the non-packed axes first (on the packed domain),
-        # last axis first and the axis-0 half-length pass dead last — the
-        # descending order every later pass tolerates (r17c evidence, see
-        # engine.apply_nd)
-        y = xp
+        # SPLIT the packed input into the h-bin body and the lone Nyquist
+        # bin, then inverse-FFT the non-packed axes on each (last axis
+        # first, the axis-0 half-length pass dead last — the descending
+        # order every later pass tolerates, r17c).  An axis pass on the odd
+        # (h+1)-bin packed array measured 37 GB/s where the same pass on
+        # the 2^k body geometry runs 100-148 (r9_attrib; A/B in
+        # benches/r21_half_split.py) — so no device pass ever sees h+1.
+        body = xp[:, :h]
+        nyq = xp[:, h:]
         for d in range(rank - 1, 0, -1):
-            y = slabbed_axis_apply(y, axis_plans[d], 1 + d, c, bound)
+            body = slabbed_axis_apply(body, axis_plans[d], 1 + d, c, bound)
+            nyq = slabbed_axis_apply(nyq, axis_plans[d], 1 + d, c, bound)
         # After the rest-axes inverse, each axis-0 line is the spectrum of a
         # real line, so bins 0 and n0/2 are self-conjugate: discard any
         # residual imag there (reference zeroes self-conjugate bins in the
         # unpack kernel, real_complex.js:116-201)
-        bin_iota = jnp.arange(h + 1).reshape((1, h + 1) + (1,) * (rank - 1) + (1,))
+        bin_iota = jnp.arange(h).reshape((1, h) + (1,) * (rank - 1) + (1,))
         comp = jnp.arange(2).reshape((1, 1) + (1,) * (rank - 1) + (2,))
-        selfconj = ((bin_iota == 0) | (bin_iota == h)) & (comp == 1)
-        y = jnp.where(selfconj, 0.0, y)
+        body = jnp.where((bin_iota == 0) & (comp == 1), 0.0, body)
+        nyq = jnp.where(comp == 1, 0.0, nyq)
         # re-tangle packed bins into the half-length complex line:
         # z_pre = 2*E + 2i*O = 2*Z, and IFFT_unnorm(2Z) = n0 * v, which is
         # exactly the unnormalized-inverse output pairs
-        xk = y[:, :h, ...]
-        # X[n0/2-k] for k=0..h-1 is a pure reversal of bins 1..h
-        xf = jnp.flip(y[:, 1:, ...], axis=1)
-        xf = xf * jnp.asarray([1.0, -1.0], dtype=y.dtype)  # conj(X[n0/2-k])
+        xk = body
+        # X[n0/2-k] for k=0..h-1: bin h is nyq, bins h-1..1 reverse the body
+        xf = jnp.concatenate([nyq, jnp.flip(body[:, 1:, ...], axis=1)],
+                             axis=1)
+        xf = xf * jnp.asarray([1.0, -1.0], dtype=xp.dtype)  # conj(X[n0/2-k])
         cshape = (1, h) + (1,) * (rank - 1) + (2,)
         z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
                                    c["cr/cb"].reshape(cshape))
