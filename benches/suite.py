@@ -133,6 +133,28 @@ def main():
     record("c2c_2d_64x64_b256", plan, x, 2 * 256 * 64 * 64 * 8,
            route=plan.route.mode)
 
+    # ---- 2c. bf16-storage headline (VERDICT r4 #3: the byte-bound 4-pass
+    #      floor halves with 2-byte storage; accuracy ladder in
+    #      benches/r3_precision_transpose.py + docs/PERFORMANCE.md)
+    plan = W.create_plan(type="c2c", shape=[1024], batch=batch,
+                        direction="forward", normalize="unitary",
+                        precision="bf16-storage")
+    xb = jnp.asarray(rng.standard_normal((batch, 1024, 2)).astype(np.float32))
+    record(f"c2c_1d_1024_b{batch}_bf16", plan, xb.astype(jnp.bfloat16),
+           2 * batch * 1024 * 4, route=plan.route.mode)
+
+    # ---- 2d. real-input 3-D flagship (VERDICT r4 weak #1): 256^3 r2c+c2r
+    #      roundtrip, the worst vs_copy in the r4 tree (0.065-0.074)
+    if not args.quick:
+        nc = 256
+        r3 = W.create_plan(type="r2c", shape=[nc, nc, nc], batch=1,
+                          direction="forward", normalize="unitary")
+        c3 = W.create_plan(type="c2r", shape=[nc, nc, nc], batch=1,
+                          direction="inverse", normalize="unitary")
+        xc = jnp.asarray(rng.standard_normal((1, nc, nc, nc)).astype(np.float32))
+        record("r2c_c2r_roundtrip_256cube", lambda v: c3(r3(v)), xc,
+               2 * 2 * nc * nc * nc * 4, u=2)
+
     # r2c+c2r roundtrip (chained as a pair to keep shapes closed)
     n = 1024
     r2c = W.create_plan(type="r2c", shape=[n], direction="forward", batch=batch,

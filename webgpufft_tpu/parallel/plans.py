@@ -144,7 +144,7 @@ def _maybe_stage_distributed(spec: PlanSpec, fn, route):
         doms = (packed_shape(spec.shape), spec.shape, True, False)
     elif t == "c2c":
         doms = (spec.shape, spec.shape, True, True)
-    else:  # dct/dst kinds (fftconv staging is rejected)
+    else:  # dct/dst kinds (fftconv stages via _wrap_fftconv_zero_pad)
         doms = (spec.shape, spec.shape, False, False)
 
     staged, _in, _out, _si, _so = build_staged_fn(
@@ -168,15 +168,21 @@ def _reject_unsupported(spec: PlanSpec, seq_axis):
             raise PlanError(
                 "seq_axis accepts one mesh axis name or a pair (pencil "
                 f"decomposition over axes 0 and 1); got {len(seq_axis)}")
-        if spec.plan_type == "c2c":
+        if spec.plan_type in ("c2c", "r2c", "c2r", "fftconv"):
             if spec.rank < 2:
-                raise PlanError("pencil seq_axis needs rank >= 2 for c2c")
-        elif spec.plan_type in ("r2c", "c2r"):
-            if spec.rank < 2:
-                raise PlanError("pencil seq_axis needs rank >= 2 for r2c/c2r")
+                raise PlanError(
+                    f"pencil seq_axis needs rank >= 2 for {spec.plan_type}")
         else:
+            # trig types: the pre/post embeddings (even/odd reorder,
+            # symmetric extension) are axis-length-changing gathers; on a
+            # pencil BOTH decomposed axes would need their embedding
+            # applied on a dim sharded over the other mesh axis's digit
+            # grid — a cross-shard regather per axis that the single-axis
+            # route avoids by construction.  Trig transforms therefore
+            # distribute over ONE mesh axis (any length); see
+            # docs/PARITY.md §2.9.
             raise PlanError(
-                f"pencil seq_axis supports c2c/r2c/c2r only (got "
+                f"pencil seq_axis supports c2c/r2c/c2r/fftconv (got "
                 f"{spec.plan_type!r}); use a single seq_axis or batch_axis")
     # Staging (ioView/zeroPad/layout/bf16-storage) composes with seq-axis
     # plans by running shard-locally around the distributed core
@@ -185,12 +191,6 @@ def _reject_unsupported(spec: PlanSpec, seq_axis):
     if spec.in_place:
         raise PlanError("seq-axis plans do not support inPlace (donation "
                         "has no meaning for a logically-sharded exec)")
-    if _staging_needed(spec) and spec.plan_type == "fftconv":
-        raise PlanError(
-            "seq-axis fftconv does not compose with ioView/zeroPad/layout/"
-            "bf16 staging (the kernel operand and boundary crops own the "
-            "embedding); stage the data explicitly or use batch_axis-only "
-            "sharding, which supports the full option surface")
     # ioView.output.clearOutside=false without a caller out= buffer
     # behaves exactly like the single-chip exec(x) path: there is nothing
     # to merge into, so the plain extract is returned (the distributed
@@ -435,11 +435,86 @@ def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
         n, k, mesh.shape[seq_axis], fc.boundary) is not None
 
 
+def _wrap_fftconv_zero_pad(fn, spec: PlanSpec):
+    """zeroPad.read/write for distributed fftconv, composed shard-locally.
+
+    fftconv zeroPad rects live in the FFT logical domain (fftShape —
+    spec.py domain rule; the reference fuses them into the three internal
+    C2C plans, src/runtime/plans/fftconv.js:532-567).  Because the data
+    embeds at the ORIGIN of fftShape and the output crop starts at
+    ``out_off``, both stages reduce to elementwise masks on the logical
+    data/output arrays the distributed routes already pass around:
+
+    - read: positions >= shape are zero already, so zeroing fftShape
+      outside the rect == masking the data with the rect clipped per-axis
+      to [0, shape[d]).
+    - write: cropped output index i sits at fftShape index out_off+i, so
+      zeroing before the crop == masking the cropped result with the rect
+      shifted by out_off (clamped to the out domain).
+
+    Both masks are static 0/1 broadcasts inside the same jit — the
+    partitioner runs them shard-locally on every route (halo exchange,
+    padded-circular, direct spectrum) with no extra collectives.
+    """
+    zp = spec.zero_pad
+    if zp.read is None and zp.write is None:
+        return fn
+    from ..utils.mathref import fftconv_out_shape
+    fc = spec.fft_conv
+    kshape = (tuple(fc.kernel_shape) if fc.kernel_shape is not None
+              else tuple(spec.shape))
+    _, out_shape, out_off = fftconv_out_shape(
+        spec.shape, list(kshape), fc.boundary)
+    shape, rank = spec.shape, spec.rank
+
+    def rect_mask(stage, domain, shift):
+        """f32 mask of shape ``domain + (1,)``: 1 inside the shifted/
+        clamped rect, 0 outside (trailing-aligned broadcast, so it applies
+        under any leading batch/kernel dims)."""
+        mask = np.ones(tuple(domain) + (1,), np.float32)
+        trivial = True
+        for d in range(rank):
+            s = min(max(stage.start[d] - shift[d], 0), domain[d])
+            e = min(max(stage.end[d] - shift[d], 0), domain[d])
+            if s == 0 and e == domain[d]:
+                continue
+            trivial = False
+            iota = np.arange(domain[d])
+            m = ((iota >= s) & (iota < e)).astype(np.float32)
+            mask = mask * m.reshape([1] * d + [domain[d]]
+                                    + [1] * (rank - d))
+        return None if trivial else jnp.asarray(mask)
+
+    read_mask = (rect_mask(zp.read, shape, (0,) * rank)
+                 if zp.read is not None else None)
+    write_mask = (rect_mask(zp.write, out_shape, out_off)
+                  if zp.write is not None else None)
+    if read_mask is None and write_mask is None:
+        return fn
+
+    def wrapped(x, kernel):
+        if read_mask is not None:
+            b = x.shape[0]
+            x = x.reshape(b, *shape, 2) * read_mask
+        y = fn(x, kernel)
+        if write_mask is not None:
+            y = y * write_mask
+        return y
+
+    for attr in ("split", "halo", "padded_work_len"):
+        if hasattr(fn, attr):
+            setattr(wrapped, attr, getattr(fn, attr))
+    wrapped.staged = True
+    return wrapped
+
+
 def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
-    """Distributed fftconv: route construction + the channel-lane frame
-    wrapper (reference channelPolicy presets compose with sp since r3)."""
+    """Distributed fftconv: route construction + the zeroPad masks + the
+    channel-lane frame wrapper (reference channelPolicy presets compose
+    with sp since r3; zeroPad composes shard-locally since r5)."""
     fc = spec.fft_conv
     fn, split = _build_seq_fftconv_route(spec, mesh, batch_axis, seq_axis)
+    fn = _wrap_fftconv_zero_pad(fn, spec)
     if fc.channel_input is not None or fc.channel_output is not None:
         from ..utils.mathref import fftconv_out_shape
         kshape = (tuple(fc.kernel_shape) if fc.kernel_shape is not None
@@ -453,7 +528,8 @@ def _build_seq_fftconv(spec: PlanSpec, mesh: Mesh, batch_axis, seq_axis):
 def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
                              seq_axis):
     fc = spec.fft_conv
-    if _halo_conv_eligible(spec, mesh, seq_axis):
+    pencil = isinstance(seq_axis, (tuple, list))
+    if not pencil and _halo_conv_eligible(spec, mesh, seq_axis):
         if spec.rank == 1:
             inner = _wrap_builder_errors(
                 sharded.build_distributed_fftconv_halo_1d,
@@ -479,7 +555,11 @@ def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
         raise PlanError(
             "distributed circular fftconv requires kernelShape == shape "
             "(circular kernels are full-length)")
-    if spec.rank == 1:
+    if pencil:
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_pencil,
+            spec.shape, mesh, tuple(seq_axis), fc.mode, batch_axis)
+    elif spec.rank == 1:
         inner = _wrap_builder_errors(
             sharded.build_distributed_fftconv_1d,
             spec.shape[0], mesh, seq_axis, fc.mode, batch_axis)
@@ -509,13 +589,23 @@ def _build_seq_fftconv_linear(spec: PlanSpec, mesh: Mesh, batch_axis,
         raise PlanError(str(e), boundary=fc.boundary,
                         kernel_shape=kshape) from None
     need = [spec.shape[d] + kshape[d] - 1 for d in range(spec.rank)]
-    work = (_smooth_distributed_len(need[0], mesh, seq_axis),
-            *(factors.next_smooth_at_least(v) for v in need[1:]))
-    if spec.rank == 1:
+    if isinstance(seq_axis, (tuple, list)):
+        # pencil: BOTH decomposed axes pad to smooth lengths splittable
+        # over their own mesh axis
+        work = (_smooth_distributed_len(need[0], mesh, seq_axis[0]),
+                _smooth_distributed_len(need[1], mesh, seq_axis[1]),
+                *(factors.next_smooth_at_least(v) for v in need[2:]))
+        inner = _wrap_builder_errors(
+            sharded.build_distributed_fftconv_pencil,
+            work, mesh, tuple(seq_axis), fc.mode, batch_axis)
+    elif spec.rank == 1:
+        work = (_smooth_distributed_len(need[0], mesh, seq_axis),)
         inner = _wrap_builder_errors(
             sharded.build_distributed_fftconv_1d,
             work[0], mesh, seq_axis, fc.mode, batch_axis)
     else:
+        work = (_smooth_distributed_len(need[0], mesh, seq_axis),
+                *(factors.next_smooth_at_least(v) for v in need[1:]))
         inner = _wrap_builder_errors(
             sharded.build_distributed_fftconv_nd,
             work, mesh, seq_axis, fc.mode, batch_axis)
@@ -634,16 +724,22 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
                 axes[0], spec.normalize, batch_axis, tuning=spec.tuning,
                 pencil_axes=axes)
             fn, split = inner, inner.split
-        else:  # c2r (guarded by _reject_unsupported)
+        elif t == "c2r":
             inner = _wrap_builder_errors(
                 sharded.build_distributed_c2r_nd, spec.shape, mesh,
                 axes[0], spec.normalize, batch_axis, tuning=spec.tuning,
                 pencil_axes=axes)
             fn, split = inner, inner.split
+        else:  # fftconv (guarded by _reject_unsupported)
+            fn, split = _build_seq_fftconv(spec, mesh, batch_axis, axes)
+            if (spec.zero_pad.read is not None
+                    or spec.zero_pad.write is not None):
+                route.reasons = route.reasons + ("distributed-staging",)
         route.reasons = route.reasons + (f"pencil-split:{split}",)
-        fn = _maybe_stage_distributed(spec, fn, route)
+        if not needs_kernel:
+            fn = _maybe_stage_distributed(spec, fn, route)
         return DistributedPlan(
-            spec, mesh, route, fn, needs_kernel=False,
+            spec, mesh, route, fn, needs_kernel=needs_kernel,
             batch_axis=batch_axis, seq_axis=axes)
     if t == "c2c":
         fn, split = _build_seq_c2c(spec, mesh, batch_axis, seq_axis)
@@ -677,8 +773,10 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
                 seq_axis, spec.direction, spec.normalize, batch_axis,
                 tuning=spec.tuning)
         fn, split = inner, inner.split
-    else:  # fftconv (guarded by _reject_unsupported)
+    else:  # fftconv
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)
+        if spec.zero_pad.read is not None or spec.zero_pad.write is not None:
+            route.reasons = route.reasons + ("distributed-staging",)
 
     if hasattr(fn, "halo"):
         # (split) is the (ndev, shard_len) SHARD geometry here, not a

@@ -1708,6 +1708,95 @@ def build_distributed_fftconv_nd(shape, mesh: Mesh, axis_name: str = "sp",
     return fn
 
 
+def build_distributed_fftconv_pencil(shape, mesh: Mesh,
+                                     axes: Tuple[str, str] = ("sp0", "sp1"),
+                                     mode: str = "convolution",
+                                     batch_axis_name: Optional[str] = None):
+    """Distributed circular ND FFT convolution on a 2-D PENCIL
+    decomposition: logical axes 0 and 1 each span their own mesh axis
+    (build_distributed_pencil_axes01 forward/inverse around the pointwise
+    spectrum multiply); remaining axes transform locally on each pencil.
+
+    Versus the single-axis spectrum route, per-device memory stays at
+    n0/P0 x n1/P1 x rest through the whole pipeline and every digit
+    exchange rides its own mesh axis's ICI ring.  Both decomposed axes
+    must admit a smooth mesh-divisible split (the plans layer pads linear
+    boundaries to such lengths; unsplittable circular lengths fall back
+    to the single-axis route).
+
+    Returns fn(x, kernel) with the same contract as
+    build_distributed_fftconv_nd: x (batch, *shape, 2), kernel
+    (*shape, 2) | (1, *shape, 2) | (kcount, *shape, 2) -> (batch, *shape,
+    2), kernel-major (kcount, batch, *shape, 2) when kcount > 1.
+    """
+    if mode not in ("convolution", "correlation"):
+        raise ValueError(f"mode must be convolution|correlation, got {mode}")
+    shape = tuple(shape)
+    if len(shape) < 2:
+        raise ValueError("pencil fftconv needs rank >= 2")
+    rest = shape[2:]
+    fwd = build_distributed_pencil_axes01(shape, mesh, axes, "forward",
+                                          batch_axis_name)
+    s0, s1 = fwd.split
+    swapped = ((s0[1], s0[0]), (s1[1], s1[0]))
+    inv = build_distributed_pencil_axes01(shape, mesh, axes, "inverse",
+                                          batch_axis_name, splits=swapped)
+    # kernel-side forward: never shard the kcount lead over the batch axis
+    kfwd = (fwd if batch_axis_name is None
+            else build_distributed_pencil_axes01(shape, mesh, axes,
+                                                 "forward",
+                                                 splits=(s0, s1)))
+    lead = 3                                      # (kc|b, n0, n1, *rest, 2)
+    from ..core.axis import build_axis_plan, slabbed_axis_apply
+    from ..spec import TuningSpec
+    tun = TuningSpec()
+    consts = {}
+    fplans, iplans = [], []
+    for d, m in enumerate(rest):
+        fp = build_axis_plan(m, d + 2, "forward", tun, f"pf{d}")
+        ip = build_axis_plan(m, d + 2, "inverse", tun, f"pi{d}")
+        consts.update(fp.consts())
+        consts.update(ip.consts())
+        fplans.append(fp)
+        iplans.append(ip)
+    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+    inv_scale = 1.0 / math.prod(shape)            # whole-volume backward 1/N
+
+    def local_axes(y, plans):
+        # y: (lead..., *rest, 2); descending order (r17c, engine.apply_nd)
+        for d in range(len(plans) - 1, -1, -1):
+            ap = plans[d]
+            if ap.n > 1:
+                y = slabbed_axis_apply(y, ap, lead + d, consts)
+        return y
+
+    def fn(x, kernel):
+        kernel = jnp.asarray(kernel)
+        if kernel.ndim == len(shape) + 1:
+            kernel = kernel[None]
+        kc = kernel.shape[0]
+        b = x.shape[0]
+        x = x.reshape(b, *shape, 2)
+        kernel = kernel.reshape(kc, *shape, 2)
+        kf = local_axes(kfwd(kernel), fplans)
+        if mode == "correlation":
+            kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
+        kf = kf * jnp.asarray(inv_scale, kf.dtype)  # fold backward 1/N
+        xf = local_axes(fwd(x), fplans)
+        a = xf[None]                                # (1, b, ...)
+        k_ = kf[:, None]                            # (kc, 1, ...)
+        yr = a[..., :1] * k_[..., :1] - a[..., 1:] * k_[..., 1:]
+        yi = a[..., :1] * k_[..., 1:] + a[..., 1:] * k_[..., :1]
+        y = jnp.concatenate([yr, yi], axis=-1)      # (kc, b, *shape, 2)
+        y = y.reshape(kc * b, *shape, 2)
+        y = local_axes(y, iplans)
+        z = inv(y).reshape(kc, b, *shape, 2)
+        return z[0] if kc == 1 else z               # kernel-major
+
+    fn.split = (s0, s1)
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Mesh helpers
 # ---------------------------------------------------------------------------

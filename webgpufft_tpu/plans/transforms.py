@@ -380,7 +380,6 @@ def build_r2c(spec: PlanSpec) -> Plan:
             zf = jnp.concatenate(
                 [z[:, :1], jnp.flip(z[:, 1:], axis=1)], axis=1)
             zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
-            cshape = (1, h) + (1,) * (rank - 1) + (2,)
             ca = c["rc/ca"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
             cb = c["rc/cb"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
             y = (z + zf) * 0.5 + cmul_const(
