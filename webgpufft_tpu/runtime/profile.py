@@ -370,6 +370,11 @@ def measured_copy_ceiling_gbps(x, *, unroll: int = 8, reps: int = 8) -> float:
     rows = max(int(x.shape[0]), 1)
     cols = max(int(x.size) // rows, 1)
     flat = jnp.zeros((rows, cols), x.dtype)
-    dt = hbm_stream_time(lambda v: v * 1.000001, flat,
-                         reps=max(reps // 2, 2))
+    # negation, NOT a near-1 multiply: 1.000001 rounds to exactly 1.0 in
+    # bf16, and the algebraic simplifier then folds the whole chain to
+    # identity — the r5 suite's first bf16 row read a 1128 GB/s "ceiling"
+    # (past the 819 GB/s spec) from that null program.  Negation is exact
+    # in every dtype, still 1 read + 1 write, and the per-round
+    # optimization_barrier keeps the scan from cancelling -(-v).
+    dt = hbm_stream_time(jnp.negative, flat, reps=max(reps // 2, 2))
     return 2 * flat.size * flat.dtype.itemsize / dt / 1e9
