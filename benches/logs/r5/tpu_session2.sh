@@ -11,3 +11,6 @@ echo "=== session2 done $(date) ==="
 echo "=== r26 pallas $(date) ==="
 python benches/r26_pallas_endgame.py 2>&1 | tee benches/logs/r5/r26.log
 echo "=== session2 really done $(date) ==="
+echo "=== r27 attrib $(date) ==="
+python benches/r27_headline_attrib.py 2>&1 | tee benches/logs/r5/r27.log
+echo "=== session2 fully done $(date) ==="
