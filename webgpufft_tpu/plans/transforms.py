@@ -311,31 +311,65 @@ def packed_shape(shape):
     return (shape[0] // 2 + 1,) + tuple(shape[1:])
 
 
+def _conj_pair(q: np.ndarray):
+    """(ca, cb) such that cmul_const(z, ca, cb) == q * conj(z):
+    out_re = qr*zr + qi*zi; out_im = qi*zr - qr*zi."""
+    ca = np.stack([q.real, -q.real], axis=-1).astype(np.float32)
+    cb = np.stack([q.imag, q.imag], axis=-1).astype(np.float32)
+    return ca, cb
+
+
+def _re_pair(q: np.ndarray):
+    """(ca, cb) such that cmul_const(z, ca, cb) == q * Re(z)."""
+    zero = np.zeros_like(q.real)
+    ca = np.stack([q.real, zero], axis=-1).astype(np.float32)
+    cb = np.stack([zero, q.imag], axis=-1).astype(np.float32)
+    return ca, cb
+
+
 def _half_trick_consts(n0: int, inverse: bool) -> Dict[str, np.ndarray]:
     """Constants for the even-N0 half-complex real FFT trick.
 
-    Forward untangle (k = 0..n0/2, Z periodic n0/2):
-      X[k] = (Z[k] + conj(Z[-k])) * 1/2  +  (Z[k] - conj(Z[-k])) * (-i w^k / 2)
-    Inverse re-tangle (k = 0..n0/2-1, unnormalized-inverse convention with
-    the factor 2 folded in):
-      Z[k] = (X[k] + conj(X[n0/2 - k]))  +  i w^{-k} (X[k] - conj(X[n0/2 - k]))
-    where w = exp(-2*pi*i/n0).
+    Forward untangle (k = 0..n0/2, Z periodic n0/2, w = exp(-2*pi*i/n0),
+    c = -i w^k / 2), FUSED per-bin form (benches/r23_untangle_fuse.py):
+      X[k] = P[k] Z[k] + Q[k] conj(Z[-k]),   P = 1/2 + c, Q = 1/2 - c
+    Inverse re-tangle (k = 0..n0/2-1, unnormalized-inverse convention
+    with the factor 2 folded in, d = i w^{-k}):
+      Z[k] = R[k] X[k] + S[k] conj(X[n0/2 - k]),   R = 1 + d, S = 1 - d
+    The conj folds into the constant pairs (_conj_pair), so each output
+    bin is two cmul_consts — one on the straight operand, one on a plain
+    jnp.flip of the same operand — with no concat-built mirror copy, no
+    explicit conj pass, and no sub/add intermediates (the r22 prefix
+    attribution measured the old spelling at 3-4x its fused-elementwise
+    floor).  The k=0 inverse bin folds the self-conjugate-bin zeroing
+    (reference real_complex.js:116-201) into Re-projection pairs instead
+    of two jnp.where masks.  The legacy ca/cb pairs remain for the
+    distributed builders (parallel/sharded.py).
 
-    The Z[-k] / X[n0/2-k] "flip" accesses are spelled as jnp.flip +
-    concat (XLA ``rev``, relayout-speed) rather than an index gather:
-    the gather spelling measured 5.8x off elementwise bandwidth at 256^3
-    (benches/r15_untangle_rev.py / r9_attrib c2r_retangle row).
+    Mirror accesses are spelled as jnp.flip (XLA ``rev``) rather than an
+    index gather: the gather spelling measured 5.8x off elementwise
+    bandwidth at 256^3 (benches/r15_untangle_rev.py).
     """
     h = n0 // 2
     if not inverse:
         k = np.arange(h + 1)
         w = np.exp(-2j * np.pi * k / n0)
-        ca, cb = cplx_const_pair(-0.5j * w)
-        return {"rc/ca": ca, "rc/cb": cb}
+        c = -0.5j * w
+        ca, cb = cplx_const_pair(c)
+        pa, pb = cplx_const_pair(0.5 + c)
+        qa, qb = _conj_pair(0.5 - c)
+        return {"rc/ca": ca, "rc/cb": cb,
+                "rc/pa": pa, "rc/pb": pb, "rc/qa": qa, "rc/qb": qb}
     k = np.arange(h)
-    w_inv = np.exp(2j * np.pi * k / n0)
-    ca, cb = cplx_const_pair(1j * w_inv)
-    return {"cr/ca": ca, "cr/cb": cb}
+    d = 1j * np.exp(2j * np.pi * k / n0)
+    ca, cb = cplx_const_pair(d)
+    ra, rb = cplx_const_pair(1.0 + d)
+    sa, sb = _conj_pair(1.0 - d)
+    r0a, r0b = _re_pair(1.0 + d[:1])
+    s0a, s0b = _re_pair(1.0 - d[:1])
+    return {"cr/ca": ca, "cr/cb": cb,
+            "cr/ra": ra, "cr/rb": rb, "cr/sa": sa, "cr/sb": sb,
+            "cr/r0a": r0a, "cr/r0b": r0b, "cr/s0a": s0a, "cr/s0b": s0b}
 
 
 def build_r2c(spec: PlanSpec) -> Plan:
@@ -372,22 +406,27 @@ def build_r2c(spec: PlanSpec) -> Plan:
             # body and the lone Nyquist bin (k = n0/2 reads Z[0]) so every
             # rest-axis pass below runs on the 2^k body geometry — an axis
             # pass on the odd (h+1)-bin array measured 37 GB/s where the
-            # same pass on the body shape runs 100-148 (r9_attrib
-            # c2r_rest_axes vs c2c_axis rows; fix A/B'd in
-            # benches/r21_half_split.py).  Z[-k] for k=0..h-1 is rev+concat
-            # (a gather spelling measured 5.8x slower, r15).
+            # same pass on the body shape runs 100-148 (r9_attrib; A/B in
+            # benches/r21_half_split.py).  FUSED per-bin spelling
+            # X[k] = P Z[k] + Q conj(Z[-k]) (tables in _half_trick_consts;
+            # A/B in benches/r23_untangle_fuse.py): the straight operand
+            # and a plain jnp.flip of it, no concat-built mirror copy.
             h = n0 // 2
-            zf = jnp.concatenate(
-                [z[:, :1], jnp.flip(z[:, 1:], axis=1)], axis=1)
-            zf = zf * jnp.asarray([1.0, -1.0], dtype=z.dtype)   # conj(Z[-k])
-            ca = c["rc/ca"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
-            cb = c["rc/cb"].reshape((1, p0) + (1,) * (rank - 1) + (2,))
-            y = (z + zf) * 0.5 + cmul_const(
-                z - zf, ca[:, :h], cb[:, :h])
+            tshape = (1, p0) + (1,) * (rank - 1) + (2,)
+            pa = c["rc/pa"].reshape(tshape)
+            pb = c["rc/pb"].reshape(tshape)
+            qa = c["rc/qa"].reshape(tshape)
+            qb = c["rc/qb"].reshape(tshape)
+            zb = z[:, 1:]
             z0 = z[:, :1]
-            zf0 = z0 * jnp.asarray([1.0, -1.0], dtype=z.dtype)
-            y_nyq = (z0 + zf0) * 0.5 + cmul_const(
-                z0 - zf0, ca[:, h:], cb[:, h:])
+            y_body = (cmul_const(zb, pa[:, 1:h], pb[:, 1:h])
+                      + cmul_const(jnp.flip(zb, axis=1),
+                                   qa[:, 1:h], qb[:, 1:h]))
+            y0 = (cmul_const(z0, pa[:, :1], pb[:, :1])
+                  + cmul_const(z0, qa[:, :1], qb[:, :1]))
+            y = jnp.concatenate([y0, y_body], axis=1)
+            y_nyq = (cmul_const(z0, pa[:, h:], pb[:, h:])
+                     + cmul_const(z0, qa[:, h:], qb[:, h:]))
             # remaining axes: complex FFT on the (half-size) packed domain,
             # ascending.  NOTE (r18 negative result): running the rest
             # axes BEFORE axis 0 with a conj-mirror untangle
@@ -453,25 +492,29 @@ def build_c2r(spec: PlanSpec) -> Plan:
         for d in range(rank - 1, 0, -1):
             body = slabbed_axis_apply(body, axis_plans[d], 1 + d, c, bound)
             nyq = slabbed_axis_apply(nyq, axis_plans[d], 1 + d, c, bound)
-        # After the rest-axes inverse, each axis-0 line is the spectrum of a
-        # real line, so bins 0 and n0/2 are self-conjugate: discard any
-        # residual imag there (reference zeroes self-conjugate bins in the
-        # unpack kernel, real_complex.js:116-201)
-        bin_iota = jnp.arange(h).reshape((1, h) + (1,) * (rank - 1) + (1,))
-        comp = jnp.arange(2).reshape((1, 1) + (1,) * (rank - 1) + (2,))
-        body = jnp.where((bin_iota == 0) & (comp == 1), 0.0, body)
-        nyq = jnp.where(comp == 1, 0.0, nyq)
-        # re-tangle packed bins into the half-length complex line:
+        # re-tangle packed bins into the half-length complex line, FUSED
+        # per-bin spelling Z[k] = R X[k] + S conj(X[n0/2-k]) (tables in
+        # _half_trick_consts; A/B in benches/r23_untangle_fuse.py):
         # z_pre = 2*E + 2i*O = 2*Z, and IFFT_unnorm(2Z) = n0 * v, which is
-        # exactly the unnormalized-inverse output pairs
-        xk = body
-        # X[n0/2-k] for k=0..h-1: bin h is nyq, bins h-1..1 reverse the body
-        xf = jnp.concatenate([nyq, jnp.flip(body[:, 1:, ...], axis=1)],
-                             axis=1)
-        xf = xf * jnp.asarray([1.0, -1.0], dtype=xp.dtype)  # conj(X[n0/2-k])
+        # exactly the unnormalized-inverse output pairs.  Bins 0 and n0/2
+        # are self-conjugate spectra of real lines; the reference zeroes
+        # them in the unpack kernel (real_complex.js:116-201) — here the
+        # k=0 tables are Re-projection pairs, so residual imag in X[0] /
+        # X[n0/2] never enters (no jnp.where masks).
         cshape = (1, h) + (1,) * (rank - 1) + (2,)
-        z = (xk + xf) + cmul_const(xk - xf, c["cr/ca"].reshape(cshape),
-                                   c["cr/cb"].reshape(cshape))
+        ra = c["cr/ra"].reshape(cshape)
+        rb = c["cr/rb"].reshape(cshape)
+        sa = c["cr/sa"].reshape(cshape)
+        sb = c["cr/sb"].reshape(cshape)
+        bb = body[:, 1:]
+        z_body = (cmul_const(bb, ra[:, 1:], rb[:, 1:])
+                  + cmul_const(jnp.flip(bb, axis=1), sa[:, 1:], sb[:, 1:]))
+        t0 = (1, 1) + (1,) * (rank - 1) + (2,)
+        z0 = (cmul_const(body[:, :1], c["cr/r0a"].reshape(t0),
+                         c["cr/r0b"].reshape(t0))
+              + cmul_const(nyq, c["cr/s0a"].reshape(t0),
+                           c["cr/s0b"].reshape(t0)))
+        z = jnp.concatenate([z0, z_body], axis=1)
         z = slabbed_axis_apply(z, axis_plans[0], 1, c, bound)  # inverse axis 0
         z = jnp.moveaxis(z, -1, 2)                          # (b, h, 2, rest)
         out = z.reshape(b, n0, *spec.shape[1:])
