@@ -62,6 +62,20 @@ def run(tol: float = 1e-5) -> bool:
                        "normalize": "backward", "batch": 2}, cache=cache)
     check("c2r 2d", np.asarray(p(interleave(packed))), x)
 
+    # rank-3 volume large enough to take the large-batch-chunk + slab
+    # route (the production 128^3/256^3 path) — r28 found a TPU-only
+    # wrong-result there that every small-shape check above missed.
+    x3 = rng.standard_normal((2, 128, 128, 128)).astype(np.float32)
+    p = W.create_plan({"type": "r2c", "shape": [128, 128, 128],
+                       "batch": 2}, cache=cache)
+    y3 = np.asarray(p(x3))
+    check("r2c 3d chunked (128^3)", y3,
+          interleave(R.r2c_packed(x3, [128, 128, 128])))
+    p = W.create_plan({"type": "c2r", "shape": [128, 128, 128],
+                       "direction": "inverse", "normalize": "backward",
+                       "batch": 2}, cache=cache)
+    check("c2r 3d chunked (128^3)", np.asarray(p(y3)), x3)
+
     xr = rng.standard_normal((2, 8, 8)).astype(np.float32)
     for kind in ("dct2", "dst3"):
         p = W.create_plan({"type": kind, "shape": [8, 8], "direction": "forward",
