@@ -69,19 +69,20 @@ def _check_per_device_operands(n_local_elems: int, what: str):
 
 def _maybe_batch_slab(body, x_loc, per_item: int):
     """Run ``body`` per batch-slab when the full local batch would push
-    einsum operands past the validated size — statically unrolled for
-    small slab counts (1.32x over lax.map, core/axis.mapped_slabs)."""
-    from ..core.axis import OPERAND_CHUNK_ELEMS, STATIC_SLAB_MAX
+    einsum operands past the validated size.
+
+    Batch groups serialize through lax.map, NEVER a static slice unroll:
+    XLA-TPU miscompiles the unrolled slice->transform-core->concat program
+    at production rank-3 geometries (silently wrong r2c/c2r results; see
+    plans/transforms.maybe_chunk_core and benches/r30_chunk_bisect.py /
+    r31_chunk_fix.py).  This is the same full-core batch-group shape, so
+    it takes the verified route."""
+    from ..core.axis import OPERAND_CHUNK_ELEMS
     b = x_loc.shape[0]
     if b * per_item <= OPERAND_CHUNK_ELEMS:
         return body(x_loc)
     slab = _batch_chunk_divisor(b, per_item, OPERAND_CHUNK_ELEMS)
     groups = b // slab
-    if groups <= STATIC_SLAB_MAX:
-        outs = [body(jax.lax.slice_in_dim(x_loc, g * slab, (g + 1) * slab,
-                                          axis=0))
-                for g in range(groups)]
-        return jnp.concatenate(outs, axis=0)
     xs = x_loc.reshape(groups, slab, *x_loc.shape[1:])
     ys = jax.lax.map(body, xs)
     return ys.reshape(b, *ys.shape[2:])

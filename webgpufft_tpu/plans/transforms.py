@@ -71,22 +71,29 @@ def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo,
                      bound: int = None):
     """Wrap ``core(x, c)`` to run per batch-slice via lax.map when the total
     size exceeds the chunk bound (tuning.chunkElements or CHUNK_ELEMS).
-    Records the chunk size in route reasons."""
+    Records the chunk size in route reasons.
+
+    Batch groups MUST serialize through lax.map, never the static unroll
+    used for axis slabs (core/axis.mapped_slabs): XLA-TPU miscompiles the
+    unrolled slice->r2c/c2r-core->concat program at the 256^3 production
+    geometry — silently wrong results (rel ~1.2-1.5) at EVERY chunk size,
+    on the r2c forward and the c2r inverse, while the identical trace is
+    correct on CPU, correct per-dispatch, correct at 128^3, and correct
+    for the c2c core.  optimization_barrier between chunk outputs does
+    NOT fix it, so it is not cross-chunk fusion; the lax.map spelling is
+    verified correct on-chip at the failing configs.  Evidence:
+    benches/r29_r2c_tpu_bisect.py, r30_chunk_bisect.py, r31_chunk_fix.py
+    (logs benches/logs/r5/r29-r31.log).  The unroll here was a round-4
+    extension (1.32x measured on the SLAB program class only); its removal
+    restores the rounds-1-3 batch-chunk route.
+    """
     chunk = chunked_batch(batch, items_elems, bound)
     if chunk == batch:
         return core
     route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
     groups = batch // chunk
 
-    from ..core.axis import STATIC_SLAB_MAX
-
     def chunked(x, c):
-        if groups <= STATIC_SLAB_MAX:
-            # static unroll: 1.32x over lax.map on slab-class programs (r10)
-            outs = [core(jax.lax.slice_in_dim(x, g * chunk, (g + 1) * chunk,
-                                              axis=0), c)
-                    for g in range(groups)]
-            return jnp.concatenate(outs, axis=0)
         xs = x.reshape(groups, chunk, *x.shape[1:])
         ys = jax.lax.map(lambda xc: core(xc, c), xs)
         return ys.reshape(batch, *ys.shape[2:])
