@@ -101,12 +101,17 @@ class TestChunkElementsKnob:
         assert_close(y.real, ref.real, label="chunk-knob.re")
         assert_close(y.imag, ref.imag, label="chunk-knob.im")
 
-    def test_large_bound_removes_chunking(self):
+    def test_bound_can_only_lower(self):
+        # the knob accepts the 2^22 default as its max; raised bounds are
+        # rejected (composed 3-D routes miscompiled silently at 2^23-2^25
+        # on TPU: r8b round 2, r29 round 5 — and measured slower, r13)
         n, batch = 4096, 4096  # 16.8M elems: chunked at the default bound
         plan = W.create_plan(type="c2c", shape=[n], batch=batch,
-                             tuning={"chunkElements": 1 << 25})
-        assert not any("large-batch-chunk" in r for r in plan.route.reasons)
-        assert any("chunk-elems-override" in r for r in plan.route.reasons)
+                             tuning={"chunkElements": 1 << 22})
+        assert any("large-batch-chunk" in r for r in plan.route.reasons)
+        with pytest.raises(W.PlanError):
+            W.create_plan(type="c2c", shape=[n], batch=batch,
+                          tuning={"chunkElements": 1 << 23})
 
     def test_four_step_uses_custom_bound(self, rng, assert_close):
         # n=2^16 four-step axis; tiny bound forces internal digit slabs

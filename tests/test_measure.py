@@ -243,22 +243,14 @@ def test_partial_divergence_still_measures(monkeypatch):
     assert "maxSubLength=16" not in rec["trials_ms"]
 
 
-def test_chunk_elems_candidate_offered():
-    """Specs past the default operand bound offer a chunkElements=2^25
-    candidate (the validated-max bound; benches/r8_chunk_bound.py)."""
+def test_no_raised_chunk_bound_candidate():
+    """The measured planner must never offer a raised chunkElements bound:
+    bounds above the 2^22 default miscompile silently on composed 3-D TPU
+    routes (r8b round 2, r29 round 5) and the spec validator rejects them
+    (spec.validate_tuning)."""
     from webgpufft_tpu.runtime import measure as M
     from webgpufft_tpu.spec import normalize_spec
 
     big = normalize_spec({"type": "c2c", "shape": [4096], "batch": 4096})
     descs = [d for d, _ in M.candidate_overrides(big)]
-    assert "chunkElements=2^25" in descs
-
-    small = normalize_spec({"type": "c2c", "shape": [256], "batch": 4})
-    descs = [d for d, _ in M.candidate_overrides(small)]
-    assert "chunkElements=2^25" not in descs
-
-    # explicit user choice is respected: no candidate offered
-    forced = normalize_spec({"type": "c2c", "shape": [4096], "batch": 4096,
-                             "tuning": {"chunkElements": 1 << 23}})
-    descs = [d for d, _ in M.candidate_overrides(forced)]
-    assert "chunkElements=2^25" not in descs
+    assert not any(d.startswith("chunkElements") for d in descs)

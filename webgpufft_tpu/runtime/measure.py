@@ -106,17 +106,13 @@ def candidate_overrides(spec: PlanSpec) -> List[Tuple[str, Dict[str, Any]]]:
         for sub in (16, 32, 64):
             if sub != t.max_sub_length:
                 cands.append((f"maxSubLength={sub}", {"max_sub_length": sub}))
-    # chunk-bound flip: plans past the default operand bound serialize
-    # batches/slabs through lax.map; the 2^25 bound was validated correct
-    # on 1-D probes (benches/r2_operand_bound_probe.py) — 3-D route
-    # agreement is still under investigation (benches/r8_chunk_bound.py,
-    # r8b_bound_validity.py observed divergence at 256^3), which is why
-    # run_measure numerically cross-checks every candidate against the
-    # baseline plan before letting timing pick it
-    if t.chunk_elems is None:
-        from ..plans.transforms import CHUNK_ELEMS
-        if spec.batch * spec.n_total > CHUNK_ELEMS:
-            cands.append(("chunkElements=2^25", {"chunk_elems": 1 << 25}))
+    # No raised-chunk-bound candidate: bounds above the 2^22 default
+    # miscompile SILENTLY on composed 3-D TPU routes (r8b round 2; r29
+    # round 5 reproduced rel=1.33 at 2^25 on r2c 256^3 b3) and measured
+    # slower at every flagship config (docs/BENCHMARKS.md r13) — the spec
+    # validator now rejects them outright (spec.validate_tuning).  The
+    # numeric cross-check in run_measure stays as defense-in-depth for
+    # the remaining candidates.
     return cands
 
 

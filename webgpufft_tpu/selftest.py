@@ -1,10 +1,16 @@
 """Backend self-test: quick correctness sweep on the CURRENT jax backend.
 
-Usage: python -m webgpufft_tpu.selftest
+Usage: python -m webgpufft_tpu.selftest [--deep]
 
 Builds one plan per family, compares against the numpy oracle, and prints a
 PASS/FAIL line each — the fast way to validate a new device, runtime, or
 jax version (the analog of the reference's browser harness smoke lane).
+
+``--deep`` (run(deep=True)) adds the 256^3 production flagship geometry —
+the exact configuration where the XLA-TPU backend silently miscompiled the
+statically-unrolled batch-chunk route (r29-r31 bisect, round 5) while every
+smaller shape passed.  Slower (~2 GB arrays, two large compiles); run it
+when validating a new TPU runtime or XLA release.
 """
 
 from __future__ import annotations
@@ -14,7 +20,7 @@ import sys
 import numpy as np
 
 
-def run(tol: float = 1e-5) -> bool:
+def run(tol: float = 1e-5, deep: bool = False) -> bool:
     import jax
 
     import webgpufft_tpu as W
@@ -75,6 +81,22 @@ def run(tol: float = 1e-5) -> bool:
                        "direction": "inverse", "normalize": "backward",
                        "batch": 2}, cache=cache)
     check("c2r 3d chunked (128^3)", np.asarray(p(y3)), x3)
+
+    if deep:
+        # the flagship geometry where XLA-TPU miscompiled the unrolled
+        # batch-chunk route (silent rel~1.2-1.5; benches/r29-r31, round 5)
+        # while 128^3 above passed — guard the lax.map route at full size
+        xd = rng.standard_normal((3, 256, 256, 256)).astype(np.float32)
+        p = W.create_plan({"type": "r2c", "shape": [256, 256, 256],
+                           "batch": 3}, cache=cache)
+        yd = np.asarray(p(xd))
+        check("r2c 3d chunked deep (256^3 b3)", yd,
+              interleave(R.r2c_packed(xd, [256, 256, 256])))
+        p = W.create_plan({"type": "c2r", "shape": [256, 256, 256],
+                           "direction": "inverse", "normalize": "backward",
+                           "batch": 3}, cache=cache)
+        check("c2r 3d chunked deep (256^3 b3)", np.asarray(p(yd)), xd)
+        del xd, yd
 
     xr = rng.standard_normal((2, 8, 8)).astype(np.float32)
     for kind in ("dct2", "dst3"):
@@ -189,4 +211,4 @@ def run(tol: float = 1e-5) -> bool:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if run() else 1)
+    sys.exit(0 if run(deep="--deep" in sys.argv[1:]) else 1)

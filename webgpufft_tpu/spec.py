@@ -429,16 +429,24 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     _check(ts.rigor in ("estimate", "measure"),
            "tuning.rigor must be estimate|measure")
     if ts.chunk_elems is not None:
-        # Upper cap is the largest einsum-operand size validated correct on
-        # this stack (benches/r2_operand_bound_probe.py, 1-D probes up to
-        # 2^25; 3-D route agreement tracked in benches/r8b_bound_validity.py).
-        # Operands beyond it have been observed to miscompile SILENTLY, so
-        # values above the validated bound are rejected rather than warned.
+        # Upper cap is the DEFAULT operand bound (core/axis.
+        # OPERAND_CHUNK_ELEMS = 2^22): the knob may only lower it.  1-D
+        # probes once validated operands up to 2^25
+        # (benches/r2_operand_bound_probe.py), but composed 3-D routes at
+        # raised bounds miscompile SILENTLY on the TPU backend — observed
+        # at 256^3 in round 2 (benches/r8b_bound_validity.py) and
+        # reproduced twice in round 5 (benches/r29_r2c_tpu_bisect.py:
+        # r2c 256^3 b3 at 2^25 rel=1.33 while 2^22/2^20 are correct) —
+        # and raised bounds also measured SLOWER at every flagship config
+        # (docs/BENCHMARKS.md r13: 2^25 is 22% slower at the NS-3D step).
+        # Wrong-and-slower has no legitimate use, so values above the
+        # default are rejected rather than warned.
         _check(isinstance(ts.chunk_elems, int) and not isinstance(ts.chunk_elems, bool)
-               and (1 << 12) <= ts.chunk_elems <= (1 << 25),
-               "tuning.chunkElements must be an int in [2^12, 2^25] "
-               "(2^25 is the largest operand size validated correct on this "
-               "backend; larger operands have miscompiled silently)")
+               and (1 << 12) <= ts.chunk_elems <= (1 << 22),
+               "tuning.chunkElements must be an int in [2^12, 2^22] "
+               "(2^22 is the default and the largest operand size validated "
+               "correct on this backend; larger composed operands have "
+               "miscompiled silently and measured slower)")
     return ts
 
 
