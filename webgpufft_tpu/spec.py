@@ -190,14 +190,15 @@ class TuningSpec:
     # Einsum-operand / batch-chunk bound override (complex elements).  The
     # default (core/axis.OPERAND_CHUNK_ELEMS = 2^22) bounds every einsum
     # operand at the validated-correct size AND serializes large batches
-    # through lax.map; values up to 2^25 were validated correct on 1-D
-    # probes (benches/r2_operand_bound_probe.py) and may trade the
-    # serialization cost for bigger dispatches (benches/r8_chunk_bound.py).
-    # Validation rejects values above 2^25 — beyond it operands have
-    # miscompiled SILENTLY on this stack.  Scope: honored by single-chip
-    # c2c/r2c/c2r/dct/fftconv plans only; distributed plans and NUFFT tap
-    # chunking keep the global default (their shard-local operands are
-    # already bounded by the mesh split).
+    # through lax.map.  The knob can only LOWER the bound (e.g. to probe
+    # chunking behavior at small sizes): validation rejects values above
+    # the 2^22 default — raised bounds silently miscompiled composed 3-D
+    # routes on the TPU backend (benches/r8b_bound_validity.py round 2;
+    # benches/r29_r2c_tpu_bisect.py round 5) and measured slower at every
+    # flagship config (docs/BENCHMARKS.md r13).  Scope: honored by
+    # single-chip c2c/r2c/c2r/dct/fftconv plans only; distributed plans
+    # and NUFFT tap chunking keep the global default (their shard-local
+    # operands are already bounded by the mesh split).
     chunk_elems: Optional[int] = None
     # WebGPU-specific reference knobs accepted-and-recorded as no-ops so a
     # reference-style options dict runs unmodified (VERDICT r1 #8); each key
