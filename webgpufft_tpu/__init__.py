@@ -48,7 +48,7 @@ from .runtime.aot import (ExportedPlan, ExportedPipeline,  # noqa: E501
 from .core.cplx import interleave, uninterleave
 from .utils.bufferview import BufferView
 
-__version__ = "0.9.0"
+__version__ = "0.11.0"
 
 
 def upload_complex(z, device=None):
