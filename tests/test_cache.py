@@ -37,6 +37,21 @@ def test_snapshot_roundtrip():
     assert len(fresh) == 3  # no new entry
 
 
+def test_snapshot_rejects_stale_chunk_bound():
+    """A snapshot recorded under looser validation (chunkElements above
+    the round-5 cap) must fail the import with the version diagnostic,
+    not silently rebuild the forbidden configuration (round-5 review
+    finding)."""
+    cache = W.PlanCache()
+    W.create_plan({"type": "c2c", "shape": [16], "batch": 2,
+                   "normalize": "unitary"}, cache=cache)
+    snap = json.loads(json.dumps(export_plan_cache_snapshot(cache)))
+    snap["specs"][0]["tuning"]["chunk_elems"] = 1 << 25
+    fresh = W.PlanCache()
+    with pytest.raises(ValueError, match="could not be rebuilt"):
+        import_plan_cache_snapshot(snap, cache=fresh)
+
+
 def test_snapshot_rejects_bad_schema():
     with pytest.raises(ValueError, match="schema"):
         import_plan_cache_snapshot({"schema": "other", "version": 1})

@@ -243,6 +243,36 @@ def test_partial_divergence_still_measures(monkeypatch):
     assert "maxSubLength=16" not in rec["trials_ms"]
 
 
+def test_stale_cached_override_revalidated(rng):
+    """A measured-cache record whose overrides predate a validation
+    tightening (e.g. a chunkElements winner recorded by 0.10) must not
+    rebuild the now-forbidden configuration: the stale record is dropped
+    and the spec re-measures (round-5 review finding)."""
+    cache = W.PlanCache()
+    from webgpufft_tpu.spec import normalize_spec
+
+    spec = normalize_spec(_opts())
+    key = M.measure_key(spec)
+    cache.measured[key] = {"winner": "chunkElements=2^25",
+                           "overrides": {"chunk_elems": 1 << 25},
+                           "trials_ms": {}}
+    p = W.create_plan(_opts(), cache=cache)
+    # the forbidden override was not applied...
+    ce = p.spec.tuning.chunk_elems
+    assert ce is None or ce <= (1 << 22), ce
+    assert not any("chunk-elems-override(33554432)" in r
+                   for r in p.route.reasons), p.route.reasons
+    # ...and the stale record was replaced by a fresh, valid decision
+    rec = cache.measured[key]
+    assert rec.get("overrides", {}).get("chunk_elems") is None
+    x = rng.standard_normal((4, 512, 2)).astype(np.float32)
+    ref = np.fft.fft(x[..., 0] + 1j * x[..., 1], axis=1, norm="ortho")
+    got = np.asarray(p.exec(x), np.float64)
+    err = (np.max(np.abs((got[..., 0] + 1j * got[..., 1]) - ref))
+           / np.max(np.abs(ref)))
+    assert err < 1e-5, err
+
+
 def test_no_raised_chunk_bound_candidate():
     """The measured planner must never offer a raised chunkElements bound:
     bounds above the 2^22 default miscompile silently on composed 3-D TPU

@@ -204,7 +204,14 @@ def _build_fftconv_overlap_save(spec: PlanSpec, kshape) -> Plan:
             valid = one(blocks)
         elif ngroups <= STATIC_SLAB_MAX:
             # static unroll (1.32x over lax.map on slab programs, r10;
-            # lax.map serialization measured 2.5x on THIS route, r3g)
+            # lax.map serialization measured 2.5x on THIS route, r3g).
+            # NOTE: the transform batch-chunk sites dropped their unroll
+            # after the r29-31 XLA-TPU miscompile (geometry-dependent,
+            # silent); this route keeps it for the measured 2.5x — its
+            # per-group operands are bounded by the validated size and
+            # `selftest --deep` guards the unrolled branch at 2^20-class
+            # scale on-chip.  If that check ever fails, switch this
+            # branch to the lax.map path below.
             blk5 = blocks.reshape(b, ngroups, group, B, 2)
             valid = jnp.stack([one(blk5[:, g]) for g in range(ngroups)],
                               axis=1).reshape(b, nb, H, 2)

@@ -193,9 +193,13 @@ def _rebuild_spec(d: Dict[str, Any]) -> PlanSpec:
         tun[k] = tuple(tun.get(k, ()))
     # pre-matmulPrecision snapshots rebuild with the 'auto' default; resolve
     # it the same way normalize_spec does or the rebuilt spec can never hit
-    # the cache key a live create_plan produces (prewarm would be lost)
-    tuning = S.resolve_auto_tuning(S.TuningSpec(**tun),
-                                   d.get("precision", "f32"))
+    # the cache key a live create_plan produces (prewarm would be lost).
+    # validate_tuning guards against snapshots recorded under looser rules
+    # (e.g. a chunkElements above the round-5 cap): such entries fail the
+    # import with the version-incompatibility diagnostic below instead of
+    # silently rebuilding a now-forbidden configuration.
+    tuning = S.validate_tuning(
+        S.resolve_auto_tuning(S.TuningSpec(**tun), d.get("precision", "f32")))
     return S.PlanSpec(
         plan_type=d["plan_type"], shape=tuple(d["shape"]),
         direction=d.get("direction", "forward"), batch=d.get("batch", 1),

@@ -45,7 +45,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..spec import PlanSpec, spec_to_dict
+from ..spec import PlanSpec, spec_to_dict, validate_tuning
 
 # Candidates must beat the as-requested config by this factor to win
 # (tunnel timing noise within an alternating round is a few percent).
@@ -221,8 +221,15 @@ def run_measure(spec: PlanSpec, cache):
     if hit is not None:
         ov = hit.get("overrides") or {}
         note = hit.get("winner", "as-requested")
-        return (_replace_tuning(base, **ov),
-                (f"measured-cached:{note}",), None)
+        try:
+            # cached overrides may predate a validation tightening (e.g.
+            # the round-5 chunkElements cap): re-validate before applying
+            # so a stale snapshot cannot rebuild a now-forbidden config
+            cached = _replace_tuning(base, **ov)
+            validate_tuning(cached.tuning)
+            return cached, (f"measured-cached:{note}",), None
+        except Exception:
+            del cache.measured[key]  # stale record: fall through, re-measure
 
     if spec.plan_type in ("fftconv", "conv2d"):
         # conv plans take kernel operands; their streaming-route gate is

@@ -98,6 +98,31 @@ def run(tol: float = 1e-5, deep: bool = False) -> bool:
         check("c2r 3d chunked deep (256^3 b3)", np.asarray(p(yd)), xd)
         del xd, yd
 
+        # overlap-save at a geometry whose block groups take the
+        # STATIC-UNROLL branch (os-blocks(128) -> os-block-chunk(64),
+        # ngroups=2): the one serialization site that keeps the unroll
+        # (measured 2.5x benefit, plans/fftconv.py) — guard it at scale
+        # against the r29-31 miscompile class, which was geometry-
+        # dependent (only large shapes failed)
+        nos, bos, kos = 1032000, 8, 129
+        zos = (rng.standard_normal((bos, nos))
+               + 1j * rng.standard_normal((bos, nos)))
+        kker = (rng.standard_normal((kos,))
+                + 1j * rng.standard_normal((kos,)))
+        p = W.create_plan({"type": "fftconv", "shape": [nos], "batch": bos,
+                           "fftConv": {"boundary": "circular",
+                                       "kernelShape": [kos],
+                                       "tuning": {"overlapSave": "on",
+                                                  "overlapBlock": 8192}}},
+                          cache=cache)
+        assert any(r.startswith("os-block-chunk(") for r in p.route.reasons), \
+            p.route.reasons
+        check("fftconv os unrolled deep (2^20-class)",
+              np.asarray(p.exec(interleave(zos), kernel=interleave(kker))),
+              interleave(R.fftconv(zos, kker, [nos], batch=bos,
+                                   boundary="circular", kernel_shape=[kos])))
+        del zos, kker
+
     xr = rng.standard_normal((2, 8, 8)).astype(np.float32)
     for kind in ("dct2", "dst3"):
         p = W.create_plan({"type": kind, "shape": [8, 8], "direction": "forward",

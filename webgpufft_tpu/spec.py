@@ -421,6 +421,19 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
     if ignored:
         kw["ignored_webgpu_knobs"] = tuple(sorted(ignored))
     ts = TuningSpec(**kw)
+    return validate_tuning(ts)
+
+
+def validate_tuning(ts: "TuningSpec") -> "TuningSpec":
+    """Enum/range validation on an already-constructed TuningSpec.
+
+    Called by _norm_tuning for user option dicts, AND by every path that
+    rebuilds a TuningSpec from stored data — the plan-cache snapshot
+    import (runtime/cache._rebuild_spec) and the measured-planner cache
+    apply (runtime/measure.run_measure) — so values that are no longer
+    legal (e.g. a chunkElements recorded by an older release) cannot
+    re-enter through a side door.
+    """
     _check(ts.impl in ("auto", "pallas", "pallas-auto", "xla"),
            "tuning.impl must be auto|pallas|pallas-auto|xla")
     _check(ts.large_route in ("auto", "chunk", "out-of-core"),
@@ -431,8 +444,8 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
            "tuning.rigor must be estimate|measure")
     if ts.chunk_elems is not None:
         # Upper cap is the DEFAULT operand bound (core/axis.
-        # OPERAND_CHUNK_ELEMS = 2^22): the knob may only lower it.  1-D
-        # probes once validated operands up to 2^25
+        # OPERAND_CHUNK_ELEMS): the knob may only lower it.  1-D probes
+        # once validated operands up to 2^25
         # (benches/r2_operand_bound_probe.py), but composed 3-D routes at
         # raised bounds miscompile SILENTLY on the TPU backend — observed
         # at 256^3 in round 2 (benches/r8b_bound_validity.py) and
@@ -442,12 +455,14 @@ def _norm_tuning(t: Optional[Dict[str, Any]]) -> TuningSpec:
         # (docs/BENCHMARKS.md r13: 2^25 is 22% slower at the NS-3D step).
         # Wrong-and-slower has no legitimate use, so values above the
         # default are rejected rather than warned.
+        from .core.axis import OPERAND_CHUNK_ELEMS
+        cap_pow = OPERAND_CHUNK_ELEMS.bit_length() - 1
         _check(isinstance(ts.chunk_elems, int) and not isinstance(ts.chunk_elems, bool)
-               and (1 << 12) <= ts.chunk_elems <= (1 << 22),
-               "tuning.chunkElements must be an int in [2^12, 2^22] "
-               "(2^22 is the default and the largest operand size validated "
-               "correct on this backend; larger composed operands have "
-               "miscompiled silently and measured slower)")
+               and (1 << 12) <= ts.chunk_elems <= OPERAND_CHUNK_ELEMS,
+               f"tuning.chunkElements must be an int in [2^12, 2^{cap_pow}] "
+               f"(2^{cap_pow} is the default operand bound and the largest "
+               "size validated correct on this backend; larger composed "
+               "operands have miscompiled silently and measured slower)")
     return ts
 
 
