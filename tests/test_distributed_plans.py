@@ -912,6 +912,47 @@ def test_fftconv_pencil_matches_single_chip(mesh_pencil, rng, assert_close,
                  label=f"pencil fftconv {boundary}")
 
 
+def test_fftconv_pencil_unsplittable_falls_back_single_axis(
+        mesh_pencil, rng, assert_close):
+    """A circular length with no smooth mesh-divisible split on its
+    pencil axis takes the documented single-axis fallback (the
+    padded-circular route covers any length) instead of raising
+    (round-5 review finding: the docstring promised this fallback but
+    the builder raised)."""
+    opts = {"type": "fftconv", "shape": [7, 16], "batch": 2,
+            "fftConv": {"boundary": "circular"}}
+    x = rng.standard_normal((2, 7, 16, 2)).astype(np.float32) * 0.1
+    kern = rng.standard_normal((7, 16, 2)).astype(np.float32) * 0.1
+    dp = create_distributed_plan(opts, mesh=mesh_pencil,
+                                 seq_axis=("sp0", "sp1"))
+    assert any(r.startswith("pencil-fallback-single-axis(sp0)")
+               for r in dp.route.reasons), dp.route.reasons
+    assert not any(r.startswith("pencil-split:") for r in dp.route.reasons)
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(x, kernel=kern)),
+                 np.asarray(lp.exec(x, kernel=kern)),
+                 label="pencil fftconv fallback")
+
+
+def test_fftconv_trivial_zeropad_not_tagged_staged(mesh_pencil, rng,
+                                                   assert_close):
+    """A zeroPad rect covering the full domain applies no mask: the
+    route must NOT claim distributed-staging (round-5 review finding:
+    the reason was keyed off the spec, not off what was applied)."""
+    opts = {"type": "fftconv", "shape": [8, 16], "batch": 2,
+            "fftConv": {"boundary": "circular"},
+            "zeroPad": {"read": {"start": [0, 0], "end": [8, 16]}}}
+    x = rng.standard_normal((2, 8, 16, 2)).astype(np.float32) * 0.1
+    kern = rng.standard_normal((8, 16, 2)).astype(np.float32) * 0.1
+    dp = create_distributed_plan(opts, mesh=mesh_pencil,
+                                 seq_axis=("sp0", "sp1"))
+    assert "distributed-staging" not in dp.route.reasons
+    lp = W.create_plan(opts)
+    assert_close(np.asarray(dp(x, kernel=kern)),
+                 np.asarray(lp.exec(x, kernel=kern)),
+                 label="pencil fftconv trivial zeroPad")
+
+
 def test_fftconv_pencil_correlation_zeropad_dp(mesh_pencil_dp, rng,
                                                assert_close):
     """Pencil fftconv composes with dp batch sharding, correlation mode,

@@ -328,6 +328,19 @@ def _smooth_distributed_len(m0: int, mesh: Mesh, seq_axis: str) -> int:
         raise PlanError(f"{e} (mesh axis {seq_axis!r})") from None
 
 
+_ROUTE_ATTRS = ("split", "halo", "padded_work_len", "staged",
+                "pencil_fallback")
+
+
+def _copy_route_attrs(dst, src):
+    """Propagate route-metadata attributes through an fn wrapper (the
+    caller reads them off the OUTERMOST fn to build route reasons)."""
+    for attr in _ROUTE_ATTRS:
+        if hasattr(src, attr):
+            setattr(dst, attr, getattr(src, attr))
+    return dst
+
+
 def _wrap_kernel_layout(inner, fc, kshape):
     """Validate the runtime kernel's leading kcount dim and apply the
     output layout (inner builders return kernel-major (kc, b, ..., 2)).
@@ -349,10 +362,7 @@ def _wrap_kernel_layout(inner, fc, kshape):
             y = jnp.moveaxis(y, 0, 1)
         return y
 
-    fn.split = inner.split
-    if hasattr(inner, "padded_work_len"):
-        fn.padded_work_len = inner.padded_work_len
-    return fn
+    return _copy_route_attrs(fn, inner)
 
 
 def _wrap_channel_lanes(inner, spec: PlanSpec, out_shape):
@@ -411,12 +421,7 @@ def _wrap_channel_lanes(inner, spec: PlanSpec, out_shape):
                 out=res, min_len=need)
         return res
 
-    fn.split = inner.split
-    if hasattr(inner, "halo"):
-        fn.halo = inner.halo
-    if hasattr(inner, "padded_work_len"):
-        fn.padded_work_len = inner.padded_work_len
-    return fn
+    return _copy_route_attrs(fn, inner)
 
 
 def _halo_conv_eligible(spec: PlanSpec, mesh: Mesh, seq_axis: str) -> bool:
@@ -501,9 +506,10 @@ def _wrap_fftconv_zero_pad(fn, spec: PlanSpec):
             y = y * write_mask
         return y
 
-    for attr in ("split", "halo", "padded_work_len"):
-        if hasattr(fn, attr):
-            setattr(wrapped, attr, getattr(fn, attr))
+    _copy_route_attrs(wrapped, fn)
+    # non-trivial masks actually applied: the caller turns this into the
+    # "distributed-staging" route reason (single source of truth — a
+    # full-domain rect above returns fn unchanged and is NOT staged)
     wrapped.staged = True
     return wrapped
 
@@ -556,9 +562,20 @@ def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
             "distributed circular fftconv requires kernelShape == shape "
             "(circular kernels are full-length)")
     if pencil:
-        inner = _wrap_builder_errors(
-            sharded.build_distributed_fftconv_pencil,
-            spec.shape, mesh, tuple(seq_axis), fc.mode, batch_axis)
+        try:
+            inner = sharded.build_distributed_fftconv_pencil(
+                spec.shape, mesh, tuple(seq_axis), fc.mode, batch_axis)
+        except ValueError:
+            # documented fallback (build_distributed_fftconv_pencil
+            # docstring): a circular length with no smooth mesh-divisible
+            # split on its pencil axis cannot pad (padding breaks circular
+            # wrap-around on a 2-D digit grid) — run the single-axis
+            # route over the FIRST pencil axis instead, whose
+            # padded-circular fold covers any length
+            inner = _wrap_builder_errors(
+                sharded.build_distributed_fftconv_nd,
+                spec.shape, mesh, seq_axis[0], fc.mode, batch_axis)
+            inner.pencil_fallback = seq_axis[0]
     elif spec.rank == 1:
         inner = _wrap_builder_errors(
             sharded.build_distributed_fftconv_1d,
@@ -732,10 +749,17 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
             fn, split = inner, inner.split
         else:  # fftconv (guarded by _reject_unsupported)
             fn, split = _build_seq_fftconv(spec, mesh, batch_axis, axes)
-            if (spec.zero_pad.read is not None
-                    or spec.zero_pad.write is not None):
+            if getattr(fn, "staged", False):
                 route.reasons = route.reasons + ("distributed-staging",)
-        route.reasons = route.reasons + (f"pencil-split:{split}",)
+        fb = getattr(fn, "pencil_fallback", None)
+        if fb is not None:
+            # unsplittable circular length: the documented single-axis
+            # fallback ran instead of the 2-D pencil decomposition
+            route.reasons = route.reasons + (
+                f"pencil-fallback-single-axis({fb})",
+                f"digit-split:{split}")
+        else:
+            route.reasons = route.reasons + (f"pencil-split:{split}",)
         if not needs_kernel:
             fn = _maybe_stage_distributed(spec, fn, route)
         return DistributedPlan(
@@ -775,7 +799,7 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
         fn, split = inner, inner.split
     else:  # fftconv
         fn, split = _build_seq_fftconv(spec, mesh, batch_axis, seq_axis)
-        if spec.zero_pad.read is not None or spec.zero_pad.write is not None:
+        if getattr(fn, "staged", False):
             route.reasons = route.reasons + ("distributed-staging",)
 
     if hasattr(fn, "halo"):

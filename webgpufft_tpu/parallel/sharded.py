@@ -1779,11 +1779,16 @@ def build_distributed_fftconv_pencil(shape, mesh: Mesh,
         b = x.shape[0]
         x = x.reshape(b, *shape, 2)
         kernel = kernel.reshape(kc, *shape, 2)
-        kf = local_axes(kfwd(kernel), fplans)
+        # riding axes FIRST on the forward, pencil exchange after — the
+        # same order as _build_pencil_c2c: a leading-axis einsum pass
+        # poisons the layout every later last-axis-form pass sees
+        # (CLAUDE.md r17c rule; ascending measured 2.5x at 256^3).  The
+        # inverse below mirrors it (local first, then the exchange).
+        kf = kfwd(local_axes(kernel, fplans))
         if mode == "correlation":
             kf = kf * jnp.asarray([1.0, -1.0], dtype=kf.dtype)
         kf = kf * jnp.asarray(inv_scale, kf.dtype)  # fold backward 1/N
-        xf = local_axes(fwd(x), fplans)
+        xf = fwd(local_axes(x, fplans))
         a = xf[None]                                # (1, b, ...)
         k_ = kf[:, None]                            # (kc, 1, ...)
         yr = a[..., :1] * k_[..., :1] - a[..., 1:] * k_[..., 1:]

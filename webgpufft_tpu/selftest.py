@@ -68,19 +68,25 @@ def run(tol: float = 1e-5, deep: bool = False) -> bool:
                        "normalize": "backward", "batch": 2}, cache=cache)
     check("c2r 2d", np.asarray(p(interleave(packed))), x)
 
-    # rank-3 volume large enough to take the large-batch-chunk + slab
-    # route (the production 128^3/256^3 path) — r28 found a TPU-only
-    # wrong-result there that every small-shape check above missed.
-    x3 = rng.standard_normal((2, 128, 128, 128)).astype(np.float32)
+    # rank-3 volume on the large-batch-chunk route (the production
+    # 128^3/256^3 path) — r28 found a TPU-only wrong-result there that
+    # every small-shape check above missed.  batch=3 is load-bearing:
+    # 2 x 128^3 = 2^22 complex elems EQUALS the chunk bound and does not
+    # chunk (round-5 review finding); 3 x 128^3 does (chunk 1, 3 groups).
+    x3 = rng.standard_normal((3, 128, 128, 128)).astype(np.float32)
     p = W.create_plan({"type": "r2c", "shape": [128, 128, 128],
-                       "batch": 2}, cache=cache)
+                       "batch": 3}, cache=cache)
+    assert any("large-batch-chunk" in r for r in p.route.reasons), \
+        p.route.reasons
     y3 = np.asarray(p(x3))
-    check("r2c 3d chunked (128^3)", y3,
+    check("r2c 3d chunked (128^3 b3)", y3,
           interleave(R.r2c_packed(x3, [128, 128, 128])))
     p = W.create_plan({"type": "c2r", "shape": [128, 128, 128],
                        "direction": "inverse", "normalize": "backward",
-                       "batch": 2}, cache=cache)
-    check("c2r 3d chunked (128^3)", np.asarray(p(y3)), x3)
+                       "batch": 3}, cache=cache)
+    assert any("large-batch-chunk" in r for r in p.route.reasons), \
+        p.route.reasons
+    check("c2r 3d chunked (128^3 b3)", np.asarray(p(y3)), x3)
 
     if deep:
         # the flagship geometry where XLA-TPU miscompiled the unrolled
