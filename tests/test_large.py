@@ -101,6 +101,32 @@ class TestChunkElementsKnob:
         assert_close(y.real, ref.real, label="chunk-knob.re")
         assert_close(y.imag, ref.imag, label="chunk-knob.im")
 
+    def test_batch_chunks_serialize_via_map(self, rng):
+        """STRUCTURAL: large-batch chunk groups must lower through
+        lax.map (a scan/while in the jaxpr), never a static slice unroll
+        — XLA-TPU silently miscompiles the unrolled
+        slice->r2c/c2r-core->concat program at the 256^3 production
+        geometry (r29-r31 bisect; plans/transforms.maybe_chunk_core)."""
+        import jax
+
+        plan = W.create_plan(type="r2c", shape=[64, 64, 64], batch=48)
+        assert any("large-batch-chunk" in r for r in plan.route.reasons)
+        x = jax.ShapeDtypeStruct((48, 64, 64, 64), np.float32)
+        jaxpr = jax.make_jaxpr(plan.exec)(x)
+
+        def prims(jx, seen):
+            for e in jx.eqns:
+                seen.add(e.primitive.name)
+                for v in e.params.values():
+                    for sub in (v if isinstance(v, (list, tuple)) else (v,)):
+                        inner = getattr(sub, "jaxpr", None)
+                        if inner is not None:
+                            prims(inner, seen)
+            return seen
+
+        found = prims(jaxpr.jaxpr, set())
+        assert found & {"scan", "while"}, sorted(found)
+
     def test_bound_can_only_lower(self):
         # the knob accepts the 2^22 default as its max; raised bounds are
         # rejected (composed 3-D routes miscompiled silently at 2^23-2^25
