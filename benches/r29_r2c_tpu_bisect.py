@@ -45,9 +45,20 @@ def main():
     print(f"# backend={backend}", flush=True)
     rng = np.random.default_rng(0)
 
-    def lib_leg(name, n, b, tuning=None):
+    def lib_leg(name, n, b, tuning=None, raise_bound=None):
+        # raise_bound: reproduce a bound ABOVE the validated 2^22 cap by
+        # patching the module default — spec validation now rejects raised
+        # tuning.chunkElements values (commit b2a884d), so the historical
+        # 2^25 leg can no longer go through the public knob.
+        import webgpufft_tpu.plans.transforms as T
         kw = {"tuning": tuning} if tuning else {}
-        plan = W.create_plan(type="r2c", shape=[n, n, n], batch=b, **kw)
+        old_bound = T.CHUNK_ELEMS
+        if raise_bound is not None:
+            T.CHUNK_ELEMS = raise_bound
+        try:
+            plan = W.create_plan(type="r2c", shape=[n, n, n], batch=b, **kw)
+        finally:
+            T.CHUNK_ELEMS = old_bound
         x = jnp.asarray(rng.standard_normal((b, n, n, n)), jnp.float32)
         yk = np.asarray(plan.exec(x), np.float64)
         yref = np.fft.fftn(np.asarray(x, np.float64),
@@ -102,7 +113,7 @@ def main():
     lib_leg("lib_128_b3", 128, 3)
     lib_leg("lib_256_b1", 256, 1)
     lib_leg("lib_256_b3", 256, 3)
-    lib_leg("lib_256_b3_c25", 256, 3, tuning={"chunkElements": 1 << 25})
+    lib_leg("lib_256_b3_c25", 256, 3, raise_bound=1 << 25)
     lib_leg("lib_256_b3_c20", 256, 3, tuning={"chunkElements": 1 << 20})
     hand_leg("hand_256_b3_slab22", 256, 3, 1 << 22)
     hand_leg("hand_256_b3_noslab", 256, 3, None)

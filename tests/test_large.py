@@ -101,31 +101,50 @@ class TestChunkElementsKnob:
         assert_close(y.real, ref.real, label="chunk-knob.re")
         assert_close(y.imag, ref.imag, label="chunk-knob.im")
 
-    def test_batch_chunks_serialize_via_map(self, rng):
-        """STRUCTURAL: large-batch chunk groups must lower through
-        lax.map (a scan/while in the jaxpr), never a static slice unroll
-        — XLA-TPU silently miscompiles the unrolled
+    @staticmethod
+    def _prims(jx, seen):
+        for e in jx.eqns:
+            seen.add(e.primitive.name)
+            for v in e.params.values():
+                for sub in (v if isinstance(v, (list, tuple)) else (v,)):
+                    inner = getattr(sub, "jaxpr", None)
+                    if inner is not None:
+                        TestChunkElementsKnob._prims(inner, seen)
+        return seen
+
+    def test_real_batch_chunks_serialize_via_map(self, rng):
+        """STRUCTURAL: r2c/c2r large-batch chunk groups must lower
+        through lax.map (a scan/while in the jaxpr), never a static
+        slice unroll — XLA-TPU silently miscompiles the unrolled
         slice->r2c/c2r-core->concat program at the 256^3 production
         geometry (r29-r31 bisect; plans/transforms.maybe_chunk_core)."""
         import jax
 
-        plan = W.create_plan(type="r2c", shape=[64, 64, 64], batch=48)
+        for t, shape in (("r2c", [64, 64, 64]), ("c2r", [64, 64, 64])):
+            kw = {"direction": "inverse"} if t == "c2r" else {}
+            plan = W.create_plan(type=t, shape=shape, batch=48, **kw)
+            assert any("large-batch-chunk" in r for r in plan.route.reasons)
+            in_shape = ((48, 64, 64, 64) if t == "r2c"
+                        else (48, 33, 64, 64, 2))
+            x = jax.ShapeDtypeStruct(in_shape, np.float32)
+            jaxpr = jax.make_jaxpr(plan.exec)(x)
+            found = self._prims(jaxpr.jaxpr, set())
+            assert found & {"scan", "while"}, (t, sorted(found))
+
+    def test_c2c_batch_chunks_unroll(self, rng):
+        """STRUCTURAL: the c2c core keeps the static unroll (no
+        scan/while) — r30 verified it correct on-chip at the miscompile
+        geometry, and the lax.map spelling compile-OOMs at
+        c2c_1d_4096_b4096 (XLA remat copies pad the trailing-2 dim 64x;
+        benches/logs/r5/session4.log)."""
+        import jax
+
+        plan = W.create_plan(type="c2c", shape=[4096], batch=4096)
         assert any("large-batch-chunk" in r for r in plan.route.reasons)
-        x = jax.ShapeDtypeStruct((48, 64, 64, 64), np.float32)
+        x = jax.ShapeDtypeStruct((4096, 4096, 2), np.float32)
         jaxpr = jax.make_jaxpr(plan.exec)(x)
-
-        def prims(jx, seen):
-            for e in jx.eqns:
-                seen.add(e.primitive.name)
-                for v in e.params.values():
-                    for sub in (v if isinstance(v, (list, tuple)) else (v,)):
-                        inner = getattr(sub, "jaxpr", None)
-                        if inner is not None:
-                            prims(inner, seen)
-            return seen
-
-        found = prims(jaxpr.jaxpr, set())
-        assert found & {"scan", "while"}, sorted(found)
+        found = self._prims(jaxpr.jaxpr, set())
+        assert not (found & {"scan", "while"}), sorted(found)
 
     def test_bound_can_only_lower(self):
         # the knob accepts the 2^22 default as its max; raised bounds are

@@ -153,9 +153,7 @@ def _maybe_stage_distributed(spec: PlanSpec, fn, route):
     def wrapped(x):
         return staged(None, x)
 
-    for attr in ("split", "halo", "padded_work_len"):
-        if hasattr(fn, attr):
-            setattr(wrapped, attr, getattr(fn, attr))
+    _copy_route_attrs(wrapped, fn)
     route.reasons = route.reasons + ("distributed-staging",)
     return wrapped
 
@@ -565,17 +563,22 @@ def _build_seq_fftconv_route(spec: PlanSpec, mesh: Mesh, batch_axis,
         try:
             inner = sharded.build_distributed_fftconv_pencil(
                 spec.shape, mesh, tuple(seq_axis), fc.mode, batch_axis)
-        except ValueError:
+        except sharded.UnsplittableAxisError:
             # documented fallback (build_distributed_fftconv_pencil
             # docstring): a circular length with no smooth mesh-divisible
             # split on its pencil axis cannot pad (padding breaks circular
             # wrap-around on a 2-D digit grid) — run the single-axis
             # route over the FIRST pencil axis instead, whose
-            # padded-circular fold covers any length
+            # padded-circular fold covers any length.  ONLY that
+            # condition falls back: other builder ValueErrors (e.g. the
+            # per-device operand bound) would be strictly worse on the
+            # single-axis route and surface as PlanErrors below.
             inner = _wrap_builder_errors(
                 sharded.build_distributed_fftconv_nd,
                 spec.shape, mesh, seq_axis[0], fc.mode, batch_axis)
             inner.pencil_fallback = seq_axis[0]
+        except ValueError as e:
+            raise PlanError(str(e)) from None
     elif spec.rank == 1:
         inner = _wrap_builder_errors(
             sharded.build_distributed_fftconv_1d,
@@ -758,6 +761,11 @@ def create_distributed_plan(opts: Optional[Dict[str, Any]] = None, *,
             route.reasons = route.reasons + (
                 f"pencil-fallback-single-axis({fb})",
                 f"digit-split:{split}")
+            if hasattr(fn, "padded_work_len"):
+                # same reason the single-axis tail emits for this route:
+                # the digits factor the PADDED circular work length
+                route.reasons = route.reasons + (
+                    f"fftconv-padded-circular:{fn.padded_work_len}",)
         else:
             route.reasons = route.reasons + (f"pencil-split:{split}",)
         if not needs_kernel:

@@ -37,6 +37,16 @@ from ..utils import factors
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+class UnsplittableAxisError(ValueError):
+    """A transform axis has no smooth mesh-divisible digit split.
+
+    Raised (instead of a plain ValueError) so callers with a documented
+    fallback route — e.g. the pencil fftconv builder falling back to the
+    single-axis padded-circular route (parallel/plans.py) — can catch
+    exactly this condition without swallowing unrelated builder errors
+    such as the per-device operand-bound rejection."""
+
+
 def _einsum(pattern, a, b):
     return jnp.einsum(pattern, a, b, precision=_PRECISION)
 
@@ -156,7 +166,7 @@ def build_distributed_fft_1d(n: int, mesh: Mesh, axis_name: str = "sp",
     if split is None:
         split = choose_distributed_split(n, ndev)
     if split is None:
-        raise ValueError(
+        raise UnsplittableAxisError(
             f"cannot split n={n} into two smooth factors divisible by {ndev}")
     n1, n2 = split
     if n1 * n2 != n or n1 % ndev or n2 % ndev:
@@ -248,7 +258,7 @@ def build_distributed_fft_axis0(shape, mesh: Mesh, axis_name: str = "sp",
     if split is None:
         split = choose_distributed_split(n0, ndev)
     if split is None:
-        raise ValueError(
+        raise UnsplittableAxisError(
             f"cannot split n0={n0} into two smooth factors divisible by {ndev}")
     n1, n2 = split
     if n1 * n2 != n0 or n1 % ndev or n2 % ndev:
@@ -338,7 +348,7 @@ def build_distributed_pencil_axes01(shape, mesh: Mesh,
     s1 = splits[1] if splits else choose_distributed_split(n1, p1)
     if s0 is None or s1 is None:
         bad = f"n0={n0} over {p0}" if s0 is None else f"n1={n1} over {p1}"
-        raise ValueError(
+        raise UnsplittableAxisError(
             f"pencil decomposition needs both sharded axes to split into "
             f"two smooth mesh-divisible factors; cannot split {bad} "
             f"(single seq_axis handles any length via Bluestein)")

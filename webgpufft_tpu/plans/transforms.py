@@ -68,24 +68,34 @@ def chunked_batch(batch: int, items_elems: int, bound: int = None):
 
 
 def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo,
-                     bound: int = None):
-    """Wrap ``core(x, c)`` to run per batch-slice via lax.map when the total
-    size exceeds the chunk bound (tuning.chunkElements or CHUNK_ELEMS).
+                     bound: int = None, unroll_ok: bool = False):
+    """Wrap ``core(x, c)`` to run per batch-slice when the total size
+    exceeds the chunk bound (tuning.chunkElements or CHUNK_ELEMS).
     Records the chunk size in route reasons.
 
-    Batch groups MUST serialize through lax.map, never the static unroll
-    used for axis slabs (core/axis.mapped_slabs): XLA-TPU miscompiles the
-    unrolled slice->r2c/c2r-core->concat program at the 256^3 production
-    geometry — silently wrong results (rel ~1.2-1.5) at EVERY chunk size,
-    on the r2c forward and the c2r inverse, while the identical trace is
-    correct on CPU, correct per-dispatch, correct at 128^3, and correct
-    for the c2c core.  optimization_barrier between chunk outputs does
-    NOT fix it, so it is not cross-chunk fusion; the lax.map spelling is
-    verified correct on-chip at the failing configs.  Evidence:
-    benches/r29_r2c_tpu_bisect.py, r30_chunk_bisect.py, r31_chunk_fix.py
-    (logs benches/logs/r5/r29-r31.log).  The unroll here was a round-4
-    extension (1.32x measured on the SLAB program class only); its removal
-    restores the rounds-1-3 batch-chunk route.
+    Serialization is PER CORE TYPE (``unroll_ok``), both legs with
+    on-chip evidence:
+
+    - r2c/c2r/trig cores (unroll_ok=False) MUST serialize through
+      lax.map: XLA-TPU miscompiles the statically-unrolled
+      slice->core->concat program at the 256^3 production geometry —
+      silently wrong results (rel ~1.2-1.5) at EVERY chunk size, on the
+      r2c forward and the c2r inverse, while the identical trace is
+      correct on CPU, correct per-dispatch, correct at 128^3.
+      optimization_barrier between chunk outputs does NOT fix it, so it
+      is not cross-chunk fusion.  Evidence: benches/r29_r2c_tpu_bisect.py,
+      r30_chunk_bisect.py, r31_chunk_fix.py (logs benches/logs/r5/).
+      Trig cores ride the safe leg untested (their suite geometries
+      never chunk).
+    - the c2c core (unroll_ok=True) keeps the round-4 static unroll for
+      groups <= STATIC_SLAB_MAX: the r30 bisect verified it CORRECT
+      on-chip at the miscompile geometry (256^3 b3 unrolled c2c leg),
+      and the lax.map spelling COMPILE-OOMs at c2c_1d_4096_b4096 —
+      XLA materializes remat copies of the (4096, 4096, 2) operand in a
+      T(8,128) layout that pads the trailing-2 dim 64x (2x 8 GB HLO
+      temps for a 128 MB array; benches/logs/r5/session4.log, the
+      trailing-2 relayout pathology class from CLAUDE.md).  The unroll
+      is also 1.32x faster on slab-class programs (r10).
     """
     chunk = chunked_batch(batch, items_elems, bound)
     if chunk == batch:
@@ -93,7 +103,14 @@ def maybe_chunk_core(core, batch: int, items_elems: int, route: RouteInfo,
     route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
     groups = batch // chunk
 
+    from ..core.axis import STATIC_SLAB_MAX
+
     def chunked(x, c):
+        if unroll_ok and groups <= STATIC_SLAB_MAX:
+            outs = [core(jax.lax.slice_in_dim(x, g * chunk, (g + 1) * chunk,
+                                              axis=0), c)
+                    for g in range(groups)]
+            return jnp.concatenate(outs, axis=0)
         xs = x.reshape(groups, chunk, *x.shape[1:])
         ys = jax.lax.map(lambda xc: core(xc, c), xs)
         return ys.reshape(batch, *ys.shape[2:])
@@ -294,7 +311,8 @@ def build_c2c(spec: PlanSpec) -> Plan:
             y = _scale_mul(y, scale)
         return y
 
-    core = maybe_chunk_core(core_chunk, batch, spec.n_total, route, bound)
+    core = maybe_chunk_core(core_chunk, batch, spec.n_total, route, bound,
+                            unroll_ok=True)  # c2c core: r30-verified
 
     fn, in_shape, out_shape, s_in, s_out = build_staged_fn(
         spec, core, spec.shape, spec.shape, True, True)
