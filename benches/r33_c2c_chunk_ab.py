@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Cost of the safety revert on the one suite config it touches:
-c2c_1d_4096_b4096 (16.8M elems) chunks into 16 batch groups, which ran
-statically unrolled in round 4 and serialize through lax.map since the
-r29-r31 miscompile fix.  The miscompile never reproduced on the c2c
-core (r30: unrolled c2c 256^3 b3 correct), so IF the map route costs
-real time at this geometry, a per-core-type unroll policy would be
-worth considering; if it's within noise, the global map route stands.
+"""c2c batch-chunk serialization at the one suite config it touches:
+c2c_1d_4096_b4096 (16.8M elems) chunks into 16 batch groups.
 
-Legs (same session, alternating, protocol v2):
-  map_4096        library plan (current code = lax.map route)
-  unroll_4096     hand-built: same core, static slice unroll + concat
-  (+ correctness of both vs numpy at this exact geometry)
+History: round 4 unrolled these groups statically; the r29-31 r2c/c2r
+miscompile fix briefly moved ALL batch chunks to lax.map; the session-4
+suite run then showed the map spelling COMPILE-OOMs at this config under
+the v2 measurement chain (XLA remat copies materialize the (4096,4096,2)
+operand in a T(8,128) layout padding the trailing-2 dim 64x — 2x 8 GB
+HLO temps for a 128 MB array; benches/logs/r5/session4.log).  The c2c
+core is r30-verified correct under the unroll, so maybe_chunk_core now
+unrolls c2c and maps r2c/c2r (per-core-type policy, commit d0a7a4f).
+
+Legs (run in this order so the production leg always lands):
+  lib_unroll      library plan (current code = static unroll):
+                  correctness vs numpy + v2 timing
+  map_spelling    maybe_chunk_core monkeypatched to pure lax.map:
+                  correctness + timing, guarded — an OOM/compile error
+                  here is the EXPECTED negative result, recorded not
+                  fatal
 
 Run to completion (never under timeout):
   nohup python benches/r33_c2c_chunk_ab.py > benches/logs/r5/r33.log 2>&1 &
@@ -41,56 +48,53 @@ def main():
     zref = np.fft.fft(np.asarray(x_np[..., 0], np.float64)
                       + 1j * np.asarray(x_np[..., 1], np.float64), axis=1)
 
-    plan = W.create_plan(type="c2c", shape=[n], batch=b)
-    assert any("large-batch-chunk" in r for r in plan.route.reasons), \
-        plan.route.reasons
-
-    # hand unrolled variant: rebuild the plan with maybe_chunk_core
-    # monkeypatched to the round-4 static-unroll spelling
-    orig = T.maybe_chunk_core
-
-    def unrolled_chunk_core(core, batch, items_elems, route, bound=None):
-        chunk = T.chunked_batch(batch, items_elems, bound)
-        if chunk == batch:
-            return core
-        route.reasons = route.reasons + (f"large-batch-chunk({chunk})",)
-        groups = batch // chunk
-
-        def chunked(xx, c):
-            outs = [core(jax.lax.slice_in_dim(xx, g * chunk,
-                                              (g + 1) * chunk, axis=0), c)
-                    for g in range(groups)]
-            return jnp.concatenate(outs, axis=0)
-
-        return chunked
-
-    T.maybe_chunk_core = unrolled_chunk_core
-    try:
-        uplan = T.build_c2c(normalize_spec(
-            {"type": "c2c", "shape": [n], "batch": b}))
-    finally:
-        T.maybe_chunk_core = orig
-
     def relc(yk):
         yk = np.asarray(yk, np.float64)
         return (np.max(np.abs((yk[..., 0] + 1j * yk[..., 1]) - zref))
                 / np.max(np.abs(zref)))
 
+    # --- leg 1: library plan (static unroll) ---
+    plan = W.create_plan(type="c2c", shape=[n], batch=b)
+    assert any("large-batch-chunk" in r for r in plan.route.reasons), \
+        plan.route.reasons
     ra = relc(plan.exec(x))
-    print(f"# map correctness rel={ra:.3e} {'FAIL' if ra > 1e-5 else 'ok'}",
-          flush=True)
-    rb = relc(uplan.exec(x))
-    print(f"# unroll correctness rel={rb:.3e} "
-          f"{'FAIL' if rb > 1e-5 else 'ok'}", flush=True)
-
-    tm, tu = [], []
+    print(f"# lib_unroll correctness rel={ra:.3e} "
+          f"{'FAIL' if ra > 1e-5 else 'ok'}", flush=True)
+    tu = []
     for t in range(3):
-        tm.append(profile.hbm_stream_time(plan.exec, x, copies=1, reps=4))
-        tu.append(profile.hbm_stream_time(uplan.exec, x, copies=1, reps=4))
-        print(f"# trial{t}: map={tm[-1]*1e3:.3f} ms "
-              f"unroll={tu[-1]*1e3:.3f} ms", flush=True)
-    print(f"# best: map={min(tm)*1e3:.3f} ms unroll={min(tu)*1e3:.3f} ms "
-          f"map/unroll={min(tm)/min(tu):.3f}", flush=True)
+        tu.append(profile.hbm_stream_time(plan.exec, x, copies=1, reps=4))
+        print(f"# lib_unroll trial{t}: {tu[-1]*1e3:.3f} ms", flush=True)
+    print(f"# lib_unroll best: {min(tu)*1e3:.3f} ms", flush=True)
+
+    # --- leg 2: pure lax.map spelling (expected to OOM at compile) ---
+    orig = T.maybe_chunk_core
+
+    def map_chunk_core(core, batch, items_elems, route, bound=None,
+                       unroll_ok=False):
+        return orig(core, batch, items_elems, route, bound,
+                    unroll_ok=False)
+
+    T.maybe_chunk_core = map_chunk_core
+    try:
+        mplan = T.build_c2c(normalize_spec(
+            {"type": "c2c", "shape": [n], "batch": b}))
+    finally:
+        T.maybe_chunk_core = orig
+    try:
+        rb = relc(mplan.exec(x))
+        print(f"# map_spelling correctness rel={rb:.3e} "
+              f"{'FAIL' if rb > 1e-5 else 'ok'}", flush=True)
+        tm = []
+        for t in range(3):
+            tm.append(profile.hbm_stream_time(mplan.exec, x,
+                                              copies=1, reps=4))
+            print(f"# map_spelling trial{t}: {tm[-1]*1e3:.3f} ms",
+                  flush=True)
+        print(f"# map_spelling best: {min(tm)*1e3:.3f} ms "
+              f"map/unroll={min(tm)/min(tu):.3f}", flush=True)
+    except Exception as e:  # noqa: BLE001 - the OOM is the datapoint
+        print(f"# map_spelling FAILED (expected negative result): "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
     print("# done", flush=True)
 
 
