@@ -61,6 +61,8 @@ def record_healthy_session():
     ts = time.strftime("%Y-%m-%dT%H:%M:%S")
     with open(path, "a") as f:
         for r in RECORDS:
+            if "error" in r:
+                continue  # per-config failure rows are not roofline data
             f.write(json.dumps({"healthy_session": True, "ts": ts, **r})
                     + "\n")
 
@@ -86,8 +88,19 @@ def main():
     rng = np.random.default_rng(0)
 
     def record(name, fn, x, min_bytes, route=None, extra=None, u=None):
-        r = profile.robust_bench(fn, x, min_bytes, unroll=u or unroll,
-                                 reps=reps, trials=trials)
+        # one config's failure (e.g. a backend compile OOM — the
+        # session-4 c2c_1d_4096_b4096 remat-padding OOM killed 18 rows)
+        # must not lose the rest of the matrix: record an error row and
+        # keep going.
+        try:
+            r = profile.robust_bench(fn, x, min_bytes, unroll=u or unroll,
+                                     reps=reps, trials=trials)
+        except Exception as e:  # noqa: BLE001 - per-config isolation
+            emit({"bench": name, "error": f"{type(e).__name__}: "
+                  f"{str(e)[:300]}", "protocol": "v2",
+                  **({"route": route} if route else {}),
+                  "backend": backend, **(extra or {})})
+            return
         emit({"bench": name, "avg_ms": round(r.avg_ms, 4),
               "eff_gbps": round(r.eff_gbps, 1),
               "pct_roofline": round(r.pct_roofline, 2),
