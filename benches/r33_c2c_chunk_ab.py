@@ -15,9 +15,14 @@ Legs (run in this order so the production leg always lands):
   lib_unroll      library plan (current code = static unroll):
                   correctness vs numpy + v2 timing
   map_spelling    maybe_chunk_core monkeypatched to pure lax.map:
-                  correctness + timing, guarded — an OOM/compile error
-                  here is the EXPECTED negative result, recorded not
-                  fatal
+                  correctness + timing, guarded.  SKIPPED by default
+                  (--with-map to run): the session-4 run already
+                  recorded the datapoint at this exact config —
+                  correct (rel 2.1e-7) but ~20 min to compile and
+                  26.8 ms vs the unroll's 1.787 ms (15x slower;
+                  benches/logs/r5/r33.log), and the v2 measurement
+                  chain around it compile-OOMs outright
+                  (session4.log suite crash)
 
 Run to completion (never under timeout):
   nohup python benches/r33_c2c_chunk_ab.py > benches/logs/r5/r33.log 2>&1 &
@@ -66,7 +71,13 @@ def main():
         print(f"# lib_unroll trial{t}: {tu[-1]*1e3:.3f} ms", flush=True)
     print(f"# lib_unroll best: {min(tu)*1e3:.3f} ms", flush=True)
 
-    # --- leg 2: pure lax.map spelling (expected to OOM at compile) ---
+    # --- leg 2: pure lax.map spelling (slow-compile; opt-in) ---
+    if "--with-map" not in sys.argv[1:]:
+        print("# map_spelling skipped (session-4 datapoint: rel 2.1e-7, "
+              "26.8 ms vs 1.787 ms unroll; run with --with-map to repeat)",
+              flush=True)
+        print("# done", flush=True)
+        return
     orig = T.maybe_chunk_core
 
     def map_chunk_core(core, batch, items_elems, route, bound=None,
