@@ -928,10 +928,29 @@ def test_fftconv_pencil_unsplittable_falls_back_single_axis(
     assert any(r.startswith("pencil-fallback-single-axis(sp0)")
                for r in dp.route.reasons), dp.route.reasons
     assert not any(r.startswith("pencil-split:") for r in dp.route.reasons)
+    # the fallback route's padded-circular fold is reported the same way
+    # the directly-reached single-axis route reports it (r5 review)
+    assert any(r.startswith("fftconv-padded-circular:")
+               for r in dp.route.reasons), dp.route.reasons
     lp = W.create_plan(opts)
     assert_close(np.asarray(dp(x, kernel=kern)),
                  np.asarray(lp.exec(x, kernel=kern)),
                  label="pencil fftconv fallback")
+
+
+def test_fftconv_pencil_operand_bound_error_does_not_fall_back(mesh_pencil):
+    """Only the unsplittable-length condition may take the single-axis
+    fallback (sharded.UnsplittableAxisError); a per-device operand-bound
+    violation must surface as a PlanError — the single-axis route's
+    per-device operands would be strictly LARGER, so silently rerouting
+    would either mislead or run past the validated einsum size (r5
+    review finding on the bare `except ValueError`)."""
+    from webgpufft_tpu.spec import PlanError
+    opts = {"type": "fftconv", "shape": [512, 512, 256], "batch": 1,
+            "fftConv": {"boundary": "circular"}}
+    with pytest.raises(PlanError, match="per-device stage operands"):
+        create_distributed_plan(opts, mesh=mesh_pencil,
+                                seq_axis=("sp0", "sp1"))
 
 
 def test_fftconv_trivial_zeropad_not_tagged_staged(mesh_pencil, rng,
