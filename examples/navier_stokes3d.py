@@ -67,14 +67,17 @@ def spectral_grids3(n: int):
 
 
 def make_stepper3(n: int, nu: float, dt: float, *, mesh=None,
-                  seq_axis="sp"):
+                  seq_axis="sp", precision="f32"):
     """Build (step, to_spectral, to_physical) for an n^3 velocity field.
 
     ``step(u_hat) -> u_hat`` advances the interleaved spectral velocity
     (3, n//2+1, n, n, 2) one RK2/integrating-factor step.  With ``mesh``
     the transforms are the distributed rank-3 r2c/c2r plans over
     ``seq_axis`` (one mesh axis = slab, a pair = pencil); without, the
-    single-chip plan layer.  Everything jits and scans."""
+    single-chip plan layer.  ``precision="bf16-storage"`` halves every
+    transform pass's HBM traffic (f32 accumulate; rel ~1e-3 class —
+    the accuracy trade is the caller's; benches/r3_precision_transpose.py
+    ladder).  Everything jits and scans."""
     import jax.numpy as jnp
     import webgpufft_tpu as wft
 
@@ -83,13 +86,30 @@ def make_stepper3(n: int, nu: float, dt: float, *, mesh=None,
             return wft.create_distributed_plan(
                 type=kind, shape=[n, n, n], batch=batch,
                 direction=direction, normalize=normalize, mesh=mesh,
-                seq_axis=seq_axis)
+                seq_axis=seq_axis, precision=precision)
         return wft.create_plan(type=kind, shape=[n, n, n], batch=batch,
-                               direction=direction, normalize=normalize)
+                               direction=direction, normalize=normalize,
+                               precision=precision)
 
     fwd3 = plans(3, "r2c", "forward", "none")
     inv3 = plans(3, "c2r", "inverse", "backward")
     inv6 = plans(6, "c2r", "inverse", "backward")
+
+    if precision == "bf16-storage":
+        # bf16-storage plans take/return bf16 (the storage dtype); the
+        # solver state and pointwise layer stay f32 — the boundary casts
+        # fuse into the adjacent elementwise ops, so the TRANSFORM
+        # passes (the dominant HBM traffic) move half the bytes while
+        # the spectral math keeps f32 arithmetic.
+        def _exec(plan):
+            def f(x):
+                return plan.exec(
+                    x.astype(jnp.bfloat16)).astype(jnp.float32)
+            return f
+    else:
+        def _exec(plan):
+            return plan.exec
+    fwd3_x, inv3_x, inv6_x = _exec(fwd3), _exec(inv3), _exec(inv6)
 
     kx, ky, kz, inv_k2, dealias = spectral_grids3(n)
     kx_j, ky_j, kz_j = jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(kz)
@@ -117,11 +137,11 @@ def make_stepper3(n: int, nu: float, dt: float, *, mesh=None,
         wz = mul_ik(u_hat[1], kx_j) - mul_ik(u_hat[0], ky_j)
         fields = jnp.concatenate(
             [u_hat, jnp.stack([wx, wy, wz], axis=0)], axis=0)
-        u, v, w, ox, oy, oz = inv6.exec(fields)   # ONE batch-6 c2r
+        u, v, w, ox, oy, oz = inv6_x(fields)      # ONE batch-6 c2r
         cross = jnp.stack([v * oz - w * oy,
                            w * ox - u * oz,
                            u * oy - v * ox], axis=0)
-        return project(fwd3.exec(cross) * mask_j)
+        return project(fwd3_x(cross) * mask_j)
 
     def step(u_hat):
         """Heun with the exact viscous integrating factor."""
@@ -137,10 +157,10 @@ def make_stepper3(n: int, nu: float, dt: float, *, mesh=None,
         one-sided and two-sided k-sign conventions genuinely differ —
         would otherwise sit frozen in the state); the Leray projection
         then makes the field exactly divergence-free."""
-        return project(fwd3.exec(jnp.asarray(u, jnp.float32)) * mask_j)
+        return project(fwd3_x(jnp.asarray(u, jnp.float32)) * mask_j)
 
     def to_physical(u_hat):
-        return inv3.exec(u_hat)
+        return inv3_x(u_hat)
 
     return step, to_spectral, to_physical
 
