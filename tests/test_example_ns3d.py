@@ -105,3 +105,21 @@ def test_pencil_matches_single_chip(ns3):
                     seq_axis=("sp1", "sp2"))
     err = np.max(np.abs(dist - single)) / np.max(np.abs(single))
     assert err < 1e-4, err
+
+
+def test_bf16_storage_mode_tracks_f32(ns3):
+    """precision="bf16-storage" halves the transform storage width; the
+    solver state stays f32, so a step's output tracks the f32 step to
+    ~dt * transform-rounding (the raw transform rel is ~1e-3 class)."""
+    import jax.numpy as jnp
+
+    n, nu, dt = 16, 2e-2, 1e-2
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.standard_normal((3, n, n, n)) * 0.1, jnp.float32)
+    step_f, to_s, _ = ns3.make_stepper3(n, nu, dt)
+    step_b, _, _ = ns3.make_stepper3(n, nu, dt, precision="bf16-storage")
+    u_hat = to_s(u0)
+    vf = np.asarray(step_f(u_hat))
+    vb = np.asarray(step_b(u_hat))
+    rel = np.max(np.abs(vb - vf)) / (np.max(np.abs(vf)) + 1e-30)
+    assert rel < 1e-3, rel
